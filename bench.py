@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed as a full collect() (plan → execute → fetch), after a
+small warmup query so JVM/codegen startup isn't billed to the first entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from ida_ice_energy_simulation_etl_pipeline_spark.plans import QUERIES
+from ida_ice_energy_simulation_etl_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "segment_revenue",
+    "region_revenue",
+    "quality_scan",
+    "customers_without_orders",
+    "monthly_revenue",
+    "hourly_event_rollup",
+    "time_dim",
+    "dedup_exact",
+    "minhash_signatures",
+    "dedup_ngram_jaccard",
+    "similarity_topk",
+    "text_quality",
+    "token_count",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) if cpus.isdigit() else 32,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: touch every table once so OS page cache + JVM are hot.
+    QUERIES["peak_metrics"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        QUERIES[name].fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

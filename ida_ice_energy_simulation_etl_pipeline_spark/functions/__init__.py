@@ -1,0 +1,25 @@
+"""Reusable column expressions shared by the ETL, query, and operator layers.
+
+Everything here is built-in-function composition (JVM-side, codegen-able) —
+zero Python row UDFs, per SURVEY.md §2.11.
+"""
+
+from .columns import (
+    cosine_similarity,
+    dow_monday0,
+    is_weekend,
+    l2_norm,
+    occurrence_count,
+    word_shingles,
+    word_tokens,
+)
+
+__all__ = [
+    "cosine_similarity",
+    "dow_monday0",
+    "is_weekend",
+    "l2_norm",
+    "occurrence_count",
+    "word_shingles",
+    "word_tokens",
+]

@@ -1,0 +1,92 @@
+"""Column-expression helpers (all pure built-in composition).
+
+Cross-engine determinism notes (these expressions are hash-compared against
+a DuckDB oracle by the driver):
+
+* ``dow_monday0`` — pandas/the reference use Monday=0
+  (reference src/etl/transform/__init__.py:173-184); Spark ``dayofweek`` is
+  1=Sunday, DuckDB ``isodow`` is 1=Monday.  The shim normalizes all three.
+* Hashing for dedup uses ``md5`` (hex string) — byte-identical between
+  Spark and DuckDB, unlike Spark's murmur3 ``hash()``.
+* Vector math is done in DOUBLE precision with a left-to-right fold so the
+  floating-point accumulation order matches DuckDB's list kernels closely
+  enough that a round() at the edge is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dow_monday0(ts: Column) -> Column:
+    """Day-of-week with Monday=0 .. Sunday=6 (pandas convention,
+    reference src/etl/transform/__init__.py:182)."""
+    return (F.dayofweek(ts) + F.lit(5)) % F.lit(7)
+
+
+def is_weekend(ts: Column) -> Column:
+    """Weekend flag: dow >= 5 under Monday=0 (reference transform/__init__.py:183)."""
+    return dow_monday0(ts) >= F.lit(5)
+
+
+def word_tokens(text: Column) -> Column:
+    """Whitespace tokenization — single-space split to mirror DuckDB
+    ``string_split(text, ' ')`` exactly (no regex, no trimming)."""
+    return F.split(text, " ")
+
+
+def word_shingles(tokens: Column, n: int) -> Column:
+    """All n-word shingles (space-joined) of a token array, in order.
+
+    Equivalent DuckDB: ``list_transform(range(1, len(w) - n + 2),
+    i -> array_to_string(w[i:i+n-1], ' '))``.
+    Returns an empty array when the document has fewer than n tokens
+    (guarded explicitly: Spark ``sequence(1, 0)`` would count DOWN, while
+    DuckDB ``range(1, 1)`` is empty).
+    """
+    shingle = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+    return F.when(F.size(tokens) >= F.lit(n), shingle).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def l2_norm(vec: Column) -> Column:
+    """Euclidean norm of an array column, accumulated in DOUBLE."""
+    return F.sqrt(
+        F.aggregate(
+            vec,
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array columns in DOUBLE precision.
+
+    Pure built-in composition (``zip_with`` + ``aggregate``) — stays in
+    whole-stage codegen; no Python/pandas round-trip.
+    """
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    return dot / (l2_norm(a) * l2_norm(b))
+
+
+def occurrence_count(text: Column, needle: str) -> Column:
+    """Number of occurrences of a literal substring.
+
+    ``(len(text) - len(replace(text, needle, ''))) / len(needle)`` — the
+    same arithmetic identity works verbatim in DuckDB, so oracle SQL can
+    reproduce it exactly.
+    """
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")

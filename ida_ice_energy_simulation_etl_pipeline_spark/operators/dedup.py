@@ -1,0 +1,370 @@
+"""Deduplication operators over the ``documents`` table.
+
+Four families, each an extension a 100 TB training-data pipeline needs:
+
+* **exact** — content-hash group-by (one shuffle on a 32-hex-char key).
+* **MinHash + LSH** — shingle → H minhashes → B bands → band-bucket
+  self-join.  The candidate join touches only colliding buckets, the
+  idiomatic way to avoid the O(n²) pair explosion at scale.
+* **SimHash** — per-doc bit-signature; near-dup pairs = small Hamming
+  distance within LSH-style prefix buckets.
+* **n-gram Jaccard** — exact set-similarity verification on shingle sets
+  (used standalone here; at scale it is the verify stage after LSH).
+
+Determinism across engines: every hash is md5 of an explicit string, so
+the DuckDB oracle reproduces signatures byte-for-byte (Spark's murmur3
+``hash()``/``xxhash64`` have no DuckDB twin).  md5-as-minhash is the
+classic trick: lexicographic MIN over hex strings is a uniform minimum
+over a random permutation of the shingle space.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import word_shingles, word_tokens
+from ..plans.core import QuerySpec, load_table
+
+N_MINHASHES = 8
+N_BANDS = 4  # rows per band = N_MINHASHES // N_BANDS = 2
+SHINGLE_N = 3
+SIMHASH_BITS = 16
+
+
+# --------------------------------------------------------------------------
+# Exact dedup — hash group-by (reference analog: first-seen dedup D1,
+# src/etl/transform/__init__.py:29-40, generalized to content hashing).
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("text_hash", F.md5(F.col("text").cast("binary")))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text_hash").alias("n_unique_texts"),
+            (F.count(F.lit(1)) - F.countDistinct("text_hash")).alias("n_dupes"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT source,
+       count(*)                                    AS n_docs,
+       count(DISTINCT md5(text))                   AS n_unique_texts,
+       count(*) - count(DISTINCT md5(text))        AS n_dupes
+FROM documents
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures + LSH banding.
+def _shingle_set(text: Column) -> Column:
+    return F.array_distinct(word_shingles(word_tokens(text), SHINGLE_N))
+
+
+def minhash_col(shingles: Column, i: int) -> Column:
+    """i-th minhash: lexicographic min of md5('{i}|' + shingle)."""
+    return F.array_min(
+        F.transform(
+            shingles, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s).cast("binary"))
+        )
+    )
+
+
+def with_minhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append mh_0..mh_{H-1} minhash columns (map-only, no shuffle)."""
+    shingles = _shingle_set(F.col(text_col))
+    out = docs.withColumn("_shingles", shingles)
+    for i in range(N_MINHASHES):
+        out = out.withColumn(f"mh_{i}", minhash_col(F.col("_shingles"), i))
+    return out.drop("_shingles")
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = with_minhash_signature(docs)
+    return sig.select("doc_id", *[f"mh_{i}" for i in range(N_MINHASHES)])
+
+
+def _minhash_sql_exprs() -> list[str]:
+    return [
+        (
+            "list_min(list_transform(sh, s -> md5('{i}|' || s))) AS mh_{i}"
+        ).format(i=i)
+        for i in range(N_MINHASHES)
+    ]
+
+
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w) - {SHINGLE_N - 2}, 1)),
+                                      i -> array_to_string(w[i:i+{SHINGLE_N - 1}], ' '))) AS sh
+  FROM toks
+)
+"""
+
+MINHASH_SIGNATURES_SQL = f"""
+WITH {_SHINGLES_CTE}
+SELECT doc_id, {', '.join(_minhash_sql_exprs())}
+FROM sh
+"""
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """LSH banding: docs whose signatures agree on ≥1 full band.
+
+    Physical shape at scale: explode to (band_idx, band_key, doc_id) —
+    band_key is a hash of r consecutive minhashes — then a self-equi-join
+    on the band bucket.  Only colliding buckets pair up; the shuffle key
+    is the band bucket, so skew stays bounded by bucket size, not corpus
+    size.
+    """
+    sig = with_minhash_signature(docs)
+    rows = N_MINHASHES // N_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                    ).cast("binary")
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    exploded = sig.select(
+        "doc_id", F.explode(bands).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    left = exploded.alias("a")
+    right = exploded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs)
+
+
+def _band_key_sql(b: int, rows: int) -> str:
+    parts = " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows))
+    return f"md5({parts})"
+
+
+_ROWS = N_MINHASHES // N_BANDS
+DEDUP_MINHASH_LSH_SQL = f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {', '.join(_minhash_sql_exprs())} FROM sh),
+bands AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, {b} AS band_idx, {_band_key_sql(b, _ROWS)} AS band_key FROM sig"
+      for b in range(N_BANDS)
+  )}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash — per-doc bit signature from token hashes.
+def simhash_col(tokens: Column) -> Column:
+    """SIMHASH_BITS-char '0'/'1' signature.
+
+    Bit j is the sign of Σ_tokens (±1 by the j-th hex nibble's high bit of
+    md5(token)) — hex char >= '8' ⇔ high bit set, an ASCII comparison that
+    behaves identically in DuckDB.
+    """
+    def bit_contrib(j: int):
+        # two-arg closure (PySpark maps lambda arity to the merge signature,
+        # so the loop variable must be captured, not passed as a default)
+        return lambda acc, t: acc + F.when(
+            F.substring(F.md5(t.cast("binary")), j, 1) >= "8", 1
+        ).otherwise(-1)
+
+    bits = []
+    for j in range(1, SIMHASH_BITS + 1):
+        contrib = F.aggregate(tokens, F.lit(0), bit_contrib(j))
+        bits.append(F.when(contrib >= 0, "1").otherwise("0"))
+    return F.concat(*bits)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", simhash_col(word_tokens(F.col("text"))).alias("simhash")
+    )
+
+
+def _simhash_bit_sql(j: int) -> str:
+    return (
+        f"CASE WHEN list_sum(list_transform(w, t -> "
+        f"CASE WHEN substr(md5(t), {j}, 1) >= '8' THEN 1 ELSE -1 END)) >= 0 "
+        f"THEN '1' ELSE '0' END"
+    )
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       {' || '.join(_simhash_bit_sql(j) for j in range(1, SIMHASH_BITS + 1))} AS simhash
+FROM toks
+"""
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs by Hamming distance, bucketed by signature halves.
+
+    Pigeonhole: two signatures within Hamming distance ≤ 2 over 16 bits
+    share at least one identical half if distance ≤ 1 per half — we bucket
+    on each half so candidates collide on a 8-bit prefix instead of the
+    full O(n²) cross join (standard SimHash block-permutation trick).
+    """
+    sig = docs.select("doc_id", simhash_col(word_tokens(F.col("text"))).alias("simhash"))
+    half = SIMHASH_BITS // 2
+    blocks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("blk"), F.substring("simhash", 1, half).alias("key")),
+                F.struct(F.lit(1).alias("blk"), F.substring("simhash", half + 1, half).alias("key")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.blk", "b.key")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    hamming = reduce(
+        lambda x, y: x + y,
+        [
+            F.when(
+                F.substring(F.col("a.simhash"), j, 1)
+                != F.substring(F.col("b.simhash"), j, 1),
+                1,
+            ).otherwise(0)
+            for j in range(1, SIMHASH_BITS + 1)
+        ],
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard — exact set similarity on shingle sets.
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = SHINGLE_N, threshold: float = 0.2
+) -> DataFrame:
+    """All doc pairs with shingle-set Jaccard ≥ threshold.
+
+    Shape: explode distinct shingles → self-join on shingle (inverted
+    index) → per-pair intersection count → Jaccard from per-doc set sizes.
+    At 100 TB this runs AFTER LSH candidate filtering; the join here is on
+    the shingle (bounded fan-out), never a raw doc×doc cross join.
+    """
+    sh = docs.select(
+        "doc_id", F.explode(_shingle_set(F.col("text"))).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_shared")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLES_CTE},
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       round(CAST(n_shared AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_shared), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_shared AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_shared) >= 0.2
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "ext:dedup,D1"),
+    QuerySpec(
+        "minhash_signatures", minhash_signatures, MINHASH_SIGNATURES_SQL, "ext:dedup"
+    ),
+    QuerySpec(
+        "dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL, "ext:dedup"
+    ),
+    QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL, "ext:dedup"),
+    QuerySpec(
+        "dedup_ngram_jaccard",
+        dedup_ngram_jaccard,
+        DEDUP_NGRAM_JACCARD_SQL,
+        "ext:dedup",
+    ),
+]

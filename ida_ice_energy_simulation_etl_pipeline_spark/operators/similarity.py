@@ -1,0 +1,191 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``).
+
+Two paths:
+
+* **Brute-force cosine top-k** — correctness baseline.  Queries are tiny
+  (broadcast); candidates stream through a map-side cosine + per-query
+  top-k window.  All vector math is built-in (`zip_with`/`aggregate` in
+  DOUBLE precision) — no Python round-trip.
+* **Random-hyperplane LSH buckets** — the scale path: sign-bit sketches
+  put near vectors in the same bucket so a 100 TB ANN query only scans
+  colliding buckets.  Hyperplanes are derived deterministically from md5
+  so results are reproducible (and oracle-checkable).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import cosine_similarity, l2_norm
+from ..plans.core import QuerySpec, load_table
+
+TOP_K = 5
+N_QUERIES = 5  # vec_id < 5 are the fixture query vectors
+N_HYPERPLANES = 8
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k.
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    candidates = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        candidates.crossJoin(F.broadcast(queries))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_similarity(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("nn_rank") <= TOP_K)
+        .select("query_id", "nn_rank", "neighbor_id")
+    )
+
+
+SIMILARITY_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS c_emb FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(q_emb, c_emb) AS cos
+  FROM q CROSS JOIN c
+  WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS BIGINT) AS nn_rank
+  FROM scored
+)
+SELECT query_id, nn_rank, neighbor_id FROM ranked WHERE nn_rank <= {TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-label embedding statistics (norm / leading-component profile).
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("norm", l2_norm(F.col("embedding")))
+        .withColumn("dim0", F.element_at("embedding", 1).cast("double"))
+        .groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.round(F.avg("dim0"), 4).alias("avg_dim0"),
+        )
+    )
+
+
+EMBEDDING_STATS_SQL = """
+WITH per_vec AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm,
+         CAST(embedding[1] AS DOUBLE) AS dim0
+  FROM embeddings
+)
+SELECT label,
+       count(*)           AS n_vecs,
+       round(avg(norm), 4) AS avg_norm,
+       round(avg(dim0), 4) AS avg_dim0
+FROM per_vec
+GROUP BY label
+"""
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH (scale path for ANN).
+def _hyperplane(dim: int, h: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane h: components in
+    [-1, 1) derived from md5(f'{h}:{d}') — reproducible everywhere, no RNG
+    state, no driver-side numpy dependence."""
+    comps = []
+    for d in range(dim):
+        digest = hashlib.md5(f"{h}:{d}".encode()).hexdigest()
+        comps.append(int(digest[:8], 16) / float(2**31) - 1.0)
+    return comps
+
+
+def lsh_bucket_col(vec: Column, dim: int, n_planes: int = N_HYPERPLANES) -> Column:
+    """Sign-bit sketch: one '0'/'1' char per hyperplane."""
+    bits = []
+    for h in range(n_planes):
+        plane = _hyperplane(dim, h)
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(c) for c in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, "1").otherwise("0"))
+    return F.concat(*bits)
+
+
+def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket census for the hyperplane sketch — the partition map an ANN
+    query would probe.  Rows-only driver check (no clean SQL oracle for
+    the fold order, though the bucketing is deterministic)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return (
+        emb.withColumn("bucket", lsh_bucket_col(F.col("embedding"), dim))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def lsh_topk(
+    emb: DataFrame, query_ids: list[int], k: int = TOP_K, dim: int = 64
+) -> DataFrame:
+    """ANN top-k probing only the query's bucket (plus exact rerank inside).
+
+    Recall is tunable via n_planes/multi-probe; this is the 100 TB shape:
+    bucket column becomes the partition key, so a query touches one
+    partition instead of the full corpus.
+    """
+    bucketed = emb.withColumn("bucket", lsh_bucket_col(F.col("embedding"), dim))
+    queries = bucketed.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        bucketed.join(
+            F.broadcast(queries), F.col("bucket") == F.col("q_bucket")
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("cos", cosine_similarity(F.col("q_emb"), F.col("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("nn_rank") <= k)
+        .select("query_id", "nn_rank", F.col("vec_id").alias("neighbor_id"), "cos")
+    )
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("similarity_topk", similarity_topk, SIMILARITY_TOPK_SQL, "ext:ann"),
+    QuerySpec("embedding_stats", embedding_stats, EMBEDDING_STATS_SQL, "ext:ann"),
+    QuerySpec("similarity_lsh_buckets", similarity_lsh_buckets, None, "ext:ann"),
+]

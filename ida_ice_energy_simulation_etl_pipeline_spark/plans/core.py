@@ -1,0 +1,71 @@
+"""Query-spec plumbing shared by all plan modules."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One driver-contract query.
+
+    name    key in ``__spark_entry__.queries()`` / ``oracle_sql()``
+    fn      (spark, sf_dir) -> DataFrame — the PySpark plan
+    oracle  equivalent ANSI SQL for DuckDB over the same parquet views,
+            or None for non-SQL-expressible ops (driver then records a
+            weaker rows-only check)
+    covers  SURVEY.md §2 operator ids this query exercises
+    """
+
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    covers: str = ""
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one fixture table (predicate/column pushdown is
+    preserved because callers select/filter lazily on the returned frame).
+
+    The ``events`` fixture is written with parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects; it is read via the legacy
+    nanos-as-long path and converted to micros with exact integer division
+    (nanos exceed 2^53, so a double-precision divide would lose time).
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    df = _read_parquet_nanosafe(spark, path)
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def _read_parquet_nanosafe(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for ``spark.sql`` use."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

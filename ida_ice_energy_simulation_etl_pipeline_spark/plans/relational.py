@@ -1,0 +1,647 @@
+"""Reference-parity relational queries over the TPC-H-ish fixture tables.
+
+Each QuerySpec pairs an idiomatic-PySpark plan with byte-equivalent DuckDB
+oracle SQL.  The queries re-express the reference's operator inventory
+(SURVEY.md §2, citations inline) on the driver's fixture schema:
+dims ↔ region/nation/customer, facts ↔ lineitem/orders, hourly
+time-series ↔ events.
+
+Cross-engine determinism rules applied throughout:
+* every floating aggregate is ``round()``-ed (sum→2dp, avg/ratio→4dp) so
+  summation-order noise (~1e-8 relative) cannot flip the driver's value
+  hash;
+* every integer-ish output is cast to BIGINT on BOTH sides (Spark year()
+  is INT while DuckDB's is BIGINT; DuckDB SUM(int) is HUGEINT);
+* aliases match exactly between plan and oracle (driver sorts columns by
+  name before hashing).
+
+Scale notes (100 TB design):
+* region/nation/supplier are broadcast explicitly; customer/orders/lineitem
+  joins are left to AQE (sort-merge or shuffled-hash with skew splitting).
+* aggregations are expressed as single-pass conditional aggregates where the
+  reference looped per-check (validate/__init__.py runs one pandas filter
+  per rule — here one scan computes every rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import dow_monday0, is_weekend
+from .core import QuerySpec, load_table
+
+
+# --------------------------------------------------------------------------
+# A1/O3 — grouped multi-aggregate summary (reference vw_energy_summary,
+# src/etl/load/__init__.py:143-163; TPC-H Q1 shape).
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                          AS sum_qty,
+       round(sum(l_extendedprice), 2)                                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+       round(avg(l_quantity), 4)                                          AS avg_qty,
+       round(avg(l_extendedprice), 4)                                     AS avg_price,
+       round(avg(l_discount), 4)                                          AS avg_disc,
+       count(*)                                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# J7 + A1 — dim⋈fact group-by (reference vw_energy_summary joins,
+# src/etl/load/__init__.py:157-163).
+def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("num_orders"),
+            F.countDistinct("c_custkey").alias("num_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+SEGMENT_REVENUE_SQL = """
+SELECT c_mktsegment,
+       count(*)                         AS num_orders,
+       count(DISTINCT c_custkey)        AS num_customers,
+       round(sum(o_totalprice), 2)      AS total_price,
+       round(avg(o_totalprice), 4)      AS avg_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# J5/J6 — the flagship multi-way view join (reference vw_hvac_with_meters,
+# src/etl/load/__init__.py:131-138: fact⋈fact⋈3 dims).  Small dims are
+# broadcast; the lineitem⋈orders fact-fact join shuffles on the key with
+# AQE sizing.
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+REGION_REVENUE_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey)                        AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# P3/P4/P5/A7 — the validation suite's range/sign/null scans
+# (src/etl/validate/__init__.py:49-137), collapsed from one-pandas-filter-
+# per-rule into a SINGLE conditional-aggregate pass (one scan at 100 TB,
+# not seven).
+def quality_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        flag((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias("qty_oob"),
+        flag(F.col("l_quantity") > 45).alias("qty_high"),
+        flag((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).alias(
+            "disc_oob"
+        ),
+        flag(F.col("l_discount") == 0).alias("disc_zero"),
+        flag(F.col("l_extendedprice") < 0).alias("price_neg"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("ship_null"),
+    )
+
+
+QUALITY_SCAN_SQL = """
+SELECT count(*)                                                              AS n_rows,
+       CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)   AS qty_oob,
+       CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT)                     AS qty_high,
+       CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT)  AS disc_oob,
+       CAST(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT)                      AS disc_zero,
+       CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT)                 AS price_neg,
+       CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)                  AS ship_null
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# P7/F12 — threshold-conditional derived measure with NULL semantics
+# (cop_proxy: NULL iff power < 1.0 kW, src/etl/transform/__init__.py:267-274).
+def threshold_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    unit_price = F.when(
+        F.col("l_quantity") >= 5, F.col("l_extendedprice") / F.col("l_quantity")
+    )  # .otherwise(NULL) implicit — mirrors np.where(..., np.nan)
+    return (
+        li.withColumn("unit_price", unit_price)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("unit_price"), 4).alias("avg_unit_price"),
+            F.sum(F.when(F.col("unit_price").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("null_rows"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+THRESHOLD_RATIO_SQL = """
+SELECT l_returnflag,
+       round(avg(CASE WHEN l_quantity >= 5 THEN l_extendedprice / l_quantity END), 4) AS avg_unit_price,
+       CAST(sum(CASE WHEN l_quantity < 5 THEN 1 ELSE 0 END) AS BIGINT)                AS null_rows,
+       count(*)                                                                        AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# P1/P2/P8/S3 — keyed-subset projection with arithmetic derived columns
+# (temp_deviation, src/etl/load/__init__.py:92; keyed lookup
+# src/etl/extract/__init__.py:140-161).  The l_orderkey predicate pushes
+# down to the parquet scan.  Row-level arithmetic is deliberately NOT
+# rounded: identical IEEE evaluation order makes it bit-exact across
+# engines, whereas round() itself diverges on exact-half values (Spark
+# rounds the shortest decimal repr, DuckDB the binary double).
+def net_price_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") <= 200).select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        (
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("net_price"),
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("disc_amount"),
+    )
+
+
+NET_PRICE_PROJECTION_SQL = """
+SELECT l_orderkey,
+       CAST(l_linenumber AS BIGINT)                         AS l_linenumber,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax)     AS net_price,
+       l_extendedprice * l_discount                         AS disc_amount
+FROM lineitem
+WHERE l_orderkey <= 200
+"""
+
+
+# --------------------------------------------------------------------------
+# J8/A8 — anti-join coverage check (missing time periods,
+# src/etl/validate/__init__.py:171-180).
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    no_orders = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        no_orders.join(F.broadcast(nation), no_orders.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers_no_orders"))
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT n_name, count(*) AS n_customers_no_orders
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# D1/D2 — multi-column distinct (dim extraction,
+# src/etl/transform/__init__.py:96-142).
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_mktsegment", F.col("c_nationkey").cast("long").alias("c_nationkey")
+    ).distinct()
+
+
+DISTINCT_SEGMENTS_SQL = """
+SELECT DISTINCT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------------
+# D4/O1 — dense surrogate keys after sort (zone_key/ahu_key/time_key,
+# src/etl/transform/__init__.py:106-173).  row_number over a global order
+# is fine for dim-sized inputs; fact-scale keys use a derived natural key
+# instead (see etl/transform.py).
+def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.orderBy("n_name")
+    return nation.select(
+        F.row_number().over(w).cast("long").alias("nation_key"),
+        "n_name",
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+    )
+
+
+SURROGATE_KEYS_SQL = """
+SELECT CAST(row_number() OVER (ORDER BY n_name) AS BIGINT) AS nation_key,
+       n_name,
+       CAST(n_nationkey AS BIGINT)                         AS n_nationkey
+FROM nation
+"""
+
+
+# --------------------------------------------------------------------------
+# F1/D3/D4 — the time dimension build (src/etl/transform/__init__.py:161-184)
+# with the pandas dow convention (Monday=0) and weekend flag.
+def time_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hours = events.select(
+        F.date_trunc("hour", F.col("ts")).alias("ts_hour")
+    ).distinct()
+    w = Window.orderBy("ts_hour")
+    return hours.select(
+        F.row_number().over(w).cast("long").alias("time_key"),
+        "ts_hour",
+        F.year("ts_hour").cast("long").alias("year"),
+        F.month("ts_hour").cast("long").alias("month"),
+        F.dayofmonth("ts_hour").cast("long").alias("day"),
+        F.hour("ts_hour").cast("long").alias("hour"),
+        dow_monday0(F.col("ts_hour")).cast("long").alias("dow"),
+        is_weekend(F.col("ts_hour")).alias("is_weekend"),
+    )
+
+
+TIME_DIM_SQL = """
+WITH hours AS (SELECT DISTINCT date_trunc('hour', ts) AS ts_hour FROM events)
+SELECT CAST(row_number() OVER (ORDER BY ts_hour) AS BIGINT) AS time_key,
+       ts_hour,
+       CAST(year(ts_hour) AS BIGINT)        AS year,
+       CAST(month(ts_hour) AS BIGINT)       AS month,
+       CAST(day(ts_hour) AS BIGINT)         AS day,
+       CAST(hour(ts_hour) AS BIGINT)        AS hour,
+       CAST(isodow(ts_hour) - 1 AS BIGINT)  AS dow,
+       (isodow(ts_hour) - 1) >= 5           AS is_weekend
+FROM hours
+"""
+
+
+# --------------------------------------------------------------------------
+# F4 — temporal-gap detection via lag window
+# (src/etl/validate/__init__.py:159-168).
+def gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hours = events.select(
+        F.date_trunc("hour", F.col("ts")).alias("ts_hour")
+    ).distinct()
+    w = Window.orderBy("ts_hour")
+    gaps = hours.withColumn(
+        "gap_hours",
+        (
+            F.unix_timestamp("ts_hour")
+            - F.unix_timestamp(F.lag("ts_hour").over(w))
+        )
+        / 3600,
+    )
+    return gaps.agg(
+        F.sum(F.when(F.col("gap_hours") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_gaps"),
+        F.max("gap_hours").cast("long").alias("max_gap_hours"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+
+
+GAP_DETECTION_SQL = """
+WITH hours AS (SELECT DISTINCT date_trunc('hour', ts) AS ts_hour FROM events),
+gaps AS (
+  SELECT (epoch(ts_hour) - epoch(lag(ts_hour) OVER (ORDER BY ts_hour))) / 3600 AS gap_hours
+  FROM hours
+)
+SELECT CAST(sum(CASE WHEN gap_hours > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+       CAST(max(gap_hours) AS BIGINT)                                 AS max_gap_hours,
+       count(*)                                                       AS n_hours
+FROM gaps
+"""
+
+
+# --------------------------------------------------------------------------
+# A3 — conditional count / comfort-violation pivot
+# (README.md:256-265 comfort analysis).
+def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("value") > 100, 1).otherwise(0))
+            .cast("long")
+            .alias("high_value_events"),
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("value") > 100, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("pct_high"),
+        )
+    )
+
+
+EVENT_TYPE_STATS_SQL = """
+SELECT event_type,
+       count(*)                                                            AS n_events,
+       CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT)        AS high_value_events,
+       round(100.0 * sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) / count(*), 4) AS pct_high
+FROM events
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# A4/F7 — binned aggregation (COP-vs-outdoor-temp bins, README.md:267-275).
+# floor() is used instead of round() for binning because its semantics are
+# bit-identical across engines.
+def value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn(
+            "value_bin", F.floor(F.col("value") / 50).cast("long")
+        )
+        .groupBy("value_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+VALUE_BINS_SQL = """
+SELECT CAST(floor(value / 50) AS BIGINT) AS value_bin,
+       count(*)                          AS n_events,
+       round(avg(value), 4)              AS avg_value
+FROM events
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# A9/F1 — honest monthly rollup (the reference hard-codes monthly patterns,
+# src/export_json.py:164-178 — computed for real here, SURVEY §4 caveat 1).
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("year"),
+            F.month("o_orderdate").cast("long").alias("month"),
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+MONTHLY_REVENUE_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT)  AS year,
+       CAST(month(o_orderdate) AS BIGINT) AS month,
+       round(sum(o_totalprice), 2)        AS total_price,
+       count(*)                           AS n_orders
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# A10/A5 — global min/max/sum scalars (peak_demand_kw computed honestly,
+# src/export_json.py:188).
+def peak_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.max("o_totalprice").alias("max_order_price"),
+        F.min("o_totalprice").alias("min_order_price"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+PEAK_METRICS_SQL = """
+SELECT max(o_totalprice)           AS max_order_price,
+       min(o_totalprice)           AS min_order_price,
+       round(sum(o_totalprice), 2) AS total_price,
+       count(*)                    AS n_orders
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# U1 — UNION ALL of per-scenario slices then re-aggregate
+# (pd.concat of per-run frames, src/etl/transform/__init__.py:241-409).
+def union_scenarios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_linestatus", "l_quantity", "l_extendedprice"]
+    f_part = li.filter(F.col("l_linestatus") == "F").select(*cols)
+    o_part = li.filter(F.col("l_linestatus") == "O").select(*cols)
+    return (
+        f_part.unionByName(o_part)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+UNION_SCENARIOS_SQL = """
+WITH unioned AS (
+  SELECT l_linestatus, l_quantity, l_extendedprice FROM lineitem WHERE l_linestatus = 'F'
+  UNION ALL
+  SELECT l_linestatus, l_quantity, l_extendedprice FROM lineitem WHERE l_linestatus = 'O'
+)
+SELECT l_linestatus, count(*) AS n_rows, round(sum(l_extendedprice), 2) AS sum_price
+FROM unioned
+GROUP BY l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# J4 — deliberate cross-join fan-out (weather × buildings replication,
+# src/etl/transform/__init__.py:373-409), broadcast on the small side.
+def priority_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    orders = load_table(spark, sf_dir, "orders")
+    priorities = orders.select("o_orderpriority").distinct()
+    return region.select("r_name").crossJoin(F.broadcast(priorities))
+
+
+PRIORITY_FANOUT_SQL = """
+SELECT r_name, o_orderpriority
+FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+"""
+
+
+# --------------------------------------------------------------------------
+# A5/A6/F5/F7 — export KPIs: global sums + fixed-split constants
+# (lighting 35% / equipment 45% of electric, src/export_json.py:140-141,
+# energy intensity src/export_json.py:183-187).
+def export_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("total_revenue"),
+        F.round(F.sum("l_extendedprice") * 0.35, 2).alias("lighting_share"),
+        F.round(F.sum("l_extendedprice") * 0.45, 2).alias("equipment_share"),
+        F.round(F.sum("l_extendedprice") / F.count(F.lit(1)), 4).alias(
+            "revenue_intensity"
+        ),
+    )
+
+
+EXPORT_KPIS_SQL = """
+SELECT round(sum(l_extendedprice), 2)            AS total_revenue,
+       round(sum(l_extendedprice) * 0.35, 2)     AS lighting_share,
+       round(sum(l_extendedprice) * 0.45, 2)     AS equipment_share,
+       round(sum(l_extendedprice) / count(*), 4) AS revenue_intensity
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# S3/P6 — keyed lookup with scalar filter (extract_run_by_id,
+# src/etl/extract/__init__.py:140-161); predicate pushes to the scan.
+def keyed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_custkey") <= 5).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+    )
+
+
+KEYED_LOOKUP_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+FROM orders
+WHERE o_custkey <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Batch mirror of the streaming hourly rollup (streaming/hourly.py) —
+# tumbling-window groupBy; the streaming variant adds a watermark.
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+HOURLY_EVENT_ROLLUP_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*)               AS n_events,
+       round(sum(value), 2)   AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("pricing_summary", pricing_summary, PRICING_SUMMARY_SQL, "A1,O3"),
+    QuerySpec("segment_revenue", segment_revenue, SEGMENT_REVENUE_SQL, "J7,A1"),
+    QuerySpec("region_revenue", region_revenue, REGION_REVENUE_SQL, "J5,J6"),
+    QuerySpec("quality_scan", quality_scan, QUALITY_SCAN_SQL, "P3,P4,P5,A7"),
+    QuerySpec("threshold_ratio", threshold_ratio, THRESHOLD_RATIO_SQL, "P7,F12"),
+    QuerySpec(
+        "net_price_projection",
+        net_price_projection,
+        NET_PRICE_PROJECTION_SQL,
+        "P1,P2,P8",
+    ),
+    QuerySpec(
+        "customers_without_orders",
+        customers_without_orders,
+        CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "J8,A8",
+    ),
+    QuerySpec("distinct_segments", distinct_segments, DISTINCT_SEGMENTS_SQL, "D1,D2"),
+    QuerySpec("surrogate_keys", surrogate_keys, SURROGATE_KEYS_SQL, "D4,O1"),
+    QuerySpec("time_dim", time_dim, TIME_DIM_SQL, "F1,D3,D4"),
+    QuerySpec("gap_detection", gap_detection, GAP_DETECTION_SQL, "F4"),
+    QuerySpec("event_type_stats", event_type_stats, EVENT_TYPE_STATS_SQL, "A3"),
+    QuerySpec("value_bins", value_bins, VALUE_BINS_SQL, "A4,F7"),
+    QuerySpec("monthly_revenue", monthly_revenue, MONTHLY_REVENUE_SQL, "A9,F1"),
+    QuerySpec("peak_metrics", peak_metrics, PEAK_METRICS_SQL, "A10,A5"),
+    QuerySpec("union_scenarios", union_scenarios, UNION_SCENARIOS_SQL, "U1"),
+    QuerySpec("priority_fanout", priority_fanout, PRIORITY_FANOUT_SQL, "J4"),
+    QuerySpec("export_kpis", export_kpis, EXPORT_KPIS_SQL, "A5,A6"),
+    QuerySpec("keyed_lookup", keyed_lookup, KEYED_LOOKUP_SQL, "S3,P6"),
+    QuerySpec(
+        "hourly_event_rollup", hourly_event_rollup, HOURLY_EVENT_ROLLUP_SQL, "A9,streaming"
+    ),
+]
