@@ -1,0 +1,190 @@
+"""Load: star schema → parquet / warehouse tables + analytical views.
+
+Reference sinks re-expressed (src/etl/load/__init__.py):
+
+* S8 — ``load_to_parquet`` (:15-33): partitioned columnar writes.  Facts
+  can partition by building_id so keyed lookups prune partitions (off by
+  default — tiny fixtures would fragment).
+* S9/S10 — ``load_to_warehouse`` (:36-64, :188-220): saveAsTable into the
+  session catalog, then the three analytical views.
+* S11 — ``query`` (:167-185): ``spark.sql`` with the same identifier
+  guard (:209-210).
+* The views (:75-163) become Spark SQL views — Catalyst re-optimizes them
+  per query exactly as DuckDB does, with dims broadcast and the fact↔fact
+  joins left to AQE.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+_IDENTIFIER = re.compile(r"^[a-zA-Z0-9_]+$")
+
+# Fact tables that benefit from partition pruning on keyed lookups.
+PARTITION_COLUMNS: dict[str, list[str]] = {
+    "fact_meters": ["building_id"],
+    "fact_weather": ["building_id"],
+}
+
+# The three analytical views (semantics of reference load/__init__.py:75-163,
+# re-stated as Spark SQL over the star schema).
+VIEW_DDL: dict[str, str] = {
+    # J5 — zone comfort joined to outdoor conditions (reference :83-103).
+    "vw_zone_with_weather": """
+        SELECT t.timestamp,
+               b.building_id,
+               z.zone_id,
+               z.zone_name,
+               f.scenario_id,
+               f.air_temp_C,
+               f.setpoint_C,
+               f.air_temp_C - f.setpoint_C AS temp_deviation,
+               f.co2_ppm,
+               f.rh_pct,
+               w.drybulb_C AS outdoor_temp_C,
+               w.ghi_W_m2
+        FROM fact_zone_conditions f
+        JOIN dim_time t      ON f.time_key = t.time_key
+        JOIN dim_zone z      ON f.zone_key = z.zone_key
+        JOIN dim_building b  ON z.building_id = b.building_id
+        JOIN fact_weather w  ON w.time_key = f.time_key
+                            AND w.building_id = b.building_id
+    """,
+    # J6 — the flagship 5-way join: HVAC × meters × weather (reference :106-138).
+    "vw_hvac_with_meters": """
+        SELECT t.timestamp,
+               b.building_id,
+               a.ahu_id,
+               h.scenario_id,
+               h.supply_temp_C,
+               h.return_temp_C,
+               h.power_kw,
+               h.cooling_kw,
+               h.heating_kw,
+               h.cop_proxy,
+               m.electric_kwh AS meter_electric_kwh,
+               m.heating_kwh  AS meter_heating_kwh,
+               m.cooling_kwh  AS meter_cooling_kwh,
+               w.drybulb_C    AS outdoor_temp_C
+        FROM fact_hvac h
+        JOIN dim_time t      ON h.time_key = t.time_key
+        JOIN dim_ahu a       ON h.ahu_key = a.ahu_key
+        JOIN dim_building b  ON a.building_id = b.building_id
+        JOIN fact_meters m   ON m.time_key = h.time_key
+                            AND m.building_id = b.building_id
+                            AND m.scenario_id = h.scenario_id
+        JOIN fact_weather w  ON w.time_key = h.time_key
+                            AND w.building_id = b.building_id
+    """,
+    # J7/A1 — per-building/scenario energy rollup (reference :141-163).
+    "vw_energy_summary": """
+        SELECT b.building_id,
+               b.building_name,
+               s.scenario_id,
+               s.description,
+               COUNT(DISTINCT t.time_key)  AS n_hours,
+               SUM(m.electric_kwh)         AS total_electric_kwh,
+               SUM(m.heating_kwh)          AS total_heating_kwh,
+               SUM(m.cooling_kwh)          AS total_cooling_kwh,
+               AVG(m.electric_kwh)         AS avg_electric_kwh,
+               AVG(m.heating_kwh)          AS avg_heating_kwh,
+               AVG(m.cooling_kwh)          AS avg_cooling_kwh
+        FROM fact_meters m
+        JOIN dim_building b ON m.building_id = b.building_id
+        JOIN dim_scenario s ON m.scenario_id = s.scenario_id
+        JOIN dim_time t     ON m.time_key = t.time_key
+        GROUP BY b.building_id, b.building_name, s.scenario_id, s.description
+    """,
+}
+
+
+def _check_identifier(name: str) -> None:
+    if not _IDENTIFIER.match(name):
+        raise ValueError(f"invalid table identifier: {name!r}")
+
+
+def load_to_parquet(
+    star: dict[str, DataFrame],
+    out_dir: str | Path,
+    *,
+    partition_facts: bool = False,
+) -> dict[str, str]:
+    """Write every star table as parquet (reference load:15-33).  Returns
+    {table: path}."""
+    out_dir = Path(out_dir)
+    paths = {}
+    for table, df in star.items():
+        _check_identifier(table)
+        path = str(out_dir / table)
+        writer = df.write.mode("overwrite")
+        if partition_facts and table in PARTITION_COLUMNS:
+            writer = writer.partitionBy(*PARTITION_COLUMNS[table])
+        writer.parquet(path)
+        paths[table] = path
+    return paths
+
+
+def load_to_warehouse(
+    spark: SparkSession,
+    star: dict[str, DataFrame],
+    *,
+    database: str = "energy",
+    with_views: bool = True,
+) -> None:
+    """Register the star schema as catalog tables + views (reference
+    load:36-64)."""
+    _check_identifier(database)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    for table, df in star.items():
+        _check_identifier(table)
+        df.write.mode("overwrite").saveAsTable(f"{database}.{table}")
+    if with_views:
+        create_views(spark, database=database)
+
+
+def register_temp_views(spark: SparkSession, star: dict[str, DataFrame]) -> None:
+    """Session-scoped alternative to a persistent warehouse: temp views +
+    the analytical views on top (no filesystem writes)."""
+    for table, df in star.items():
+        _check_identifier(table)
+        df.createOrReplaceTempView(table)
+    for view, body in VIEW_DDL.items():
+        spark.sql(f"CREATE OR REPLACE TEMP VIEW {view} AS {body}")
+
+
+def create_views(spark: SparkSession, *, database: str = "energy") -> None:
+    """The three analytical views (reference load:67-164)."""
+    _check_identifier(database)
+    spark.sql(f"USE {database}")
+    for view, body in VIEW_DDL.items():
+        spark.sql(f"CREATE OR REPLACE VIEW {view} AS {body}")
+
+
+def load_parquet_to_warehouse(
+    spark: SparkSession,
+    parquet_dir: str | Path,
+    *,
+    database: str = "energy",
+) -> list[str]:
+    """Re-register previously written parquet as catalog tables (reference
+    load_parquet_to_duckdb, load:188-220, including the identifier guard)."""
+    _check_identifier(database)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    loaded = []
+    for p in sorted(Path(parquet_dir).iterdir()):
+        if not p.is_dir():
+            continue
+        _check_identifier(p.name)
+        spark.read.parquet(str(p)).write.mode("overwrite").saveAsTable(
+            f"{database}.{p.name}"
+        )
+        loaded.append(p.name)
+    return loaded
+
+
+def query(spark: SparkSession, sql: str) -> DataFrame:
+    """Ad-hoc SQL entry point (reference query_duckdb, load:167-185)."""
+    return spark.sql(sql)

@@ -1,0 +1,110 @@
+"""Pipeline orchestration: extract → transform → validate (gate) → load →
+export (reference run_pipeline.py:25-157).
+
+The interactive continue-despite-validation prompt (run_pipeline.py:106-120)
+has no place in a cluster job — only the explicit ``force`` flag overrides
+the gate (the reference's ``--non-interactive`` abort semantics otherwise).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from ..session import get_spark
+from .export import export_summary
+from .extract import extract_runs, extract_runs_from_zips
+from .load import load_to_parquet, load_to_warehouse, register_temp_views
+from .transform import transform_all
+from .validate import validate_all
+
+
+class ValidationGateError(RuntimeError):
+    def __init__(self, report: dict):
+        self.report = report
+        failed = [k for k, v in report["checks"].items() if not v["valid"]]
+        super().__init__(f"validation failed: {failed}")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_dir: str | Path,
+    output_dir: str | Path,
+    *,
+    zipped: bool = False,
+    force: bool = False,
+    to_warehouse: bool = False,
+    partition_facts: bool = False,
+    time_key_strategy: str = "dense",
+    scenario_id: str | None = None,
+) -> dict:
+    """Full batch run; returns the validation report + artifact paths."""
+    output_dir = Path(output_dir)
+    extractor = extract_runs_from_zips if zipped else extract_runs
+    entities = extractor(spark, input_dir)
+
+    star = transform_all(entities, time_key_strategy=time_key_strategy)
+    # Dims are reused by every fact build + validation + views: cache the
+    # small ones so repeated actions don't re-derive them.
+    for t in ("dim_building", "dim_scenario", "dim_zone", "dim_ahu", "dim_time"):
+        star[t] = star[t].cache()
+
+    report = validate_all(star)
+    if not report["is_valid"] and not force:
+        raise ValidationGateError(report)
+
+    paths = load_to_parquet(star, output_dir / "parquet", partition_facts=partition_facts)
+    if to_warehouse:
+        load_to_warehouse(spark, star)
+    else:
+        register_temp_views(spark, star)
+
+    summary = export_summary(
+        star, output_dir / "summary.json", scenario_id=scenario_id
+    )
+    (output_dir / "validation_report.json").write_text(json.dumps(report, indent=2))
+    return {
+        "validation": report,
+        "parquet": paths,
+        "summary": summary,
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="IDA-ICE energy ETL (PySpark)")
+    ap.add_argument("--input", required=True, help="directory of run_* bundles")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--zipped", action="store_true", help="inputs are run_*.zip")
+    ap.add_argument("--force", action="store_true", help="load despite validation failures")
+    ap.add_argument("--warehouse", action="store_true", help="saveAsTable instead of temp views")
+    ap.add_argument("--partition-facts", action="store_true")
+    ap.add_argument("--time-key-strategy", choices=("dense", "derived"), default="dense")
+    ap.add_argument("--scenario", default=None)
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name="ida-ice-etl")
+    spark.sparkContext.setLogLevel("WARN")
+    try:
+        result = run_pipeline(
+            spark,
+            args.input,
+            args.output,
+            zipped=args.zipped,
+            force=args.force,
+            to_warehouse=args.warehouse,
+            partition_facts=args.partition_facts,
+            time_key_strategy=args.time_key_strategy,
+            scenario_id=args.scenario,
+        )
+    except ValidationGateError as exc:
+        print(json.dumps(exc.report, indent=2))
+        return 1
+    print(json.dumps({"ok": True, "parquet": result["parquet"]}, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,11 @@
+"""Structured Streaming variants of the hourly aggregations.
+
+The reference is strictly batch (SURVEY.md §2.10) — its "incremental" mode
+is a daily full re-run.  These operators make the hourly fact feed a true
+stream: tumbling-window rollups with watermarked late-data handling, and
+streaming dedup keyed on event identity.
+"""
+
+from .hourly import dedup_stream, hourly_rollup_stream, read_event_stream
+
+__all__ = ["read_event_stream", "hourly_rollup_stream", "dedup_stream"]

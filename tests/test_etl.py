@@ -1,0 +1,265 @@
+"""ETL pipeline tests over reference-shaped fixtures (SURVEY.md §5 model:
+fixture-in / DataFrame-out assertions + mutation testing for validators)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ida_ice_energy_simulation_etl_pipeline_spark.etl.export import (
+    build_summary,
+    validate_summary,
+)
+from ida_ice_energy_simulation_etl_pipeline_spark.etl.extract import (
+    ExtractionError,
+    extract_run_by_id,
+    extract_runs,
+    extract_runs_from_zips,
+    parse_run_id,
+)
+from ida_ice_energy_simulation_etl_pipeline_spark.etl.load import (
+    load_to_parquet,
+    query,
+    register_temp_views,
+)
+from ida_ice_energy_simulation_etl_pipeline_spark.etl.pipeline import (
+    ValidationGateError,
+    run_pipeline,
+)
+from ida_ice_energy_simulation_etl_pipeline_spark.etl.transform import (
+    build_dim_time,
+    transform_all,
+)
+from ida_ice_energy_simulation_etl_pipeline_spark.etl.validate import validate_all
+from ida_ice_energy_simulation_etl_pipeline_spark.fixtures import generate_dataset
+
+HOURS = 48
+N_ZONES = 3
+N_AHUS = 2
+BUILDINGS = ("BLDG_01", "BLDG_02")
+SCENARIOS = ("BASE", "RETROFIT")
+N_RUNS = len(BUILDINGS) * len(SCENARIOS)
+
+
+@pytest.fixture(scope="module")
+def runs_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("runs")
+    generate_dataset(
+        d, buildings=BUILDINGS, scenarios=SCENARIOS, hours=HOURS,
+        n_zones=N_ZONES, n_ahus=N_AHUS,
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def entities(spark, runs_dir):
+    return extract_runs(spark, runs_dir)
+
+
+@pytest.fixture(scope="module")
+def star(entities):
+    return transform_all(entities)
+
+
+def test_parse_run_id():
+    assert parse_run_id("run_BLDG_01_BASE") == ("BLDG_01", "BASE")
+    assert parse_run_id("run_B_RETROFIT") == ("B", "RETROFIT")
+
+
+def test_extract_counts(entities):
+    assert entities["zones"].count() == N_RUNS * HOURS * N_ZONES
+    assert entities["hvac"].count() == N_RUNS * HOURS * N_AHUS
+    assert entities["meters"].count() == N_RUNS * HOURS
+    assert entities["metadata"].count() == N_RUNS
+    # timestamps parsed, not strings
+    assert dict(entities["zones"].dtypes)["timestamp"] == "timestamp"
+
+
+def test_extract_zip_roundtrip(spark, tmp_path):
+    generate_dataset(
+        tmp_path, buildings=("BLDG_09",), scenarios=("BASE",), hours=12,
+        n_zones=2, n_ahus=1, as_zip=True,
+    )
+    assert (tmp_path / "run_BLDG_09_BASE.zip").exists()
+    ents = extract_runs_from_zips(spark, tmp_path, staging_dir=tmp_path / "staged")
+    assert ents["zones"].count() == 12 * 2
+
+
+def test_extract_missing_dir(spark, tmp_path):
+    with pytest.raises(ExtractionError):
+        extract_runs(spark, tmp_path / "nope")
+
+
+def test_extract_run_by_id(spark, runs_dir):
+    one = extract_run_by_id(spark, runs_dir, "BLDG_01", "BASE")
+    assert one["meters"].count() == HOURS
+    with pytest.raises(FileNotFoundError):
+        extract_run_by_id(spark, runs_dir, "BLDG_99", "BASE")
+
+
+def test_dims(star):
+    assert star["dim_building"].count() == len(BUILDINGS)
+    assert star["dim_scenario"].count() == len(SCENARIOS)
+    assert star["dim_zone"].count() == len(BUILDINGS) * N_ZONES
+    assert star["dim_ahu"].count() == len(BUILDINGS) * N_AHUS
+    assert star["dim_time"].count() == HOURS
+    # dense surrogate keys are 1..n
+    keys = [r["zone_key"] for r in star["dim_zone"].orderBy("zone_key").collect()]
+    assert keys == list(range(1, len(keys) + 1))
+
+
+def test_dim_time_fields(star):
+    row = star["dim_time"].orderBy("time_key").first()
+    assert row["time_key"] == 1
+    assert row["dow"] == 0  # 2024-01-01 is a Monday (pandas convention)
+    assert row["is_weekend"] is False
+    assert row["hour"] == 0
+
+
+def test_dim_time_derived_strategy(entities):
+    dt = build_dim_time(entities["zones"], key_strategy="derived")
+    rows = dt.orderBy("timestamp").collect()
+    # derived keys are consecutive hours since epoch: join-stable arithmetic
+    assert rows[1]["time_key"] - rows[0]["time_key"] == 1
+    assert rows[0]["time_key"] == rows[0]["timestamp"].timestamp() // 3600
+
+
+def test_facts(star):
+    assert star["fact_zone_conditions"].count() == N_RUNS * HOURS * N_ZONES
+    assert star["fact_hvac"].count() == N_RUNS * HOURS * N_AHUS
+    assert star["fact_meters"].count() == N_RUNS * HOURS
+    assert star["fact_weather"].count() == len(BUILDINGS) * HOURS
+    # no dangling dim keys (left-join RI preserved)
+    assert star["fact_zone_conditions"].filter(F.col("zone_key").isNull()).count() == 0
+    assert star["fact_hvac"].filter(F.col("time_key").isNull()).count() == 0
+
+
+def test_cop_proxy_null_semantics(star):
+    hv = star["fact_hvac"]
+    assert hv.filter((F.col("power_kw") < 1.0) & F.col("cop_proxy").isNotNull()).count() == 0
+    assert hv.filter((F.col("power_kw") >= 1.0) & F.col("cop_proxy").isNull()).count() == 0
+
+
+def test_validate_clean(star):
+    report = validate_all(star)
+    assert report["is_valid"], json.dumps(report, indent=2)
+
+
+def test_validate_mutations(spark, star):
+    # out-of-range temperature
+    bad = dict(star)
+    bad["fact_zone_conditions"] = star["fact_zone_conditions"].withColumn(
+        "air_temp_C", F.lit(99.0)
+    )
+    rep = validate_all(bad)
+    assert not rep["is_valid"]
+    assert not rep["checks"]["ranges"]["valid"]
+
+    # nulls in a required column
+    bad2 = dict(star)
+    bad2["fact_meters"] = star["fact_meters"].withColumn(
+        "electric_kwh", F.lit(None).cast("double")
+    )
+    rep2 = validate_all(bad2)
+    assert not rep2["checks"]["nulls"]["valid"]
+
+    # temporal gap: drop half the hours from one fact
+    bad3 = dict(star)
+    bad3["fact_meters"] = star["fact_meters"].filter(F.col("time_key") <= HOURS // 2)
+    rep3 = validate_all(bad3)
+    assert not rep3["checks"]["temporal"]["valid"]
+
+    # implausible energy: electric zeroed
+    bad4 = dict(star)
+    bad4["fact_meters"] = star["fact_meters"].withColumn("electric_kwh", F.lit(0.0))
+    rep4 = validate_all(bad4)
+    assert not rep4["checks"]["plausibility"]["valid"]
+
+
+def test_views_and_query(spark, star):
+    register_temp_views(spark, star)
+    zw = query(spark, "SELECT * FROM vw_zone_with_weather")
+    assert zw.count() == N_RUNS * HOURS * N_ZONES
+    assert "temp_deviation" in zw.columns and "outdoor_temp_C" in zw.columns
+
+    hm = query(spark, "SELECT * FROM vw_hvac_with_meters")
+    assert hm.count() == N_RUNS * HOURS * N_AHUS
+    assert "meter_electric_kwh" in hm.columns
+
+    es = query(
+        spark,
+        "SELECT * FROM vw_energy_summary ORDER BY building_id, scenario_id",
+    ).collect()
+    assert len(es) == N_RUNS
+    assert all(r["n_hours"] == HOURS for r in es)
+    assert all(r["total_electric_kwh"] > 0 for r in es)
+
+    # README-style analysis queries run through the same entry point
+    comfort = query(
+        spark,
+        """
+        SELECT building_id, zone_id, scenario_id,
+               SUM(CASE WHEN ABS(temp_deviation) > 1.0 THEN 1 ELSE 0 END) AS n_violations
+        FROM vw_zone_with_weather
+        GROUP BY building_id, zone_id, scenario_id
+        """,
+    )
+    assert comfort.count() == len(BUILDINGS) * N_ZONES * len(SCENARIOS)
+
+    cop = query(
+        spark,
+        """
+        SELECT ROUND(outdoor_temp_C, 0) AS temp_bin, AVG(cop_proxy) AS avg_cop, COUNT(*) AS n
+        FROM vw_hvac_with_meters WHERE power_kw > 0
+        GROUP BY ROUND(outdoor_temp_C, 0) ORDER BY temp_bin
+        """,
+    )
+    assert cop.count() > 0
+
+
+def test_parquet_roundtrip(spark, star, tmp_path):
+    paths = load_to_parquet(star, tmp_path, partition_facts=True)
+    back = spark.read.parquet(paths["fact_meters"])
+    assert back.count() == star["fact_meters"].count()
+    assert "building_id" in back.columns  # partition column round-trips
+
+
+def test_export_summary(star):
+    doc = build_summary(star, scenario_id="BASE")
+    assert validate_summary(doc) == []
+    assert doc["scenario"]["name"] == "BASE"
+    assert doc["annual"]["total_kwh"] > 0
+    assert len(doc["monthly_breakdown"]) == 1  # 48h span = one month
+    assert doc["kpis"]["peak_demand_kw"] > 0
+    assert 0 <= doc["kpis"]["comfort_hours_percent"] <= 100
+    # retrofit uses less energy than base (generator scales by 0.85)
+    retro = build_summary(star, scenario_id="RETROFIT")
+    assert retro["annual"]["total_kwh"] < doc["annual"]["total_kwh"]
+
+
+def test_pipeline_end_to_end(spark, runs_dir, tmp_path):
+    result = run_pipeline(spark, runs_dir, tmp_path / "out")
+    assert result["validation"]["is_valid"]
+    assert (tmp_path / "out" / "summary.json").exists()
+    assert (tmp_path / "out" / "validation_report.json").exists()
+    assert spark.read.parquet(result["parquet"]["fact_hvac"]).count() > 0
+
+
+def test_pipeline_gate_blocks(spark, tmp_path):
+    # a dataset whose meters are implausible (electric ~ 0) must be gated
+    import pandas as pd
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.fixtures import (
+        generate_run,
+        write_run_dir,
+    )
+
+    run = generate_run("BLDG_BAD", "BASE", hours=12, n_zones=1, n_ahus=1)
+    meters = run["meters"]
+    assert isinstance(meters, pd.DataFrame)
+    meters["electric_kwh"] = 0.0
+    write_run_dir(run, tmp_path)
+    with pytest.raises(ValidationGateError):
+        run_pipeline(spark, tmp_path, tmp_path / "out")
