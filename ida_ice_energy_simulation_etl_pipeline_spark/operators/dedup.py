@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import word_shingles, word_tokens
-from ..plans.core import QuerySpec, load_table
+from ..plans.core import QuerySpec, ensure_parallelism, load_table
 
 N_MINHASHES = 8
 N_BANDS = 4  # rows per band = N_MINHASHES // N_BANDS = 2
@@ -38,7 +38,7 @@ SIMHASH_BITS = 16
 # Exact dedup — hash group-by (reference analog: first-seen dedup D1,
 # src/etl/transform/__init__.py:29-40, generalized to content hashing).
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
     return (
         docs.withColumn("text_hash", F.md5(F.col("text").cast("binary")))
         .groupBy("source")
@@ -85,7 +85,7 @@ def with_minhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
     sig = with_minhash_signature(docs)
     return sig.select("doc_id", *[f"mh_{i}" for i in range(N_MINHASHES)])
 
@@ -160,7 +160,7 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
     return lsh_candidate_pairs(docs)
 
 
@@ -210,7 +210,7 @@ def simhash_col(tokens: Column) -> Column:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", simhash_col(word_tokens(F.col("text"))).alias("simhash")
     )
@@ -330,7 +330,7 @@ def ngram_jaccard_pairs(
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
     return ngram_jaccard_pairs(docs, threshold=0.2)
 
 

@@ -27,7 +27,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..plans.core import QuerySpec, load_table
+from ..plans.core import QuerySpec, ensure_parallelism, load_table
 
 MEDIA_SCHEMA = StructType(
     [
@@ -111,7 +111,7 @@ def extract_features(media: DataFrame) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract query: media plumbing end-to-end, rolled up per
     source so the oracle is pure SQL (byte lengths of utf-8 payloads)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
     feats = extract_features(documents_as_media(docs))
     return feats.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_items"),

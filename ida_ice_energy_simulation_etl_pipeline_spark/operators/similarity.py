@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import cosine_similarity, l2_norm
-from ..plans.core import QuerySpec, load_table
+from ..plans.core import QuerySpec, ensure_parallelism, load_table
 
 TOP_K = 5
 N_QUERIES = 5  # vec_id < 5 are the fixture query vectors
@@ -31,7 +31,7 @@ N_HYPERPLANES = 8
 # --------------------------------------------------------------------------
 # Brute-force cosine top-k.
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(spark, load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -77,7 +77,7 @@ SELECT query_id, nn_rank, neighbor_id FROM ranked WHERE nn_rank <= {TOP_K}
 # --------------------------------------------------------------------------
 # Per-label embedding statistics (norm / leading-component profile).
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(spark, load_table(spark, sf_dir, "embeddings"))
     return (
         emb.withColumn("norm", l2_norm(F.col("embedding")))
         .withColumn("dim0", F.element_at("embedding", 1).cast("double"))

@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import occurrence_count, word_shingles, word_tokens
-from ..plans.core import QuerySpec, load_table
+from ..plans.core import QuerySpec, ensure_parallelism, load_table
 
 # Function-word profiles for the language-ID heuristic.  Deliberately tiny:
 # language ID at scale is a per-row map-only op; the profile table is the
@@ -76,7 +76,7 @@ def _lang_score_sql(lang: str) -> str:
 # --------------------------------------------------------------------------
 # Language ID
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         predicted_lang(F.col("text")).alias("predicted_lang"),
@@ -111,7 +111,7 @@ FROM pred
 # Quality scoring: length / stopword / lexical-diversity signals, rolled up
 # per source so the result stays small at any corpus size.
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
     toks = word_tokens(F.col("text"))
     n_tokens = F.size(toks)
     per_doc = docs.select(
@@ -160,7 +160,7 @@ GROUP BY source
 # --------------------------------------------------------------------------
 # Token counting: whitespace tokens + a BPE-ish lowercase-alpha token class.
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
     toks = word_tokens(F.col("text"))
     return docs.groupBy("source").agg(
         F.sum(F.size(toks)).cast("long").alias("total_tokens"),
@@ -186,7 +186,7 @@ GROUP BY source
 # Document fingerprinting: min-hash-of-shingles fingerprints (winnowing-
 # lite).  Two granularities so containment vs near-identity are separable.
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
     toks = word_tokens(F.col("text"))
 
     def min_md5(n: int) -> Column:

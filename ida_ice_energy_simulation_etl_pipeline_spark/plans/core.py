@@ -65,6 +65,21 @@ def _read_parquet_nanosafe(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def ensure_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread CPU-heavy per-row work across all cores.
+
+    Small single-row-group inputs scan as ONE task, serializing hash/vector
+    kernels behind one core.  When the scan yields fewer partitions than the
+    cluster's parallelism, a round-robin repartition (tiny shuffle at that
+    size) unlocks the cores; at real scale inputs already have ≥ cores
+    splits and this is a no-op — large tables are never reshuffled.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for ``spark.sql`` use."""
     for t in TABLES:
