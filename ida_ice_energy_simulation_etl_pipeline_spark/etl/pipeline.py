@@ -40,6 +40,7 @@ def run_pipeline(
     partition_facts: bool = False,
     time_key_strategy: str = "dense",
     scenario_id: str | None = None,
+    range_rules: dict | None = None,
 ) -> dict:
     """Full batch run; returns the validation report + artifact paths."""
     output_dir = Path(output_dir)
@@ -52,7 +53,7 @@ def run_pipeline(
     for t in ("dim_building", "dim_scenario", "dim_zone", "dim_ahu", "dim_time"):
         star[t] = star[t].cache()
 
-    report = validate_all(star)
+    report = validate_all(star, range_rules=range_rules)
     if not report["is_valid"] and not force:
         raise ValidationGateError(report)
 
@@ -75,29 +76,41 @@ def run_pipeline(
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="IDA-ICE energy ETL (PySpark)")
-    ap.add_argument("--input", required=True, help="directory of run_* bundles")
-    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--config", default=None, help="YAML config (CLI flags override)")
+    ap.add_argument("--input", default=None, help="directory of run_* bundles")
+    ap.add_argument("--output", default=None, help="output directory")
     ap.add_argument("--zipped", action="store_true", help="inputs are run_*.zip")
     ap.add_argument("--force", action="store_true", help="load despite validation failures")
     ap.add_argument("--warehouse", action="store_true", help="saveAsTable instead of temp views")
     ap.add_argument("--partition-facts", action="store_true")
-    ap.add_argument("--time-key-strategy", choices=("dense", "derived"), default="dense")
+    ap.add_argument("--time-key-strategy", choices=("dense", "derived"), default=None)
     ap.add_argument("--scenario", default=None)
     args = ap.parse_args(argv)
 
-    spark = get_spark(app_name="ida-ice-etl")
+    from ..config import PipelineConfig, load_config, range_rules_from_config
+
+    cfg = load_config(args.config) if args.config else PipelineConfig()
+    input_dir = args.input or cfg.input_dir
+    output_dir = args.output or cfg.output_dir
+    if not input_dir or not output_dir:
+        ap.error("--input/--output required (directly or via --config)")
+
+    spark = get_spark(
+        app_name="ida-ice-etl", shuffle_partitions=cfg.shuffle_partitions
+    )
     spark.sparkContext.setLogLevel("WARN")
     try:
         result = run_pipeline(
             spark,
-            args.input,
-            args.output,
-            zipped=args.zipped,
-            force=args.force,
-            to_warehouse=args.warehouse,
-            partition_facts=args.partition_facts,
-            time_key_strategy=args.time_key_strategy,
-            scenario_id=args.scenario,
+            input_dir,
+            output_dir,
+            zipped=args.zipped or cfg.zipped,
+            force=args.force or cfg.force,
+            to_warehouse=args.warehouse or cfg.to_warehouse,
+            partition_facts=args.partition_facts or cfg.partition_facts,
+            time_key_strategy=args.time_key_strategy or cfg.time_key_strategy,
+            scenario_id=args.scenario or cfg.scenario_id,
+            range_rules=range_rules_from_config(cfg),
         )
     except ValidationGateError as exc:
         print(json.dumps(exc.report, indent=2))

@@ -84,11 +84,16 @@ def check_nulls(star: dict[str, DataFrame]) -> dict:
     return {"valid": not errors, "errors": errors}
 
 
-def check_ranges(star: dict[str, DataFrame]) -> dict:
+def check_ranges(
+    star: dict[str, DataFrame],
+    rules_by_table: dict[str, list[tuple[str, float | None, float | None]]]
+    | None = None,
+) -> dict:
     """All range/sign rules for a table in one conditional-aggregate scan
-    (reference runs one filter per rule, validate:77-137)."""
+    (reference runs one filter per rule, validate:77-137).  ``rules_by_table``
+    overrides the defaults (config surface, reference config.yaml:40-55)."""
     errors: list[str] = []
-    for table, rules in RANGE_RULES.items():
+    for table, rules in (rules_by_table or RANGE_RULES).items():
         df = star.get(table)
         if df is None:
             continue
@@ -173,14 +178,19 @@ def check_plausibility(star: dict[str, DataFrame]) -> dict:
     return {"valid": not errors, "errors": errors}
 
 
-def validate_all(star: dict[str, DataFrame]) -> dict:
+def validate_all(
+    star: dict[str, DataFrame],
+    *,
+    range_rules: dict[str, list[tuple[str, float | None, float | None]]]
+    | None = None,
+) -> dict:
     """Run all four check families (reference validate_all,
     validate:232-296).  This is the pipeline gate: load only proceeds when
     ``is_valid`` (or the caller explicitly overrides)."""
     checks = {
         "schema": check_schema(star),
         "nulls": check_nulls(star),
-        "ranges": check_ranges(star),
+        "ranges": check_ranges(star, range_rules),
         "temporal": check_temporal(star),
         "plausibility": check_plausibility(star),
     }

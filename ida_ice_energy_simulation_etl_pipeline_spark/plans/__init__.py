@@ -7,6 +7,16 @@ tables.
 """
 
 from .core import QuerySpec, load_table, register_views
-from .registry import QUERIES
 
 __all__ = ["QuerySpec", "QUERIES", "load_table", "register_views"]
+
+
+def __getattr__(name: str):
+    # Lazy: registry imports the operator modules, which import plans.core —
+    # eager re-export here would make that a circular import for any direct
+    # `operators.*` import.
+    if name == "QUERIES":
+        from .registry import QUERIES
+
+        return QUERIES
+    raise AttributeError(name)

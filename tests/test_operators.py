@@ -1,0 +1,135 @@
+"""Operator-API tests with PLANTED near-duplicates — proves the dedup /
+similarity operators actually find what they claim to find (the fixture
+corpus has no duplicates, so oracle parity alone can't show recall)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ida_ice_energy_simulation_etl_pipeline_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    with_minhash_signature,
+)
+from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+    decode_audio,
+    decode_image,
+    documents_as_media,
+    extract_features,
+    frame_sample,
+)
+from ida_ice_energy_simulation_etl_pipeline_spark.operators.similarity import (
+    lsh_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the old oak tree "
+    "near the quiet river bank where children play every sunny afternoon"
+)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """Corpus with known structure:
+    0: base document
+    1: exact copy of 0
+    2: near-dup of 0 (one word changed)
+    3: moderately similar (shares a clause)
+    4,5: unrelated
+    """
+    rows = [
+        (0, BASE, "src0"),
+        (1, BASE, "src1"),
+        (2, BASE.replace("lazy", "sleepy"), "src0"),
+        (3, "the quick brown fox jumps over the fence " + "x y z " * 20, "src2"),
+        (4, "completely different content about spark query engines " * 5, "src1"),
+        (5, "unrelated words concerning database systems and storage " * 5, "src2"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_minhash_signature_identical_for_exact_dup(planted_docs):
+    sig = with_minhash_signature(planted_docs).collect()
+    by_id = {r["doc_id"]: [r[f"mh_{i}"] for i in range(8)] for r in sig}
+    assert by_id[0] == by_id[1]  # exact copy: identical signature
+    shared_02 = sum(a == b for a, b in zip(by_id[0], by_id[2]))
+    shared_04 = sum(a == b for a, b in zip(by_id[0], by_id[4]))
+    assert shared_02 > shared_04  # near-dup shares more minhashes than unrelated
+
+
+def test_lsh_finds_planted_dups(planted_docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_bands"]
+        for r in lsh_candidate_pairs(planted_docs).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 4  # exact dup: all bands agree
+    assert (0, 2) in pairs  # near-dup caught by at least one band
+    assert (0, 4) not in pairs and (4, 5) not in pairs  # unrelated don't collide
+
+
+def test_ngram_jaccard_scores(planted_docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(planted_docs, threshold=0.1).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical shingle sets
+    assert 0.5 < pairs[(0, 2)] < 1.0  # one word changed → high but < 1
+    assert (0, 4) not in pairs
+
+
+def test_simhash_near_pairs(planted_docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(planted_docs, max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 0  # identical text → identical simhash
+    assert (0, 2) in pairs  # near-dup within hamming 3
+    assert (4, 5) not in pairs
+
+
+def test_lsh_topk_finds_true_neighbors(spark):
+    # 3 tight clusters; ANN through bucket probing must return same-cluster
+    # neighbors for an easy margin.
+    import math
+
+    def vec(center: int, jitter: int) -> list[float]:
+        return [
+            math.sin(center * 37.0 + d) + 0.01 * jitter for d in range(16)
+        ]
+
+    rows = [
+        (c * 10 + j, vec(c, j), c) for c in range(3) for j in range(8)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = lsh_topk(emb, query_ids=[0, 10, 20], k=3, dim=16).collect()
+    assert len(got) > 0
+    for r in got:
+        assert r["query_id"] // 10 == r["neighbor_id"] // 10, (
+            f"ANN crossed clusters: {r}"
+        )
+        assert r["cos"] > 0.99
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world", "s1"), (2, "", "s2")], ["doc_id", "text", "source"]
+    )
+    media = documents_as_media(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = {r["item_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["n_bytes"] == 11
+    assert feats[1]["head_byte"] == ord("h")
+    assert feats[2]["n_bytes"] == 0 and feats[2]["head_byte"] is None
+
+
+def test_multimodal_stubs_are_explicit():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF")
+    frames = frame_sample(b"0123456789abcdef", n_frames=4)
+    assert len(frames) == 4 and frames[0] == b"0123"
+    assert frame_sample(b"") == []
