@@ -1,0 +1,266 @@
+"""Extended analytics: ranking windows, frame-spec aggregates,
+sessionization, hierarchical rollups, and semi-structured extraction.
+
+The reference has no explicit window functions (SURVEY.md §2.9) — these are
+the natural Spark extensions a user of the star schema reaches for next,
+each with a DuckDB oracle.  Determinism notes: every window ORDER BY
+includes a unique tie-breaker column, and frame-based float aggregates are
+rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .core import QuerySpec, load_table
+
+SESSION_GAP_MIN = 30
+
+
+# --------------------------------------------------------------------------
+# Ranking window: top-k per group (top orders per market segment).
+def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        joined.withColumn("order_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("order_rank") <= 3)
+        .select("c_mktsegment", "order_rank", "o_orderkey", "o_totalprice")
+    )
+
+
+TOP_ORDERS_PER_SEGMENT_SQL = """
+WITH ranked AS (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS order_rank
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment, order_rank, o_orderkey, o_totalprice
+FROM ranked WHERE order_rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Frame-spec window: trailing moving average over an event stream.
+def rolling_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    return (
+        events.filter(F.col("event_id") < 2000)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.avg("value").over(w), 4).alias("rolling_avg"),
+        )
+    )
+
+
+ROLLING_AVG_VALUE_SQL = """
+SELECT event_id, event_type,
+       round(avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS rolling_avg
+FROM events
+WHERE event_id < 2000
+"""
+
+
+# --------------------------------------------------------------------------
+# Sessionization: gap-based session assignment (lag + cumulative sum) —
+# the canonical event-pipeline op; batch twin of stateful streaming
+# sessionization.
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Timestamps carry microseconds: gap comparison and duration both use
+    # exact integer micros (unix_timestamp would truncate to seconds and
+    # disagree with the oracle's epoch arithmetic near boundaries).
+    events = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(order_w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sessioned = events.withColumn(
+        "session_id",
+        F.sum(new_session)
+        .over(order_w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / F.lit(1_000_000)
+            )
+            .cast("long")
+            .alias("duration_s"),
+        )
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH gapped AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_MIN * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, ts,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM gapped
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       CAST(floor((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0) AS BIGINT) AS duration_s
+FROM sessioned
+GROUP BY user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Hierarchical rollup: region → nation subtotals + grand total.
+def customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
+CUSTOMER_ROLLUP_SQL = """
+SELECT r_name, n_name,
+       count(*)                   AS n_customers,
+       round(sum(c_acctbal), 2)   AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# --------------------------------------------------------------------------
+# Part catalog ranking (exercises the part table).
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        part.withColumn("price_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("price_rank") <= 5)
+        .select("p_brand", "price_rank", "p_partkey", "p_retailprice")
+    )
+
+
+TOP_PARTS_PER_BRAND_SQL = """
+WITH ranked AS (
+  SELECT p_brand, p_partkey, p_retailprice,
+         CAST(row_number() OVER (PARTITION BY p_brand
+                                 ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS price_rank
+  FROM part
+)
+SELECT p_brand, price_rank, p_partkey, p_retailprice
+FROM ranked WHERE price_rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Supplier balances by nation (exercises the supplier table).
+def supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+            F.max("s_acctbal").alias("max_acctbal"),
+        )
+    )
+
+
+SUPPLIER_NATION_BALANCE_SQL = """
+SELECT n_name,
+       count(*)                  AS n_suppliers,
+       round(sum(s_acctbal), 2)  AS total_acctbal,
+       max(s_acctbal)            AS max_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Semi-structured extraction: pull a typed field out of the JSON props
+# column (regexp-based so Java regex and RE2 agree byte-for-byte).
+def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("long")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("null_k"),
+        )
+    )
+
+
+PROPS_EXTRACT_SQL = """
+WITH extracted AS (
+  SELECT event_type,
+         CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       round(avg(k), 4) AS avg_k,
+       max(k)           AS max_k,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_k
+FROM extracted
+GROUP BY event_type
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "top_orders_per_segment",
+        top_orders_per_segment,
+        TOP_ORDERS_PER_SEGMENT_SQL,
+        "ext:window",
+    ),
+    QuerySpec("rolling_avg_value", rolling_avg_value, ROLLING_AVG_VALUE_SQL, "ext:window"),
+    QuerySpec("sessionize", sessionize, SESSIONIZE_SQL, "ext:sessionize"),
+    QuerySpec("customer_rollup", customer_rollup, CUSTOMER_ROLLUP_SQL, "ext:rollup"),
+    QuerySpec(
+        "top_parts_per_brand", top_parts_per_brand, TOP_PARTS_PER_BRAND_SQL, "ext:window"
+    ),
+    QuerySpec(
+        "supplier_nation_balance",
+        supplier_nation_balance,
+        SUPPLIER_NATION_BALANCE_SQL,
+        "A1",
+    ),
+    QuerySpec("props_extract", props_extract, PROPS_EXTRACT_SQL, "ext:json,F10"),
+]

@@ -6,11 +6,13 @@ from ..operators import dedup as _dedup
 from ..operators import multimodal as _multimodal
 from ..operators import similarity as _similarity
 from ..operators import text as _text
+from . import analytics as _analytics
 from . import relational as _relational
 from .core import QuerySpec
 
 _ALL_SPECS: list[QuerySpec] = (
     _relational.SPECS
+    + _analytics.SPECS
     + _dedup.SPECS
     + _similarity.SPECS
     + _text.SPECS
