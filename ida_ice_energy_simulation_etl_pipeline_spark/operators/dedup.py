@@ -293,15 +293,18 @@ def ngram_jaccard_pairs(
     At 100 TB this runs AFTER LSH candidate filtering; the join here is on
     the shingle (bounded fan-out), never a raw doc×doc cross join.
     """
+    # Join on a 64-bit hash of the shingle, not the string: ~3× smaller
+    # shuffle payload and cheaper equality.  Collision odds at n shingles
+    # are ~n²/2⁶⁵ — immaterial next to the Jaccard threshold.
     sh = docs.select(
         "doc_id", F.explode(_shingle_set(F.col("text"))).alias("shingle")
-    )
+    ).select("doc_id", F.xxhash64("shingle").alias("shingle_h"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.shingle_h") == F.col("b.shingle_h"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
