@@ -4,8 +4,9 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed as a full collect() (plan → execute → fetch), after a
-small warmup query so JVM/codegen startup isn't billed to the first entry.
+Each query is timed as a full collect() (plan → execute → fetch) at steady
+state: one untimed warmup pass first, so JVM startup and whole-stage
+codegen compilation aren't billed to whichever query happens to run first.
 """
 
 from __future__ import annotations
@@ -46,8 +47,9 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: touch every table once so OS page cache + JVM are hot.
-    QUERIES["peak_metrics"].fn(spark, sf_dir).collect()
+    # Untimed warmup pass: JIT + codegen compile + OS page cache.
+    for name in HEADLINE:
+        QUERIES[name].fn(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
