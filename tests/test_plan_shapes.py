@@ -1,0 +1,75 @@
+"""Physical-plan assertions: the scale properties (pushdown, pruning,
+broadcast, codegen) must hold, not just the results.  These tests pin the
+plan shapes so a refactor that silently de-optimizes a query fails CI."""
+
+from __future__ import annotations
+
+import pytest
+
+from ida_ice_energy_simulation_etl_pipeline_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _executed_plan(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF)
+    df.collect()  # materialize so AQE finalizes the plan
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_plan(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_keyed_lookup_pushes_filter_to_scan(spark):
+    plan = _executed_plan(spark, "keyed_lookup")
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(o_custkey,5)" in plan.replace(" ", "")
+
+
+def test_pricing_summary_prunes_columns(spark):
+    plan = _executed_plan(spark, "pricing_summary")
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    # only the 6 needed columns reach the scan; the other 5 are pruned
+    assert "l_quantity" in scan and "l_extendedprice" in scan
+    assert "l_partkey" not in scan and "l_suppkey" not in scan
+
+
+def test_region_revenue_broadcasts_all_dims(spark):
+    plan = _executed_plan(spark, "region_revenue")
+    # at this scale AQE should resolve every join to broadcast-hash —
+    # no sort-merge join anywhere
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_scan_is_single_pass(spark):
+    # AQE's toString prints Final + Initial sections; count scans in Final
+    plan = _executed_plan(spark, "quality_scan").split("== Initial Plan ==")[0]
+    # all seven QA rules in ONE scan of lineitem
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_whole_stage_codegen_active(spark):
+    # codegen stages print as "*(n) Operator" in the plan string
+    plan = _executed_plan(spark, "pricing_summary")
+    assert "*(1)" in plan and "*(2)" in plan
+
+
+def test_threshold_ratio_no_python_udf(spark):
+    for name in ("threshold_ratio", "text_quality", "dedup_exact", "lang_id"):
+        plan = _optimized_plan(spark, name)
+        assert "PythonUDF" not in plan, f"{name} fell off the JVM fast path"
+
+
+def test_multimodal_is_arrow_batched(spark):
+    plan = _optimized_plan(spark, "multimodal_features")
+    # mapInPandas shows as MapInPandas (Arrow), not row-wise BatchEvalPython
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_anti_join_strategy(spark):
+    plan = _executed_plan(spark, "customers_without_orders")
+    assert "LeftAnti" in plan
