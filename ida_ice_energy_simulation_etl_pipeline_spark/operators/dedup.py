@@ -355,6 +355,107 @@ WHERE CAST(n_shared AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_shared) >= 0
 """
 
 
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup — semantic dedup over the embeddings table.
+#
+# Scale shape: banded random-hyperplane LSH generates candidates (two
+# vectors collide if any band of sign-bits matches — 4 bands × 2 planes
+# gives ~87% recall at cos≈0.4 on random data), then an exact cosine
+# rerank keeps pairs ≥ threshold.  The candidate join shuffles on the
+# band bucket, never doc×doc; embeddings are joined back only for the
+# surviving candidate ids, so the wide array column never rides through
+# the explode.  The DuckDB oracle inlines the SAME md5-derived hyperplane
+# constants, so both engines compute identical buckets.
+EMB_DIM = 64
+N_EMB_BANDS = 4
+EMB_COS_THRESHOLD = 0.4
+
+
+def embedding_near_pairs(
+    emb: DataFrame, dim: int = EMB_DIM, threshold: float = EMB_COS_THRESHOLD
+) -> DataFrame:
+    from .similarity import N_HYPERPLANES, lsh_bucket_col
+
+    r = N_HYPERPLANES // N_EMB_BANDS
+    sig = emb.select("vec_id", lsh_bucket_col(F.col("embedding"), dim).alias("sig"))
+    bands = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.substring("sig", b * r + 1, r).alias("band_key"),
+                    )
+                    for b in range(N_EMB_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "b.band_idx", "b.band_key")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    from ..functions import cosine_similarity
+
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn(
+            "cos_sim",
+            F.round(cosine_similarity(F.col("emb_a"), F.col("emb_b")), 4),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ensure_parallelism(spark, load_table(spark, sf_dir, "embeddings"))
+    return embedding_near_pairs(emb)
+
+
+def _embedding_oracle_sql() -> str:
+    from .similarity import N_HYPERPLANES, _hyperplane
+
+    r = N_HYPERPLANES // N_EMB_BANDS
+    bits = []
+    for h in range(N_HYPERPLANES):
+        arr = "[" + ", ".join(repr(c) for c in _hyperplane(EMB_DIM, h)) + "]::DOUBLE[]"
+        bits.append(
+            f"CASE WHEN list_inner_product(embedding::DOUBLE[], {arr}) >= 0 "
+            "THEN '1' ELSE '0' END"
+        )
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_idx, substr(sig, {b * r + 1}, {r}) AS band_key FROM sig"
+        for b in range(N_EMB_BANDS)
+    )
+    return f"""
+WITH sig AS (SELECT vec_id, {' || '.join(bits)} AS sig FROM embeddings),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT vec_a, vec_b, round(list_cosine_similarity(ea.emb, eb.emb), 4) AS cos_sim
+FROM cand
+JOIN e ea ON ea.vec_id = vec_a
+JOIN e eb ON eb.vec_id = vec_b
+WHERE round(list_cosine_similarity(ea.emb, eb.emb), 4) >= {EMB_COS_THRESHOLD}
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "ext:dedup,D1"),
     QuerySpec(
@@ -369,5 +470,8 @@ SPECS: list[QuerySpec] = [
         dedup_ngram_jaccard,
         DEDUP_NGRAM_JACCARD_SQL,
         "ext:dedup",
+    ),
+    QuerySpec(
+        "dedup_embedding", dedup_embedding, _embedding_oracle_sql(), "ext:dedup,ann"
     ),
 ]

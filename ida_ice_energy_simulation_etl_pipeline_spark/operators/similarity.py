@@ -184,8 +184,95 @@ def lsh_topk(
     )
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path beside hyperplane LSH.
+#
+# Coarse quantizer: the first N_CENTROIDS vectors by vec_id act as a
+# deterministic "trained" codebook (at real scale: k-means centroids
+# refreshed offline).  Every vector is assigned to its argmax-cosine
+# centroid — that cell id is the inverted-list / partition key, so an ANN
+# probe scans ~1/N_CENTROIDS of the corpus (nprobe=1) instead of all of
+# it, then exact-reranks inside the cell.  All built-in column ops: the
+# 8-row codebook is broadcast, assignment is a window argmax, never a
+# driver-side loop.
+N_CENTROIDS = 8
+
+
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ensure_parallelism(spark, load_table(spark, sf_dir, "embeddings"))
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb")
+    )
+    scored_cent = emb.crossJoin(F.broadcast(centroids)).withColumn(
+        "cent_cos", cosine_similarity(F.col("embedding"), F.col("cent_emb"))
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_cos").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        scored_cent.withColumn("rk", F.row_number().over(aw))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("centroid_id").alias("q_cell"),
+    )
+    scored = (
+        assigned.join(F.broadcast(queries), F.col("centroid_id") == F.col("q_cell"))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("cos", cosine_similarity(F.col("q_emb"), F.col("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("nn_rank") <= TOP_K)
+        .select(
+            "query_id",
+            "nn_rank",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos", 4).alias("cos_sim"),
+        )
+    )
+
+
+SIMILARITY_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, emb AS cent_emb FROM e WHERE vec_id < {N_CENTROIDS}),
+assigned AS (
+  SELECT vec_id, emb, centroid_id FROM (
+    SELECT e.vec_id, e.emb, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.emb, c.cent_emb) DESC,
+                                       c.centroid_id) AS rk
+    FROM e CROSS JOIN cent c
+  ) WHERE rk = 1
+),
+q AS (
+  SELECT vec_id AS query_id, emb AS q_emb, centroid_id AS q_cell
+  FROM assigned WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(q.q_emb, a.emb) AS cos
+  FROM assigned a JOIN q ON a.centroid_id = q.q_cell
+  WHERE q.query_id <> a.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS BIGINT) AS nn_rank
+  FROM scored
+)
+SELECT query_id, nn_rank, neighbor_id, round(cos, 4) AS cos_sim
+FROM ranked WHERE nn_rank <= {TOP_K}
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("similarity_topk", similarity_topk, SIMILARITY_TOPK_SQL, "ext:ann"),
     QuerySpec("embedding_stats", embedding_stats, EMBEDDING_STATS_SQL, "ext:ann"),
     QuerySpec("similarity_lsh_buckets", similarity_lsh_buckets, None, "ext:ann"),
+    QuerySpec("similarity_ivf", similarity_ivf, SIMILARITY_IVF_SQL, "ext:ann"),
 ]

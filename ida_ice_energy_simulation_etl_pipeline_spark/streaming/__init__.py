@@ -7,5 +7,11 @@ streaming dedup keyed on event identity.
 """
 
 from .hourly import dedup_stream, hourly_rollup_stream, read_event_stream
+from .sessions import sessionize_stream
 
-__all__ = ["read_event_stream", "hourly_rollup_stream", "dedup_stream"]
+__all__ = [
+    "read_event_stream",
+    "hourly_rollup_stream",
+    "dedup_stream",
+    "sessionize_stream",
+]

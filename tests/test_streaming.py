@@ -55,6 +55,49 @@ def test_hourly_rollup_matches_batch(spark, event_dir):
     assert got[(1, "view")] == (6, 6.0)
 
 
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionizer: in-batch gap close + event-time
+    timeout close across micro-batches."""
+    import os
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming import (
+        sessionize_stream,
+    )
+
+    # Batch 1 — user 0: two events 5 min apart, then a 90-min gap, then one
+    # more event (closes session 1 IN-BATCH; session 2 stays open in state).
+    b1 = [
+        _event(0, 0, "click", 1.0) | {"user_id": 0},
+        _event(1, 5, "click", 2.0) | {"user_id": 0},
+        _event(2, 95, "click", 4.0) | {"user_id": 0},
+    ]
+    # Batch 2 — user 1 far in the future: advances the watermark past
+    # (batch-1 last ts + gap), so user 0's open session closes BY TIMEOUT.
+    b2 = [_event(3, 24 * 60, "click", 8.0) | {"user_id": 1}]
+    f1, f2 = tmp_path / "b1.json", tmp_path / "b2.json"
+    f1.write_text("\n".join(json.dumps(r) for r in b1))
+    f2.write_text("\n".join(json.dumps(r) for r in b2))
+    # force file order → two micro-batches (watermark advances between them)
+    now = f1.stat().st_mtime
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+
+    stream = spark.readStream.schema(
+        read_event_stream(spark, str(tmp_path)).schema
+    ).option("maxFilesPerTrigger", 1).json(str(tmp_path))
+    sessions = sessionize_stream(stream, gap_min=30, watermark="0 seconds")
+    run_to_memory(sessions, "sessions_t")
+
+    rows = {
+        (r["user_id"], r["session_start"].minute): (r["n_events"], r["sum_value"])
+        for r in spark.table("sessions_t").collect()
+    }
+    # in-batch close: events at minutes 0 and 5
+    assert rows[(0, 0)] == (2, 3.0)
+    # timeout close: the single event at minute 95
+    assert rows[(0, 35)] == (1, 4.0)  # 95 min → 01:35
+
+
 def test_dedup_stream_drops_duplicates(spark, tmp_path):
     rows = [_event(1, 0), _event(1, 1), _event(2, 2), _event(2, 3), _event(3, 4)]
     (tmp_path / "dups.json").write_text("\n".join(json.dumps(r) for r in rows))
