@@ -1,0 +1,86 @@
+"""Skew mitigation: salted joins and two-phase salted aggregation.
+
+AQE's skew-join splitting (enabled in session.py) handles moderate skew
+automatically, but a single pathological hot key — one building_id with
+half the rows, one document shingle shared corpus-wide — can exceed what
+partition-splitting fixes, because every row of the hot key still meets
+every matching build row.  Salting is the explicit remedy:
+
+* ``salted_join``: the large (skewed) side gets a uniform random salt in
+  [0, n); the small side is replicated once per salt value.  The shuffle
+  key becomes (key, salt) so a hot key spreads over n reducers.  Join
+  output is IDENTICAL to the unsalted join — salt only load-balances.
+* ``salted_agg``: pre-aggregate on (keys, salt), then finish on keys.
+  Both phases are hash aggregates with map-side combine; the salt bounds
+  the per-reducer group size in phase 1.
+
+Both are pure DataFrame compositions — no RDDs, no UDFs — so Catalyst
+still prunes/pushes through them.  Salt values never reach the result,
+so determinism of outputs is unaffected by the RNG.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 8
+_SALT = "__salt"
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    *,
+    n_salts: int = DEFAULT_SALTS,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join robust to hot keys on the large side.
+
+    ``large`` is salted row-wise; ``small`` is exploded n_salts× (do NOT
+    pass a big table as ``small`` — its shuffle volume multiplies by
+    n_salts).  Result equals ``large.join(small, on, how)`` exactly.
+    """
+    salted_large = large.withColumn(
+        _SALT, F.floor(F.rand(seed) * n_salts).cast("int")
+    )
+    exploded_small = small.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_large.join(exploded_small, [*on, _SALT], how).drop(_SALT)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, Column],
+    *,
+    n_salts: int = DEFAULT_SALTS,
+    seed: int = 42,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    ``aggs`` maps output column name → aggregate over the input (only
+    decomposable aggregates: sum / count / min / max).  Phase 1 computes
+    them per (keys, salt); phase 2 re-combines per keys with ``sum`` for
+    sum/count outputs and min/max for the rest — pass ``combine`` names
+    via the column's metadata-free convention: this helper recombines
+    everything with SUM except columns named ``min_*`` / ``max_*``.
+    """
+    salted = df.withColumn(_SALT, F.floor(F.rand(seed) * n_salts).cast("int"))
+    phase1 = salted.groupBy(*keys, _SALT).agg(
+        *[c.alias(name) for name, c in aggs.items()]
+    )
+
+    def _combine(name: str) -> Column:
+        if name.startswith("min_"):
+            return F.min(name).alias(name)
+        if name.startswith("max_"):
+            return F.max(name).alias(name)
+        return F.sum(name).alias(name)
+
+    return phase1.groupBy(*keys).agg(*[_combine(name) for name in aggs])

@@ -133,3 +133,78 @@ def test_multimodal_stubs_are_explicit():
     frames = frame_sample(b"0123456789abcdef", n_frames=4)
     assert len(frames) == 4 and frames[0] == b"0123"
     assert frame_sample(b"") == []
+
+
+# --------------------------------------------------------------------------
+# Skew mitigation: salted join / two-phase agg must be result-identical to
+# their unsalted forms, with the salt visible in the shuffle key.
+def _skewed_frames(spark):
+    # 90% of fact rows hit key 0 — the hot-key shape AQE splitting alone
+    # can't always fix
+    fact = spark.createDataFrame(
+        [(i, 0 if i % 10 else i % 7, float(i)) for i in range(2000)],
+        ["row_id", "k", "v"],
+    )
+    dim = spark.createDataFrame(
+        [(k, f"name_{k}") for k in range(7)], ["k", "k_name"]
+    )
+    return fact, dim
+
+
+def test_salted_join_matches_plain_join(spark):
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.skew import (
+        salted_join,
+    )
+
+    fact, dim = _skewed_frames(spark)
+    plain = fact.join(dim, ["k"]).select("row_id", "k", "v", "k_name")
+    salted = salted_join(fact, dim, ["k"], n_salts=4).select(
+        "row_id", "k", "v", "k_name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.skew import (
+        salted_agg,
+    )
+
+    fact, _ = _skewed_frames(spark)
+    plain = {
+        tuple(r)
+        for r in fact.groupBy("k")
+        .agg(
+            F.sum("v").alias("sum_v"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("v").alias("max_v"),
+        )
+        .collect()
+    }
+    salted = {
+        tuple(r)
+        for r in salted_agg(
+            fact,
+            ["k"],
+            {
+                "sum_v": F.sum("v"),
+                "n": F.count(F.lit(1)),
+                "max_v": F.max("v"),
+            },
+            n_salts=4,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_shuffles_on_salt(spark):
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.skew import (
+        salted_join,
+    )
+
+    fact, dim = _skewed_frames(spark)
+    df = salted_join(fact, dim, ["k"], n_salts=4)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the salt column participates in the join condition → shuffle key
+    assert "__salt" in plan

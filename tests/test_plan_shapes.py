@@ -73,3 +73,31 @@ def test_multimodal_is_arrow_batched(spark):
 def test_anti_join_strategy(spark):
     plan = _executed_plan(spark, "customers_without_orders")
     assert "LeftAnti" in plan
+
+
+def test_similarity_ivf_broadcasts_codebook(spark):
+    # the 8-row codebook and the query set must broadcast — the corpus side
+    # must never be built into a hash table or cross-joined at scale
+    plan = _executed_plan(spark, "similarity_ivf")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_embedding_joins_on_band_bucket(spark):
+    # candidate generation must be an equi-join on the band bucket —
+    # a cartesian pair enumeration would be O(n²) at scale
+    plan = _executed_plan(spark, "dedup_embedding")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_region_revenue_preaggregates_before_join(spark):
+    # the lineitem partial aggregate must sit BELOW the orders join:
+    # exactly two hash-aggregate pairs (order-grain rollup + final),
+    # and no expand/distinct pass
+    plan = _optimized_plan(spark, "region_revenue")
+    agg_pos = plan.find("Aggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    assert "Expand" not in plan  # countDistinct would inject Expand
