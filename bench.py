@@ -31,7 +31,10 @@ HEADLINE = [
     "dedup_exact",
     "minhash_signatures",
     "dedup_ngram_jaccard",
+    "dedup_embedding",
     "similarity_topk",
+    "similarity_ivf",
+    "sessionize",
     "text_quality",
     "token_count",
 ]

@@ -6,6 +6,7 @@ zero Python row UDFs, per SURVEY.md §2.11.
 
 from .columns import (
     cosine_similarity,
+    cosine_similarity_arrow,
     dow_monday0,
     is_weekend,
     l2_norm,
@@ -16,6 +17,7 @@ from .columns import (
 
 __all__ = [
     "cosine_similarity",
+    "cosine_similarity_arrow",
     "dow_monday0",
     "is_weekend",
     "l2_norm",
