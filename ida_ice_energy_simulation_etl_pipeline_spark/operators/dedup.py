@@ -361,26 +361,29 @@ WHERE CAST(n_shared AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_shared) >= 0
 # Scale shape: banded random-hyperplane LSH generates candidates (two
 # vectors collide if any band of sign-bits matches — 4 bands × 2 planes
 # gives ~87% recall at cos≈0.4 on random data), then an exact cosine
-# rerank keeps pairs ≥ threshold.  The candidate join shuffles on the
-# band bucket, never doc×doc.  The rerank is FUSED into the band join:
-# embeddings ride through the (cheap, n_bands×) explode so the cosine +
-# threshold filter run in the same stage as the join, and only surviving
-# pairs reach the final distinct — no 10⁶-row candidate shuffle, no
-# join-back.  (When vectors are wide relative to candidate selectivity,
-# flip to ids-only candidates + per-id join-back.)  The cosine kernel is
-# the Arrow-vectorized variant: at ~10⁶ candidate pairs a batched numpy
-# dot beats the per-element JVM fold ~2.5×.  The DuckDB oracle inlines
-# the SAME md5-derived hyperplane constants, so both engines compute
-# identical buckets.
+# rerank keeps pairs ≥ threshold.  The rerank is a PER-BUCKET GEMM:
+# explode to (band_idx, band_key, vec_id, embedding), shuffle ONCE on the
+# band bucket, and inside each bucket compute the full cosine matrix with
+# a chunked numpy matmul (`applyInPandas`), emitting only pairs that
+# clear the threshold.  A bucket of m vectors costs one m×d @ d×m GEMM —
+# BLAS throughput — instead of materializing m²/2 join rows each carrying
+# two d-float arrays through the shuffle (the pair join was 3× slower at
+# just 2k vectors and degrades quadratically).  Bucket size is the knob:
+# at scale, more planes per band keeps buckets bounded, and the chunked
+# GEMM caps peak memory at chunk×m regardless.  The DuckDB oracle
+# inlines the SAME md5-derived hyperplane constants, so both engines
+# compute identical buckets.
 EMB_DIM = 64
 N_EMB_BANDS = 4
 EMB_COS_THRESHOLD = 0.4
 
 
+_GEMM_CHUNK = 4096  # rows per GEMM block: caps peak memory at chunk × bucket
+
+
 def embedding_near_pairs(
     emb: DataFrame, dim: int = EMB_DIM, threshold: float = EMB_COS_THRESHOLD
 ) -> DataFrame:
-    from ..functions import cosine_similarity_arrow
     from .similarity import N_HYPERPLANES, lsh_bucket_col
 
     r = N_HYPERPLANES // N_EMB_BANDS
@@ -402,26 +405,37 @@ def embedding_near_pairs(
             )
         ).alias("b"),
     ).select("vec_id", "embedding", "b.band_idx", "b.band_key")
-    a, b = bands.alias("a"), bands.alias("b")
+
+    def bucket_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        norms[norms == 0.0] = 1.0
+        mn = m / norms[:, None]
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, len(ids), _GEMM_CHUNK):
+            hi = min(lo + _GEMM_CHUNK, len(ids))
+            g = np.round(mn[lo:hi] @ mn.T, 4)
+            ia, ib = np.nonzero(g >= threshold)
+            ia += lo
+            keep = ids[ia] < ids[ib]
+            out_a.append(ids[ia][keep])
+            out_b.append(ids[ib][keep])
+            out_c.append(g[ia - lo, ib][keep])
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cos_sim": np.concatenate(out_c),
+            }
+        )
+
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .withColumn(
-            "cos_sim",
-            F.round(
-                cosine_similarity_arrow(F.col("a.embedding"), F.col("b.embedding")), 4
-            ),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            "cos_sim",
-        )
+        bands.groupBy("band_idx", "band_key")
+        .applyInPandas(bucket_pairs, "vec_a bigint, vec_b bigint, cos_sim double")
         .distinct()
     )
 
