@@ -35,6 +35,8 @@ HEADLINE = [
     "similarity_topk",
     "similarity_ivf",
     "sessionize",
+    "asof_last_error",
+    "error_click_window",
     "text_quality",
     "token_count",
 ]

@@ -1,0 +1,208 @@
+"""Temporal join operators: as-of join and banded range join.
+
+Two operators the reference cannot express and Spark has no builtin for —
+the canonical time-series extensions of its hourly fact model (every
+fact↔dim_time join in the reference, e.g. src/etl/transform/__init__.py:
+213-217, is an EXACT timestamp equi-join; an as-of join is the robust
+version once the two streams tick on different clocks).
+
+Scale shapes (the whole point — neither op may degenerate to a cross
+join):
+
+* **as-of join** — union-tag both streams and take ``last(payload,
+  ignorenulls)`` over one event-time window per key.  ONE shuffle on the
+  join key, one partition-local sort, zero join operators: the classic
+  merge-asof, linear in |L|+|R| per key.  The naive alternative (equi-join
+  on key + argmax-per-left-row) shuffles |L×R| candidate rows and blows up
+  on hot keys.
+* **banded range join** — map each right row to one coarse time bucket
+  (width = the range window), explode each left row to the two buckets its
+  window can overlap, equi-join on (key, bucket), then refine with the
+  exact bound predicate.  The equi-join keeps Catalyst's hash strategies
+  and AQE sizing in play; candidate fan-out is bounded by bucket
+  population, never |L|×|R|.
+
+Timestamp arithmetic is exact integer microseconds on both engines
+(``unix_micros`` / ``epoch_us``) — second-truncation or double rounding
+would disagree with the oracle near boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.core import QuerySpec, load_table
+
+ASOF_STRUCT = "_asof"
+CLICK_WINDOW_US = 60 * 60 * 1_000_000  # 1 hour
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    payload: list[Column],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Backward as-of left join: attach to each left row the payload of the
+    latest right row with the same keys and ``right_ts <= left_ts``.
+
+    Returns all left columns plus a struct column ``_asof`` (null when no
+    right row precedes).  ``payload`` are Columns over ``right`` (alias
+    them; ``right_ts`` must be among ``right``'s columns so tolerance can
+    be checked by callers via the payload's own timestamp field).
+
+    Plan shape: unionByName → Window(partitionBy keys, orderBy event time)
+    → filter.  Right rows sort BEFORE left rows at equal timestamps, so a
+    tie matches (``>=`` semantics, same as DuckDB/pandas ASOF).
+    """
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.struct(F.col(right_ts).alias("_rts"), *payload).alias(ASOF_STRUCT),
+    )
+    l = left.select(
+        *left.columns, F.col(left_ts).alias("_ts"), F.lit(1).alias("_side")
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = u.withColumn(
+        ASOF_STRUCT, F.last(ASOF_STRUCT, ignorenulls=True).over(w)
+    ).filter(F.col("_side") == 1)
+    if tolerance_us is not None:
+        in_tol = (
+            F.unix_micros(F.col("_ts"))
+            - F.unix_micros(F.col(ASOF_STRUCT)["_rts"])
+        ) <= tolerance_us
+        matched = matched.withColumn(
+            ASOF_STRUCT, F.when(in_tol, F.col(ASOF_STRUCT))
+        )
+    return matched.drop("_ts", "_side")
+
+
+def banded_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    window_us: int,
+) -> DataFrame:
+    """Inner join of ``left`` to every ``right`` row with equal keys and
+    ``right_ts`` in the half-open window ``(left_ts, left_ts + window_us]``.
+
+    ``left_ts``/``right_ts`` must be simple column names and distinct from
+    each other (rename before calling).  Bucket width equals the window, so
+    a left window spans at most two buckets.
+    """
+    r_us = F.unix_micros(F.col(right_ts))
+    l_us = F.unix_micros(F.col(left_ts))
+    rb = right.withColumn("_bkt", F.expr(f"unix_micros({right_ts}) DIV {window_us}"))
+    lb = left.withColumn(
+        "_bkt0", F.expr(f"unix_micros({left_ts}) DIV {window_us}")
+    ).withColumn(
+        "_bkt", F.explode(F.array(F.col("_bkt0"), F.col("_bkt0") + 1))
+    ).drop("_bkt0")
+    return (
+        lb.join(rb, [*on, "_bkt"])
+        .filter((r_us > l_us) & (r_us <= l_us + window_us))
+        .drop("_bkt")
+    )
+
+
+# --------------------------------------------------------------------------
+# Driver-contract queries over the events stream.
+def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the user's most recent preceding error event."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error")
+    out = asof_join(
+        purchases,
+        errors,
+        on=["user_id"],
+        payload=[
+            F.col("event_id").alias("err_id"),
+            F.col("value").alias("err_value"),
+        ],
+    )
+    m = F.col(ASOF_STRUCT)
+    return out.select(
+        "event_id",
+        "user_id",
+        m["err_id"].alias("err_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(m["_rts"])).alias(
+            "micros_since_error"
+        ),
+        m["err_value"].alias("err_value"),
+    )
+
+
+ASOF_LAST_ERROR_SQL = """
+SELECT l.event_id, l.user_id,
+       r.event_id                                                        AS err_id,
+       CASE WHEN r.event_id IS NULL THEN NULL
+            ELSE epoch_us(l.ts) - epoch_us(r.ts) END                     AS micros_since_error,
+       r.value                                                           AS err_value
+FROM      (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def error_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per error event: clicks by the same user within the next hour
+    (exclusive of the error instant, inclusive of the window end)."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("e_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("value").alias("c_value")
+    )
+    pairs = banded_range_join(
+        errors, clicks, on=["user_id"], left_ts="e_ts", right_ts="c_ts",
+        window_us=CLICK_WINDOW_US,
+    )
+    return pairs.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.sum("c_value"), 2).alias("click_value"),
+    )
+
+
+ERROR_CLICK_WINDOW_SQL = f"""
+SELECT e.event_id, e.user_id,
+       count(*)               AS n_clicks,
+       round(sum(c.value), 2) AS click_value
+FROM events e
+JOIN events c
+  ON c.user_id = e.user_id
+ AND epoch_us(c.ts) >  epoch_us(e.ts)
+ AND epoch_us(c.ts) <= epoch_us(e.ts) + {CLICK_WINDOW_US}
+WHERE e.event_type = 'error' AND c.event_type = 'click'
+GROUP BY 1, 2
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "asof_last_error", asof_last_error, ASOF_LAST_ERROR_SQL, "ext:asof-join"
+    ),
+    QuerySpec(
+        "error_click_window",
+        error_click_window,
+        ERROR_CLICK_WINDOW_SQL,
+        "ext:range-join",
+    ),
+]

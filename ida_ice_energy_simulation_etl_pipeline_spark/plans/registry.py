@@ -5,6 +5,7 @@ from __future__ import annotations
 from ..operators import dedup as _dedup
 from ..operators import multimodal as _multimodal
 from ..operators import similarity as _similarity
+from ..operators import temporal as _temporal
 from ..operators import text as _text
 from . import analytics as _analytics
 from . import relational as _relational
@@ -15,6 +16,7 @@ _ALL_SPECS: list[QuerySpec] = (
     + _analytics.SPECS
     + _dedup.SPECS
     + _similarity.SPECS
+    + _temporal.SPECS
     + _text.SPECS
     + _multimodal.SPECS
 )
