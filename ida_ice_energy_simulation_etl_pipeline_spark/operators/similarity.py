@@ -28,6 +28,32 @@ N_QUERIES = 5  # vec_id < 5 are the fixture query vectors
 N_HYPERPLANES = 8
 
 
+def grouped_topk(
+    df: DataFrame, keys: list[str], order: list[Column], k: int, rank_name: str
+) -> DataFrame:
+    """Top-k rows per key group, two-phase.
+
+    A single ranking window over few groups (here: a handful of query
+    vectors) shuffles EVERY scored row into ≤ |groups| window partitions —
+    a sort bottleneck that gets worse the bigger the corpus.  Phase 1
+    takes a local top-k within each (group, input-partition) slice — the
+    window keys include ``spark_partition_id()`` so sorting stays spread
+    across the cluster — leaving ≤ k·P survivors per group for the tiny
+    phase-2 window.  Correct for any ordering that is total (tie-broken),
+    since the global top-k of a union is the top-k of per-slice top-ks.
+    """
+    w_local = Window.partitionBy(*keys, "_slice").orderBy(*order)
+    w_final = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_slice", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .withColumn(rank_name, F.row_number().over(w_final).cast("long"))
+        .filter(F.col(rank_name) <= k)
+        .drop("_slice", "_lr")
+    )
+
+
 # --------------------------------------------------------------------------
 # Brute-force cosine top-k.
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,14 +69,13 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", cosine_similarity(F.col("q_emb"), F.col("c_emb")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("nn_rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("nn_rank") <= TOP_K)
-        .select("query_id", "nn_rank", "neighbor_id")
-    )
+    return grouped_topk(
+        scored,
+        ["query_id"],
+        [F.col("cos").desc(), F.col("neighbor_id")],
+        TOP_K,
+        "nn_rank",
+    ).select("query_id", "nn_rank", "neighbor_id")
 
 
 SIMILARITY_TOPK_SQL = f"""
@@ -176,12 +201,9 @@ def lsh_topk(
         .filter(F.col("query_id") != F.col("vec_id"))
         .withColumn("cos", cosine_similarity(F.col("q_emb"), F.col("embedding")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("nn_rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("nn_rank") <= k)
-        .select("query_id", "nn_rank", F.col("vec_id").alias("neighbor_id"), "cos")
-    )
+    return grouped_topk(
+        scored, ["query_id"], [F.col("cos").desc(), F.col("vec_id")], k, "nn_rank"
+    ).select("query_id", "nn_rank", F.col("vec_id").alias("neighbor_id"), "cos")
 
 
 # --------------------------------------------------------------------------
@@ -193,8 +215,10 @@ def lsh_topk(
 # centroid — that cell id is the inverted-list / partition key, so an ANN
 # probe scans ~1/N_CENTROIDS of the corpus (nprobe=1) instead of all of
 # it, then exact-reranks inside the cell.  All built-in column ops: the
-# 8-row codebook is broadcast, assignment is a window argmax, never a
-# driver-side loop.
+# 8-row codebook is broadcast and assignment is a max_by hash aggregate —
+# the broadcast cross join keeps a vector's C scored rows in one task, so
+# map-side partial aggregation collapses them to ONE row per vector before
+# the shuffle (a window argmax would shuffle AND sort all n×C rows).
 N_CENTROIDS = 8
 
 
@@ -206,13 +230,14 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored_cent = emb.crossJoin(F.broadcast(centroids)).withColumn(
         "cent_cos", cosine_similarity(F.col("embedding"), F.col("cent_emb"))
     )
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.col("cent_cos").desc(), F.col("centroid_id")
-    )
-    assigned = (
-        scored_cent.withColumn("rk", F.row_number().over(aw))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "embedding", "centroid_id")
+    # argmax-cosine centroid, ties to the smallest centroid_id (the struct
+    # ordering (cos, -id) makes max_by reproduce the oracle's
+    # ORDER BY cos DESC, centroid_id tie-break exactly)
+    assigned = scored_cent.groupBy("vec_id").agg(
+        F.first("embedding").alias("embedding"),  # constant within the group
+        F.max_by(
+            "centroid_id", F.struct("cent_cos", (-F.col("centroid_id")).alias("t"))
+        ).alias("centroid_id"),
     )
     queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -224,16 +249,17 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("query_id") != F.col("vec_id"))
         .withColumn("cos", cosine_similarity(F.col("q_emb"), F.col("embedding")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("nn_rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("nn_rank") <= TOP_K)
-        .select(
-            "query_id",
-            "nn_rank",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round("cos", 4).alias("cos_sim"),
-        )
+    return grouped_topk(
+        scored,
+        ["query_id"],
+        [F.col("cos").desc(), F.col("vec_id")],
+        TOP_K,
+        "nn_rank",
+    ).select(
+        "query_id",
+        "nn_rank",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round("cos", 4).alias("cos_sim"),
     )
 
 
