@@ -243,7 +243,78 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Hypertable-style multi-resolution rollup: the DAILY aggregate is computed
+# FROM the hourly aggregate, never from raw events — the continuous-
+# aggregate pattern (TimescaleDB hypertable rollups, Druid compaction).
+# At 100 TB the hourly layer is a materialized table ~1000× smaller than
+# the event stream; composing day = Σ hour makes the daily query touch
+# only that layer.  Only ALGEBRAIC aggregates compose (sum of sums, count
+# of counts, avg = Σsum/Σcount); the inner layer must stay UNROUNDED or
+# the composition drifts.  The oracle aggregates raw events directly, so
+# parity proves the two-level decomposition is exact.
+def multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),  # unrounded: composes exactly
+    )
+    return (
+        hourly.groupBy(
+            # DATE, not truncated timestamp — matches DuckDB's date_trunc('day')
+            F.to_date(F.col("hour_start")).alias("day_start"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+            # avg from the ROUNDED sum: the raw composed sum can differ
+            # from the oracle's single-pass sum by 1 ulp, which round(4)
+            # amplifies at half-boundaries; dividing the rounded sum makes
+            # both engines divide bit-identical doubles
+            F.round(F.round(F.sum("sum_value"), 2) / F.sum("n_events"), 4).alias(
+                "avg_value"
+            ),
+        )
+    )
+
+
+MULTIRES_ROLLUP_SQL = """
+SELECT date_trunc('day', ts)  AS day_start,
+       event_type,
+       count(*)               AS n_events,
+       round(sum(value), 2)   AS sum_value,
+       round(round(sum(value), 2) / count(*), 4) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Approximate distinct: HyperLogLog++ sketch vs exact.  The scale path for
+# A1's COUNT(DISTINCT) — one pass, mergeable, fixed memory — at the price
+# of a bounded relative error.  No oracle (DuckDB's approx_count_distinct
+# uses a different sketch, so values can't hash-match); the driver records
+# a rows-only check and tests/test_functions_properties.py bounds the
+# error against the exact count.
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    )
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "multires_rollup", multires_rollup, MULTIRES_ROLLUP_SQL, "ext:rollup,A9"
+    ),
+    QuerySpec(
+        "approx_distinct_users", approx_distinct_users, None, "ext:sketch,A1"
+    ),
     QuerySpec(
         "top_orders_per_segment",
         top_orders_per_segment,

@@ -208,3 +208,16 @@ def test_salted_join_shuffles_on_salt(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     # the salt column participates in the join condition → shuffle key
     assert "__salt" in plan
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL++ sketch stays within its configured relative error (2% rsd →
+    assert a loose 3σ ≈ 6% band) of the exact distinct count."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans import QUERIES
+
+    rows = QUERIES["approx_distinct_users"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(1, 0.06 * r.exact_users)
