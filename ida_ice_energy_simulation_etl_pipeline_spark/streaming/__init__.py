@@ -7,6 +7,7 @@ streaming dedup keyed on event identity.
 """
 
 from .hourly import dedup_stream, hourly_rollup_stream, read_event_stream
+from .joins import interval_join_stream
 from .sessions import sessionize_stream
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "hourly_rollup_stream",
     "dedup_stream",
     "sessionize_stream",
+    "interval_join_stream",
 ]

@@ -7,6 +7,7 @@ import json
 from datetime import datetime, timedelta
 
 import pytest
+from pyspark.sql import functions as F
 
 from ida_ice_energy_simulation_etl_pipeline_spark.streaming import (
     dedup_stream,
@@ -105,3 +106,55 @@ def test_dedup_stream_drops_duplicates(spark, tmp_path):
     run_to_memory(dedup_stream(stream), "dedup_t")
     ids = sorted(r["event_id"] for r in spark.table("dedup_t").collect())
     assert ids == [1, 2, 3]
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join agrees with the batch banded range join
+    on the same data, including both boundary sides."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.temporal import (
+        banded_range_join,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming import (
+        interval_join_stream,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming.hourly import (
+        EVENT_SCHEMA,
+        run_to_memory,
+    )
+
+    rows = [
+        {**_event(0, 0, "error", 0.0), "user_id": 1},
+        {**_event(1, 30, "click", 2.0), "user_id": 1},   # inside
+        {**_event(2, 60, "click", 3.0), "user_id": 1},   # exactly window end → in
+        {**_event(3, 61, "click", 4.0), "user_id": 1},   # outside
+        {**_event(4, 10, "click", 5.0), "user_id": 2},   # wrong user
+    ]
+    (tmp_path / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = read_event_stream(spark, str(tmp_path))
+    joined = interval_join_stream(
+        stream.filter("event_type = 'error'"),
+        stream.filter("event_type = 'click'"),
+    )
+    run_to_memory(joined, "ivj_t")
+    got = sorted(
+        (r.err_id, r.user_id, r.c_value) for r in spark.table("ivj_t").collect()
+    )
+    assert got == [(0, 1, 2.0), (0, 1, 3.0)]
+
+    # batch twin over the identical rows
+    batch = spark.read.schema(EVENT_SCHEMA).json(str(tmp_path))
+    b = banded_range_join(
+        batch.filter("event_type = 'error'").select(
+            F.col("event_id").alias("err_id"), "user_id", F.col("ts").alias("e_ts")
+        ),
+        batch.filter("event_type = 'click'").select(
+            "user_id", F.col("ts").alias("c_ts"), F.col("value").alias("c_value")
+        ),
+        on=["user_id"],
+        left_ts="e_ts",
+        right_ts="c_ts",
+        window_us=60 * 60 * 1_000_000,
+    )
+    bgot = sorted((r.err_id, r.user_id, r.c_value) for r in b.collect())
+    assert bgot == got
