@@ -271,13 +271,12 @@ def multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("n_events").alias("n_events"),
             F.round(F.sum("sum_value"), 2).alias("sum_value"),
-            # avg from the ROUNDED sum: the raw composed sum can differ
-            # from the oracle's single-pass sum by 1 ulp, which round(4)
-            # amplifies at half-boundaries; dividing the rounded sum makes
-            # both engines divide bit-identical doubles
-            F.round(F.round(F.sum("sum_value"), 2) / F.sum("n_events"), 4).alias(
-                "avg_value"
-            ),
+            # avg = rounded sum / count, with NO outer round: the rounded
+            # sum is the same double on both engines and IEEE division by
+            # an integer is deterministic, so the quotient is bit-identical
+            # — an outer round would re-introduce half-boundary divergence
+            # (e.g. 307.03/8 = 38.37875, an exact half at 4 decimals)
+            (F.round(F.sum("sum_value"), 2) / F.sum("n_events")).alias("avg_value"),
         )
     )
 
@@ -287,7 +286,7 @@ SELECT date_trunc('day', ts)  AS day_start,
        event_type,
        count(*)               AS n_events,
        round(sum(value), 2)   AS sum_value,
-       round(round(sum(value), 2) / count(*), 4) AS avg_value
+       round(sum(value), 2) / count(*) AS avg_value
 FROM events
 GROUP BY 1, 2
 """
