@@ -133,14 +133,28 @@ def load_to_warehouse(
     *,
     database: str = "energy",
     with_views: bool = True,
+    bucket_specs: dict[str, tuple[int, list[str]]] | None = None,
 ) -> None:
     """Register the star schema as catalog tables + views (reference
-    load:36-64)."""
+    load:36-64).
+
+    ``bucket_specs`` maps table → (n_buckets, bucket_columns): the table is
+    written ``bucketBy(n, cols).sortBy(cols)``.  Two fact tables bucketed
+    on their join key with the same bucket count join WITHOUT any exchange
+    — the shuffle is paid once at write time and amortized over every
+    subsequent join (the co-location contract a 100 TB fact⋈fact workload
+    needs; pinned by ``test_bucketed_join_avoids_shuffle``).
+    """
     _check_identifier(database)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
     for table, df in star.items():
         _check_identifier(table)
-        df.write.mode("overwrite").saveAsTable(f"{database}.{table}")
+        writer = df.write.mode("overwrite")
+        spec = (bucket_specs or {}).get(table)
+        if spec is not None:
+            n_buckets, cols = spec
+            writer = writer.bucketBy(n_buckets, *cols).sortBy(*cols)
+        writer.saveAsTable(f"{database}.{table}")
     if with_views:
         create_views(spark, database=database)
 

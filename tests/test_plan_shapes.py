@@ -101,3 +101,34 @@ def test_region_revenue_preaggregates_before_join(spark):
     join_pos = plan.find("Join")
     assert agg_pos != -1 and join_pos != -1
     assert "Expand" not in plan  # countDistinct would inject Expand
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """Fact tables bucketed on the join key must join with ZERO exchanges:
+    the shuffle is paid once at write time, amortized over every join."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.etl.load import (
+        load_to_warehouse,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans.core import load_table
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    load_to_warehouse(
+        spark,
+        {"li_b": li, "ord_b": orders},
+        database="bucketdb",
+        with_views=False,
+        bucket_specs={"li_b": (8, ["l_orderkey"]), "ord_b": (8, ["o_orderkey"])},
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a, b = spark.table("bucketdb.li_b"), spark.table("bucketdb.ord_b")
+        j = a.join(b, a.l_orderkey == b.o_orderkey)
+        assert j.count() > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in final
+        assert "Exchange" not in final, "bucketed join still shuffles"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
