@@ -307,9 +307,41 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Grouped percentiles: exact linear-interpolation quantiles (Spark
+# ``percentile`` ≡ DuckDB ``quantile_cont``, bit-compatible — verified by
+# the oracle hash-match).  Exact quantiles sort each group; at 100 TB the
+# scale path is ``approx_percentile`` (t-digest sketch: one pass,
+# mergeable, fixed memory), error-bounded against the exact value in
+# tests/test_operators.py::test_approx_percentile_error_bound.
+def priority_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+    )
+
+
+PRIORITY_PRICE_QUANTILES_SQL = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 2)  AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "multires_rollup", multires_rollup, MULTIRES_ROLLUP_SQL, "ext:rollup,A9"
+    ),
+    QuerySpec(
+        "priority_price_quantiles",
+        priority_price_quantiles,
+        PRIORITY_PRICE_QUANTILES_SQL,
+        "ext:quantile",
     ),
     QuerySpec(
         "approx_distinct_users", approx_distinct_users, None, "ext:sketch,A1"

@@ -221,3 +221,16 @@ def test_approx_distinct_error_bound(spark):
     assert rows
     for r in rows:
         assert abs(r.approx_users - r.exact_users) <= max(1, 0.06 * r.exact_users)
+
+
+def test_approx_percentile_error_bound(spark):
+    """t-digest approx_percentile lands within 1% relative error of the
+    exact interpolated quantile (the 100 TB path for grouped quantiles)."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans.core import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders")
+    row = orders.agg(
+        F.expr("percentile(o_totalprice, 0.9)").alias("exact"),
+        F.expr("approx_percentile(o_totalprice, 0.9, 1000)").alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) <= 0.01 * row.exact
