@@ -49,12 +49,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos-as-long path and converted to micros with exact integer division
     (nanos exceed 2^53, so a double-precision divide would lose time).
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     path = f"{sf_dir}/{name}.parquet"
     df = _read_parquet_nanosafe(spark, path)
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Memoize the scan DataFrame: it is lazy and immutable, so every caller
+    # can share one object — a multi-table query otherwise pays a
+    # footer-read JVM round trip (~70 ms) per load_table call, which
+    # dominates plan-build time for short interactive queries.
+    _SCAN_CACHE[key] = df
     return df
+
+
+_SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _read_parquet_nanosafe(spark: SparkSession, path: str) -> DataFrame:
@@ -75,7 +87,16 @@ def ensure_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
     splits and this is a no-op — large tables are never reshuffled.
     """
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n = getattr(df, "_sg_scan_partitions", None)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        try:
+            # cache on the (shared, memoized) scan object: the RDD
+            # conversion is a JVM round trip worth paying once per table
+            df._sg_scan_partitions = n
+        except Exception:
+            pass
+    if n < target:
         return df.repartition(target)
     return df
 

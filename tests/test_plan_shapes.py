@@ -111,6 +111,15 @@ def test_bucketed_join_avoids_shuffle(spark):
     )
     from ida_ice_energy_simulation_etl_pipeline_spark.plans.core import load_table
 
+    import shutil
+    from pathlib import Path
+
+    # a previous session's warehouse dir would collide with the in-memory
+    # catalog (LOCATION_ALREADY_EXISTS) — clean both sides first
+    spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
+    wh = Path(spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"))
+    shutil.rmtree(wh / "bucketdb.db", ignore_errors=True)
+
     li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
     orders = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
     load_to_warehouse(
