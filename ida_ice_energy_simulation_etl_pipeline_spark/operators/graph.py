@@ -1,0 +1,139 @@
+"""Connected components over near-duplicate pairs — dedup clustering.
+
+The last stage of a dedup pipeline: candidate pairs (MinHash-LSH) form an
+undirected graph; each connected component is one duplicate cluster, and
+the minimum doc_id in the component is the canonical representative to
+keep.  The reference stops at per-run first-seen dedup
+(src/etl/transform/__init__.py:29-40); this is the corpus-scale version.
+
+Algorithm: iterative min-label propagation (the HashToMin / GraphFrames
+shape).  Every vertex starts labeled with itself; each round every vertex
+takes the min of its own label and its neighbors' labels; stop when a
+round changes nothing.  Rounds needed = graph diameter ≤ O(log n) for
+near-dup clusters (which are small and dense).  Each round is ONE
+broadcast-free equi-join on vertex id + ONE groupBy min — both shuffle on
+the same key, so AQE reuses partitioning; no collect of edges, no
+driver-side graph.  The loop itself is driver-side control flow with a
+per-round count action — the standard Spark shape for fixpoint
+iteration (convergence must be observed, so an action per round is
+irreducible).
+
+The DuckDB oracle computes the same components with a recursive CTE
+(transitive closure + min over reachable set) — exact hash-match, not a
+rows-only check, even though the Spark side is an iterative algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.core import QuerySpec, ensure_parallelism, load_table
+
+MAX_CC_ITERATIONS = 50  # safety rail; near-dup clusters converge in < 10
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, *, max_iterations: int = MAX_CC_ITERATIONS
+) -> DataFrame:
+    """(vertex_id) + (src, dst) -> (vertex_id, component) with component =
+    min vertex_id reachable.  Isolated vertices keep their own id.
+
+    ``vertices`` must have column ``vertex_id``; ``edges`` columns
+    ``src``/``dst`` (undirected: each pair listed once is enough).
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = vertices.select("vertex_id", F.col("vertex_id").alias("component"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.vertex_id)
+            .groupBy(F.col("src").alias("vertex_id"))
+            .agg(F.min("component").alias("neighbor_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, "vertex_id", "left")
+            .select(
+                "vertex_id",
+                F.least(
+                    "component",
+                    F.coalesce("neighbor_component", "component"),
+                ).alias("component"),
+                (
+                    F.col("neighbor_component") < F.col("component")
+                ).alias("_changed"),
+            )
+        )
+        # localCheckpoint: truncate the lineage each round, or the plan
+        # doubles per iteration and analysis time grows exponentially
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters from MinHash-LSH candidate pairs: per-source
+    cluster census + canonical (min doc_id) members."""
+    from .dedup import lsh_candidate_pairs
+
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    pairs = lsh_candidate_pairs(docs)
+    comp = connected_components(
+        docs.select(F.col("doc_id").alias("vertex_id")),
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+    )
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.min("component").alias("min_component"),
+            F.max("component").alias("max_component"),
+        )
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    from .dedup import DEDUP_MINHASH_LSH_SQL
+
+    return f"""
+WITH RECURSIVE
+pairs AS ({DEDUP_MINHASH_LSH_SQL}),
+undirected AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM undirected
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN undirected e ON r.dst = e.src
+),
+comp AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS component
+  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+  GROUP BY d.doc_id
+),
+clusters AS (
+  SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+)
+SELECT cluster_size,
+       count(*)       AS n_clusters,
+       min(component) AS min_component,
+       max(component) AS max_component
+FROM clusters
+GROUP BY cluster_size
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "dedup_clusters", dedup_clusters, _dedup_clusters_sql(), "ext:dedup,graph"
+    ),
+]

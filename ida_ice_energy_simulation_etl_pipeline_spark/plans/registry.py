@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from ..operators import dedup as _dedup
+from ..operators import graph as _graph
 from ..operators import multimodal as _multimodal
 from ..operators import similarity as _similarity
 from ..operators import temporal as _temporal
@@ -15,6 +16,7 @@ _ALL_SPECS: list[QuerySpec] = (
     _relational.SPECS
     + _analytics.SPECS
     + _dedup.SPECS
+    + _graph.SPECS
     + _similarity.SPECS
     + _temporal.SPECS
     + _text.SPECS

@@ -234,3 +234,24 @@ def test_approx_percentile_error_bound(spark):
         F.expr("approx_percentile(o_totalprice, 0.9, 1000)").alias("approx"),
     ).collect()[0]
     assert abs(row.approx - row.exact) <= 0.01 * row.exact
+
+
+def test_connected_components_semantics(spark):
+    """Path graph (diameter 3), triangle, and isolated vertex all resolve
+    to min-id components."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    vertices = spark.createDataFrame(
+        [(i,) for i in range(8)], "vertex_id long"
+    )
+    #  path: 1-2-3-4   triangle: 5-6, 6-7, 5-7   isolated: 0
+    edges = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1), (5, 6), (6, 7), (5, 7)], "src long, dst long"
+    )
+    got = {
+        r.vertex_id: r.component
+        for r in connected_components(vertices, edges).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5}
