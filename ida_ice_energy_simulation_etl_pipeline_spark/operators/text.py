@@ -212,8 +212,50 @@ FROM toks
 """
 
 
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split: assignment is a pure function of the
+# doc's content hash, never of row order or partitioning — reproducible on
+# any cluster size, stable under re-ingestion, and exactly re-derivable by
+# the oracle.  (rand()-based sampling would be none of those.)  The split
+# point is the first 4 hex chars of md5(doc_id) as an integer in [0, 2^16):
+# < 80% → train, < 90% → val, else test.
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10).cast("long")
+    split = (
+        F.when(h < int(0.8 * 65536), "train")
+        .when(h < int(0.9 * 65536), "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+DATASET_SPLIT_SQL = f"""
+WITH assigned AS (
+  SELECT CASE
+           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) < {int(0.8 * 65536)} THEN 'train'
+           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) < {int(0.9 * 65536)} THEN 'val'
+           ELSE 'test'
+         END AS split,
+         source, n_chars
+  FROM documents
+)
+SELECT split, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("lang_id", lang_id, LANG_ID_SQL, "ext:text"),
+    QuerySpec("dataset_split", dataset_split, DATASET_SPLIT_SQL, "ext:split"),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, "ext:text"),
     QuerySpec("token_count", token_count, TOKEN_COUNT_SQL, "ext:text"),
     QuerySpec("doc_fingerprint", doc_fingerprint, DOC_FINGERPRINT_SQL, "ext:text"),
