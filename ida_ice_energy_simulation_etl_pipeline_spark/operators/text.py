@@ -213,6 +213,77 @@ FROM toks
 
 
 # --------------------------------------------------------------------------
+# Benchmark-contamination check: which training documents share any
+# 4-gram with the held-out eval set (source 'src0')?  The standard
+# pre-training hygiene scan.  Shape: explode eval docs to DISTINCT
+# n-gram hashes (the eval set is small — at scale this side is the
+# broadcast side), LEFT SEMI join the exploded training n-grams against
+# it (semi join: existence only, no fan-out, stops at first match per
+# row), then distinct contaminated doc_ids → per-source rates.
+# (Real corpora use 8-13-gram windows; the synthetic fixture's short
+# random sentences need n=4 for a non-degenerate overlap signal.)
+CONTAMINATION_NGRAM = 4
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    grams = F.explode(
+        word_shingles(word_tokens(F.col("text")), CONTAMINATION_NGRAM)
+    ).alias("gram")
+    eval_grams = (
+        docs.filter(F.col("source") == "src0")
+        .select(grams)
+        .select(F.xxhash64("gram").alias("gram_h"))
+        .distinct()
+    )
+    train = docs.filter(F.col("source") != "src0")
+    contaminated = (
+        train.select("doc_id", "source", grams)
+        .select("doc_id", "source", F.xxhash64("gram").alias("gram_h"))
+        .join(F.broadcast(eval_grams), "gram_h", "left_semi")
+        .select("doc_id", "source")
+        .distinct()
+    )
+    totals = train.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    hits = contaminated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    return (
+        totals.join(hits, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        )
+    )
+
+
+CONTAMINATION_CHECK_SQL = f"""
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, greatest(len(w) - {CONTAMINATION_NGRAM - 2}, 1)),
+                               i -> array_to_string(w[i:i+{CONTAMINATION_NGRAM - 1}], ' '))) AS gram
+  FROM toks
+),
+eval_grams AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'),
+contaminated AS (
+  SELECT DISTINCT g.doc_id, g.source
+  FROM grams g SEMI JOIN eval_grams e ON g.gram = e.gram
+  WHERE g.source <> 'src0'
+)
+SELECT t.source,
+       count(*) AS n_docs,
+       coalesce(any_value(c.n), 0) AS n_contaminated
+FROM documents t
+LEFT JOIN (SELECT source, count(*) AS n FROM contaminated GROUP BY source) c
+  ON c.source = t.source
+WHERE t.source <> 'src0'
+GROUP BY t.source
+"""
+
+
+# --------------------------------------------------------------------------
 # Deterministic train/val/test split: assignment is a pure function of the
 # doc's content hash, never of row order or partitioning — reproducible on
 # any cluster size, stable under re-ingestion, and exactly re-derivable by
@@ -256,6 +327,12 @@ GROUP BY 1, 2
 SPECS: list[QuerySpec] = [
     QuerySpec("lang_id", lang_id, LANG_ID_SQL, "ext:text"),
     QuerySpec("dataset_split", dataset_split, DATASET_SPLIT_SQL, "ext:split"),
+    QuerySpec(
+        "contamination_check",
+        contamination_check,
+        CONTAMINATION_CHECK_SQL,
+        "ext:contamination,semi-join",
+    ),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, "ext:text"),
     QuerySpec("token_count", token_count, TOKEN_COUNT_SQL, "ext:text"),
     QuerySpec("doc_fingerprint", doc_fingerprint, DOC_FINGERPRINT_SQL, "ext:text"),
