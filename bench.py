@@ -27,6 +27,8 @@ HEADLINE = [
     "customers_without_orders",
     "monthly_revenue",
     "hourly_event_rollup",
+    "multires_rollup",
+    "priority_price_quantiles",
     "time_dim",
     "dedup_exact",
     "minhash_signatures",
@@ -39,6 +41,8 @@ HEADLINE = [
     "error_click_window",
     "text_quality",
     "token_count",
+    "dataset_split",
+    "contamination_check",
 ]
 
 
