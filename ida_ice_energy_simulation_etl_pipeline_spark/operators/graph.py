@@ -45,6 +45,10 @@ def connected_components(
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # materialize the edge set once: it is joined EVERY round, and without
+    # truncating its lineage each round would recompute the (possibly
+    # expensive — e.g. MinHash-LSH) edge derivation from scratch
+    sym = sym.localCheckpoint(eager=True)
     labels = vertices.select("vertex_id", F.col("vertex_id").alias("component"))
     for _ in range(max_iterations):
         neighbor_min = (
