@@ -454,6 +454,41 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Correlated-subquery shape, decorrelated: orders whose price exceeds 2×
+# their own customer's average.  The SQL-native form is a correlated
+# scalar subquery per row; the Spark plan decorrelates it into ONE window
+# aggregate over the customer partition — a single shuffle on o_custkey
+# computes every per-customer average and the comparison in the same pass
+# (exactly the rewrite Catalyst's decorrelation performs for the SQL form;
+# stated explicitly here because the DataFrame API has no subquery syntax).
+# The ratio column stays UNROUNDED: row-level division of identical
+# doubles is bit-exact across engines, while round() diverges on halves.
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > 2 * F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            (F.col("o_totalprice") / F.col("cust_avg")).alias("price_ratio"),
+        )
+    )
+
+
+ABOVE_AVG_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       o_totalprice / (SELECT avg(i.o_totalprice) FROM orders i
+                       WHERE i.o_custkey = o.o_custkey) AS price_ratio
+FROM orders o
+WHERE o_totalprice > 2 * (SELECT avg(i.o_totalprice) FROM orders i
+                          WHERE i.o_custkey = o.o_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
 # A9/F1 — honest monthly rollup (the reference hard-codes monthly patterns,
 # src/export_json.py:164-178 — computed for real here, SURVEY §4 caveat 1).
 def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -650,6 +685,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec("union_scenarios", union_scenarios, UNION_SCENARIOS_SQL, "U1"),
     QuerySpec("priority_fanout", priority_fanout, PRIORITY_FANOUT_SQL, "J4"),
     QuerySpec("export_kpis", export_kpis, EXPORT_KPIS_SQL, "A5,A6"),
+    QuerySpec(
+        "above_avg_orders",
+        above_avg_orders,
+        ABOVE_AVG_ORDERS_SQL,
+        "ext:correlated-subquery",
+    ),
     QuerySpec("keyed_lookup", keyed_lookup, KEYED_LOOKUP_SQL, "S3,P6"),
     QuerySpec(
         "hourly_event_rollup", hourly_event_rollup, HOURLY_EVENT_ROLLUP_SQL, "A9,streaming"
