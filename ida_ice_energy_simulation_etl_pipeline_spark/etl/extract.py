@@ -85,14 +85,23 @@ def extract_runs(
     if not run_ids:
         raise ExtractionError(f"no run_* bundles under {runs_dir}")
 
-    out: dict[str, DataFrame] = {}
-    for entity in ENTITIES:
-        out[entity] = _read_entity(spark, str(runs_dir / "run_*" / f"{entity}.csv"), entity)
-    out["metadata"] = (
-        spark.read.schema(METADATA_JSON)
-        .option("multiLine", True)
-        .json(str(runs_dir / "run_*" / "metadata.json"))
-    )
+    # Each reader build runs a file-listing pass over the run directories;
+    # overlap them on driver threads (independent FileIndex construction).
+    def build(entity: str) -> tuple[str, DataFrame]:
+        if entity == "metadata":
+            return entity, (
+                spark.read.schema(METADATA_JSON)
+                .option("multiLine", True)
+                .json(str(runs_dir / "run_*" / "metadata.json"))
+            )
+        return entity, _read_entity(
+            spark, str(runs_dir / "run_*" / f"{entity}.csv"), entity
+        )
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        out: dict[str, DataFrame] = dict(
+            pool.map(build, [*ENTITIES, "metadata"])
+        )
 
     # Circuit breaker (reference aborts when >50% of archives fail,
     # src/etl/extract/__init__.py:130-135): a run "failed" if it produced

@@ -17,6 +17,7 @@ Reference sinks re-expressed (src/etl/load/__init__.py):
 from __future__ import annotations
 
 import re
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -116,14 +117,22 @@ def load_to_parquet(
     {table: path}."""
     out_dir = Path(out_dir)
     paths = {}
-    for table, df in star.items():
-        _check_identifier(table)
+
+    def write(table: str, df: DataFrame) -> None:
         path = str(out_dir / table)
         writer = df.write.mode("overwrite")
         if partition_facts and table in PARTITION_COLUMNS:
             writer = writer.partitionBy(*PARTITION_COLUMNS[table])
         writer.parquet(path)
         paths[table] = path
+
+    for table in star:
+        _check_identifier(table)
+    # The 9 table writes are independent jobs; driver threads let Spark
+    # schedule them side by side instead of paying 9 serial job latencies
+    # (the dims are sub-second jobs that otherwise queue behind facts).
+    with ThreadPoolExecutor(max_workers=min(4, len(star) or 1)) as pool:
+        list(pool.map(lambda kv: write(*kv), star.items()))
     return paths
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import shutil
 from pathlib import Path
 
 from pyspark.sql import SparkSession
@@ -48,23 +49,40 @@ def run_pipeline(
     entities = extractor(spark, input_dir)
 
     star = transform_all(entities, time_key_strategy=time_key_strategy)
-    # Dims are reused by every fact build + validation + views: cache the
-    # small ones so repeated actions don't re-derive them.
-    for t in ("dim_building", "dim_scenario", "dim_zone", "dim_ahu", "dim_time"):
-        star[t] = star[t].cache()
 
-    report = validate_all(star, range_rules=range_rules)
+    # Land → validate → publish.  The conformed star is computed EXACTLY
+    # once — written straight to a staging directory — and every
+    # downstream action (validation aggregates, views, export) reads the
+    # landed parquet, which is columnar, pruned, and ~10× faster to
+    # re-scan than re-running the CSV conform lineage per action.  The
+    # validation gate then decides whether staging is PUBLISHED (atomic
+    # directory rename) — same observable contract as the reference's
+    # validate-before-load (run_pipeline.py:95-125): nothing appears at
+    # the published path unless the gate passes.  This is also the shape
+    # that survives 100 TB, where caching the star in executor memory is
+    # not an option.
+    staging = output_dir / "parquet._staging"
+    load_to_parquet(star, staging, partition_facts=partition_facts)
+    landed = {t: spark.read.parquet(str(staging / t)) for t in star}
+
+    report = validate_all(landed, range_rules=range_rules)
     if not report["is_valid"] and not force:
-        raise ValidationGateError(report)
+        raise ValidationGateError(report)  # staging left behind for triage
 
-    paths = load_to_parquet(star, output_dir / "parquet", partition_facts=partition_facts)
+    final = output_dir / "parquet"
+    if final.exists():
+        shutil.rmtree(final)
+    staging.rename(final)
+    paths = {t: str(final / t) for t in star}
+    published = {t: spark.read.parquet(p) for t, p in paths.items()}
+
     if to_warehouse:
-        load_to_warehouse(spark, star)
+        load_to_warehouse(spark, published)
     else:
-        register_temp_views(spark, star)
+        register_temp_views(spark, published)
 
     summary = export_summary(
-        star, output_dir / "summary.json", scenario_id=scenario_id
+        published, output_dir / "summary.json", scenario_id=scenario_id
     )
     (output_dir / "validation_report.json").write_text(json.dumps(report, indent=2))
     return {

@@ -11,11 +11,31 @@ Report shape mirrors the reference (validate/__init__.py:242-296):
 
 from __future__ import annotations
 
+from collections.abc import Callable, Iterable
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..schemas import NULLABLE_WHITELIST, STAR_SCHEMAS
+
+
+def _concurrently(thunks: Iterable[Callable[[], list[str]]]) -> list[str]:
+    """Run independent Spark actions on driver threads and merge their
+    error lists (order-preserving).
+
+    The suite is a pile of SMALL aggregate jobs; executed serially each
+    pays full job-submission latency, which dominates wall time on landed
+    parquet.  Spark's scheduler runs concurrent jobs from separate driver
+    threads side by side, so the suite costs ~the slowest single check
+    instead of the sum.
+    """
+    thunks = list(thunks)
+    if not thunks:
+        return []
+    with ThreadPoolExecutor(max_workers=min(8, len(thunks))) as pool:
+        return [e for errs in pool.map(lambda f: f(), thunks) for e in errs]
 
 # Value-range rules (reference validate/__init__.py:77-137; FIXTURES.md §1).
 # table -> [(column, lo, hi)] — None bound = unchecked side.
@@ -64,23 +84,26 @@ def check_schema(star: dict[str, DataFrame]) -> dict:
 def check_nulls(star: dict[str, DataFrame]) -> dict:
     """Every column non-null except the whitelist (cop_proxy) — one
     aggregate pass per table (reference validate:49-55, whitelist :32-34)."""
-    errors: list[str] = []
-    for table in STAR_SCHEMAS:
-        df = star.get(table)
-        if df is None:
-            continue
+    def per_table(table: str, df: DataFrame) -> Callable[[], list[str]]:
         allowed = NULLABLE_WHITELIST.get(table, set())
         cols = [c for c in df.columns if c not in allowed]
-        if not cols:
-            continue
         aggs = [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(c)
             for c in cols
         ]
-        counts = df.agg(*aggs).collect()[0].asDict()
-        errors.extend(
-            f"{table}.{c}: {n} null values" for c, n in counts.items() if n
-        )
+
+        def run() -> list[str]:
+            counts = df.agg(*aggs).collect()[0].asDict()
+            return [f"{table}.{c}: {n} null values" for c, n in counts.items() if n]
+
+        return run
+
+    errors = _concurrently(
+        per_table(t, star[t])
+        for t in STAR_SCHEMAS
+        if t in star
+        and any(c not in NULLABLE_WHITELIST.get(t, set()) for c in star[t].columns)
+    )
     return {"valid": not errors, "errors": errors}
 
 
@@ -92,11 +115,9 @@ def check_ranges(
     """All range/sign rules for a table in one conditional-aggregate scan
     (reference runs one filter per rule, validate:77-137).  ``rules_by_table``
     overrides the defaults (config surface, reference config.yaml:40-55)."""
-    errors: list[str] = []
-    for table, rules in (rules_by_table or RANGE_RULES).items():
-        df = star.get(table)
-        if df is None:
-            continue
+    def per_table(
+        table: str, df: DataFrame, rules: list[tuple[str, float | None, float | None]]
+    ) -> Callable[[], list[str]]:
         aggs = []
         for col, lo, hi in rules:
             cond = F.lit(False)
@@ -107,12 +128,22 @@ def check_ranges(
             aggs.append(
                 F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(col)
             )
-        counts = star[table].agg(*aggs).collect()[0].asDict()
-        for col, lo, hi in rules:
-            if counts[col]:
-                errors.append(
-                    f"{table}.{col}: {counts[col]} rows outside [{lo}, {hi}]"
-                )
+
+        def run() -> list[str]:
+            counts = df.agg(*aggs).collect()[0].asDict()
+            return [
+                f"{table}.{col}: {counts[col]} rows outside [{lo}, {hi}]"
+                for col, lo, hi in rules
+                if counts[col]
+            ]
+
+        return run
+
+    errors = _concurrently(
+        per_table(t, star[t], rules)
+        for t, rules in (rules_by_table or RANGE_RULES).items()
+        if t in star
+    )
     return {"valid": not errors, "errors": errors}
 
 
@@ -120,34 +151,41 @@ def check_temporal(star: dict[str, DataFrame]) -> dict:
     """Coverage: every fact covers every time_key (anti-join, reference
     validate:171-180); continuity: hourly with no gaps (lag window,
     reference validate:159-168)."""
-    errors: list[str] = []
     dim_time = star["dim_time"]
-
-    gaps = (
-        dim_time.select("timestamp")
-        .withColumn(
-            "gap_s",
-            F.unix_timestamp("timestamp")
-            - F.unix_timestamp(
-                F.lag("timestamp").over(Window.orderBy("timestamp"))
-            ),
-        )
-        .filter(F.col("gap_s") != 3600)
-        .count()
-    )
-    if gaps:
-        errors.append(f"dim_time: {gaps} non-hourly gaps in timestamp sequence")
-
     keys = dim_time.select("time_key")
-    for table in FACT_TABLES:
-        df = star.get(table)
-        if df is None:
-            continue
-        missing = keys.join(
-            df.select("time_key").distinct(), "time_key", "left_anti"
-        ).count()
-        if missing:
-            errors.append(f"{table}: {missing} time periods uncovered")
+
+    def gap_check() -> list[str]:
+        gaps = (
+            dim_time.select("timestamp")
+            .withColumn(
+                "gap_s",
+                F.unix_timestamp("timestamp")
+                - F.unix_timestamp(
+                    F.lag("timestamp").over(Window.orderBy("timestamp"))
+                ),
+            )
+            .filter(F.col("gap_s") != 3600)
+            .count()
+        )
+        return (
+            [f"dim_time: {gaps} non-hourly gaps in timestamp sequence"]
+            if gaps
+            else []
+        )
+
+    def coverage(table: str, df: DataFrame) -> Callable[[], list[str]]:
+        def run() -> list[str]:
+            missing = keys.join(
+                df.select("time_key").distinct(), "time_key", "left_anti"
+            ).count()
+            return [f"{table}: {missing} time periods uncovered"] if missing else []
+
+        return run
+
+    errors = _concurrently(
+        [gap_check]
+        + [coverage(t, star[t]) for t in FACT_TABLES if t in star]
+    )
     return {"valid": not errors, "errors": errors}
 
 
@@ -187,11 +225,18 @@ def validate_all(
     """Run all four check families (reference validate_all,
     validate:232-296).  This is the pipeline gate: load only proceeds when
     ``is_valid`` (or the caller explicitly overrides)."""
-    checks = {
-        "schema": check_schema(star),
-        "nulls": check_nulls(star),
-        "ranges": check_ranges(star, range_rules),
-        "temporal": check_temporal(star),
-        "plausibility": check_plausibility(star),
-    }
+    # The four action-running families are independent — overlap them too
+    # (each already parallelizes its own per-table actions).
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        nulls_f = pool.submit(check_nulls, star)
+        ranges_f = pool.submit(check_ranges, star, range_rules)
+        temporal_f = pool.submit(check_temporal, star)
+        plaus_f = pool.submit(check_plausibility, star)
+        checks = {
+            "schema": check_schema(star),
+            "nulls": nulls_f.result(),
+            "ranges": ranges_f.result(),
+            "temporal": temporal_f.result(),
+            "plausibility": plaus_f.result(),
+        }
     return {"is_valid": all(c["valid"] for c in checks.values()), "checks": checks}
