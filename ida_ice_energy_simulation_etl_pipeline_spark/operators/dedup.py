@@ -292,6 +292,15 @@ def ngram_jaccard_pairs(
     index) → per-pair intersection count → Jaccard from per-doc set sizes.
     At 100 TB this runs AFTER LSH candidate filtering; the join here is on
     the shingle (bounded fan-out), never a raw doc×doc cross join.
+
+    Measured design note: the tempting "one-scan" posting-list variant
+    (groupBy shingle → collect_list → expand i<j pairs with array
+    higher-order functions) benches ~1.7× SLOWER than this self-join at
+    sf0.1 (3.8s vs 2.2s median warm).  The shingle-explode subtree
+    appears three times logically but Spark's ReuseExchange materializes
+    its shuffle once, so the join formulation pays the expensive shingle
+    computation a single time while keeping pair expansion inside
+    codegen'd join+agg operators instead of interpreted transform/flatten.
     """
     # Join on a 64-bit hash of the shingle, not the string: ~3× smaller
     # shuffle payload and cheaper equality.  Collision odds at n shingles
