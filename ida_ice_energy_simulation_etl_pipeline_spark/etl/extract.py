@@ -39,7 +39,9 @@ class ExtractionError(RuntimeError):
     """Raised when more than ``max_failure_ratio`` of runs are unreadable."""
 
 
-def _read_entity(spark: SparkSession, pattern: str, entity: str) -> DataFrame:
+def _read_entity(
+    spark: SparkSession, pattern: str | list[str], entity: str
+) -> DataFrame:
     return (
         spark.read.schema(RAW_SCHEMAS[entity])
         .option("header", True)
@@ -85,18 +87,23 @@ def extract_runs(
     if not run_ids:
         raise ExtractionError(f"no run_* bundles under {runs_dir}")
 
-    # Each reader build runs a file-listing pass over the run directories;
-    # overlap them on driver threads (independent FileIndex construction).
+    # Expand the globs driver-side and hand every reader an explicit file
+    # list: Hadoop's glob expansion stats each run directory serially per
+    # pattern (~3s per entity at 200 runs, linear in run count), while one
+    # local listing is effectively free and the explicit-list FileIndex
+    # skips re-globbing.  At object-store scale the same shape applies —
+    # one prefix listing feeding explicit paths.  Reader builds still
+    # overlap on driver threads (independent FileIndex construction).
     def build(entity: str) -> tuple[str, DataFrame]:
         if entity == "metadata":
+            files = sorted(str(p) for p in runs_dir.glob("run_*/metadata.json"))
             return entity, (
                 spark.read.schema(METADATA_JSON)
                 .option("multiLine", True)
-                .json(str(runs_dir / "run_*" / "metadata.json"))
+                .json(files)
             )
-        return entity, _read_entity(
-            spark, str(runs_dir / "run_*" / f"{entity}.csv"), entity
-        )
+        files = sorted(str(p) for p in runs_dir.glob(f"run_*/{entity}.csv"))
+        return entity, _read_entity(spark, files, entity)
 
     with ThreadPoolExecutor(max_workers=5) as pool:
         out: dict[str, DataFrame] = dict(

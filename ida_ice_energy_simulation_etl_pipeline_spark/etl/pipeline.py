@@ -11,6 +11,7 @@ from __future__ import annotations
 import argparse
 import json
 import shutil
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 from pyspark.sql import SparkSession
@@ -62,7 +63,21 @@ def run_pipeline(
     # that survives 100 TB, where caching the star in executor memory is
     # not an option.
     staging = output_dir / "parquet._staging"
-    load_to_parquet(star, staging, partition_facts=partition_facts)
+    # Dims sit in every fact's lineage (broadcast joins), so without
+    # pinning, each fact write re-derives the distinct/window dim builds
+    # from raw CSV.  Cache + materialize them up front (concurrently —
+    # they are independent small jobs); they are dim-scale by construction
+    # so executor memory is never a concern, 100 TB facts included.
+    dims = [t for t in star if t.startswith("dim_")]
+    for t in dims:
+        star[t] = star[t].cache()
+    with ThreadPoolExecutor(max_workers=len(dims) or 1) as pool:
+        list(pool.map(lambda t: star[t].count(), dims))
+    try:
+        load_to_parquet(star, staging, partition_facts=partition_facts)
+    finally:
+        for t in dims:
+            star[t].unpersist()
     landed = {t: spark.read.parquet(str(staging / t)) for t in star}
 
     report = validate_all(landed, range_rules=range_rules)
