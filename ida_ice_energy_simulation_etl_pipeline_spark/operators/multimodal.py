@@ -64,6 +64,20 @@ def decode_audio(payload: bytes) -> object:
     )
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """STUB — real resize needs PIL/opencv (not in this container)."""
+    raise NotImplementedError(
+        "image resize requires an imaging library; payload plumbing is real, "
+        "resize is intentionally stubbed"
+    )
+
+
+def resize_bytes(payload: bytes, stride: int = 2) -> bytes:
+    """Deterministic fake resize: keep every ``stride``-th byte (stands in
+    for downsampling; same batch shape and size-reduction contract)."""
+    return payload[::stride] if payload else b""
+
+
 def frame_sample(payload: bytes, n_frames: int = 4) -> list[bytes]:
     """Deterministic fake frame sampler: n equal byte-slices of the payload
     (stands in for video frame extraction; same batch shape)."""
@@ -121,6 +135,82 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType(), False),
+        StructField("source", StringType(), True),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_bytes", BinaryType(), True),
+        StructField("thumb_bytes", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4, stride: int = 2) -> DataFrame:
+    """Frame-sample + resize over binary payloads, Arrow-batched.
+
+    One media row fans out to ≤ ``n_frames`` frame rows, each carrying the
+    raw frame slice and its ``resize_bytes`` thumbnail — the row-explosion
+    shape a real video pipeline uses (``mapInPandas`` lets one input batch
+    yield a differently-sized output batch, which ``pandas_udf`` cannot).
+    Map-only: no shuffle; output partitioning follows the scan.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k: [] for k in FRAME_SCHEMA.fieldNames()}
+            for item_id, source, payload in zip(
+                pdf["item_id"], pdf["source"], pdf["payload"]
+            ):
+                for idx, frame in enumerate(frame_sample(payload, n_frames)):
+                    out["item_id"].append(item_id)
+                    out["source"].append(source)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(frame)
+                    out["thumb_bytes"].append(resize_bytes(frame, stride))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: frame-sample + resize plumbing end-to-end,
+    rolled up per source (byte arithmetic is exactly SQL-reproducible)."""
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(documents_as_media(docs))
+    return frames.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.octet_length("frame_bytes")).cast("long").alias("frame_total_bytes"),
+        F.sum(F.octet_length("thumb_bytes")).cast("long").alias("thumb_total_bytes"),
+    )
+
+
+# Mirrors frame_sample/resize_bytes byte arithmetic: step = max(L//4, 1);
+# frame i (0-based, ≤ 4 kept) has length min(step, L - i*step); the
+# stride-2 thumbnail keeps ceil(len/2) bytes.
+MULTIMODAL_FRAMES_SQL = """
+WITH m AS (
+  SELECT source, octet_length(encode(text)) AS L FROM documents
+),
+p AS (
+  SELECT source, L, greatest(L // 4, 1) AS s,
+         least(CAST(ceil(L * 1.0 / greatest(L // 4, 1)) AS BIGINT), 4) AS nf
+  FROM m WHERE L > 0
+),
+fl AS (
+  SELECT source,
+         unnest(list_transform(range(0, nf), i -> least(s, L - i * s))) AS flen
+  FROM p
+)
+SELECT source,
+       count(*)                               AS n_frames,
+       CAST(sum(flen) AS BIGINT)              AS frame_total_bytes,
+       CAST(sum((flen + 1) // 2) AS BIGINT)   AS thumb_total_bytes
+FROM fl
+GROUP BY source
+"""
+
+
 MULTIMODAL_FEATURES_SQL = """
 SELECT source,
        count(*)                                         AS n_items,
@@ -137,6 +227,12 @@ SPECS: list[QuerySpec] = [
         "multimodal_features",
         multimodal_features,
         MULTIMODAL_FEATURES_SQL,
+        "ext:multimodal",
+    ),
+    QuerySpec(
+        "multimodal_frames",
+        multimodal_frames,
+        MULTIMODAL_FRAMES_SQL,
         "ext:multimodal",
     ),
 ]

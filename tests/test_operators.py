@@ -19,6 +19,9 @@ from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
     documents_as_media,
     extract_features,
     frame_sample,
+    resize_bytes,
+    resize_image,
+    sample_frames,
 )
 from ida_ice_energy_simulation_etl_pipeline_spark.operators.similarity import (
     lsh_topk,
@@ -130,9 +133,34 @@ def test_multimodal_stubs_are_explicit():
         decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         decode_audio(b"RIFF")
+    with pytest.raises(NotImplementedError):
+        resize_image(b"\x89PNG", 32, 32)
     frames = frame_sample(b"0123456789abcdef", n_frames=4)
     assert len(frames) == 4 and frames[0] == b"0123"
     assert frame_sample(b"") == []
+    assert resize_bytes(b"abcdef") == b"ace"
+    assert resize_bytes(b"", 2) == b""
+
+
+def test_multimodal_frame_explosion(spark):
+    docs = spark.createDataFrame(
+        [(1, "0123456789abcdef", "s1"), (2, "xy", "s2"), (3, "", "s3")],
+        ["doc_id", "text", "source"],
+    )
+    rows = sample_frames(documents_as_media(docs)).collect()
+    by_item: dict[int, list] = {}
+    for r in rows:
+        by_item.setdefault(r["item_id"], []).append(r)
+    # 16 bytes → 4 frames of 4; thumbnails stride-2
+    f1 = sorted(by_item[1], key=lambda r: r["frame_idx"])
+    assert [bytes(r["frame_bytes"]) for r in f1] == [
+        b"0123", b"4567", b"89ab", b"cdef",
+    ]
+    assert bytes(f1[0]["thumb_bytes"]) == b"02"
+    # 2 bytes → step 1 → frames capped at 4 → 2 single-byte frames
+    assert [bytes(r["frame_bytes"]) for r in sorted(by_item[2], key=lambda r: r["frame_idx"])] == [b"x", b"y"]
+    # empty payload → no frame rows at all
+    assert 3 not in by_item
 
 
 # --------------------------------------------------------------------------
