@@ -18,7 +18,12 @@ from pyspark.sql import SparkSession
 
 from ..session import get_spark
 from .export import export_summary
-from .extract import extract_runs, extract_runs_from_zips
+from .extract import (
+    check_run_coverage,
+    extract_runs,
+    extract_runs_from_zips,
+    list_runs,
+)
 from .load import load_to_parquet, load_to_warehouse, register_temp_views
 from .transform import transform_all
 from .validate import validate_all
@@ -47,7 +52,11 @@ def run_pipeline(
     """Full batch run; returns the validation report + artifact paths."""
     output_dir = Path(output_dir)
     extractor = extract_runs_from_zips if zipped else extract_runs
-    entities = extractor(spark, input_dir)
+    # check_runs=False: the >50%-unreadable circuit breaker re-runs below
+    # against the LANDED fact_meters — same gate, but the distinct runs on
+    # pruned parquet instead of costing a dedicated full-CSV scan job.
+    entities = extractor(spark, input_dir, check_runs=False)
+    expected_run_ids = list_runs(input_dir)
 
     star = transform_all(entities, time_key_strategy=time_key_strategy)
 
@@ -80,6 +89,7 @@ def run_pipeline(
             star[t].unpersist()
     landed = {t: spark.read.parquet(str(staging / t)) for t in star}
 
+    check_run_coverage(landed["fact_meters"], expected_run_ids)
     report = validate_all(landed, range_rules=range_rules)
     if not report["is_valid"] and not force:
         raise ValidationGateError(report)  # staging left behind for triage
