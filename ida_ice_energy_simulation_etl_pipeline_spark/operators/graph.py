@@ -102,6 +102,64 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus a training pipeline actually emits: keep one
+    canonical doc (min doc_id) per near-dup cluster, drop the rest.
+    Rolled up per source (kept/dropped census) so the result stays small;
+    the kept set itself is the ``doc_id == component`` filter, a map-side
+    predicate over the component labels."""
+    from .dedup import lsh_candidate_pairs
+
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    pairs = lsh_candidate_pairs(docs)
+    comp = connected_components(
+        docs.select(F.col("doc_id").alias("vertex_id")),
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+    )
+    kept = F.when(F.col("doc_id") == F.col("component"), 1).otherwise(0)
+    return (
+        docs.join(comp, docs.doc_id == comp.vertex_id)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum(kept)).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+def _dedup_survivors_sql() -> str:
+    from .dedup import DEDUP_MINHASH_LSH_SQL
+
+    return f"""
+WITH RECURSIVE
+pairs AS ({DEDUP_MINHASH_LSH_SQL}),
+undirected AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM undirected
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN undirected e ON r.dst = e.src
+),
+comp AS (
+  SELECT d.doc_id, d.source,
+         least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS component
+  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+  GROUP BY d.doc_id, d.source
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN doc_id = component THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(count(*) - sum(CASE WHEN doc_id = component THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped
+FROM comp
+GROUP BY source
+"""
+
+
 def _dedup_clusters_sql() -> str:
     from .dedup import DEDUP_MINHASH_LSH_SQL
 
@@ -139,5 +197,11 @@ GROUP BY cluster_size
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "dedup_clusters", dedup_clusters, _dedup_clusters_sql(), "ext:dedup,graph"
+    ),
+    QuerySpec(
+        "dedup_survivors",
+        dedup_survivors,
+        _dedup_survivors_sql(),
+        "ext:dedup,graph",
     ),
 ]
