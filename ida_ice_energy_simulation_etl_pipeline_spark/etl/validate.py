@@ -81,29 +81,88 @@ def check_schema(star: dict[str, DataFrame]) -> dict:
     return {"valid": not errors, "errors": errors}
 
 
-def check_nulls(star: dict[str, DataFrame]) -> dict:
-    """Every column non-null except the whitelist (cop_proxy) — one
-    aggregate pass per table (reference validate:49-55, whitelist :32-34)."""
-    def per_table(table: str, df: DataFrame) -> Callable[[], list[str]]:
-        allowed = NULLABLE_WHITELIST.get(table, set())
-        cols = [c for c in df.columns if c not in allowed]
-        aggs = [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(c)
-            for c in cols
-        ]
+def _integrity_errors(
+    star: dict[str, DataFrame],
+    rules_by_table: dict[str, list[tuple[str, float | None, float | None]]]
+    | None,
+    *,
+    nulls: bool,
+    ranges: bool,
+) -> tuple[list[str], list[str]]:
+    """Null counts and range violations in ONE conditional-aggregate scan
+    per table (the reference runs one pandas filter per rule,
+    validate:49-137 — a full scan each).  Returns (null_errors,
+    range_errors) so both report families come from the same pass."""
+    rules_by_table = rules_by_table or RANGE_RULES
 
-        def run() -> list[str]:
-            counts = df.agg(*aggs).collect()[0].asDict()
-            return [f"{table}.{c}: {n} null values" for c, n in counts.items() if n]
+    def per_table(table: str, df: DataFrame) -> Callable[[], tuple[list[str], list[str]]] | None:
+        # (kind, column, lo, hi) per aggregate, aliased positionally so
+        # rule columns can never collide with data columns.
+        specs: list[tuple[str, str, float | None, float | None]] = []
+        aggs = []
+        if nulls:
+            allowed = NULLABLE_WHITELIST.get(table, set())
+            for c in df.columns:
+                if c in allowed:
+                    continue
+                specs.append(("null", c, None, None))
+                aggs.append(
+                    F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                    .cast("long")
+                    .alias(f"a{len(aggs)}")
+                )
+        if ranges:
+            for col, lo, hi in rules_by_table.get(table, []):
+                cond = F.lit(False)
+                if lo is not None:
+                    cond = cond | (F.col(col) < lo)
+                if hi is not None:
+                    cond = cond | (F.col(col) > hi)
+                specs.append(("range", col, lo, hi))
+                aggs.append(
+                    F.sum(F.when(cond, 1).otherwise(0))
+                    .cast("long")
+                    .alias(f"a{len(aggs)}")
+                )
+        if not aggs:
+            return None
+
+        def run() -> tuple[list[str], list[str]]:
+            row = df.agg(*aggs).collect()[0]
+            null_errs, range_errs = [], []
+            for i, (kind, col, lo, hi) in enumerate(specs):
+                n = row[f"a{i}"]
+                if not n:
+                    continue
+                if kind == "null":
+                    null_errs.append(f"{table}.{col}: {n} null values")
+                else:
+                    range_errs.append(
+                        f"{table}.{col}: {n} rows outside [{lo}, {hi}]"
+                    )
+            return null_errs, range_errs
 
         return run
 
-    errors = _concurrently(
-        per_table(t, star[t])
+    thunks = [
+        thunk
         for t in STAR_SCHEMAS
-        if t in star
-        and any(c not in NULLABLE_WHITELIST.get(t, set()) for c in star[t].columns)
+        if t in star and (thunk := per_table(t, star[t])) is not None
+    ]
+    if not thunks:
+        return [], []
+    with ThreadPoolExecutor(max_workers=min(8, len(thunks))) as pool:
+        results = list(pool.map(lambda f: f(), thunks))
+    return (
+        [e for ne, _ in results for e in ne],
+        [e for _, re_ in results for e in re_],
     )
+
+
+def check_nulls(star: dict[str, DataFrame]) -> dict:
+    """Every column non-null except the whitelist (cop_proxy) — one
+    aggregate pass per table (reference validate:49-55, whitelist :32-34)."""
+    errors, _ = _integrity_errors(star, None, nulls=True, ranges=False)
     return {"valid": not errors, "errors": errors}
 
 
@@ -115,35 +174,7 @@ def check_ranges(
     """All range/sign rules for a table in one conditional-aggregate scan
     (reference runs one filter per rule, validate:77-137).  ``rules_by_table``
     overrides the defaults (config surface, reference config.yaml:40-55)."""
-    def per_table(
-        table: str, df: DataFrame, rules: list[tuple[str, float | None, float | None]]
-    ) -> Callable[[], list[str]]:
-        aggs = []
-        for col, lo, hi in rules:
-            cond = F.lit(False)
-            if lo is not None:
-                cond = cond | (F.col(col) < lo)
-            if hi is not None:
-                cond = cond | (F.col(col) > hi)
-            aggs.append(
-                F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(col)
-            )
-
-        def run() -> list[str]:
-            counts = df.agg(*aggs).collect()[0].asDict()
-            return [
-                f"{table}.{col}: {counts[col]} rows outside [{lo}, {hi}]"
-                for col, lo, hi in rules
-                if counts[col]
-            ]
-
-        return run
-
-    errors = _concurrently(
-        per_table(t, star[t], rules)
-        for t, rules in (rules_by_table or RANGE_RULES).items()
-        if t in star
-    )
+    _, errors = _integrity_errors(star, rules_by_table, nulls=False, ranges=True)
     return {"valid": not errors, "errors": errors}
 
 
@@ -225,17 +256,21 @@ def validate_all(
     """Run all four check families (reference validate_all,
     validate:232-296).  This is the pipeline gate: load only proceeds when
     ``is_valid`` (or the caller explicitly overrides)."""
-    # The four action-running families are independent — overlap them too
-    # (each already parallelizes its own per-table actions).
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        nulls_f = pool.submit(check_nulls, star)
-        ranges_f = pool.submit(check_ranges, star, range_rules)
+    # The action-running families are independent — overlap them (each
+    # already parallelizes its own per-table actions).  Nulls + ranges
+    # share one fused scan per table (_integrity_errors).
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        integrity_f = pool.submit(
+            _integrity_errors, star, range_rules, nulls=True, ranges=True
+        )
         temporal_f = pool.submit(check_temporal, star)
         plaus_f = pool.submit(check_plausibility, star)
+        schema = check_schema(star)
+        null_errs, range_errs = integrity_f.result()
         checks = {
-            "schema": check_schema(star),
-            "nulls": nulls_f.result(),
-            "ranges": ranges_f.result(),
+            "schema": schema,
+            "nulls": {"valid": not null_errs, "errors": null_errs},
+            "ranges": {"valid": not range_errs, "errors": range_errs},
             "temporal": temporal_f.result(),
             "plausibility": plaus_f.result(),
         }
