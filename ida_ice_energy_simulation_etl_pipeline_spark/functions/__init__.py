@@ -11,6 +11,7 @@ from .columns import (
     is_weekend,
     l2_norm,
     occurrence_count,
+    punct_ratio,
     word_shingles,
     word_tokens,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "is_weekend",
     "l2_norm",
     "occurrence_count",
+    "punct_ratio",
     "word_shingles",
     "word_tokens",
 ]

@@ -39,6 +39,17 @@ def word_tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
+PUNCT_CLASS = "[.,;:!?]"
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters in the basic punctuation class — the
+    punctuation-density quality signal (NULL on empty text, like any
+    0/0 ratio)."""
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    return n_punct.cast("double") / F.length(text)
+
+
 def word_shingles(tokens: Column, n: int) -> Column:
     """All n-word shingles (space-joined) of a token array, in order.
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import occurrence_count, word_shingles, word_tokens
+from ..functions import occurrence_count, punct_ratio, word_shingles, word_tokens
 from ..plans.core import QuerySpec, ensure_parallelism, load_table
 
 # Function-word profiles for the language-ID heuristic.  Deliberately tiny:
@@ -125,6 +125,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(F.array_distinct(toks)).cast("double") / n_tokens).alias(
             "type_token_ratio"
         ),
+        punct_ratio(F.col("text")).alias("punct_ratio"),
     )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -132,6 +133,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("avg_token_span"), 4).alias("avg_token_span"),
         F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
         F.round(F.avg("type_token_ratio"), 4).alias("avg_type_token_ratio"),
+        F.round(F.avg("punct_ratio"), 4).alias("avg_punct_ratio"),
     )
 
 
@@ -143,7 +145,9 @@ WITH per_doc AS (
          CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
              / len(string_split(text, ' '))                                  AS stopword_ratio,
          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-             / len(string_split(text, ' '))                                  AS type_token_ratio
+             / len(string_split(text, ' '))                                  AS type_token_ratio,
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+             / length(text)                                                  AS punct_ratio
   FROM documents
 )
 SELECT source,
@@ -151,7 +155,8 @@ SELECT source,
        round(avg(n_tokens), 4)        AS avg_tokens,
        round(avg(avg_token_span), 4)  AS avg_token_span,
        round(avg(stopword_ratio), 4)  AS avg_stopword_ratio,
-       round(avg(type_token_ratio), 4) AS avg_type_token_ratio
+       round(avg(type_token_ratio), 4) AS avg_type_token_ratio,
+       round(avg(punct_ratio), 4)     AS avg_punct_ratio
 FROM per_doc
 GROUP BY source
 """

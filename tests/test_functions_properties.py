@@ -16,6 +16,7 @@ from ida_ice_energy_simulation_etl_pipeline_spark.functions import (
     cosine_similarity,
     dow_monday0,
     occurrence_count,
+    punct_ratio,
     word_shingles,
     word_tokens,
 )
@@ -74,6 +75,14 @@ def test_occurrence_count_matches_str_count(sql, text, needle):
         lambda df: occurrence_count(df.text, needle), [(text,)], ["text"]
     )
     assert got == expected
+
+
+@given(text=st.text(alphabet="ab .,;:!?", min_size=1, max_size=40))
+@SLOW
+def test_punct_ratio_matches_python(sql, text):
+    expected = sum(c in ".,;:!?" for c in text) / len(text)
+    [got] = sql(lambda df: punct_ratio(df.text), [(text,)], ["text"])
+    assert got == pytest.approx(expected, abs=1e-12)
 
 
 @given(
