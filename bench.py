@@ -43,6 +43,11 @@ HEADLINE = [
     "token_count",
     "dataset_split",
     "contamination_check",
+    "repetition_stats",
+    "tfidf_top_terms",
+    "seq_packing",
+    "event_pivot",
+    "orders_rollup",
 ]
 
 

@@ -329,6 +329,191 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Repetition-based quality signals (the Gopher/RefinedWeb family): fraction
+# of tokens taken by the single most frequent token, and fraction of word
+# 2-grams that are repeats.  Both are computed with array higher-order
+# functions INSIDE the row — no explode, no per-doc shuffle — so the whole
+# scan is map-only and embarrassingly parallel at any corpus size; the only
+# shuffle is the final tiny per-source rollup.
+REPETITION_TOP_TOKEN_FLAG = 0.12
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    toks = word_tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    # max over distinct tokens of its occurrence count — O(|distinct|·n)
+    # per row in codegen, fine for document-sized arrays.
+    top_token_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda t: F.size(F.filter(toks, lambda x: x == t)),
+            )
+        ).cast("double")
+        / n_tokens
+    )
+    grams2 = word_shingles(toks, 2)
+    dup_2gram_frac = F.when(
+        F.size(grams2) > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams2)).cast("double") / F.size(grams2),
+    )
+    per_doc = docs.select(
+        "source",
+        top_token_frac.alias("ttf"),
+        dup_2gram_frac.alias("dgf"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("ttf"), 4).alias("avg_top_token_frac"),
+        F.round(F.max("ttf"), 4).alias("max_top_token_frac"),
+        F.round(F.avg("dgf"), 4).alias("avg_dup_2gram_frac"),
+        F.sum(
+            F.when(F.col("ttf") > REPETITION_TOP_TOKEN_FLAG, 1).otherwise(0)
+        ).alias("n_flagged"),
+    )
+
+
+REPETITION_STATS_SQL = f"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(list_max(list_transform(list_distinct(string_split(text, ' ')),
+                                      t -> len(list_filter(string_split(text, ' '), x -> x = t)))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS ttf,
+         CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+           1.0 - CAST(len(list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+                                                       i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')))) AS DOUBLE)
+                 / (len(string_split(text, ' ')) - 1)
+         END AS dgf
+  FROM documents
+)
+SELECT source,
+       count(*)            AS n_docs,
+       round(avg(ttf), 4)  AS avg_top_token_frac,
+       round(max(ttf), 4)  AS max_top_token_frac,
+       round(avg(dgf), 4)  AS avg_dup_2gram_frac,
+       sum(CASE WHEN ttf > {REPETITION_TOP_TOKEN_FLAG} THEN 1 ELSE 0 END) AS n_flagged
+FROM per_doc
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document.  Three keyed shuffles, each on a key that
+# shrinks the data: (doc, token) term frequencies, token-grain document
+# frequencies (vocabulary-sized — orders of magnitude smaller than the
+# corpus; joined back on token, AQE broadcasts it when it fits), and a
+# per-doc top-k ranking window (partitioned by doc_id — millions of tiny
+# window partitions parallelize perfectly).  The corpus size N enters via a
+# broadcast one-row aggregate, not a driver-side collect, so the plan stays
+# fully lazy.
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(word_tokens(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            F.col("token").alias("term"),
+            "term_rank",
+            F.round("score", 4).alias("tfidf"),
+        )
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, token, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS term_rank
+  FROM scored
+)
+SELECT doc_id, token AS term, term_rank, round(score, 4) AS tfidf
+FROM ranked WHERE term_rank <= {TFIDF_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk): documents are concatenated in
+# doc_id order within each source shard and cut at a fixed token budget —
+# chunk_id = floor(tokens_before_this_doc / budget), the GPT-style packing
+# recipe.  Packing is deliberately PER SHARD (source), not global: the
+# running-sum window parallelizes across shards, whereas a global pack
+# would funnel the corpus through one sort partition for no training
+# benefit (intra-shard order is already arbitrary).
+PACK_BUDGET_TOKENS = 256
+
+
+def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    n_tok = F.size(word_tokens(F.col("text"))).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tok").over(w)
+    chunked = docs.select("source", "doc_id", n_tok.alias("n_tok")).withColumn(
+        "chunk_id",
+        F.floor((cum - F.col("n_tok")) / F.lit(PACK_BUDGET_TOKENS)),
+    )
+    return chunked.groupBy("source", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("chunk_tokens"),
+    )
+
+
+SEQ_PACKING_SQL = f"""
+WITH sized AS (
+  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+chunked AS (
+  SELECT source, doc_id, n_tok,
+         CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tok) / {PACK_BUDGET_TOKENS}) AS BIGINT) AS chunk_id
+  FROM sized
+)
+SELECT source, chunk_id, count(*) AS n_docs, sum(n_tok) AS chunk_tokens
+FROM chunked
+GROUP BY 1, 2
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("lang_id", lang_id, LANG_ID_SQL, "ext:text"),
     QuerySpec("dataset_split", dataset_split, DATASET_SPLIT_SQL, "ext:split"),
@@ -341,4 +526,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, "ext:text"),
     QuerySpec("token_count", token_count, TOKEN_COUNT_SQL, "ext:text"),
     QuerySpec("doc_fingerprint", doc_fingerprint, DOC_FINGERPRINT_SQL, "ext:text"),
+    QuerySpec(
+        "repetition_stats", repetition_stats, REPETITION_STATS_SQL, "ext:text,quality"
+    ),
+    QuerySpec(
+        "tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_SQL, "ext:text,window"
+    ),
+    QuerySpec("seq_packing", seq_packing, SEQ_PACKING_SQL, "ext:packing,window"),
 ]

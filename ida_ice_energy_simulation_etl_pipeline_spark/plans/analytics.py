@@ -333,10 +333,41 @@ GROUP BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# Pivot (long → wide): per-hour-of-day event matrix.  The pivot values are
+# declared EXPLICITLY — with an explicit list Spark plans a single-pass
+# pivot aggregate with no prior distinct-scan job (an implicit pivot first
+# runs a driver-side `distinct().collect()` over the pivot column, an extra
+# full scan and a driver round-trip that a 100 TB pipeline can't afford).
+# Physically Spark plans this as two keyed aggregates — a partial sum at
+# (group, pivot-value) grain, then the pivot assembly per group — so the
+# raw fan-in collapses map-side and both exchanges move at most
+# |groups|×|values| rows.
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.hour("ts").cast("long").alias("hour_of_day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.round(F.sum("value"), 2))
+    )
+
+
+EVENT_PIVOT_SQL = f"""
+SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+       {", ".join(f"round(sum(CASE WHEN event_type = '{t}' THEN value END), 2) AS {t}" for t in EVENT_TYPES)}
+FROM events
+GROUP BY 1
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "multires_rollup", multires_rollup, MULTIRES_ROLLUP_SQL, "ext:rollup,A9"
     ),
+    QuerySpec("event_pivot", event_pivot, EVENT_PIVOT_SQL, "ext:pivot,A3"),
     QuerySpec(
         "priority_price_quantiles",
         priority_price_quantiles,

@@ -656,8 +656,43 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Hierarchical ROLLUP with grouping ids — the multi-granularity summary
+# (year, year×priority, grand total) in ONE pass.  Spark plans this as a
+# single Expand + hash aggregate: one shuffle produces every granularity,
+# where three separate GROUP BYs would scan and shuffle three times.
+# Partial aggregation still applies below the exchange.  grouping_id()
+# bit-semantics (1 = column aggregated away) match DuckDB GROUPING().
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    y = F.year("o_orderdate").alias("order_year")
+    return (
+        orders.rollup(y, F.col("o_orderpriority"))
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select("order_year", "o_orderpriority", "gid", "n_orders", "total_price")
+    )
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT year(o_orderdate)                                    AS order_year,
+       o_orderpriority,
+       CAST(GROUPING(year(o_orderdate), o_orderpriority) AS BIGINT) AS gid,
+       count(*)                                             AS n_orders,
+       round(sum(o_totalprice), 2)                          AS total_price
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("pricing_summary", pricing_summary, PRICING_SUMMARY_SQL, "A1,O3"),
+    QuerySpec(
+        "orders_rollup", orders_rollup, ORDERS_ROLLUP_SQL, "A1,ext:grouping-sets"
+    ),
     QuerySpec("segment_revenue", segment_revenue, SEGMENT_REVENUE_SQL, "J7,A1"),
     QuerySpec("region_revenue", region_revenue, REGION_REVENUE_SQL, "J5,J6"),
     QuerySpec("quality_scan", quality_scan, QUALITY_SCAN_SQL, "P3,P4,P5,A7"),

@@ -103,6 +103,42 @@ def test_region_revenue_preaggregates_before_join(spark):
     assert "Expand" not in plan  # countDistinct would inject Expand
 
 
+def test_repetition_stats_is_map_only(spark):
+    # both repetition signals are array higher-order functions computed
+    # inside the row — the plan must have NO explode (Generate) and only
+    # the final per-source rollup exchange
+    plan = _optimized_plan(spark, "repetition_stats")
+    assert "Generate" not in plan, "repetition signals fell back to explode"
+    exec_plan = _executed_plan(spark, "repetition_stats").split("== Initial Plan ==")[0]
+    # one keyed exchange (the per-source rollup); the RoundRobin repartition
+    # is ensure_parallelism's small-input spread, a no-op at real scale
+    assert exec_plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_event_pivot_single_scan_no_distinct_job(spark):
+    # explicit pivot values → ONE scan and no separate distinct() job over
+    # event_type; Spark plans the pivot as two keyed aggregates (partial
+    # sum at (group, value) grain, then pivot assembly), so both exchanges
+    # move at most |groups|×|values| rows
+    plan = _executed_plan(spark, "event_pivot").split("== Initial Plan ==")[0]
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_orders_rollup_single_expand(spark):
+    # ROLLUP = one Expand + one aggregate pair: every granularity from a
+    # single shuffle, not one GROUP BY per level
+    plan = _optimized_plan(spark, "orders_rollup")
+    assert plan.count("Expand") == 1
+
+
+def test_seq_packing_window_is_sharded(spark):
+    # the running-sum window must partition by source — a global
+    # (unpartitioned) window would funnel the corpus through one task
+    plan = _executed_plan(spark, "seq_packing")
+    assert "SinglePartition" not in plan.split("== Initial Plan ==")[0]
+
+
 def test_bucketed_join_avoids_shuffle(spark):
     """Fact tables bucketed on the join key must join with ZERO exchanges:
     the shuffle is paid once at write time, amortized over every join."""
