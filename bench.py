@@ -48,6 +48,7 @@ HEADLINE = [
     "seq_packing",
     "event_pivot",
     "orders_rollup",
+    "text_clean",
 ]
 
 

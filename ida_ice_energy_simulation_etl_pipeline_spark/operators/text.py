@@ -514,6 +514,89 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling: keep an exact-rate slice of each
+# stratum (source), selected by content hash — reproducible on any cluster
+# size and stable under re-ingestion, unlike rand()-based sample().  This
+# is a pure map-side filter (the sampling decision is a function of the
+# row alone), so at 100 TB it composes with the scan: no shuffle, and the
+# hash predicate prunes rows before any downstream operator sees them.
+# Same md5-prefix technique as dataset_split; a different salt ('smp')
+# decorrelates the two assignments.
+SAMPLE_RATE_PCT = 20
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("smp"), F.col("doc_id").cast("string")).cast("binary")),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    sampled = docs.filter(h < int(SAMPLE_RATE_PCT / 100 * 65536))
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").alias("sampled_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH sampled AS (
+  SELECT source, doc_id, n_chars
+  FROM documents
+  WHERE CAST(('0x' || substr(md5('smp' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+        < {int(SAMPLE_RATE_PCT / 100 * 65536)}
+)
+SELECT source, count(*) AS n_sampled, sum(n_chars) AS sampled_chars,
+       min(doc_id) AS min_doc_id
+FROM sampled
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Text cleaning: the normalize pass every web-scrape pipeline runs before
+# dedup/tokenization — lowercase, strip non-text characters, collapse
+# whitespace runs.  Pure regexp_replace composition (whole-stage codegen,
+# map-only); the character classes stay ASCII-literal so Java regex and
+# DuckDB's RE2 agree byte-for-byte.
+def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("raw_chars"),
+        F.length(cleaned).cast("long").alias("clean_chars"),
+        F.md5(cleaned.cast("binary")).alias("clean_hash"),
+    )
+
+
+TEXT_CLEAN_SQL = """
+WITH cleaned AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS ct
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS raw_chars,
+       CAST(length(ct) AS BIGINT)   AS clean_chars,
+       md5(ct)                      AS clean_hash
+FROM cleaned
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("lang_id", lang_id, LANG_ID_SQL, "ext:text"),
     QuerySpec("dataset_split", dataset_split, DATASET_SPLIT_SQL, "ext:split"),
@@ -533,4 +616,11 @@ SPECS: list[QuerySpec] = [
         "tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_SQL, "ext:text,window"
     ),
     QuerySpec("seq_packing", seq_packing, SEQ_PACKING_SQL, "ext:packing,window"),
+    QuerySpec(
+        "stratified_sample",
+        stratified_sample,
+        STRATIFIED_SAMPLE_SQL,
+        "ext:sampling",
+    ),
+    QuerySpec("text_clean", text_clean, TEXT_CLEAN_SQL, "ext:text,cleaning"),
 ]
