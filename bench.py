@@ -49,6 +49,7 @@ HEADLINE = [
     "event_pivot",
     "orders_rollup",
     "text_clean",
+    "top_tokens",
 ]
 
 

@@ -568,6 +568,70 @@ GROUP BY l_linestatus
 
 
 # --------------------------------------------------------------------------
+# INTERSECT (completing the set-op family: the reference has UNION ALL and
+# EXCEPT shapes but no INTERSECT — SURVEY.md §2.7).  Spark plans INTERSECT
+# as a left-semi aggregate join; both sides here are pre-shrunk to distinct
+# key sets before the join, so the shuffle moves key-grain rows only.
+def parts_in_both_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    f_parts = li.filter(F.col("l_linestatus") == "F").select("l_partkey")
+    o_parts = li.filter(F.col("l_linestatus") == "O").select("l_partkey")
+    return (
+        f_parts.intersect(o_parts)
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("l_partkey").alias("min_partkey"),
+            F.max("l_partkey").alias("max_partkey"),
+        )
+    )
+
+
+PARTS_IN_BOTH_STATUSES_SQL = """
+WITH both_sides AS (
+  SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F'
+  INTERSECT
+  SELECT l_partkey FROM lineitem WHERE l_linestatus = 'O'
+)
+SELECT count(*) AS n_parts, min(l_partkey) AS min_partkey,
+       max(l_partkey) AS max_partkey
+FROM both_sides
+"""
+
+
+# --------------------------------------------------------------------------
+# Global ordered top-k (the reference has no LIMIT/top-k — SURVEY.md §2.6).
+# orderBy + limit compiles to TakeOrderedAndProject: each partition keeps a
+# local k-heap and only k rows per partition reach the driver-side merge —
+# there is NO global sort and no single-partition shuffle, so the pattern
+# is safe at any corpus size.  Ties broken on the token itself for a
+# deterministic cross-engine result.
+TOP_TOKENS_K = 10
+
+
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import word_tokens
+    from .core import ensure_parallelism
+
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(F.explode(word_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(TOP_TOKENS_K)
+    )
+
+
+TOP_TOKENS_SQL = f"""
+SELECT token, count(*) AS n_occurrences
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT {TOP_TOKENS_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # J4 — deliberate cross-join fan-out (weather × buildings replication,
 # src/etl/transform/__init__.py:373-409), broadcast on the small side.
 def priority_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -718,6 +782,13 @@ SPECS: list[QuerySpec] = [
     QuerySpec("monthly_revenue", monthly_revenue, MONTHLY_REVENUE_SQL, "A9,F1"),
     QuerySpec("peak_metrics", peak_metrics, PEAK_METRICS_SQL, "A10,A5"),
     QuerySpec("union_scenarios", union_scenarios, UNION_SCENARIOS_SQL, "U1"),
+    QuerySpec(
+        "parts_in_both_statuses",
+        parts_in_both_statuses,
+        PARTS_IN_BOTH_STATUSES_SQL,
+        "ext:intersect,U2",
+    ),
+    QuerySpec("top_tokens", top_tokens, TOP_TOKENS_SQL, "ext:topk,O3"),
     QuerySpec("priority_fanout", priority_fanout, PRIORITY_FANOUT_SQL, "J4"),
     QuerySpec("export_kpis", export_kpis, EXPORT_KPIS_SQL, "A5,A6"),
     QuerySpec(

@@ -139,6 +139,14 @@ def test_seq_packing_window_is_sharded(spark):
     assert "SinglePartition" not in plan.split("== Initial Plan ==")[0]
 
 
+def test_top_tokens_avoids_global_sort(spark):
+    # orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    # k-heaps + driver merge), never a global Sort over the full aggregate
+    plan = _executed_plan(spark, "top_tokens").split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
 def test_bucketed_join_avoids_shuffle(spark):
     """Fact tables bucketed on the join key must join with ZERO exchanges:
     the shuffle is paid once at write time, amortized over every join."""
