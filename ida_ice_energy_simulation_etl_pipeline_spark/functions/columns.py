@@ -22,6 +22,26 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def epoch_us(ts: Column | str) -> Column:
+    """Exact integer microseconds since the epoch, for TIMESTAMP *or*
+    TIMESTAMP_NTZ inputs.
+
+    Naive parquet timestamps (isAdjustedToUTC=false) read as TIMESTAMP_NTZ
+    under Spark's default ``inferTimestampNTZ``, and ``unix_micros`` rejects
+    NTZ outright.  ``to_utc_timestamp(_, 'UTC')`` reinterprets the NTZ wall
+    time as UTC (and is a no-op for LTZ under a UTC session), which is
+    exactly DuckDB's ``epoch_us`` on a naive timestamp — so both engines
+    agree to the microsecond regardless of how the scan typed the column.
+    """
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.unix_micros(F.to_utc_timestamp(c, "UTC"))
+
+
+def epoch_us_sql(col: str) -> str:
+    """SQL-fragment twin of :func:`epoch_us` for ``F.expr`` call sites."""
+    return f"unix_micros(to_utc_timestamp({col}, 'UTC'))"
+
+
 def dow_monday0(ts: Column) -> Column:
     """Day-of-week with Monday=0 .. Sunday=6 (pandas convention,
     reference src/etl/transform/__init__.py:182)."""

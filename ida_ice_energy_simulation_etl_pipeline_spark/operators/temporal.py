@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.columns import epoch_us, epoch_us_sql
 from ..plans.core import QuerySpec, load_table
 
 ASOF_STRUCT = "_asof"
@@ -80,8 +81,7 @@ def asof_join(
     ).filter(F.col("_side") == 1)
     if tolerance_us is not None:
         in_tol = (
-            F.unix_micros(F.col("_ts"))
-            - F.unix_micros(F.col(ASOF_STRUCT)["_rts"])
+            epoch_us(F.col("_ts")) - epoch_us(F.col(ASOF_STRUCT)["_rts"])
         ) <= tolerance_us
         matched = matched.withColumn(
             ASOF_STRUCT, F.when(in_tol, F.col(ASOF_STRUCT))
@@ -104,11 +104,13 @@ def banded_range_join(
     each other (rename before calling).  Bucket width equals the window, so
     a left window spans at most two buckets.
     """
-    r_us = F.unix_micros(F.col(right_ts))
-    l_us = F.unix_micros(F.col(left_ts))
-    rb = right.withColumn("_bkt", F.expr(f"unix_micros({right_ts}) DIV {window_us}"))
+    r_us = epoch_us(F.col(right_ts))
+    l_us = epoch_us(F.col(left_ts))
+    rb = right.withColumn(
+        "_bkt", F.expr(f"{epoch_us_sql(right_ts)} DIV {window_us}")
+    )
     lb = left.withColumn(
-        "_bkt0", F.expr(f"unix_micros({left_ts}) DIV {window_us}")
+        "_bkt0", F.expr(f"{epoch_us_sql(left_ts)} DIV {window_us}")
     ).withColumn(
         "_bkt", F.explode(F.array(F.col("_bkt0"), F.col("_bkt0") + 1))
     ).drop("_bkt0")
@@ -142,7 +144,7 @@ def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         m["err_id"].alias("err_id"),
-        (F.unix_micros(F.col("ts")) - F.unix_micros(m["_rts"])).alias(
+        (epoch_us(F.col("ts")) - epoch_us(m["_rts"])).alias(
             "micros_since_error"
         ),
         m["err_value"].alias("err_value"),

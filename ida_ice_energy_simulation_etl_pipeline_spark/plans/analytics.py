@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.columns import epoch_us
 from .core import QuerySpec, load_table
 
 SESSION_GAP_MIN = 30
@@ -85,7 +86,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # disagree with the oracle's epoch arithmetic near boundaries).
     events = load_table(spark, sf_dir, "events")
     order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(order_w))
+    gap_us = epoch_us("ts") - epoch_us(F.lag("ts").over(order_w))
     new_session = F.when(
         gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1
     ).otherwise(0)
@@ -100,7 +101,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             (
-                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                (epoch_us(F.max("ts")) - epoch_us(F.min("ts")))
                 / F.lit(1_000_000)
             )
             .cast("long")
