@@ -339,21 +339,39 @@ GROUP BY 1, 2
 REPETITION_TOP_TOKEN_FLAG = 0.12
 
 
+def top_token_count(toks: Column) -> Column:
+    """Occurrence count of the most frequent element: max run length over
+    the SORTED token array — one O(n log n) sort plus a single-pass fold,
+    linear in document length.  A per-distinct-token occurrence scan would
+    be O(|distinct|·n) and hit ~10⁹ comparisons in one task on a 50k-token
+    low-redundancy document.  split() never yields null elements, so the
+    null-prev seed safely falls into the run=1 branch."""
+    return F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
     toks = word_tokens(F.col("text"))
     n_tokens = F.size(toks)
-    # max over distinct tokens of its occurrence count — O(|distinct|·n)
-    # per row in codegen, fine for document-sized arrays.
-    top_token_frac = (
-        F.array_max(
-            F.transform(
-                F.array_distinct(toks),
-                lambda t: F.size(F.filter(toks, lambda x: x == t)),
-            )
-        ).cast("double")
-        / n_tokens
-    )
+    top_token_frac = top_token_count(toks).cast("double") / n_tokens
     grams2 = word_shingles(toks, 2)
     dup_2gram_frac = F.when(
         F.size(grams2) > 0,

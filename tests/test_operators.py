@@ -283,3 +283,36 @@ def test_connected_components_semantics(spark):
         for r in connected_components(vertices, edges).collect()
     }
     assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5}
+
+
+def test_top_token_count_long_document(spark):
+    """The most-frequent-token kernel is a sort + single-pass fold — linear
+    in document length.  A 25k-token low-redundancy document (the case
+    where the old per-distinct-token scan went O(|distinct|·n) ≈ 6×10⁸
+    comparisons) must return the exact count with no timing cliff."""
+    import time
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.functions import word_tokens
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        top_token_count,
+    )
+
+    # 24k unique tokens + 1k planted repeats of "the", shuffled
+    # deterministically by interleaving.
+    words = []
+    for i in range(24_000):
+        words.append(f"w{i}")
+        if i % 24 == 0:
+            words.append("the")
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,), ("a b a", ), ("solo",)], "text string")
+    t0 = time.monotonic()
+    got = sorted(
+        r[0]
+        for r in df.select(
+            top_token_count(word_tokens(F.col("text"))).alias("c")
+        ).collect()
+    )
+    elapsed = time.monotonic() - t0
+    assert got == [1, 2, 1000]
+    assert elapsed < 10.0, f"timing cliff on long document: {elapsed:.1f}s"
