@@ -194,19 +194,39 @@ def simhash_col(tokens: Column) -> Column:
     Bit j is the sign of Σ_tokens (±1 by the j-th hex nibble's high bit of
     md5(token)) — hex char >= '8' ⇔ high bit set, an ASCII comparison that
     behaves identically in DuckDB.
-    """
-    def bit_contrib(j: int):
-        # two-arg closure (PySpark maps lambda arity to the merge signature,
-        # so the loop variable must be captured, not passed as a default)
-        return lambda acc, t: acc + F.when(
-            F.substring(F.md5(t.cast("binary")), j, 1) >= "8", 1
-        ).otherwise(-1)
 
-    bits = []
-    for j in range(1, SIMHASH_BITS + 1):
-        contrib = F.aggregate(tokens, F.lit(0), bit_contrib(j))
-        bits.append(F.when(contrib >= 0, "1").otherwise("0"))
-    return F.concat(*bits)
+    ONE aggregate pass with a SIMHASH_BITS-field struct accumulator: each
+    token is md5-hashed exactly once (the hash digest dominates the kernel;
+    a per-bit fold re-hashed every token SIMHASH_BITS×).  The signature
+    string is assembled in the finish lambda, where the accumulator is a
+    bound variable — referencing it per bit re-reads the struct, never
+    re-runs the fold.
+    """
+    def merge(acc: Column, t: Column) -> Column:
+        h = F.md5(t.cast("binary"))
+        return F.struct(
+            *[
+                (
+                    acc[f"b{j}"]
+                    + F.when(F.substring(h, j, 1) >= "8", 1).otherwise(-1)
+                ).alias(f"b{j}")
+                for j in range(1, SIMHASH_BITS + 1)
+            ]
+        )
+
+    return F.aggregate(
+        tokens,
+        F.struct(
+            *[F.lit(0).alias(f"b{j}") for j in range(1, SIMHASH_BITS + 1)]
+        ),
+        merge,
+        lambda acc: F.concat(
+            *[
+                F.when(acc[f"b{j}"] >= 0, "1").otherwise("0")
+                for j in range(1, SIMHASH_BITS + 1)
+            ]
+        ),
+    )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
