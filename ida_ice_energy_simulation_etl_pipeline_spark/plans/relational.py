@@ -752,6 +752,86 @@ GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
 """
 
 
+# --------------------------------------------------------------------------
+# CUBE over (year, priority, segment) — every subset granularity (2³ = 8
+# groupings) in ONE pass.  Like ROLLUP, Spark plans CUBE as a single
+# Expand (8 replicas per input row) + one hash-aggregate pair: one shuffle
+# yields all eight summary grains, where eight separate GROUP BYs would
+# scan and shuffle eight times.  The customer side is a key-pruned dim
+# join below the Expand, so the fan-out applies to joined rows, not scans.
+# grouping_id() bit-semantics (1 = aggregated away) match DuckDB GROUPING().
+def cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    y = F.year("o_orderdate").alias("order_year")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .cube(y, F.col("o_orderpriority"), F.col("c_mktsegment"))
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            "order_year",
+            "o_orderpriority",
+            "c_mktsegment",
+            "gid",
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+CUBE_SUMMARY_SQL = """
+SELECT year(o_orderdate)  AS order_year,
+       o_orderpriority,
+       c_mktsegment,
+       CAST(GROUPING(year(o_orderdate), o_orderpriority, c_mktsegment) AS BIGINT) AS gid,
+       count(*)            AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (year(o_orderdate), o_orderpriority, c_mktsegment)
+"""
+
+
+# --------------------------------------------------------------------------
+# Arbitrary GROUPING SETS — the general form ROLLUP/CUBE specialize: the
+# caller picks exactly which grains to produce ((year), (priority), (), but
+# NOT year×priority).  Still one Expand (3 replicas) + one aggregate pair.
+def priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # grouping columns must be pre-materialized plain columns: passing an
+    # aliased expression both inside the sets and as a grouping column makes
+    # groupingSets treat them as DISTINCT expressions (extra grouping bits,
+    # never-bound output column)
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    y, p = F.col("order_year"), F.col("o_orderpriority")
+    return (
+        orders.groupingSets([[y], [p], []], y, p)
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select("order_year", "o_orderpriority", "gid", "n_orders", "total_price")
+    )
+
+
+PRIORITY_GROUPING_SETS_SQL = """
+SELECT year(o_orderdate) AS order_year,
+       o_orderpriority,
+       CAST(GROUPING(year(o_orderdate), o_orderpriority) AS BIGINT) AS gid,
+       count(*)           AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority), ())
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("pricing_summary", pricing_summary, PRICING_SUMMARY_SQL, "A1,O3"),
     QuerySpec(
@@ -800,5 +880,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec("keyed_lookup", keyed_lookup, KEYED_LOOKUP_SQL, "S3,P6"),
     QuerySpec(
         "hourly_event_rollup", hourly_event_rollup, HOURLY_EVENT_ROLLUP_SQL, "A9,streaming"
+    ),
+    QuerySpec("cube_summary", cube_summary, CUBE_SUMMARY_SQL, "ext:grouping-sets"),
+    QuerySpec(
+        "priority_grouping_sets",
+        priority_grouping_sets,
+        PRIORITY_GROUPING_SETS_SQL,
+        "ext:grouping-sets",
     ),
 ]

@@ -185,3 +185,14 @@ def test_bucketed_join_avoids_shuffle(spark):
         assert "Exchange" not in final, "bucketed join still shuffles"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+def test_cube_and_grouping_sets_single_expand(spark):
+    # CUBE (8 groupings) and explicit GROUPING SETS (3 groupings) each plan
+    # as ONE Expand + one aggregate pair — every grain from a single
+    # shuffle, never one GROUP BY per grain
+    for name in ("cube_summary", "priority_grouping_sets"):
+        plan = _optimized_plan(spark, name)
+        assert plan.count("Expand") == 1, f"{name} lost the single-Expand plan"
+    # the dim join must resolve below the Expand as a broadcast at this SF
+    exec_plan = _executed_plan(spark, "cube_summary")
+    assert "SortMergeJoin" not in exec_plan
