@@ -2,11 +2,17 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "duckdb_queries": {name: sec}, "sf": ...}.
 
 Each query is timed as a full collect() (plan → execute → fetch) at steady
 state: one untimed warmup pass first, so JVM startup and whole-stage
 codegen compilation aren't billed to whichever query happens to run first.
+
+The reference publishes no benchmark numbers (BASELINE.md), so the
+"within 2× of baseline" bar would otherwise be unfalsifiable — the
+``duckdb_queries`` column runs each query's own DuckDB oracle SQL on the
+SAME parquet, same box, same thread count, making every bench run
+self-grading against a strong single-node engine.
 """
 
 from __future__ import annotations
@@ -48,9 +54,46 @@ HEADLINE = [
     "seq_packing",
     "event_pivot",
     "orders_rollup",
+    "cube_summary",
     "text_clean",
     "top_tokens",
 ]
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _duckdb_timings(sf_dir: str, threads: int) -> dict[str, float]:
+    """Wall time of each headline query's DuckDB oracle on the same data."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"SET threads={threads}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        sql = QUERIES[name].oracle
+        if not sql:
+            continue
+        con.execute(sql).fetchall()  # warmup (page cache, plan cache)
+        start = time.perf_counter()
+        con.execute(sql).fetchall()
+        out[name] = round(time.perf_counter() - start, 4)
+    con.close()
+    return out
 
 
 def main() -> None:
@@ -73,6 +116,9 @@ def main() -> None:
         QUERIES[name].fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - start, 4)
 
+    n_threads = int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)
+    duck = _duckdb_timings(sf_dir, n_threads)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -81,6 +127,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "duckdb_queries": duck,
+                "duckdb_total": round(sum(duck.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -13,6 +13,7 @@ replaced by explicit catalog reads.
 from __future__ import annotations
 
 import json
+from concurrent.futures import ThreadPoolExecutor
 from datetime import datetime, timezone
 from pathlib import Path
 
@@ -33,29 +34,80 @@ def build_summary(
     pipeline_name: str = "ida-ice-energy-spark",
 ) -> dict:
     """Canonical summary document (shape: FIXTURES.md §3, reference
-    src/export_json.py:49-62) — every number computed from the data."""
+    src/export_json.py:49-62) — every number computed from the data.
+
+    FOUR Spark actions total, and the three fact-side aggregates overlap as
+    concurrent jobs (same pool pattern as ``validate_all``): the scenario-id
+    gate collects dim_scenario once (its rows also serve the description
+    lookup), dim_building is collected once (floor-area summed driver-side —
+    it is a dim), annual figures derive from the monthly breakdown instead
+    of a second meters pass, and peak/comfort run concurrently with it.
+    Wall time is max(fact scans), not their sum.
+    """
     dim_building = star["dim_building"]
-    dim_scenario = star["dim_scenario"].orderBy("scenario_id")
-    scenarios = [r["scenario_id"] for r in dim_scenario.collect()]
+    scen_rows = star["dim_scenario"].orderBy("scenario_id").collect()
+    scenarios = [r["scenario_id"] for r in scen_rows]
     if scenario_id is None:
         scenario_id = scenarios[0]
     if scenario_id not in scenarios:
         raise ValueError(f"unknown scenario {scenario_id!r}; have {scenarios}")
+    scen_desc = next(r for r in scen_rows if r["scenario_id"] == scenario_id)
 
     meters = star["fact_meters"].filter(F.col("scenario_id") == scenario_id)
     time_keyed = meters.join(
         F.broadcast(star["dim_time"].select("time_key", "month")), "time_key"
     )
 
-    annual_row = meters.agg(
-        F.sum("electric_kwh").alias("electric"),
-        F.sum("heating_kwh").alias("heating"),
-        F.sum("cooling_kwh").alias("cooling"),
-    ).collect()[0]
-    electric = float(annual_row["electric"] or 0.0)
-    heating = float(annual_row["heating"] or 0.0)
-    cooling = float(annual_row["cooling"] or 0.0)
-    total = electric + heating + cooling
+    def _monthly_rows():
+        return (
+            time_keyed.groupBy("month")
+            .agg(
+                F.sum("heating_kwh").alias("heating"),
+                F.sum("cooling_kwh").alias("cooling"),
+                F.sum("electric_kwh").alias("electric"),
+            )
+            .orderBy("month")
+            .collect()
+        )
+
+    def _peak_kw():
+        # Peak demand: real max over hourly HVAC power (the reference admits
+        # "Would compute from hourly data" and hard-codes — export_json.py:188).
+        return float(
+            star["fact_hvac"]
+            .filter(F.col("scenario_id") == scenario_id)
+            .agg(F.max("power_kw"))
+            .collect()[0][0]
+            or 0.0
+        )
+
+    def _comfort_row():
+        # Comfort: share of zone-hours within ±1 °C of setpoint — computed
+        # from fact_zone_conditions instead of the reference's constant 94.2.
+        return (
+            star["fact_zone_conditions"]
+            .filter(F.col("scenario_id") == scenario_id)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(
+                        F.abs(F.col("air_temp_C") - F.col("setpoint_C"))
+                        <= COMFORT_BAND_C,
+                        1,
+                    ).otherwise(0)
+                ).alias("ok"),
+            )
+            .collect()[0]
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        monthly_f = pool.submit(_monthly_rows)
+        peak_f = pool.submit(_peak_kw)
+        comfort_f = pool.submit(_comfort_row)
+        buildings = dim_building.orderBy("building_id").collect()
+        monthly_rows = monthly_f.result()
+        peak_kw = peak_f.result()
+        comfort_row = comfort_f.result()
 
     monthly = [
         {
@@ -64,54 +116,16 @@ def build_summary(
             "cooling_kwh": round(float(r["cooling"]), 1),
             "total_kwh": round(float(r["heating"] + r["cooling"] + r["electric"]), 1),
         }
-        for r in time_keyed.groupBy("month")
-        .agg(
-            F.sum("heating_kwh").alias("heating"),
-            F.sum("cooling_kwh").alias("cooling"),
-            F.sum("electric_kwh").alias("electric"),
-        )
-        .orderBy("month")
-        .collect()
+        for r in monthly_rows
     ]
+    electric = float(sum(r["electric"] for r in monthly_rows))
+    heating = float(sum(r["heating"] for r in monthly_rows))
+    cooling = float(sum(r["cooling"] for r in monthly_rows))
+    total = electric + heating + cooling
 
-    floor_area = float(
-        dim_building.agg(F.sum("floor_area_m2")).collect()[0][0] or 0.0
-    )
-
-    # Peak demand: real max over hourly HVAC power (the reference admits
-    # "Would compute from hourly data" and hard-codes — export_json.py:188).
-    peak_kw = float(
-        star["fact_hvac"]
-        .filter(F.col("scenario_id") == scenario_id)
-        .agg(F.max("power_kw"))
-        .collect()[0][0]
-        or 0.0
-    )
-
-    # Comfort: share of zone-hours within ±1 °C of setpoint — computed from
-    # fact_zone_conditions instead of the reference's constant 94.2.
-    comfort_row = (
-        star["fact_zone_conditions"]
-        .filter(F.col("scenario_id") == scenario_id)
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.when(
-                    F.abs(F.col("air_temp_C") - F.col("setpoint_C"))
-                    <= COMFORT_BAND_C,
-                    1,
-                ).otherwise(0)
-            ).alias("ok"),
-        )
-        .collect()[0]
-    )
+    floor_area = float(sum(b["floor_area_m2"] or 0.0 for b in buildings))
     comfort_pct = (
         100.0 * comfort_row["ok"] / comfort_row["n"] if comfort_row["n"] else 0.0
-    )
-
-    buildings = dim_building.orderBy("building_id").collect()
-    scen_desc = (
-        dim_scenario.filter(F.col("scenario_id") == scenario_id).collect()[0]
     )
 
     return {
