@@ -246,9 +246,24 @@ def lsh_topk(
 N_CENTROIDS = 8
 
 
-def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = ensure_parallelism(spark, load_table(spark, sf_dir, "embeddings"))
-    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = TOP_K,
+    n_centroids: int = N_CENTROIDS,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF ANN top-k with a multi-probe recall knob.
+
+    ``nprobe`` is the standard IVF recall/latency dial: each query probes
+    its ``nprobe`` closest cells instead of only the nearest one, so
+    neighbors that fell just across a Voronoi boundary are recovered.  The
+    probe list is built from the broadcast codebook scores with a
+    per-query window over ≤ |codebook| rows (driver-free, tiny), and the
+    probe itself stays a broadcast equi-join on the cell id — scan cost
+    scales as nprobe/n_centroids of the corpus, never all of it.
+    """
+    centroids = emb.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb")
     )
     scored_cent = emb.crossJoin(F.broadcast(centroids)).withColumn(
@@ -263,13 +278,23 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_id", F.struct("cent_cos", (-F.col("centroid_id")).alias("t"))
         ).alias("centroid_id"),
     )
-    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("centroid_id").alias("q_cell"),
+    cell_w = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_cos").desc(), F.col("centroid_id")
+    )
+    probe_cells = (
+        scored_cent.filter(F.col("vec_id").isin(query_ids))
+        .withColumn("cell_rank", F.row_number().over(cell_w))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("centroid_id").alias("q_cell"),
+        )
     )
     scored = (
-        assigned.join(F.broadcast(queries), F.col("centroid_id") == F.col("q_cell"))
+        assigned.join(
+            F.broadcast(probe_cells), F.col("centroid_id") == F.col("q_cell")
+        )
         .filter(F.col("query_id") != F.col("vec_id"))
         .withColumn("cos", cosine_similarity(F.col("q_emb"), F.col("embedding")))
     )
@@ -277,7 +302,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored,
         ["query_id"],
         [F.col("cos").desc(), F.col("vec_id")],
-        TOP_K,
+        k,
         "nn_rank",
     ).select(
         "query_id",
@@ -285,6 +310,11 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         F.round("cos", 4).alias("cos_sim"),
     )
+
+
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ensure_parallelism(spark, load_table(spark, sf_dir, "embeddings"))
+    return ivf_topk(emb, list(range(N_QUERIES)), nprobe=1)
 
 
 SIMILARITY_IVF_SQL = f"""
