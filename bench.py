@@ -4,26 +4,35 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "duckdb_queries": {name: sec}, "sf": ...}.
 
-Each query is timed as a full collect() (plan → execute → fetch) at steady
-state: one untimed warmup pass first, so JVM startup and whole-stage
-codegen compilation aren't billed to whichever query happens to run first.
+Noise robustness: each query is timed over REPEATS (default 3) passes at
+steady state — one untimed warmup pass first (JVM startup, whole-stage
+codegen compilation, OS page cache), then the MEDIAN per-query time is
+reported, with the max relative spread across queries recorded so a
+contended box is visible in the output instead of silently rewriting the
+round's headline number.
 
 The reference publishes no benchmark numbers (BASELINE.md), so the
 "within 2× of baseline" bar would otherwise be unfalsifiable — the
 ``duckdb_queries`` column runs each query's own DuckDB oracle SQL on the
 SAME parquet, same box, same thread count, making every bench run
-self-grading against a strong single-node engine.
+self-grading against a strong single-node engine.  The DuckDB pass runs
+AFTER spark.stop() so the idle JVM heap doesn't skew it, and each oracle
+is wrapped per-query: a missing table or SQL error records an "error:"
+marker instead of killing the whole bench line.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
-from ida_ice_energy_simulation_etl_pipeline_spark.plans import QUERIES
+from ida_ice_energy_simulation_etl_pipeline_spark.plans import ALL_QUERIES
 from ida_ice_energy_simulation_etl_pipeline_spark.session import get_spark
+
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 HEADLINE = [
     "pricing_summary",
@@ -73,25 +82,44 @@ TABLES = [
 ]
 
 
-def _duckdb_timings(sf_dir: str, threads: int) -> dict[str, float]:
-    """Wall time of each headline query's DuckDB oracle on the same data."""
-    import duckdb
+def _median_time(run, repeats: int = REPEATS) -> tuple[float, float]:
+    """(median_sec, rel_spread) over ``repeats`` timed executions."""
+    samples = []
+    for _ in range(repeats):
+        start = time.perf_counter()
+        run()
+        samples.append(time.perf_counter() - start)
+    med = statistics.median(samples)
+    spread = (max(samples) - min(samples)) / med if med > 0 else 0.0
+    return round(med, 4), round(spread, 4)
 
-    con = duckdb.connect()
-    con.execute(f"SET threads={threads}")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
-    out: dict[str, float] = {}
+
+def _duckdb_timings(sf_dir: str, threads: int) -> dict[str, float | str]:
+    """Median wall time of each headline query's DuckDB oracle on the same
+    data.  Per-query failures (and a missing duckdb module) degrade to
+    "error:..." markers — the Spark column still prints."""
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(f"SET threads={threads}")
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+    except Exception as exc:  # pragma: no cover - environment-dependent
+        return {name: f"error:{type(exc).__name__}" for name in HEADLINE}
+    out: dict[str, float | str] = {}
     for name in HEADLINE:
-        sql = QUERIES[name].oracle
+        sql = ALL_QUERIES[name].oracle
         if not sql:
             continue
-        con.execute(sql).fetchall()  # warmup (page cache, plan cache)
-        start = time.perf_counter()
-        con.execute(sql).fetchall()
-        out[name] = round(time.perf_counter() - start, 4)
+        try:
+            con.execute(sql).fetchall()  # warmup (page cache, plan cache)
+            out[name], _ = _median_time(lambda: con.execute(sql).fetchall())
+        except Exception as exc:
+            out[name] = f"error:{type(exc).__name__}"
     con.close()
     return out
 
@@ -108,16 +136,20 @@ def main() -> None:
 
     # Untimed warmup pass: JIT + codegen compile + OS page cache.
     for name in HEADLINE:
-        QUERIES[name].fn(spark, sf_dir).collect()
+        ALL_QUERIES[name].fn(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
-        start = time.perf_counter()
-        QUERIES[name].fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - start, 4)
+        timings[name], spreads[name] = _median_time(
+            lambda: ALL_QUERIES[name].fn(spark, sf_dir).collect()
+        )
+    spark.stop()
 
+    # DuckDB self-grading pass AFTER the Spark JVM releases its heap.
     n_threads = int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)
     duck = _duckdb_timings(sf_dir, n_threads)
+    duck_ok = [v for v in duck.values() if isinstance(v, float)]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -127,13 +159,17 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "repeats": REPEATS,
+                "max_rel_spread": round(max(spreads.values()), 4),
+                "noisy_queries": {
+                    n: s for n, s in spreads.items() if s > 0.5
+                },
                 "duckdb_queries": duck,
-                "duckdb_total": round(sum(duck.values()), 4),
+                "duckdb_total": round(sum(duck_ok), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

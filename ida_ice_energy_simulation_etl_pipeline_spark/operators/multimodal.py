@@ -222,7 +222,40 @@ GROUP BY source
 """
 
 
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: BOTH mapInPandas shapes end-to-end — the
+    per-row feature extractor (1 input row → 1 output row) and the
+    frame-sampler fan-out (1 input row → ≤4 output rows) — joined on their
+    per-source rollups so one CORRECTNESS row covers the whole media path.
+    Each side is map-only; the join runs on source-grain aggregates
+    (dim-sized at any corpus scale, broadcast under AQE)."""
+    feats = multimodal_features(spark, sf_dir)
+    frames = multimodal_frames(spark, sf_dir)
+    return feats.join(frames, "source")
+
+
+MULTIMODAL_PIPELINE_SQL = f"""
+WITH feats AS ({MULTIMODAL_FEATURES_SQL}),
+frames AS ({MULTIMODAL_FRAMES_SQL})
+SELECT feats.source, feats.n_items, feats.total_bytes, feats.max_bytes,
+       feats.min_head_byte, frames.n_frames, frames.frame_total_bytes,
+       frames.thumb_total_bytes
+FROM feats JOIN frames USING (source)
+"""
+
+
+# Driver-facing tier (see plans/relational.py note on the 50-query window).
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "multimodal_pipeline",
+        multimodal_pipeline,
+        MULTIMODAL_PIPELINE_SQL,
+        "ext:multimodal",
+    ),
+]
+
+# The standalone halves, still oracle-verified locally.
+EXTRA_SPECS: list[QuerySpec] = [
     QuerySpec(
         "multimodal_features",
         multimodal_features,

@@ -352,7 +352,6 @@ FROM ranked WHERE nn_rank <= {TOP_K}
 
 SPECS: list[QuerySpec] = [
     QuerySpec("similarity_topk", similarity_topk, SIMILARITY_TOPK_SQL, "ext:ann"),
-    QuerySpec("embedding_stats", embedding_stats, EMBEDDING_STATS_SQL, "ext:ann"),
     QuerySpec(
         "similarity_lsh_buckets",
         similarity_lsh_buckets,
@@ -360,4 +359,10 @@ SPECS: list[QuerySpec] = [
         "ext:ann",
     ),
     QuerySpec("similarity_ivf", similarity_ivf, SIMILARITY_IVF_SQL, "ext:ann"),
+]
+
+# Oracle-verified locally, outside the driver's 50-query window (the ANN
+# family already has three driver-facing entries over the same table).
+EXTRA_SPECS: list[QuerySpec] = [
+    QuerySpec("embedding_stats", embedding_stats, EMBEDDING_STATS_SQL, "ext:ann"),
 ]

@@ -108,12 +108,23 @@ FROM pred
 
 
 # --------------------------------------------------------------------------
-# Quality scoring: length / stopword / lexical-diversity signals, rolled up
-# per source so the result stays small at any corpus size.
+# Quality scoring: length / stopword / lexical-diversity signals PLUS the
+# repetition family (Gopher/RefinedWeb-style top-token and duplicate-2gram
+# fractions — see repetition_stats below), all computed in ONE per-doc
+# map-only pass and rolled up per source so the result stays small at any
+# corpus size.  One scan instead of two: every signal is an array
+# higher-order function inside the row, so the whole scan stays inside
+# whole-stage codegen with the single tiny per-source shuffle at the end.
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
     toks = word_tokens(F.col("text"))
     n_tokens = F.size(toks)
+    grams2 = word_shingles(toks, 2)
+    dup_2gram_frac = F.when(
+        F.size(grams2) > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams2)).cast("double") / F.size(grams2),
+    )
     per_doc = docs.select(
         "source",
         n_tokens.cast("long").alias("n_tokens"),
@@ -126,6 +137,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_token_ratio"
         ),
         punct_ratio(F.col("text")).alias("punct_ratio"),
+        (top_token_count(toks).cast("double") / n_tokens).alias("ttf"),
+        dup_2gram_frac.alias("dgf"),
     )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -134,10 +147,17 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
         F.round(F.avg("type_token_ratio"), 4).alias("avg_type_token_ratio"),
         F.round(F.avg("punct_ratio"), 4).alias("avg_punct_ratio"),
+        F.round(F.avg("ttf"), 4).alias("avg_top_token_frac"),
+        F.round(F.max("ttf"), 4).alias("max_top_token_frac"),
+        F.round(F.avg("dgf"), 4).alias("avg_dup_2gram_frac"),
+        F.sum(F.when(F.col("ttf") > REPETITION_TOP_TOKEN_FLAG, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
     )
 
 
-TEXT_QUALITY_SQL = """
+def _text_quality_sql() -> str:
+    return f"""
 WITH per_doc AS (
   SELECT source,
          len(string_split(text, ' '))                                        AS n_tokens,
@@ -147,7 +167,15 @@ WITH per_doc AS (
          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
              / len(string_split(text, ' '))                                  AS type_token_ratio,
          CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
-             / length(text)                                                  AS punct_ratio
+             / length(text)                                                  AS punct_ratio,
+         CAST(list_max(list_transform(list_distinct(string_split(text, ' ')),
+                                      t -> len(list_filter(string_split(text, ' '), x -> x = t)))) AS DOUBLE)
+             / len(string_split(text, ' '))                                  AS ttf,
+         CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+           1.0 - CAST(len(list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+                                                       i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')))) AS DOUBLE)
+                 / (len(string_split(text, ' ')) - 1)
+         END AS dgf
   FROM documents
 )
 SELECT source,
@@ -156,7 +184,11 @@ SELECT source,
        round(avg(avg_token_span), 4)  AS avg_token_span,
        round(avg(stopword_ratio), 4)  AS avg_stopword_ratio,
        round(avg(type_token_ratio), 4) AS avg_type_token_ratio,
-       round(avg(punct_ratio), 4)     AS avg_punct_ratio
+       round(avg(punct_ratio), 4)     AS avg_punct_ratio,
+       round(avg(ttf), 4)             AS avg_top_token_frac,
+       round(max(ttf), 4)             AS max_top_token_frac,
+       round(avg(dgf), 4)             AS avg_dup_2gram_frac,
+       CAST(sum(CASE WHEN ttf > {REPETITION_TOP_TOKEN_FLAG} THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
 FROM per_doc
 GROUP BY source
 """
@@ -615,30 +647,171 @@ FROM cleaned
 """
 
 
+# --------------------------------------------------------------------------
+# Cleaning + fingerprinting in ONE per-doc pass: the normalize pass
+# (text_clean above) and the min-hash-of-shingles fingerprints
+# (doc_fingerprint above) are both map-only row derivations over the same
+# scan, so the driver-facing query computes them together — one scan,
+# zero shuffle, identical semantics to the two standalone queries.
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    toks = word_tokens(F.col("text"))
+
+    def min_md5(n: int) -> Column:
+        return F.array_min(
+            F.transform(word_shingles(toks, n), lambda s: F.md5(s.cast("binary")))
+        )
+
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("raw_chars"),
+        F.length(cleaned).cast("long").alias("clean_chars"),
+        F.md5(cleaned.cast("binary")).alias("clean_hash"),
+        min_md5(3).alias("fp_3gram"),
+        min_md5(5).alias("fp_5gram"),
+    )
+
+
+TEXT_FINGERPRINT_SQL = """
+WITH cleaned AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS ct
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS raw_chars,
+       CAST(length(ct) AS BIGINT)   AS clean_chars,
+       md5(ct)                      AS clean_hash,
+       list_min(list_transform(range(1, greatest(len(w) - 1, 1)),
+                               i -> md5(array_to_string(w[i:i+2], ' ')))) AS fp_3gram,
+       list_min(list_transform(range(1, greatest(len(w) - 3, 1)),
+                               i -> md5(array_to_string(w[i:i+4], ' ')))) AS fp_5gram
+FROM cleaned
+"""
+
+
+# --------------------------------------------------------------------------
+# Split + stratified sample in ONE driver query: both assignments are pure
+# content-hash functions of the row (dataset_split / stratified_sample
+# above — different salts decorrelate them), so one map-only pass tags
+# every doc with its split AND its sample membership, and a single small
+# group-by reports coverage per (split, source).  No shuffle beyond the
+# final rollup; the decisions are reproducible on any cluster size.
+def split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    h_split = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    split = (
+        F.when(h_split < int(0.8 * 65536), "train")
+        .when(h_split < int(0.9 * 65536), "val")
+        .otherwise("test")
+    )
+    h_smp = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("smp"), F.col("doc_id").cast("string")).cast("binary")
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    in_sample = h_smp < int(SAMPLE_RATE_PCT / 100 * 65536)
+    return (
+        docs.select(
+            split.alias("split"),
+            "source",
+            "n_chars",
+            in_sample.cast("int").alias("in_sample"),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("in_sample").cast("long").alias("n_sampled"),
+            F.sum(F.col("in_sample") * F.col("n_chars"))
+            .cast("long")
+            .alias("sampled_chars"),
+        )
+    )
+
+
+def _split_sample_sql() -> str:
+    return f"""
+WITH assigned AS (
+  SELECT CASE
+           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) < {int(0.8 * 65536)} THEN 'train'
+           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) < {int(0.9 * 65536)} THEN 'val'
+           ELSE 'test'
+         END AS split,
+         source, n_chars,
+         CASE WHEN CAST(('0x' || substr(md5('smp' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                   < {int(SAMPLE_RATE_PCT / 100 * 65536)} THEN 1 ELSE 0 END AS in_sample
+  FROM documents
+)
+SELECT split, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       CAST(sum(in_sample) AS BIGINT)           AS n_sampled,
+       CAST(sum(in_sample * n_chars) AS BIGINT) AS sampled_chars
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
+# Driver-facing tier (see plans/relational.py note on the 50-query
+# window): text_quality folds in the repetition signals, text_fingerprint
+# folds cleaning + fingerprinting, split_sample folds split + sampling —
+# every text operator keeps a driver CORRECTNESS row.
 SPECS: list[QuerySpec] = [
     QuerySpec("lang_id", lang_id, LANG_ID_SQL, "ext:text"),
-    QuerySpec("dataset_split", dataset_split, DATASET_SPLIT_SQL, "ext:split"),
+    QuerySpec(
+        "split_sample", split_sample, _split_sample_sql(), "ext:split,sampling"
+    ),
     QuerySpec(
         "contamination_check",
         contamination_check,
         CONTAMINATION_CHECK_SQL,
         "ext:contamination,semi-join",
     ),
-    QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, "ext:text"),
+    QuerySpec("text_quality", text_quality, _text_quality_sql(), "ext:text,quality"),
     QuerySpec("token_count", token_count, TOKEN_COUNT_SQL, "ext:text"),
-    QuerySpec("doc_fingerprint", doc_fingerprint, DOC_FINGERPRINT_SQL, "ext:text"),
     QuerySpec(
-        "repetition_stats", repetition_stats, REPETITION_STATS_SQL, "ext:text,quality"
+        "text_fingerprint",
+        text_fingerprint,
+        TEXT_FINGERPRINT_SQL,
+        "ext:text,cleaning,fingerprint",
     ),
     QuerySpec(
         "tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_SQL, "ext:text,window"
     ),
     QuerySpec("seq_packing", seq_packing, SEQ_PACKING_SQL, "ext:packing,window"),
+]
+
+# The standalone halves of the merged driver queries — still
+# oracle-verified locally (test_oracle_parity) and benchmarked, so the
+# original single-purpose shapes keep regression coverage.
+EXTRA_SPECS: list[QuerySpec] = [
+    QuerySpec("dataset_split", dataset_split, DATASET_SPLIT_SQL, "ext:split"),
     QuerySpec(
         "stratified_sample",
         stratified_sample,
         STRATIFIED_SAMPLE_SQL,
         "ext:sampling",
     ),
+    QuerySpec("doc_fingerprint", doc_fingerprint, DOC_FINGERPRINT_SQL, "ext:text"),
     QuerySpec("text_clean", text_clean, TEXT_CLEAN_SQL, "ext:text,cleaning"),
+    QuerySpec(
+        "repetition_stats", repetition_stats, REPETITION_STATS_SQL, "ext:text,quality"
+    ),
 ]

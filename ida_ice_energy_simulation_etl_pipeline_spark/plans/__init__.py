@@ -8,15 +8,22 @@ tables.
 
 from .core import QuerySpec, load_table, register_views
 
-__all__ = ["QuerySpec", "QUERIES", "load_table", "register_views"]
+__all__ = [
+    "QuerySpec",
+    "QUERIES",
+    "EXTRA_QUERIES",
+    "ALL_QUERIES",
+    "load_table",
+    "register_views",
+]
 
 
 def __getattr__(name: str):
     # Lazy: registry imports the operator modules, which import plans.core —
     # eager re-export here would make that a circular import for any direct
     # `operators.*` import.
-    if name == "QUERIES":
-        from .registry import QUERIES
+    if name in ("QUERIES", "EXTRA_QUERIES", "ALL_QUERIES"):
+        from . import registry
 
-        return QUERIES
+        return getattr(registry, name)
     raise AttributeError(name)

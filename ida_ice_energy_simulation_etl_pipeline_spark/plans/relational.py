@@ -538,6 +538,69 @@ FROM orders
 
 
 # --------------------------------------------------------------------------
+# U1/U2/ext:intersect — the whole set-op family in ONE driver query:
+# UNION ALL + re-aggregate (pd.concat of per-run frames,
+# src/etl/transform/__init__.py:241-409), INTERSECT and EXCEPT over
+# pre-shrunk distinct key sets (Spark plans both as aggregate joins on
+# key-grain rows, so the shuffle never moves fact-grain data).  Each
+# branch is labeled so one result frame carries all three semantics.
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_linestatus", "l_extendedprice"]
+    f_rows = li.filter(F.col("l_linestatus") == "F").select(*cols)
+    o_rows = li.filter(F.col("l_linestatus") == "O").select(*cols)
+    union_branch = (
+        f_rows.unionByName(o_rows)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("metric"),
+        )
+        .select(
+            F.concat(F.lit("union_"), F.col("l_linestatus")).alias("set_op"),
+            "n_rows",
+            "metric",
+        )
+    )
+    f_parts = li.filter(F.col("l_linestatus") == "F").select("l_partkey")
+    o_parts = li.filter(F.col("l_linestatus") == "O").select("l_partkey")
+
+    def key_summary(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.min("l_partkey") + F.max("l_partkey"))
+            .cast("double")
+            .alias("metric"),
+        ).select(F.lit(label).alias("set_op"), "n_rows", "metric")
+
+    intersect_branch = key_summary(f_parts.intersect(o_parts), "intersect")
+    except_branch = key_summary(f_parts.subtract(o_parts), "except")
+    return union_branch.unionByName(intersect_branch).unionByName(except_branch)
+
+
+SET_OPS_SQL = """
+WITH f_parts AS (SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F'),
+o_parts AS (SELECT l_partkey FROM lineitem WHERE l_linestatus = 'O'),
+unioned AS (
+  SELECT l_linestatus, l_extendedprice FROM lineitem WHERE l_linestatus = 'F'
+  UNION ALL
+  SELECT l_linestatus, l_extendedprice FROM lineitem WHERE l_linestatus = 'O'
+)
+SELECT 'union_' || l_linestatus AS set_op, count(*) AS n_rows,
+       round(sum(l_extendedprice), 2) AS metric
+FROM unioned GROUP BY l_linestatus
+UNION ALL
+SELECT 'intersect', count(*),
+       CAST(min(l_partkey) + max(l_partkey) AS DOUBLE)
+FROM (SELECT l_partkey FROM f_parts INTERSECT SELECT l_partkey FROM o_parts)
+UNION ALL
+SELECT 'except', count(*),
+       CAST(min(l_partkey) + max(l_partkey) AS DOUBLE)
+FROM (SELECT l_partkey FROM f_parts EXCEPT SELECT l_partkey FROM o_parts)
+"""
+
+
+# --------------------------------------------------------------------------
 # U1 — UNION ALL of per-scenario slices then re-aggregate
 # (pd.concat of per-run frames, src/etl/transform/__init__.py:241-409).
 def union_scenarios(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -669,6 +732,49 @@ SELECT round(sum(l_extendedprice), 2)            AS total_revenue,
        round(sum(l_extendedprice) * 0.45, 2)     AS equipment_share,
        round(sum(l_extendedprice) / count(*), 4) AS revenue_intensity
 FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# A5/A6/A10 — the full export scalar block in ONE driver query: the
+# orders-side peaks (peak_demand_kw, src/export_json.py:188) cross-joined
+# with the lineitem-side KPI splits (src/export_json.py:140-187).  Both
+# sides are single-row global aggregates, so the cross join is a 1×1
+# broadcast nested loop — two scans, zero shuffle beyond the partial-agg
+# reduce.
+def export_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    order_side = orders.agg(
+        F.max("o_totalprice").alias("max_order_price"),
+        F.min("o_totalprice").alias("min_order_price"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_order_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    li_side = li.agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("total_revenue"),
+        F.round(F.sum("l_extendedprice") * 0.35, 2).alias("lighting_share"),
+        F.round(F.sum("l_extendedprice") * 0.45, 2).alias("equipment_share"),
+        F.round(F.sum("l_extendedprice") / F.count(F.lit(1)), 4).alias(
+            "revenue_intensity"
+        ),
+    )
+    return order_side.crossJoin(li_side)
+
+
+EXPORT_SUMMARY_SQL = """
+SELECT o.max_order_price, o.min_order_price, o.total_order_price, o.n_orders,
+       l.total_revenue, l.lighting_share, l.equipment_share, l.revenue_intensity
+FROM (SELECT max(o_totalprice)           AS max_order_price,
+             min(o_totalprice)           AS min_order_price,
+             round(sum(o_totalprice), 2) AS total_order_price,
+             count(*)                    AS n_orders
+      FROM orders) o
+CROSS JOIN (SELECT round(sum(l_extendedprice), 2)            AS total_revenue,
+                   round(sum(l_extendedprice) * 0.35, 2)     AS lighting_share,
+                   round(sum(l_extendedprice) * 0.45, 2)     AS equipment_share,
+                   round(sum(l_extendedprice) / count(*), 4) AS revenue_intensity
+            FROM lineitem) l
 """
 
 
@@ -832,6 +938,11 @@ GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority), ())
 """
 
 
+# Driver-facing registry entries.  The driver verifies only the FIRST 50
+# registry queries, so this tier is kept ≤ 50 across ALL plan modules by
+# merging redundant exercises (set_ops, export_summary) and demoting
+# overlap-only queries to EXTRA_SPECS (still oracle-verified by
+# tests/test_oracle_parity.py, just not part of the driver contract).
 SPECS: list[QuerySpec] = [
     QuerySpec("pricing_summary", pricing_summary, PRICING_SUMMARY_SQL, "A1,O3"),
     QuerySpec(
@@ -854,13 +965,32 @@ SPECS: list[QuerySpec] = [
         "J8,A8",
     ),
     QuerySpec("distinct_segments", distinct_segments, DISTINCT_SEGMENTS_SQL, "D1,D2"),
-    QuerySpec("surrogate_keys", surrogate_keys, SURROGATE_KEYS_SQL, "D4,O1"),
-    QuerySpec("time_dim", time_dim, TIME_DIM_SQL, "F1,D3,D4"),
+    QuerySpec("time_dim", time_dim, TIME_DIM_SQL, "F1,D3,D4,O1"),
     QuerySpec("gap_detection", gap_detection, GAP_DETECTION_SQL, "F4"),
-    QuerySpec("event_type_stats", event_type_stats, EVENT_TYPE_STATS_SQL, "A3"),
     QuerySpec("value_bins", value_bins, VALUE_BINS_SQL, "A4,F7"),
     QuerySpec("monthly_revenue", monthly_revenue, MONTHLY_REVENUE_SQL, "A9,F1"),
+    QuerySpec("set_ops", set_ops, SET_OPS_SQL, "U1,U2,ext:intersect"),
+    QuerySpec("priority_fanout", priority_fanout, PRIORITY_FANOUT_SQL, "J4"),
+    QuerySpec(
+        "export_summary", export_summary, EXPORT_SUMMARY_SQL, "A5,A6,A10"
+    ),
+    QuerySpec(
+        "above_avg_orders",
+        above_avg_orders,
+        ABOVE_AVG_ORDERS_SQL,
+        "ext:correlated-subquery",
+    ),
+    QuerySpec("keyed_lookup", keyed_lookup, KEYED_LOOKUP_SQL, "S3,P6"),
+    QuerySpec("cube_summary", cube_summary, CUBE_SUMMARY_SQL, "ext:grouping-sets"),
+]
+
+# Oracle-verified locally (test_oracle_parity) but outside the driver's
+# 50-query window: each overlaps a driver query's operator coverage.
+EXTRA_SPECS: list[QuerySpec] = [
+    QuerySpec("surrogate_keys", surrogate_keys, SURROGATE_KEYS_SQL, "D4,O1"),
+    QuerySpec("event_type_stats", event_type_stats, EVENT_TYPE_STATS_SQL, "A3"),
     QuerySpec("peak_metrics", peak_metrics, PEAK_METRICS_SQL, "A10,A5"),
+    QuerySpec("export_kpis", export_kpis, EXPORT_KPIS_SQL, "A5,A6"),
     QuerySpec("union_scenarios", union_scenarios, UNION_SCENARIOS_SQL, "U1"),
     QuerySpec(
         "parts_in_both_statuses",
@@ -869,19 +999,12 @@ SPECS: list[QuerySpec] = [
         "ext:intersect,U2",
     ),
     QuerySpec("top_tokens", top_tokens, TOP_TOKENS_SQL, "ext:topk,O3"),
-    QuerySpec("priority_fanout", priority_fanout, PRIORITY_FANOUT_SQL, "J4"),
-    QuerySpec("export_kpis", export_kpis, EXPORT_KPIS_SQL, "A5,A6"),
     QuerySpec(
-        "above_avg_orders",
-        above_avg_orders,
-        ABOVE_AVG_ORDERS_SQL,
-        "ext:correlated-subquery",
+        "hourly_event_rollup",
+        hourly_event_rollup,
+        HOURLY_EVENT_ROLLUP_SQL,
+        "A9,streaming",
     ),
-    QuerySpec("keyed_lookup", keyed_lookup, KEYED_LOOKUP_SQL, "S3,P6"),
-    QuerySpec(
-        "hourly_event_rollup", hourly_event_rollup, HOURLY_EVENT_ROLLUP_SQL, "A9,streaming"
-    ),
-    QuerySpec("cube_summary", cube_summary, CUBE_SUMMARY_SQL, "ext:grouping-sets"),
     QuerySpec(
         "priority_grouping_sets",
         priority_grouping_sets,

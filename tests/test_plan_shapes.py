@@ -6,19 +6,19 @@ from __future__ import annotations
 
 import pytest
 
-from ida_ice_energy_simulation_etl_pipeline_spark.plans import QUERIES
+from ida_ice_energy_simulation_etl_pipeline_spark.plans import ALL_QUERIES
 
 SF = "/root/testdata/sf0.001"
 
 
 def _executed_plan(spark, name: str) -> str:
-    df = QUERIES[name].fn(spark, SF)
+    df = ALL_QUERIES[name].fn(spark, SF)
     df.collect()  # materialize so AQE finalizes the plan
     return df._jdf.queryExecution().executedPlan().toString()
 
 
 def _optimized_plan(spark, name: str) -> str:
-    df = QUERIES[name].fn(spark, SF)
+    df = ALL_QUERIES[name].fn(spark, SF)
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
