@@ -303,15 +303,37 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # n-gram Jaccard — exact set similarity on shingle sets.
-def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = SHINGLE_N, threshold: float = 0.2
-) -> DataFrame:
-    """All doc pairs with shingle-set Jaccard ≥ threshold.
+#
+# Document-frequency cap: the inverted-index self-join is quadratic in a
+# shingle's posting-list length, so ONE corpus-wide boilerplate shingle
+# ("all rights reserved …") would put millions of docs in a single bucket
+# and produce an O(m²) pair blow-up that salting cannot fix (the pairs
+# are real rows, not skew artifacts).  Shingles with df > JACCARD_DF_CAP
+# are dropped from BOTH the intersection and the per-doc set sizes before
+# the join — a ubiquitous shingle carries no Jaccard signal (it inflates
+# every pair's intersection and union alike), and the cap bounds every
+# posting list, making the join's worst case df_cap·|shingles| instead of
+# max_df²·|shingles|.  The cap never binds on the test fixtures (≤ 500
+# docs), so threshold semantics there are byte-identical to the uncapped
+# form; the oracle applies the SAME cap so parity holds by construction.
+JACCARD_DF_CAP = 1000
 
-    Shape: explode distinct shingles → self-join on shingle (inverted
-    index) → per-pair intersection count → Jaccard from per-doc set sizes.
-    At 100 TB this runs AFTER LSH candidate filtering; the join here is on
-    the shingle (bounded fan-out), never a raw doc×doc cross join.
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = SHINGLE_N,
+    threshold: float = 0.2,
+    df_cap: int | None = JACCARD_DF_CAP,
+) -> DataFrame:
+    """All doc pairs with shingle-set Jaccard ≥ threshold (computed over
+    shingles with document frequency ≤ ``df_cap``; see cap note above).
+
+    Shape: explode distinct shingles → drop hot shingles (broadcast
+    anti-join against the tiny df > cap set) → self-join on shingle
+    (inverted index) → per-pair intersection count → Jaccard from per-doc
+    set sizes.  At 100 TB this runs AFTER LSH candidate filtering; the
+    join here is on the shingle (bounded fan-out), never a raw doc×doc
+    cross join.
 
     Measured design note: the tempting "one-scan" posting-list variant
     (groupBy shingle → collect_list → expand i<j pairs with array
@@ -328,6 +350,17 @@ def ngram_jaccard_pairs(
     sh = docs.select(
         "doc_id", F.explode(_shingle_set(F.col("text"))).alias("shingle")
     ).select("doc_id", F.xxhash64("shingle").alias("shingle_h"))
+    if df_cap is not None:
+        # The HOT set (df > cap) is tiny by construction — boilerplate
+        # shingles only — so it broadcasts; the rare-shingle majority
+        # never moves through an extra shuffle for the filter itself.
+        hot = (
+            sh.groupBy("shingle_h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("shingle_h")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle_h", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -368,7 +401,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_NGRAM_JACCARD_SQL = f"""
 WITH {_SHINGLES_CTE},
-ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+ex0 AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+hot AS (SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) > {JACCARD_DF_CAP}),
+ex AS (SELECT doc_id, shingle FROM ex0 ANTI JOIN hot USING (shingle)),
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM ex GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared

@@ -83,6 +83,42 @@ def test_ngram_jaccard_scores(planted_docs):
     assert (0, 4) not in pairs
 
 
+def test_ngram_jaccard_df_cap_kills_hot_shingle(spark):
+    # A corpus-wide boilerplate sentence puts every doc in one posting
+    # list: uncapped, the inverted-index self-join materializes C(42,2)
+    # pairs from boilerplate alone.  With the df cap the hot shingles are
+    # dropped before the join, so the ONLY pair that survives even at
+    # threshold 0 is the genuinely near-duplicate one — the join stays
+    # sub-quadratic no matter how common the boilerplate is.
+    boiler = "all rights reserved contact us for full terms of use today"
+    rows = []
+    for i in range(40):
+        unique = " ".join(f"tok{i}x{j}" for j in range(20))
+        rows.append((i, boiler + " " + unique, "s"))
+    body = " ".join(f"dup{j}" for j in range(30))
+    rows.append((100, boiler + " " + body, "s"))
+    rows.append((101, boiler + " " + body + " trailing extra words", "s"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.0, df_cap=5).collect()
+    }
+    assert pairs == {(100, 101)}  # recall kept, boilerplate pairs gone
+
+
+def test_ngram_jaccard_cap_never_binds_on_fixture(spark, sf_dir):
+    # On fixture data (≤ 500 docs) the default cap can't bind, so the
+    # capped operator must be byte-identical to the uncapped one — the
+    # guarantee that makes the oracle-side cap a no-op at test scale.
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans.core import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    capped = sorted(map(tuple, ngram_jaccard_pairs(docs).collect()))
+    uncapped = sorted(map(tuple, ngram_jaccard_pairs(docs, df_cap=None).collect()))
+    assert capped == uncapped
+
+
 def test_simhash_near_pairs(planted_docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
