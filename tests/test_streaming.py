@@ -99,6 +99,67 @@ def test_sessionize_stream_stateful(spark, tmp_path):
     assert rows[(0, 35)] == (1, 4.0)  # 95 min → 01:35
 
 
+def test_sessionize_stream_matches_batch(spark, tmp_path, sf_dir):
+    """Replay the whole events fixture through the stateful streaming
+    sessionizer and assert it produces EXACTLY the batch ``sessionize``
+    query's sessions — the reference check for watermark-closure edge
+    cases (in-batch gap closes + event-time timeout closes must together
+    partition the feed identically to the batch lag/cumsum plan)."""
+    import os
+    from collections import defaultdict
+    from datetime import datetime
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans import ALL_QUERIES
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans.core import load_table
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming import (
+        sessionize_stream,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming.hourly import (
+        EVENT_SCHEMA,
+    )
+
+    in_dir = tmp_path / "in"
+    ev = load_table(spark, str(sf_dir), "events").select(
+        *(f.name for f in EVENT_SCHEMA.fields)
+    )
+    ev.coalesce(1).write.parquet(str(in_dir))
+    # Sentinel far past max(ts) + gap: advances the watermark so every
+    # real session still open in state closes by event-time timeout.
+    sentinel = spark.createDataFrame(
+        [(10**9, datetime(2024, 6, 1), -1, "click", 0.0, "{}")], EVENT_SCHEMA
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(str(in_dir))
+    # File order = micro-batch order: fixture first, sentinel second.
+    parts = sorted(in_dir.glob("part-*.parquet"), key=lambda p: p.stat().st_mtime)
+    now = parts[-1].stat().st_mtime
+    for i, p in enumerate(parts):
+        os.utime(p, (now - 60 * (len(parts) - i), now - 60 * (len(parts) - i)))
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    sessions = sessionize_stream(stream, gap_min=30, watermark="0 seconds")
+    run_to_memory(sessions, "sessions_vs_batch_t")
+
+    by_user = defaultdict(list)
+    for r in spark.table("sessions_vs_batch_t").collect():
+        if r["user_id"] >= 0:  # drop the sentinel user
+            by_user[r["user_id"]].append(r)
+    stream_rows = set()
+    for user, rs in by_user.items():
+        for i, r in enumerate(sorted(rs, key=lambda x: x["session_start"]), 1):
+            dur = int((r["session_end"] - r["session_start"]).total_seconds())
+            stream_rows.add((user, i, r["n_events"], dur))
+
+    batch_rows = {
+        (r["user_id"], r["session_id"], r["n_events"], r["duration_s"])
+        for r in ALL_QUERIES["sessionize"].fn(spark, str(sf_dir)).collect()
+    }
+    assert stream_rows == batch_rows
+
+
 def test_dedup_stream_drops_duplicates(spark, tmp_path):
     rows = [_event(1, 0), _event(1, 1), _event(2, 2), _event(2, 3), _event(3, 4)]
     (tmp_path / "dups.json").write_text("\n".join(json.dumps(r) for r in rows))
