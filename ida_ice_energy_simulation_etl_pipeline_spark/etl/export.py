@@ -54,8 +54,16 @@ def build_summary(
     scen_desc = next(r for r in scen_rows if r["scenario_id"] == scenario_id)
 
     meters = star["fact_meters"].filter(F.col("scenario_id") == scenario_id)
+    # LEFT join: fact_meters is time-keyed by a LEFT join upstream
+    # (transform._time_keyed), so a row can carry a null time_key.  The
+    # reference's annual figures are whole-table sums (export_json.py
+    # get_sum), so such rows must still count toward ANNUAL totals — they
+    # land in a null-month bucket here, which the monthly breakdown skips
+    # but the annual roll-forward includes.
     time_keyed = meters.join(
-        F.broadcast(star["dim_time"].select("time_key", "month")), "time_key"
+        F.broadcast(star["dim_time"].select("time_key", "month")),
+        "time_key",
+        "left",
     )
 
     def _monthly_rows():
@@ -117,7 +125,10 @@ def build_summary(
             "total_kwh": round(float(r["heating"] + r["cooling"] + r["electric"]), 1),
         }
         for r in monthly_rows
+        if r["month"] is not None
     ]
+    # Annual sums include the null-month bucket (rows with no time_key) —
+    # reconciling with the reference's whole-table sums.
     electric = float(sum(r["electric"] for r in monthly_rows))
     heating = float(sum(r["heating"] for r in monthly_rows))
     cooling = float(sum(r["cooling"] for r in monthly_rows))

@@ -92,17 +92,37 @@ def check_run_coverage(
     """Circuit breaker (reference aborts when >50% of archives fail,
     src/etl/extract/__init__.py:130-135): a run "failed" if it produced
     zero well-formed meter rows.  Callable against raw CSV or (cheaper)
-    against the landed fact table."""
-    ok_runs = {
-        (r["building_id"], r["scenario_id"])
-        for r in meters.select("building_id", "scenario_id").distinct().collect()
-    }
-    expected = {parse_run_id(r) for r in run_ids}
-    failed = expected - ok_runs
-    if len(failed) > max_failure_ratio * len(expected):
+    against the landed fact table.
+
+    Fully distributed: the manifest (already a driver-side listing) is
+    parallelized and anti-joined against the distinct runs observed in the
+    data, so only the failure COUNT crosses to the driver — never a
+    per-run row set, which at millions of runs would be a driver-side
+    memory bomb.  The 5-run failure sample is fetched via limit() only on
+    the error path."""
+    expected = set()
+    for r in run_ids:
+        expected.add(parse_run_id(r))
+    spark = meters.sparkSession
+    expected_df = spark.createDataFrame(
+        sorted(expected), ["building_id", "scenario_id"]
+    )
+    failed_df = expected_df.join(
+        meters.select("building_id", "scenario_id").distinct(),
+        ["building_id", "scenario_id"],
+        "left_anti",
+    )
+    n_failed = failed_df.count()
+    if n_failed > max_failure_ratio * len(expected):
+        sample = [
+            (r["building_id"], r["scenario_id"])
+            for r in failed_df.orderBy("building_id", "scenario_id")
+            .limit(5)
+            .collect()
+        ]
         raise ExtractionError(
-            f"{len(failed)}/{len(expected)} runs unreadable (>{max_failure_ratio:.0%}): "
-            f"{sorted(failed)[:5]}"
+            f"{n_failed}/{len(expected)} runs unreadable "
+            f"(>{max_failure_ratio:.0%}): {sample}"
         )
 
 

@@ -195,12 +195,15 @@ def simhash_col(tokens: Column) -> Column:
     md5(token)) — hex char >= '8' ⇔ high bit set, an ASCII comparison that
     behaves identically in DuckDB.
 
-    ONE aggregate pass with a SIMHASH_BITS-field struct accumulator: each
-    token is md5-hashed exactly once (the hash digest dominates the kernel;
-    a per-bit fold re-hashed every token SIMHASH_BITS×).  The signature
-    string is assembled in the finish lambda, where the accumulator is a
-    bound variable — referencing it per bit re-reads the struct, never
-    re-runs the fold.
+    ONE aggregate pass with a SIMHASH_BITS-field struct accumulator — a
+    single array traversal where the per-bit fold it replaced walked the
+    token array SIMHASH_BITS times.  (The md5(t) expression is textually
+    duplicated into each struct field, and Spark evaluates higher-order-
+    function lambdas interpreted, without a common-subexpression-
+    elimination guarantee — so the claim here is one array PASS, not one
+    hash per token.)  The signature string is assembled in the finish
+    lambda, where the accumulator is a bound variable — referencing it per
+    bit re-reads the struct, never re-runs the fold.
     """
     def merge(acc: Column, t: Column) -> Column:
         h = F.md5(t.cast("binary"))

@@ -14,7 +14,8 @@ batch memory per task.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+import importlib.util
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -28,6 +29,12 @@ from pyspark.sql.types import (
 )
 
 from ..plans.core import QuerySpec, ensure_parallelism, load_table
+
+# Real codecs are OPTIONAL: when PIL is installed the decode/resize
+# functions below use it; in this container (no imaging libs) they raise
+# NotImplementedError and the byte-level stand-ins keep the Spark-side
+# plumbing fully exercised.
+HAS_PIL = importlib.util.find_spec("PIL") is not None
 
 MEDIA_SCHEMA = StructType(
     [
@@ -49,11 +56,19 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes) -> object:
-    """STUB — real decode needs PIL/opencv (not in this container)."""
-    raise NotImplementedError(
-        "image decode requires an imaging library; payload plumbing is real, "
-        "decode is intentionally stubbed"
-    )
+    """Decode an image payload to a PIL.Image when PIL is installed;
+    otherwise NotImplementedError (no imaging library in this container —
+    the payload plumbing is real, the codec is the optional part)."""
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL (not installed); payload plumbing is "
+            "real, decode is gated on the optional dependency"
+        )
+    from io import BytesIO
+
+    from PIL import Image
+
+    return Image.open(BytesIO(payload))
 
 
 def decode_audio(payload: bytes) -> object:
@@ -65,11 +80,43 @@ def decode_audio(payload: bytes) -> object:
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """STUB — real resize needs PIL/opencv (not in this container)."""
-    raise NotImplementedError(
-        "image resize requires an imaging library; payload plumbing is real, "
-        "resize is intentionally stubbed"
-    )
+    """Resize an image payload via PIL when installed; otherwise
+    NotImplementedError (see decode_image)."""
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "image resize requires PIL (not installed); payload plumbing is "
+            "real, resize is gated on the optional dependency"
+        )
+    from io import BytesIO
+
+    from PIL import Image
+
+    img = Image.open(BytesIO(payload)).resize((width, height))
+    out = BytesIO()
+    img.save(out, format=img.format or "PNG")
+    return out.getvalue()
+
+
+def _pil_image_decoder() -> Callable[[bytes], tuple[int, int, str] | None]:
+    """Payload → (width, height, mode), or None for an undecodable payload.
+    Import-gated so building a plan without PIL fails fast and explicitly."""
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "image feature extraction requires PIL (not installed); pass an "
+            "explicit decoder= to extract_image_features to run without it"
+        )
+    from io import BytesIO
+
+    from PIL import Image
+
+    def decode(payload: bytes) -> tuple[int, int, str] | None:
+        try:
+            img = Image.open(BytesIO(payload))
+            return int(img.width), int(img.height), str(img.mode)
+        except Exception:
+            return None
+
+    return decode
 
 
 def resize_bytes(payload: bytes, stride: int = 2) -> bytes:
@@ -120,6 +167,52 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+IMAGE_FEATURE_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType(), False),
+        StructField("source", StringType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("mode", StringType(), True),
+    ]
+)
+
+
+def extract_image_features(
+    media: DataFrame,
+    *,
+    decoder: Callable[[bytes], tuple[int, int, str] | None] | None = None,
+) -> DataFrame:
+    """Decode-and-measure image payloads through the SAME Arrow-batched
+    ``mapInPandas`` path as extract_features.
+
+    ``decoder`` maps payload bytes → (width, height, mode) or None for
+    undecodable rows; the default is the PIL-backed decoder, which raises
+    NotImplementedError at plan-build time when PIL is absent (this
+    container) — pass a deterministic fake to exercise the plumbing
+    without codec libraries.  The callable is captured in the task
+    closure, so it ships to executors with the task, not via an import.
+    """
+    decode = decoder if decoder is not None else _pil_image_decoder()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [
+                decode(b) if b is not None else None for b in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "source": pdf["source"],
+                    "width": [d[0] if d else None for d in decoded],
+                    "height": [d[1] if d else None for d in decoded],
+                    "mode": [d[2] if d else None for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=IMAGE_FEATURE_SCHEMA)
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -239,6 +239,32 @@ def test_export_summary(star):
     assert retro["annual"]["total_kwh"] < doc["annual"]["total_kwh"]
 
 
+def test_export_annual_includes_null_time_key_rows(spark, star):
+    """fact_meters is time-keyed by a LEFT join, so rows can carry a null
+    time_key; the annual figures must still count them (the reference's
+    annual numbers are whole-table sums), while the monthly breakdown
+    keeps only real months."""
+    from pyspark.sql import functions as F
+
+    base = build_summary(star, scenario_id="BASE")
+    meters = star["fact_meters"]
+    extra = (
+        meters.filter(F.col("scenario_id") == "BASE")
+        .limit(1)
+        .withColumn("time_key", F.lit(None).cast(dict(meters.dtypes)["time_key"]))
+        .withColumn("electric_kwh", F.lit(1000.0))
+        .withColumn("heating_kwh", F.lit(0.0))
+        .withColumn("cooling_kwh", F.lit(0.0))
+    )
+    doc = build_summary(
+        dict(star, fact_meters=meters.unionByName(extra)), scenario_id="BASE"
+    )
+    assert doc["annual"]["electric_kwh"] == pytest.approx(
+        base["annual"]["electric_kwh"] + 1000.0, abs=0.2
+    )
+    assert doc["monthly_breakdown"] == base["monthly_breakdown"]
+
+
 def test_pipeline_end_to_end(spark, runs_dir, tmp_path):
     result = run_pipeline(spark, runs_dir, tmp_path / "out")
     assert result["validation"]["is_valid"]

@@ -152,6 +152,71 @@ def test_lsh_topk_finds_true_neighbors(spark):
         assert r["cos"] > 0.99
 
 
+def _topk_recall(approx_rows, truth: dict[int, set]) -> float:
+    got: dict[int, set] = {}
+    for r in approx_rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+    return hits / sum(len(t) for t in truth.values())
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """Recall regression bound for the IVF ANN path on fixture embeddings:
+    nprobe=2 must recover ≥ 0.9 of the exact cosine top-k, and the nprobe
+    dial must be monotone (probing more cells never loses neighbors)."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.similarity import (
+        N_QUERIES,
+        ivf_topk,
+        similarity_topk,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans.core import load_table
+
+    truth: dict[int, set] = {}
+    for r in similarity_topk(spark, sf_dir).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(N_QUERIES))
+    r1 = _topk_recall(ivf_topk(emb, qids, nprobe=1).collect(), truth)
+    r2 = _topk_recall(ivf_topk(emb, qids, nprobe=2).collect(), truth)
+    assert r2 >= 0.9, f"IVF nprobe=2 recall {r2:.2f} < 0.9"
+    assert r2 >= r1, f"nprobe dial not monotone: {r1:.2f} → {r2:.2f}"
+
+
+def test_lsh_topk_recall_on_planted_clusters(spark):
+    """Recall bound for the hyperplane-LSH path in its applicable regime
+    (clustered data — single-bucket probing on uniformly random vectors
+    has no locality to exploit, which is why the fixture-wide bound lives
+    on the IVF path above): ≥ 0.9 of the exact top-k, computed here
+    against a numpy brute-force ground truth."""
+    import math
+
+    import numpy as np
+
+    def vec(center: int, jitter: int) -> list[float]:
+        return [math.sin(center * 37.0 + d) + 0.01 * jitter for d in range(16)]
+
+    rows = [(c * 10 + j, vec(c, j), c) for c in range(3) for j in range(8)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    qids = [0, 10, 20]
+
+    mat = {vid: np.array(v) for vid, v, _ in rows}
+    truth: dict[int, set] = {}
+    for q in qids:
+        sims = sorted(
+            (
+                (float(mat[q] @ v) / (np.linalg.norm(mat[q]) * np.linalg.norm(v)), vid)
+                for vid, v in mat.items()
+                if vid != q
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        truth[q] = {vid for _, vid in sims[:3]}
+
+    got = lsh_topk(emb, query_ids=qids, k=3, dim=16).collect()
+    recall = _topk_recall(got, truth)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9 on planted clusters"
+
+
 def test_multimodal_plumbing(spark):
     docs = spark.createDataFrame(
         [(1, "hello world", "s1"), (2, "", "s2")], ["doc_id", "text", "source"]
@@ -165,17 +230,86 @@ def test_multimodal_plumbing(spark):
 
 
 def test_multimodal_stubs_are_explicit():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        HAS_PIL,
+    )
+
+    if not HAS_PIL:  # this container: codec path is an explicit stub
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG")
+        with pytest.raises(NotImplementedError):
+            resize_image(b"\x89PNG", 32, 32)
     with pytest.raises(NotImplementedError):
         decode_audio(b"RIFF")
-    with pytest.raises(NotImplementedError):
-        resize_image(b"\x89PNG", 32, 32)
     frames = frame_sample(b"0123456789abcdef", n_frames=4)
     assert len(frames) == 4 and frames[0] == b"0123"
     assert frame_sample(b"") == []
     assert resize_bytes(b"abcdef") == b"ace"
     assert resize_bytes(b"", 2) == b""
+
+
+def test_image_features_stub_branch_raises_without_pil(spark):
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        HAS_PIL,
+        extract_image_features,
+    )
+
+    docs = spark.createDataFrame([(1, "hello", "s1")], ["doc_id", "text", "source"])
+    media = documents_as_media(docs)
+    if HAS_PIL:
+        pytest.skip("PIL installed: the stub branch is unreachable")
+    # no decoder + no PIL → fail fast at plan-build time, not mid-job
+    with pytest.raises(NotImplementedError):
+        extract_image_features(media)
+
+
+def test_image_features_wiring_with_injected_decoder(spark):
+    """The decode → mapInPandas wiring runs end-to-end with an injected
+    decoder (the closure ships with the task), so the Spark-side path is
+    real in this container even though the PIL codec itself is optional."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    def fake_decode(payload: bytes):
+        if not payload:
+            return None  # undecodable → null features
+        return (len(payload), len(payload) * 2, "FAKE")
+
+    docs = spark.createDataFrame(
+        [(1, "hello", "s1"), (2, "", "s2")], ["doc_id", "text", "source"]
+    )
+    rows = {
+        r["item_id"]: r
+        for r in extract_image_features(
+            documents_as_media(docs), decoder=fake_decode
+        ).collect()
+    }
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["mode"]) == (5, 10, "FAKE")
+    assert rows[2]["width"] is None and rows[2]["mode"] is None
+
+
+def test_image_features_real_pil_decode(spark):
+    """Real-codec branch: exercised only where PIL is installed."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        HAS_PIL,
+        extract_image_features,
+    )
+
+    if not HAS_PIL:
+        pytest.skip("PIL not installed in this container")
+    from io import BytesIO
+
+    from PIL import Image
+
+    buf = BytesIO()
+    Image.new("RGB", (7, 3)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image/png", buf.getvalue(), "s1")],
+        ["item_id", "media_type", "payload", "source"],
+    )
+    row = extract_image_features(media).collect()[0]
+    assert (row["width"], row["height"], row["mode"]) == (7, 3, "RGB")
 
 
 def test_multimodal_frame_explosion(spark):
@@ -326,8 +460,6 @@ def test_top_token_count_long_document(spark):
     in document length.  A 25k-token low-redundancy document (the case
     where the old per-distinct-token scan went O(|distinct|·n) ≈ 6×10⁸
     comparisons) must return the exact count with no timing cliff."""
-    import time
-
     from ida_ice_energy_simulation_etl_pipeline_spark.functions import word_tokens
     from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
         top_token_count,
@@ -342,13 +474,13 @@ def test_top_token_count_long_document(spark):
             words.append("the")
     text = " ".join(words)
     df = spark.createDataFrame([(text,), ("a b a", ), ("solo",)], "text string")
-    t0 = time.monotonic()
-    got = sorted(
-        r[0]
-        for r in df.select(
-            top_token_count(word_tokens(F.col("text"))).alias("c")
-        ).collect()
-    )
-    elapsed = time.monotonic() - t0
+    expr = df.select(top_token_count(word_tokens(F.col("text"))).alias("c"))
+    got = sorted(r[0] for r in expr.collect())
     assert got == [1, 2, 1000]
-    assert elapsed < 10.0, f"timing cliff on long document: {elapsed:.1f}s"
+    # Linearity asserted STRUCTURALLY (a wall-clock bound flakes on a busy
+    # box): the kernel must be ONE fold over ONE sorted array — the
+    # quadratic form it replaced scanned per distinct token, which shows
+    # up as array_distinct feeding a nested per-element transform.
+    plan = expr._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("array_sort") == 1
+    assert "array_distinct" not in plan
