@@ -82,16 +82,19 @@ TABLES = [
 ]
 
 
-def _median_time(run, repeats: int = REPEATS) -> tuple[float, float]:
-    """(median_sec, rel_spread) over ``repeats`` timed executions."""
-    samples = []
-    for _ in range(repeats):
-        start = time.perf_counter()
-        run()
-        samples.append(time.perf_counter() - start)
-    med = statistics.median(samples)
-    spread = (max(samples) - min(samples)) / med if med > 0 else 0.0
-    return round(med, 4), round(spread, 4)
+def _timed(run) -> float:
+    start = time.perf_counter()
+    run()
+    return time.perf_counter() - start
+
+
+def _summarize(samples: dict[str, list[float]]) -> tuple[dict, dict]:
+    timings, spreads = {}, {}
+    for name, ts in samples.items():
+        med = statistics.median(ts)
+        timings[name] = round(med, 4)
+        spreads[name] = round((max(ts) - min(ts)) / med, 4) if med > 0 else 0.0
+    return timings, spreads
 
 
 def _duckdb_timings(sf_dir: str, threads: int) -> dict[str, float | str]:
@@ -110,18 +113,24 @@ def _duckdb_timings(sf_dir: str, threads: int) -> dict[str, float | str]:
             )
     except Exception as exc:  # pragma: no cover - environment-dependent
         return {name: f"error:{type(exc).__name__}" for name in HEADLINE}
-    out: dict[str, float | str] = {}
-    for name in HEADLINE:
-        sql = ALL_QUERIES[name].oracle
-        if not sql:
-            continue
-        try:
-            con.execute(sql).fetchall()  # warmup (page cache, plan cache)
-            out[name], _ = _median_time(lambda: con.execute(sql).fetchall())
-        except Exception as exc:
-            out[name] = f"error:{type(exc).__name__}"
+    # Interleaved passes (see main): a load spike lands on ONE sample of
+    # many queries, not every sample of one query, so the median holds.
+    samples: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
+    for rep in range(REPEATS + 1):  # pass 0 = warmup (page cache, plan cache)
+        for name in HEADLINE:
+            sql = ALL_QUERIES[name].oracle
+            if not sql or name in errors:
+                continue
+            try:
+                t = _timed(lambda: con.execute(sql).fetchall())
+                if rep > 0:
+                    samples.setdefault(name, []).append(t)
+            except Exception as exc:
+                errors[name] = f"error:{type(exc).__name__}"
     con.close()
-    return out
+    timings, _ = _summarize(samples)
+    return {**timings, **errors}
 
 
 def main() -> None:
@@ -138,12 +147,17 @@ def main() -> None:
     for name in HEADLINE:
         ALL_QUERIES[name].fn(spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
-    spreads: dict[str, float] = {}
-    for name in HEADLINE:
-        timings[name], spreads[name] = _median_time(
-            lambda: ALL_QUERIES[name].fn(spark, sf_dir).collect()
-        )
+    # REPEATS full passes, INTERLEAVED (pass 1 runs every query, then pass
+    # 2, ...): back-to-back samples of one query share any transient load
+    # spike, so per-query medians of consecutive runs inherit the spike —
+    # round-robin decorrelates the samples and the median rejects it.
+    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    for _ in range(REPEATS):
+        for name in HEADLINE:
+            samples[name].append(
+                _timed(lambda: ALL_QUERIES[name].fn(spark, sf_dir).collect())
+            )
+    timings, spreads = _summarize(samples)
     spark.stop()
 
     # DuckDB self-grading pass AFTER the Spark JVM releases its heap.

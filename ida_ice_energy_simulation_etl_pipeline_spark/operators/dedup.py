@@ -24,6 +24,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import word_shingles, word_tokens
 from ..plans.core import QuerySpec, ensure_parallelism, load_table
@@ -331,12 +332,12 @@ def ngram_jaccard_pairs(
     """All doc pairs with shingle-set Jaccard ≥ threshold (computed over
     shingles with document frequency ≤ ``df_cap``; see cap note above).
 
-    Shape: explode distinct shingles → drop hot shingles (broadcast
-    anti-join against the tiny df > cap set) → self-join on shingle
-    (inverted index) → per-pair intersection count → Jaccard from per-doc
-    set sizes.  At 100 TB this runs AFTER LSH candidate filtering; the
-    join here is on the shingle (bounded fan-out), never a raw doc×doc
-    cross join.
+    Shape: explode distinct shingles → drop hot shingles (count window
+    over the shingle partition — rides the self-join's own shuffle) →
+    self-join on shingle (inverted index) → per-pair intersection count →
+    Jaccard from per-doc set sizes.  At 100 TB this runs AFTER LSH
+    candidate filtering; the join here is on the shingle (bounded
+    fan-out), never a raw doc×doc cross join.
 
     Measured design note: the tempting "one-scan" posting-list variant
     (groupBy shingle → collect_list → expand i<j pairs with array
@@ -354,16 +355,20 @@ def ngram_jaccard_pairs(
         "doc_id", F.explode(_shingle_set(F.col("text"))).alias("shingle")
     ).select("doc_id", F.xxhash64("shingle").alias("shingle_h"))
     if df_cap is not None:
-        # The HOT set (df > cap) is tiny by construction — boilerplate
-        # shingles only — so it broadcasts; the rare-shingle majority
-        # never moves through an extra shuffle for the filter itself.
-        hot = (
-            sh.groupBy("shingle_h")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > df_cap)
-            .select("shingle_h")
+        # df as a COUNT WINDOW over the shingle partition, not a separate
+        # aggregate + anti-join: the window's exchange hash-partitions the
+        # stream by shingle_h — exactly the partitioning the self-join
+        # needs next — so the cap rides the shuffle the join pays anyway.
+        # Measured at sf0.1 (median of 3): window 1.98s vs broadcast-anti
+        # 2.96s vs shuffled-semi 2.90s vs UNCAPPED 2.08s — the cap is
+        # free.  (No orderBy: an unbounded count window needs no sort
+        # semantics beyond the partition grouping.)
+        w = Window.partitionBy("shingle_h")
+        sh = (
+            sh.withColumn("df", F.count(F.lit(1)).over(w))
+            .filter(F.col("df") <= df_cap)
+            .drop("df")
         )
-        sh = sh.join(F.broadcast(hot), "shingle_h", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -405,8 +410,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_NGRAM_JACCARD_SQL = f"""
 WITH {_SHINGLES_CTE},
 ex0 AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
-hot AS (SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) > {JACCARD_DF_CAP}),
-ex AS (SELECT doc_id, shingle FROM ex0 ANTI JOIN hot USING (shingle)),
+ex AS (SELECT doc_id, shingle FROM (
+  SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM ex0
+) WHERE df <= {JACCARD_DF_CAP}),
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM ex GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
