@@ -186,6 +186,74 @@ def test_bucketed_join_avoids_shuffle(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
+def test_jaccard_df_cap_adds_no_exchange_at_scale(spark):
+    """The df-cap count window must ride the self-join's own shuffle: at
+    scale the inverted-index self-join is a SHUFFLED join on shingle_h —
+    exactly the partitioning the window needs — so the capped plan may
+    not add a single distinct exchange over the uncapped plan.  Broadcast
+    is disabled to reproduce the at-scale join strategy (at fixture size
+    AQE broadcasts the join, where the window legitimately keeps its own
+    exchange; measured wall time there is unchanged — see dedup.py)."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans.core import load_table
+
+    docs = load_table(spark, SF, "documents")
+
+    def n_distinct_exchanges(df) -> int:
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        return final.count("Exchange hashpartitioning") - final.count(
+            "ReusedExchange"
+        )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        capped = n_distinct_exchanges(ngram_jaccard_pairs(docs))
+        uncapped = n_distinct_exchanges(ngram_jaccard_pairs(docs, df_cap=None))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert capped <= uncapped, f"cap added exchanges: {capped} > {uncapped}"
+
+
+def test_export_summary_is_two_scans_no_shuffle_join(spark):
+    # two single-row global aggregates cross-joined: the join must be a
+    # 1×1 broadcast nested loop, never a shuffle
+    plan = _executed_plan(spark, "export_summary").split("== Initial Plan ==")[0]
+    assert plan.count("FileScan parquet") == 2
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_set_ops_no_cartesian(spark):
+    # INTERSECT/EXCEPT must plan as aggregate joins on key-grain rows
+    plan = _executed_plan(spark, "set_ops")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_split_sample_and_fingerprint_are_map_only(spark):
+    # both merged text queries are per-row hash derivations: no explode,
+    # no Python, at most the one final rollup exchange
+    for name in ("split_sample", "text_fingerprint"):
+        plan = _optimized_plan(spark, name)
+        assert "PythonUDF" not in plan, f"{name} fell off the JVM fast path"
+        assert "Generate" not in plan, f"{name} gained an explode"
+    exec_plan = _executed_plan(spark, "split_sample").split("== Initial Plan ==")[0]
+    assert exec_plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_multimodal_pipeline_both_arrow_paths(spark):
+    # the merged query must run BOTH mapInPandas shapes, Arrow-batched,
+    # and never fall back to row-wise Python evaluation
+    plan = _optimized_plan(spark, "multimodal_pipeline")
+    assert plan.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in plan
+
+
 def test_cube_and_grouping_sets_single_expand(spark):
     # CUBE (8 groupings) and explicit GROUPING SETS (3 groupings) each plan
     # as ONE Expand + one aggregate pair — every grain from a single
