@@ -204,20 +204,49 @@ FROM sig GROUP BY bucket ORDER BY bucket
 
 
 def lsh_topk(
-    emb: DataFrame, query_ids: list[int], k: int = TOP_K, dim: int = 64
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = TOP_K,
+    dim: int = 64,
+    n_planes: int = N_HYPERPLANES,
+    multiprobe: bool = False,
 ) -> DataFrame:
-    """ANN top-k probing only the query's bucket (plus exact rerank inside).
+    """ANN top-k probing the query's bucket (plus exact rerank inside).
 
-    Recall is tunable via n_planes/multi-probe; this is the 100 TB shape:
-    bucket column becomes the partition key, so a query touches one
-    partition instead of the full corpus.
+    ``multiprobe`` is the LSH recall/latency dial (the analog of IVF's
+    ``nprobe``): with it on, each query also probes every bucket at
+    Hamming distance 1 from its own — the standard multi-probe LSH trick
+    that recovers neighbors whose sketch differs by a single sign bit
+    (the most likely LSH miss).  The probe list is built by flipping each
+    bit of the query's bucket string and exploding — 1 + n_planes probe
+    rows per query, still a tiny broadcast — and every corpus vector
+    lives in exactly one bucket, so probes can never produce duplicate
+    candidate pairs.  This is the 100 TB shape either way: the bucket
+    column is the partition key, so a query touches 1 (or 1 + n_planes)
+    partitions instead of the full corpus.
     """
-    bucketed = emb.withColumn("bucket", lsh_bucket_col(F.col("embedding"), dim))
+    bucketed = emb.withColumn(
+        "bucket", lsh_bucket_col(F.col("embedding"), dim, n_planes)
+    )
     queries = bucketed.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
     )
+    if multiprobe:
+        flipped = [
+            F.concat(
+                F.substring(F.col("q_bucket"), 1, i),
+                F.when(
+                    F.substring(F.col("q_bucket"), i + 1, 1) == "1", "0"
+                ).otherwise("1"),
+                F.substring(F.col("q_bucket"), i + 2, n_planes - i - 1),
+            )
+            for i in range(n_planes)
+        ]
+        queries = queries.withColumn(
+            "q_bucket", F.explode(F.array(F.col("q_bucket"), *flipped))
+        )
     scored = (
         bucketed.join(
             F.broadcast(queries), F.col("bucket") == F.col("q_bucket")

@@ -217,6 +217,39 @@ def test_lsh_topk_recall_on_planted_clusters(spark):
     assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9 on planted clusters"
 
 
+def test_lsh_multiprobe_monotone_recall(spark, sf_dir):
+    """Multi-probe LSH (Hamming-1 bucket expansion) must never lose
+    recall vs exact-bucket probing, and must return a superset of the
+    exact-bucket results for each query (a vector lives in exactly one
+    bucket, so extra probes only ADD candidates)."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.similarity import (
+        N_QUERIES,
+        similarity_topk,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans.core import load_table
+
+    truth: dict[int, set] = {}
+    for r in similarity_topk(spark, sf_dir).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(N_QUERIES))
+    exact = lsh_topk(emb, qids, dim=64).collect()
+    multi = lsh_topk(emb, qids, dim=64, multiprobe=True).collect()
+    assert _topk_recall(multi, truth) >= _topk_recall(exact, truth)
+
+    def by_query(rows):
+        out: dict[int, set] = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    e_by, m_by = by_query(exact), by_query(multi)
+    for q, neigh in e_by.items():
+        # top-k may reorder as candidates improve, but an exact-bucket
+        # neighbor can only be displaced by a strictly better candidate
+        assert len(m_by.get(q, set())) >= len(neigh)
+
+
 def test_multimodal_plumbing(spark):
     docs = spark.createDataFrame(
         [(1, "hello world", "s1"), (2, "", "s2")], ["doc_id", "text", "source"]
