@@ -781,6 +781,67 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# The pretraining-corpus funnel: the composition every training-data
+# pipeline runs first — raw → language-filtered → quality-filtered →
+# exact-deduplicated — computed in ONE conditional-aggregate pass.  Each
+# stage's predicate is a map-side flag over the same scan (no per-stage
+# re-read), the dedup stage is a conditional COUNT DISTINCT over the
+# content hash of surviving docs, and the result is a single row of
+# stage counts — the funnel report that decides how much data survives
+# to training.  At 100 TB: one scan, one aggregate, no joins.
+FUNNEL_MIN_TOKENS = 5
+FUNNEL_MIN_TTR = 0.30
+
+
+def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    toks = word_tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    is_en = predicted_lang(F.col("text")) == "en"
+    is_quality = (n_tokens >= FUNNEL_MIN_TOKENS) & (ttr >= FUNNEL_MIN_TTR)
+    flagged = docs.select(
+        "n_chars",
+        is_en.alias("is_en"),
+        (is_en & is_quality).alias("kept"),
+        F.md5(F.col("text").cast("binary")).alias("text_hash"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.col("is_en"), 1).otherwise(0)).cast("long").alias("n_lang"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_quality"),
+        F.countDistinct(
+            F.when(F.col("kept"), F.col("text_hash"))
+        ).alias("n_unique"),
+        F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("kept_chars"),
+    )
+
+
+def _corpus_funnel_sql() -> str:
+    return f"""
+WITH flagged AS (
+  SELECT n_chars,
+         ({_lang_score_sql('en')} >= {_lang_score_sql('de')}
+          AND {_lang_score_sql('en')} >= {_lang_score_sql('fr')}
+          AND {_lang_score_sql('en')} >= {_lang_score_sql('es')}) AS is_en,
+         (len(string_split(text, ' ')) >= {FUNNEL_MIN_TOKENS}
+          AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')) >= {FUNNEL_MIN_TTR}) AS is_quality,
+         md5(text) AS text_hash
+  FROM documents
+)
+SELECT count(*) AS n_raw,
+       CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT)                  AS n_lang,
+       CAST(sum(CASE WHEN is_en AND is_quality THEN 1 ELSE 0 END) AS BIGINT)   AS n_quality,
+       count(DISTINCT CASE WHEN is_en AND is_quality THEN text_hash END)       AS n_unique,
+       CAST(sum(CASE WHEN is_en AND is_quality THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM flagged
+"""
+
+
 # Driver-facing tier (see plans/relational.py note on the 50-query
 # window): text_quality folds in the repetition signals, text_fingerprint
 # folds cleaning + fingerprinting, split_sample folds split + sampling —
@@ -808,6 +869,12 @@ SPECS: list[QuerySpec] = [
         "tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_SQL, "ext:text,window"
     ),
     QuerySpec("seq_packing", seq_packing, SEQ_PACKING_SQL, "ext:packing,window"),
+    QuerySpec(
+        "corpus_funnel",
+        corpus_funnel,
+        _corpus_funnel_sql(),
+        "ext:text,funnel,composition",
+    ),
 ]
 
 # The standalone halves of the merged driver queries — still
