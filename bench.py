@@ -68,6 +68,15 @@ HEADLINE = [
     "top_tokens",
 ]
 
+# Optional subset for iteration / CI smoke: comma-separated query names.
+_subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+if _subset:
+    _wanted = [n.strip() for n in _subset.split(",") if n.strip()]
+    _unknown = [n for n in _wanted if n not in ALL_QUERIES]
+    if _unknown:
+        raise SystemExit(f"unknown bench queries: {_unknown}")
+    HEADLINE = _wanted
+
 TABLES = [
     "region",
     "nation",
