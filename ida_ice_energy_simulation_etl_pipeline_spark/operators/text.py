@@ -339,16 +339,40 @@ GROUP BY t.source
 # the oracle.  (rand()-based sampling would be none of those.)  The split
 # point is the first 4 hex chars of md5(doc_id) as an integer in [0, 2^16):
 # < 80% → train, < 90% → val, else test.
-def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10).cast("long")
-    split = (
+def split_col(doc_id: Column) -> Column:
+    """Deterministic split assignment: a pure function of the doc id's
+    content hash — invariant under partitioning, row order, and cluster
+    size (tested by test_split_sample_is_partitioning_invariant)."""
+    h = F.conv(
+        F.substring(F.md5(doc_id.cast("string").cast("binary")), 1, 4), 16, 10
+    ).cast("long")
+    return (
         F.when(h < int(0.8 * 65536), "train")
         .when(h < int(0.9 * 65536), "val")
         .otherwise("test")
     )
+
+
+def sample_col(doc_id: Column, rate_pct: int) -> Column:
+    """Deterministic sample membership at ``rate_pct``%: same md5-prefix
+    technique as split_col with a different salt ('smp') so the two
+    assignments are decorrelated."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("smp"), doc_id.cast("string")).cast("binary")),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h < int(rate_pct / 100 * 65536)
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
     return (
-        docs.select(split.alias("split"), "source", "n_chars")
+        docs.select(split_col(F.col("doc_id")).alias("split"), "source", "n_chars")
         .groupBy("split", "source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -590,16 +614,7 @@ SAMPLE_RATE_PCT = 20
 
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("smp"), F.col("doc_id").cast("string")).cast("binary")),
-            1,
-            4,
-        ),
-        16,
-        10,
-    ).cast("long")
-    sampled = docs.filter(h < int(SAMPLE_RATE_PCT / 100 * 65536))
+    sampled = docs.filter(sample_col(F.col("doc_id"), SAMPLE_RATE_PCT))
     return sampled.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum("n_chars").alias("sampled_chars"),
@@ -719,34 +734,14 @@ FROM cleaned
 # final rollup; the decisions are reproducible on any cluster size.
 def split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
-    h_split = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
-        16,
-        10,
-    ).cast("long")
-    split = (
-        F.when(h_split < int(0.8 * 65536), "train")
-        .when(h_split < int(0.9 * 65536), "val")
-        .otherwise("test")
-    )
-    h_smp = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(F.lit("smp"), F.col("doc_id").cast("string")).cast("binary")
-            ),
-            1,
-            4,
-        ),
-        16,
-        10,
-    ).cast("long")
-    in_sample = h_smp < int(SAMPLE_RATE_PCT / 100 * 65536)
     return (
         docs.select(
-            split.alias("split"),
+            split_col(F.col("doc_id")).alias("split"),
             "source",
             "n_chars",
-            in_sample.cast("int").alias("in_sample"),
+            sample_col(F.col("doc_id"), SAMPLE_RATE_PCT)
+            .cast("int")
+            .alias("in_sample"),
         )
         .groupBy("split", "source")
         .agg(

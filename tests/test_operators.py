@@ -250,6 +250,50 @@ def test_lsh_multiprobe_monotone_recall(spark, sf_dir):
         assert len(m_by.get(q, set())) >= len(neigh)
 
 
+def test_split_sample_is_partitioning_invariant(spark, sf_dir):
+    """The split/sample assignments are pure functions of the row's
+    content hash — the whole point of the design is that the result must
+    not depend on cluster layout.  The same assignment expressions over
+    arbitrarily repartitioned input must produce byte-identical
+    per-(split, source) rollups."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        SAMPLE_RATE_PCT,
+        sample_col,
+        split_col,
+        split_sample,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans.core import load_table
+
+    base = sorted(map(tuple, split_sample(spark, sf_dir).collect()))
+    docs = load_table(spark, sf_dir, "documents")
+    for n_parts in (1, 7):
+        got = sorted(
+            map(
+                tuple,
+                docs.repartition(n_parts)
+                .select(
+                    split_col(F.col("doc_id")).alias("split"),
+                    "source",
+                    "n_chars",
+                    sample_col(F.col("doc_id"), SAMPLE_RATE_PCT)
+                    .cast("int")
+                    .alias("in_sample"),
+                )
+                .groupBy("split", "source")
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_chars").alias("total_chars"),
+                    F.sum("in_sample").cast("long").alias("n_sampled"),
+                    F.sum(F.col("in_sample") * F.col("n_chars"))
+                    .cast("long")
+                    .alias("sampled_chars"),
+                )
+                .collect(),
+            )
+        )
+        assert got == base, f"split drifted under {n_parts} partitions"
+
+
 def test_multimodal_plumbing(spark):
     docs = spark.createDataFrame(
         [(1, "hello world", "s1"), (2, "", "s2")], ["doc_id", "text", "source"]
