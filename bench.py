@@ -160,13 +160,28 @@ def main() -> None:
     # 2, ...): back-to-back samples of one query share any transient load
     # spike, so per-query medians of consecutive runs inherit the spike —
     # round-robin decorrelates the samples and the median rejects it.
+    #
+    # Each sample is split into plan-BUILD time (fn(): DataFrame
+    # construction + eager per-op analysis) and the collect.  "queries"
+    # stays build+execute for cross-round comparability; "build_sec"
+    # exposes the fixed compile component, which DOMINATES several
+    # sub-2s fixture-scale entries (measured: re-collecting an
+    # already-built text_quality DataFrame takes 0.09s where the
+    # rebuilt query takes ~1.1s — the delta is Catalyst work that a
+    # real deployment pays once per query shape, then amortizes).
     samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    build_samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
     for _ in range(REPEATS):
         for name in HEADLINE:
-            samples[name].append(
-                _timed(lambda: ALL_QUERIES[name].fn(spark, sf_dir).collect())
-            )
+            t0 = time.perf_counter()
+            df = ALL_QUERIES[name].fn(spark, sf_dir)
+            t1 = time.perf_counter()
+            df.collect()
+            t2 = time.perf_counter()
+            build_samples[name].append(t1 - t0)
+            samples[name].append(t2 - t0)
     timings, spreads = _summarize(samples)
+    builds, _ = _summarize(build_samples)
     spark.stop()
 
     # DuckDB self-grading pass AFTER the Spark JVM releases its heap.
@@ -182,6 +197,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "build_sec": builds,
                 "repeats": REPEATS,
                 "max_rel_spread": round(max(spreads.values()), 4),
                 "noisy_queries": {
