@@ -461,30 +461,49 @@ GROUP BY 1
 # computes every per-customer average and the comparison in the same pass
 # (exactly the rewrite Catalyst's decorrelation performs for the SQL form;
 # stated explicitly here because the DataFrame API has no subquery syntax).
-# The ratio column stays UNROUNDED: row-level division of identical
-# doubles is bit-exact across engines, while round() diverges on halves.
+# Determinism: prices are 2-decimal money, so the per-customer mean is
+# computed in INTEGER CENTS — integer sums are order-independent where a
+# float SUM/AVG differs in its last bits with summation order (at sf0.1
+# the raw AVG diverges between engines, and round()ing it lands on
+# systematic half-cent boundaries where Spark and DuckDB round
+# differently).  The comparison avoids division entirely
+# (cents·n > 2·sum_cents, exact BIGINT arithmetic), and the ratio is one
+# division of identical integers — bit-exact on both engines with NO
+# rounding anywhere.
 def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return (
-        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
-        .filter(F.col("o_totalprice") > 2 * F.col("cust_avg"))
+        orders.withColumn("cents", cents)
+        .withColumn("sum_cents", F.sum("cents").over(w))
+        .withColumn("n_orders", F.count(F.lit(1)).over(w))
+        .filter(F.col("cents") * F.col("n_orders") > 2 * F.col("sum_cents"))
         .select(
             "o_orderkey",
             "o_custkey",
             "o_totalprice",
-            (F.col("o_totalprice") / F.col("cust_avg")).alias("price_ratio"),
+            (
+                (F.col("cents") * F.col("n_orders")).cast("double")
+                / F.col("sum_cents")
+            ).alias("price_ratio"),
         )
     )
 
 
 ABOVE_AVG_ORDERS_SQL = """
+WITH c AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              OVER (PARTITION BY o_custkey) AS BIGINT) AS sum_cents,
+         CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
+  FROM orders
+)
 SELECT o_orderkey, o_custkey, o_totalprice,
-       o_totalprice / (SELECT avg(i.o_totalprice) FROM orders i
-                       WHERE i.o_custkey = o.o_custkey) AS price_ratio
-FROM orders o
-WHERE o_totalprice > 2 * (SELECT avg(i.o_totalprice) FROM orders i
-                          WHERE i.o_custkey = o.o_custkey)
+       CAST(cents * n_orders AS DOUBLE) / sum_cents AS price_ratio
+FROM c
+WHERE cents * n_orders > 2 * sum_cents
 """
 
 
