@@ -9,6 +9,7 @@ streaming dedup keyed on event identity.
 from .hourly import dedup_stream, hourly_rollup_stream, read_event_stream
 from .joins import interval_join_stream
 from .sessions import sessionize_stream
+from .sink import stream_to_parquet, stream_to_parquet_batches
 
 __all__ = [
     "read_event_stream",
@@ -16,4 +17,6 @@ __all__ = [
     "dedup_stream",
     "sessionize_stream",
     "interval_join_stream",
+    "stream_to_parquet",
+    "stream_to_parquet_batches",
 ]

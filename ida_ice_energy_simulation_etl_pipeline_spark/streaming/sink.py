@@ -1,0 +1,86 @@
+"""Streaming sinks: exactly-once parquet landing for the event feed.
+
+Two patterns, both replay-safe (the property that matters at 100 TB/day,
+where executors WILL die mid-batch and the stream WILL be restarted):
+
+* :func:`stream_to_parquet` — the native file sink.  Spark's sink log
+  (under the checkpoint) records which files each batch committed, so a
+  restarted query neither loses nor duplicates rows: exactly-once for
+  file targets, no custom code.  Use this whenever the target is a
+  path-addressable store.
+* :func:`stream_to_parquet_batches` — the ``foreachBatch`` pattern for
+  targets the native sink can't address (warehouse dirs, JDBC, custom
+  layouts).  Each micro-batch lands in its own ``batch_id=N`` directory
+  written with ``overwrite`` mode and skipped entirely when its
+  ``_SUCCESS`` marker already exists — so a replayed batch id (restart
+  after a crash between sink write and offset commit) is idempotent:
+  either skipped, or atomically re-overwritten to the identical rows.
+
+Both run with ``availableNow`` in tests (drain-and-stop) and unchanged
+with a continuous trigger in deployment.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame
+
+
+def stream_to_parquet(
+    stream: DataFrame,
+    path: str | Path,
+    checkpoint: str | Path,
+    *,
+    partition_by: Sequence[str] = (),
+    query_name: str = "parquet_sink",
+) -> object:
+    """Drain the stream into a parquet directory via the NATIVE file sink
+    (exactly-once through the checkpoint's sink log)."""
+    writer = (
+        stream.writeStream.format("parquet")
+        .queryName(query_name)
+        .option("path", str(path))
+        .option("checkpointLocation", str(checkpoint))
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    q = writer.start()
+    q.awaitTermination()
+    return q
+
+
+def idempotent_batch_writer(path: str | Path) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function writing each micro-batch to its own
+    ``batch_id=N`` directory, idempotently (see module docstring)."""
+    root = Path(path)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        target = root / f"batch_id={batch_id}"
+        if (target / "_SUCCESS").exists():
+            return  # replayed batch already fully committed — skip
+        batch_df.write.mode("overwrite").parquet(str(target))
+
+    return write
+
+
+def stream_to_parquet_batches(
+    stream: DataFrame,
+    path: str | Path,
+    checkpoint: str | Path,
+    *,
+    query_name: str = "batch_sink",
+) -> object:
+    """Drain the stream through :func:`idempotent_batch_writer` — the
+    ``foreachBatch`` exactly-once pattern for non-file-sink targets."""
+    q = (
+        stream.writeStream.foreachBatch(idempotent_batch_writer(path))
+        .queryName(query_name)
+        .option("checkpointLocation", str(checkpoint))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -169,6 +169,71 @@ def test_dedup_stream_drops_duplicates(spark, tmp_path):
     assert ids == [1, 2, 3]
 
 
+def test_parquet_sink_exactly_once_on_restart(spark, tmp_path):
+    """Native file sink: restarting the drained query against the SAME
+    checkpoint must add zero rows (the sink log already committed every
+    batch)."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming import (
+        stream_to_parquet,
+    )
+
+    rows = [_event(i, i) for i in range(10)]
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+
+    stream_to_parquet(read_event_stream(spark, str(src)), out, ckpt)
+    first = spark.read.parquet(str(out)).count()
+    assert first == 10
+    # restart with no new input: exactly-once means nothing is re-landed
+    stream_to_parquet(read_event_stream(spark, str(src)), out, ckpt)
+    assert spark.read.parquet(str(out)).count() == first
+
+
+def test_foreach_batch_sink_idempotent_replay(spark, tmp_path):
+    """foreachBatch sink: a replayed batch id (fresh checkpoint, same
+    input, same output dir) overwrites/skips instead of duplicating."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming import (
+        stream_to_parquet_batches,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming.sink import (
+        idempotent_batch_writer,
+    )
+
+    rows = [_event(i, i) for i in range(8)]
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    out = tmp_path / "out"
+
+    stream_to_parquet_batches(
+        read_event_stream(spark, str(src)), out, tmp_path / "ckpt1"
+    )
+    landed = spark.read.parquet(str(out / "batch_id=0"))
+    assert landed.count() == 8
+
+    # simulate a crash-replay: a fresh checkpoint re-delivers batch 0 to
+    # the same target — the committed _SUCCESS marker makes it a no-op
+    stream_to_parquet_batches(
+        read_event_stream(spark, str(src)), out, tmp_path / "ckpt2"
+    )
+    assert spark.read.parquet(str(out / "batch_id=0")).count() == 8
+
+    # and a half-written batch (no _SUCCESS) is atomically re-overwritten
+    import shutil
+
+    target = out / "batch_id=0"
+    (target / "_SUCCESS").unlink()
+    batch_df = spark.read.schema(
+        read_event_stream(spark, str(src)).schema
+    ).json(str(src))
+    idempotent_batch_writer(out)(batch_df, 0)
+    assert spark.read.parquet(str(target)).count() == 8
+    assert (target / "_SUCCESS").exists()
+    shutil.rmtree(str(tmp_path / "ckpt2"), ignore_errors=True)
+
+
 def test_interval_join_stream_matches_batch(spark, tmp_path):
     """Stream-stream interval join agrees with the batch banded range join
     on the same data, including both boundary sides."""
