@@ -142,7 +142,26 @@ def _duckdb_timings(sf_dir: str, threads: int) -> dict[str, float | str]:
     return {**timings, **errors}
 
 
+def explain(names: list[str]) -> None:
+    """Print the formatted physical plan for each named query — the
+    iterate-on-.explain loop: run after any plan change and check the
+    pushdown/broadcast/codegen properties the shape tests pin."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    spark = get_spark(app_name="bench-explain", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in names:
+        if name not in ALL_QUERIES:
+            raise SystemExit(f"unknown query {name!r}")
+        print(f"===== {name} =====")
+        ALL_QUERIES[name].fn(spark, sf_dir).explain("formatted")
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--explain":
+        explain(sys.argv[2:] or list(HEADLINE))
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     spark = get_spark(
