@@ -112,14 +112,30 @@ def load_to_parquet(
     out_dir: str | Path,
     *,
     partition_facts: bool = False,
+    sort_within: dict[str, list[str]] | None = None,
 ) -> dict[str, str]:
     """Write every star table as parquet (reference load:15-33).  Returns
-    {table: path}."""
+    {table: path}.
+
+    ``sort_within`` maps table → clustering columns: the table is
+    ``repartitionByRange`` + ``sortWithinPartitions`` on them before
+    writing — the data-skipping layout.  Parquet records min/max stats
+    per file and per row group; range-clustering makes every output
+    file's key interval NARROW and pairwise disjoint, so a reader's
+    pushed-down range predicate prunes whole files (and row groups
+    inside the survivors) instead of scanning them.  At 100 TB this is
+    the second pruning dimension after partitionBy (partition pruning
+    cuts directories; clustered files cut within the survivors), bought
+    with ONE range shuffle at write time and amortized over every
+    subsequent time-range query."""
     out_dir = Path(out_dir)
     paths = {}
 
     def write(table: str, df: DataFrame) -> None:
         path = str(out_dir / table)
+        if sort_within and table in sort_within:
+            cols = sort_within[table]
+            df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
         writer = df.write.mode("overwrite")
         if partition_facts and table in PARTITION_COLUMNS:
             writer = writer.partitionBy(*PARTITION_COLUMNS[table])

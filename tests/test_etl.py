@@ -226,6 +226,67 @@ def test_parquet_roundtrip(spark, star, tmp_path):
     assert "building_id" in back.columns  # partition column round-trips
 
 
+def test_sorted_write_produces_disjoint_file_ranges(spark, tmp_path):
+    """sort_within range-clusters the table on the key: every output
+    file's [min, max] key interval must be pairwise disjoint (that is
+    what lets a pushed-down range predicate prune whole files), where an
+    unclustered write leaves overlapping file ranges."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans.core import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "value"
+    )
+    # round-robin partitions: the unclustered baseline layout
+    scattered = events.repartition(4)
+
+    def file_ranges(path):
+        ranges = []
+        for f in sorted(Path(path).glob("part-*.parquet")):
+            md = pq.ParquetFile(str(f)).metadata
+            idx = md.schema.to_arrow_schema().get_field_index("event_id")
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            ranges.append((min(mins), max(maxs)))
+        return sorted(ranges)
+
+    def n_overlaps(ranges):
+        return sum(
+            1
+            for i in range(len(ranges) - 1)
+            if ranges[i + 1][0] <= ranges[i][1]
+        )
+
+    load_to_parquet({"ev_plain": scattered}, tmp_path)
+    # at fixture size AQE rightly coalesces the tiny range shuffle to one
+    # partition; disable coalescing so the multi-file layout is visible
+    old = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        load_to_parquet(
+            {"ev_sorted": scattered},
+            tmp_path,
+            sort_within={"ev_sorted": ["event_id"]},
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old)
+    plain = file_ranges(tmp_path / "ev_plain")
+    clustered = file_ranges(tmp_path / "ev_sorted")
+    assert len(clustered) > 1, "need multiple files to show clustering"
+    assert n_overlaps(clustered) == 0, f"clustered files overlap: {clustered}"
+    assert n_overlaps(plain) > 0, "baseline already disjoint; test is vacuous"
+    # row counts survive the re-layout
+    assert (
+        spark.read.parquet(str(tmp_path / "ev_sorted")).count() == events.count()
+    )
+
+
 def test_export_summary(star):
     doc = build_summary(star, scenario_id="BASE")
     assert validate_summary(doc) == []
