@@ -29,6 +29,7 @@ class PipelineConfig:
     force: bool = False
     to_warehouse: bool = False
     partition_facts: bool = False
+    cluster_facts: bool = False
     time_key_strategy: str = "dense"
     scenario_id: str | None = None
     # Spark scale knobs

@@ -45,6 +45,7 @@ def run_pipeline(
     force: bool = False,
     to_warehouse: bool = False,
     partition_facts: bool = False,
+    cluster_facts: bool = False,
     time_key_strategy: str = "dense",
     scenario_id: str | None = None,
     range_rules: dict | None = None,
@@ -82,8 +83,19 @@ def run_pipeline(
         star[t] = star[t].cache()
     with ThreadPoolExecutor(max_workers=len(dims) or 1) as pool:
         list(pool.map(lambda t: star[t].count(), dims))
+    # Time-range queries dominate the analytic surface (monthly rollups,
+    # gap scans, as-of lookups), so fact files are range-clustered on
+    # time_key when requested: disjoint per-file min/max intervals let
+    # pushed-down time predicates skip whole files (see load_to_parquet).
+    sort_within = (
+        {t: ["time_key"] for t in ("fact_meters", "fact_hvac", "fact_zone_conditions")}
+        if cluster_facts
+        else None
+    )
     try:
-        load_to_parquet(star, staging, partition_facts=partition_facts)
+        load_to_parquet(
+            star, staging, partition_facts=partition_facts, sort_within=sort_within
+        )
     finally:
         for t in dims:
             star[t].unpersist()
@@ -126,6 +138,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--force", action="store_true", help="load despite validation failures")
     ap.add_argument("--warehouse", action="store_true", help="saveAsTable instead of temp views")
     ap.add_argument("--partition-facts", action="store_true")
+    ap.add_argument(
+        "--cluster-facts",
+        action="store_true",
+        help="range-cluster time-keyed fact files on time_key (file-level skipping)",
+    )
     ap.add_argument("--time-key-strategy", choices=("dense", "derived"), default=None)
     ap.add_argument("--scenario", default=None)
     args = ap.parse_args(argv)
@@ -151,6 +168,7 @@ def main(argv: list[str] | None = None) -> int:
             force=args.force or cfg.force,
             to_warehouse=args.warehouse or cfg.to_warehouse,
             partition_facts=args.partition_facts or cfg.partition_facts,
+            cluster_facts=args.cluster_facts or cfg.cluster_facts,
             time_key_strategy=args.time_key_strategy or cfg.time_key_strategy,
             scenario_id=args.scenario or cfg.scenario_id,
             range_rules=range_rules_from_config(cfg),

@@ -327,7 +327,8 @@ def test_export_annual_includes_null_time_key_rows(spark, star):
 
 
 def test_pipeline_end_to_end(spark, runs_dir, tmp_path):
-    result = run_pipeline(spark, runs_dir, tmp_path / "out")
+    # cluster_facts exercises the range-clustered write path end-to-end
+    result = run_pipeline(spark, runs_dir, tmp_path / "out", cluster_facts=True)
     assert result["validation"]["is_valid"]
     assert (tmp_path / "out" / "summary.json").exists()
     assert (tmp_path / "out" / "validation_report.json").exists()
