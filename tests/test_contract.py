@@ -40,6 +40,25 @@ def test_queries_and_oracles_align():
     assert all(isinstance(sql, str) and sql.strip() for sql in o.values())
 
 
+def test_bench_explain_mode(tmp_path):
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--explain", "keyed_lookup"],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+        check=True,
+    )
+    assert "===== keyed_lookup =====" in out.stdout
+    assert "Physical Plan" in out.stdout
+    assert "PushedFilters" in out.stdout  # the property the mode exists to show
+
+
 def test_bench_cli_emits_one_json_line(tmp_path):
     """Run the real bench CLI end-to-end (subprocess: bench stops its own
     SparkSession) on a 3-query subset at the smallest fixture, and check
