@@ -294,6 +294,32 @@ def test_split_sample_is_partitioning_invariant(spark, sf_dir):
         assert got == base, f"split drifted under {n_parts} partitions"
 
 
+def test_split_fractions_near_nominal(spark):
+    """The md5-prefix split must actually produce ~80/10/10: a silent
+    hash bug (wrong substring, wrong base, truncated range) would skew
+    the fractions long before any determinism test noticed."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        split_col,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans.core import load_table
+
+    # pool both doc fixtures for a larger sample
+    counts = {"train": 0, "val": 0, "test": 0}
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = load_table(spark, sf, "documents")
+        for r in (
+            docs.select(split_col(F.col("doc_id")).alias("s"))
+            .groupBy("s")
+            .count()
+            .collect()
+        ):
+            counts[r["s"]] += r["count"]
+    total = sum(counts.values())
+    assert abs(counts["train"] / total - 0.80) < 0.05
+    assert abs(counts["val"] / total - 0.10) < 0.04
+    assert abs(counts["test"] / total - 0.10) < 0.04
+
+
 def test_multimodal_plumbing(spark):
     docs = spark.createDataFrame(
         [(1, "hello world", "s1"), (2, "", "s2")], ["doc_id", "text", "source"]
