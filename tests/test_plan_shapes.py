@@ -132,6 +132,17 @@ def test_orders_rollup_single_expand(spark):
     assert plan.count("Expand") == 1
 
 
+def test_sessionize_single_exchange(spark):
+    # the lag window, the running-sum window, and the (user, session)
+    # rollup must all ride ONE user_id exchange: the windows share the
+    # sort, and hashpartitioning(user_id) satisfies the rollup's
+    # (user_id, session_id) clustering — a second exchange would mean a
+    # planner regression
+    plan = _executed_plan(spark, "sessionize").split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 2
+
+
 def test_seq_packing_window_is_sharded(spark):
     # the running-sum window must partition by source — a global
     # (unpartitioned) window would funnel the corpus through one task
