@@ -195,7 +195,17 @@ GROUP BY source
 
 
 # --------------------------------------------------------------------------
-# Token counting: whitespace tokens + a BPE-ish lowercase-alpha token class.
+# Token counting: whitespace tokens, a lowercase-alpha word class, and a
+# BPE-style PRE-tokenizer count — runs of letters / runs of digits / runs
+# of other non-space characters, the segmentation a byte-pair tokenizer
+# starts from (GPT-2-family pretokenization, simplified to an ASCII
+# class set on which Java regex and DuckDB's RE2 agree byte-for-byte).
+# The pretoken count is the practical "how many tokens will this cost"
+# estimator: proportional to BPE token counts at corpus scale without
+# shipping a merges table into the engine.
+PRETOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
     toks = word_tokens(F.col("text"))
@@ -204,15 +214,19 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))))
         .cast("long")
         .alias("alpha_tokens"),
+        F.sum(F.expr(f"regexp_count(text, '{PRETOKEN_RE}')"))
+        .cast("long")
+        .alias("pretokens"),
         F.sum(F.length("text")).cast("long").alias("total_chars"),
     )
 
 
-TOKEN_COUNT_SQL = """
+TOKEN_COUNT_SQL = f"""
 SELECT source,
        CAST(sum(len(string_split(text, ' '))) AS BIGINT)  AS total_tokens,
        CAST(sum(len(list_filter(string_split(text, ' '),
                                 t -> regexp_matches(t, '^[a-z]+$')))) AS BIGINT) AS alpha_tokens,
+       CAST(sum(len(regexp_extract_all(text, '{PRETOKEN_RE}'))) AS BIGINT) AS pretokens,
        CAST(sum(length(text)) AS BIGINT)                  AS total_chars
 FROM documents
 GROUP BY source

@@ -294,6 +294,23 @@ def test_split_sample_is_partitioning_invariant(spark, sf_dir):
         assert got == base, f"split drifted under {n_parts} partitions"
 
 
+def test_pretoken_count_segments_like_bpe_pretokenizer(spark):
+    """The fixture corpus is all lowercase words, where whitespace and
+    pretoken counts coincide — prove the pretokenizer actually segments:
+    letter runs, digit runs, and punctuation runs each count separately."""
+    from pyspark.sql import functions as F
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        PRETOKEN_RE,
+    )
+
+    df = spark.createDataFrame(
+        [("don't pay $12.50 now",)], ["text"]
+    ).select(F.expr(f"regexp_count(text, '{PRETOKEN_RE}')").alias("n"))
+    # don | ' | t | pay | $ | 12 | . | 50 | now  → 9 pretokens, 4 words
+    assert df.collect()[0]["n"] == 9
+
+
 def test_split_fractions_near_nominal(spark):
     """The md5-prefix split must actually produce ~80/10/10: a silent
     hash bug (wrong substring, wrong base, truncated range) would skew
