@@ -40,6 +40,20 @@ def test_queries_and_oracles_align():
     assert all(isinstance(sql, str) and sql.strip() for sql in o.values())
 
 
+def test_bench_headline_names_resolve():
+    """A registry rename must never silently break the driver's bench
+    run: every headline name resolves, and each has an oracle so the
+    self-grading DuckDB column stays complete."""
+    import bench
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans import ALL_QUERIES
+
+    missing = [n for n in bench.HEADLINE if n not in ALL_QUERIES]
+    assert not missing, f"headline names not in registry: {missing}"
+    no_oracle = [n for n in bench.HEADLINE if ALL_QUERIES[n].oracle is None]
+    assert not no_oracle, f"headline queries without oracles: {no_oracle}"
+
+
 def test_bench_explain_mode(tmp_path):
     env = dict(
         os.environ,
