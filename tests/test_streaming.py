@@ -191,6 +191,44 @@ def test_parquet_sink_exactly_once_on_restart(spark, tmp_path):
     assert spark.read.parquet(str(out)).count() == first
 
 
+def test_hourly_rollup_appends_closed_windows_to_parquet(spark, tmp_path):
+    """The deployment shape end-to-end: watermarked rollup → append-mode
+    file sink.  Append emits a window only once the watermark passes its
+    end, so after a far-future batch advances the watermark, hour 0's
+    finalized row must be IN the parquet output exactly once."""
+    import os
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming import (
+        hourly_rollup_stream,
+        stream_to_parquet,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = [_event(i, 5 * i, "click", 2.0) for i in range(6)]  # hour 0
+    b2 = [_event(99, 48 * 60, "view", 1.0)]  # far future → closes hour 0
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+    now = (src / "b2.json").stat().st_mtime
+    os.utime(src / "b1.json", (now - 60, now - 60))
+
+    stream = (
+        spark.readStream.schema(read_event_stream(spark, str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    rollup = hourly_rollup_stream(stream, watermark="0 seconds")
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    stream_to_parquet(rollup, out, ckpt, query_name="rollup_sink")
+
+    rows = [
+        (r["window_start"].hour, r["event_type"], r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(str(out)).collect()
+    ]
+    assert (0, "click", 6, 12.0) in rows  # hour 0 finalized exactly once
+    assert len([r for r in rows if r[0] == 0 and r[1] == "click"]) == 1
+
+
 def test_foreach_batch_sink_idempotent_replay(spark, tmp_path):
     """foreachBatch sink: a replayed batch id (fresh checkpoint, same
     input, same output dir) overwrites/skips instead of duplicating."""
