@@ -209,33 +209,45 @@ def main() -> None:
     duck_ok = [v for v in duck.values() if isinstance(v, float)]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "build_sec": builds,
-                "repeats": REPEATS,
-                "max_rel_spread": round(max(spreads.values()), 4),
-                "noisy_queries": {
-                    n: s for n, s in spreads.items() if s > 0.5
-                },
-                "duckdb_queries": duck,
-                "duckdb_total": round(sum(duck_ok), 4),
-                # cross-round comparability caveats (judge-facing)
-                "notes": {
-                    "text_quality": (
-                        "since r3 computes quality AND repetition signals in "
-                        "one scan (superset of the r1/r2 column set); compare "
-                        "against r1/r2 text_quality+repetition_stats combined"
-                    ),
-                },
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    headline = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "repeats": REPEATS,
+        "max_rel_spread": round(max(spreads.values()), 4),
+        "noisy_queries": {n: s for n, s in spreads.items() if s > 0.5},
+        "duckdb_queries": duck,
+        "duckdb_total": round(sum(duck_ok), 4),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Secondary diagnostics (plan-build decomposition, per-query spreads,
+    # cross-round caveats) go to a SIDE FILE, not stdout: round 3's bench
+    # line grew past the driver's stdout capture window and the round's
+    # perf record came back unparseable ("parsed: null").  stdout stays
+    # exactly ONE compact JSON line.
+    detail = {
+        "generated_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "build_sec": builds,
+        "rel_spread": spreads,
+        "notes": {
+            "text_quality": (
+                "applies to rounds 1-2 only (noted 2026-08-14): since r3 "
+                "text_quality computes quality AND repetition signals in one "
+                "scan; compare r1/r2 text_quality+repetition_stats combined"
+            ),
+        },
+        **headline,
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # diagnostics are best-effort; the stdout line is the record
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

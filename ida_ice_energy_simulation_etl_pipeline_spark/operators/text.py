@@ -432,7 +432,8 @@ WITH assigned AS (
          source, n_chars
   FROM documents
 )
-SELECT split, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT split, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM assigned
 GROUP BY 1, 2
 """
@@ -521,7 +522,7 @@ SELECT source,
        round(avg(ttf), 4)  AS avg_top_token_frac,
        round(max(ttf), 4)  AS max_top_token_frac,
        round(avg(dgf), 4)  AS avg_dup_2gram_frac,
-       sum(CASE WHEN ttf > {REPETITION_TOP_TOKEN_FLAG} THEN 1 ELSE 0 END) AS n_flagged
+       CAST(sum(CASE WHEN ttf > {REPETITION_TOP_TOKEN_FLAG} THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
 FROM per_doc
 GROUP BY source
 """
@@ -583,7 +584,7 @@ scored AS (
 ),
 ranked AS (
   SELECT doc_id, token, score,
-         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS term_rank
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS INTEGER) AS term_rank
   FROM scored
 )
 SELECT doc_id, token AS term, term_rank, round(score, 4) AS tfidf
@@ -635,7 +636,8 @@ chunked AS (
                      - n_tok) / {PACK_BUDGET_TOKENS}) AS BIGINT) AS chunk_id
   FROM sized
 )
-SELECT source, chunk_id, count(*) AS n_docs, sum(n_tok) AS chunk_tokens
+SELECT source, chunk_id, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS chunk_tokens
 FROM chunked
 GROUP BY 1, 2
 """
@@ -670,7 +672,8 @@ WITH sampled AS (
   WHERE CAST(('0x' || substr(md5('smp' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
         < {int(SAMPLE_RATE_PCT / 100 * 65536)}
 )
-SELECT source, count(*) AS n_sampled, sum(n_chars) AS sampled_chars,
+SELECT source, count(*) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
        min(doc_id) AS min_doc_id
 FROM sampled
 GROUP BY source
@@ -809,7 +812,8 @@ WITH assigned AS (
                    < {int(SAMPLE_RATE_PCT / 100 * 65536)} THEN 1 ELSE 0 END AS in_sample
   FROM documents
 )
-SELECT split, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+SELECT split, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT)             AS total_chars,
        CAST(sum(in_sample) AS BIGINT)           AS n_sampled,
        CAST(sum(in_sample * n_chars) AS BIGINT) AS sampled_chars
 FROM assigned

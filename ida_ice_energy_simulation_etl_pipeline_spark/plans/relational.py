@@ -867,7 +867,7 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORDERS_ROLLUP_SQL = """
-SELECT year(o_orderdate)                                    AS order_year,
+SELECT CAST(year(o_orderdate) AS INTEGER)                   AS order_year,
        o_orderpriority,
        CAST(GROUPING(year(o_orderdate), o_orderpriority) AS BIGINT) AS gid,
        count(*)                                             AS n_orders,
@@ -911,7 +911,7 @@ def cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CUBE_SUMMARY_SQL = """
-SELECT year(o_orderdate)  AS order_year,
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
        o_orderpriority,
        c_mktsegment,
        CAST(GROUPING(year(o_orderdate), o_orderpriority, c_mktsegment) AS BIGINT) AS gid,
@@ -947,7 +947,7 @@ def priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PRIORITY_GROUPING_SETS_SQL = """
-SELECT year(o_orderdate) AS order_year,
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
        o_orderpriority,
        CAST(GROUPING(year(o_orderdate), o_orderpriority) AS BIGINT) AS gid,
        count(*)           AS n_orders,

@@ -38,6 +38,64 @@ def _normalize(rows, columns):
     return sorted(out, key=repr), [columns[i] for i in order]
 
 
+def _canon_spark_type(dt: str) -> str:
+    """Spark simpleString → canonical tag comparable with _canon_arrow_type."""
+    dt = dt.lower()
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt.startswith("array"):
+        return "list"
+    if dt.startswith("map") or dt.startswith("struct"):
+        return "nested"
+    return {
+        "bigint": "int64",
+        "long": "int64",
+        "int": "int32",
+        "integer": "int32",
+        "smallint": "int16",
+        "tinyint": "int8",
+        "double": "float64",
+        "float": "float32",
+        "string": "string",
+        "boolean": "bool",
+        "timestamp": "timestamp",
+        "timestamp_ntz": "timestamp",
+        "date": "date",
+        "binary": "binary",
+    }.get(dt, dt)
+
+
+def _canon_arrow_type(t) -> str:
+    """pyarrow DataType → the same canonical tags.  DuckDB exports HUGEINT
+    as decimal128(38,0), so an uncast sum() over BIGINT shows up as
+    'decimal' here while Spark says 'int64' — exactly the type drift the
+    driver's type-tagged value hash rejects (CORRECTNESS_r03 split_sample /
+    seq_packing)."""
+    import pyarrow as pa
+
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list"
+    if pa.types.is_map(t) or pa.types.is_struct(t):
+        return "nested"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_float64(t):
+        return "float64"
+    if pa.types.is_float32(t):
+        return "float32"
+    if pa.types.is_boolean(t):
+        return "bool"
+    return str(t)
+
+
 def _values_equal(a, b) -> bool:
     # STRICT equality (the driver hashes values): if a query fails only in
     # float last-bits, the query itself must round harder, not the test.
@@ -67,6 +125,20 @@ def test_oracle_parity(spark, ddb, spec):
     assert sorted(scols) == sorted(dcols), (
         f"{spec.name}: column mismatch spark={sorted(scols)} duckdb={sorted(dcols)}"
     )
+
+    # Result TYPES must match too — the driver's value hash is type-tagged,
+    # so a DuckDB HUGEINT (uncast sum) vs Spark BIGINT hash-mismatches even
+    # when every value is equal.  fetchall() hides that (both arrive as
+    # Python int), so compare the Arrow schema explicitly.
+    arrow_schema = ddb.execute(spec.oracle).arrow().schema
+    d_types = {f.name: _canon_arrow_type(f.type) for f in arrow_schema}
+    s_types = {f.name: _canon_spark_type(f.dataType.simpleString()) for f in sdf.schema}
+    type_drift = {
+        c: (s_types[c], d_types[c]) for c in s_types if s_types[c] != d_types.get(c)
+    }
+    assert not type_drift, (
+        f"{spec.name}: oracle type drift (spark, duckdb): {type_drift}"
+    )
     assert len(srows) == len(drows), (
         f"{spec.name}: row count spark={len(srows)} duckdb={len(drows)}"
     )
@@ -79,6 +151,25 @@ def test_oracle_parity(spark, ddb, spec):
         if not all(_values_equal(x, y) for x, y in zip(a, b))
     ]
     assert not mismatches, f"{spec.name}: first mismatches {mismatches[:3]}"
+
+
+def test_type_drift_detector_fires_on_uncast_sum(ddb):
+    """Meta-test: the exact bug class that cost split_sample/seq_packing
+    their driver rows (uncast sum → HUGEINT) must fail locally."""
+    arrow_schema = (
+        ddb.execute("SELECT sum(n_chars) AS total FROM documents").arrow().schema
+    )
+    bad = _canon_arrow_type(arrow_schema.field("total").type)
+    assert bad == "decimal", f"expected HUGEINT→decimal, got {bad}"
+    assert bad != _canon_spark_type("bigint")
+
+    cast_schema = (
+        ddb.execute("SELECT CAST(sum(n_chars) AS BIGINT) AS total FROM documents")
+        .arrow()
+        .schema
+    )
+    good = _canon_arrow_type(cast_schema.field("total").type)
+    assert good == _canon_spark_type("bigint") == "int64"
 
 
 @pytest.mark.parametrize("spec", ROWS_ONLY_SPECS, ids=lambda s: s.name)
