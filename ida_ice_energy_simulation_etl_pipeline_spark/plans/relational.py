@@ -1001,6 +1001,16 @@ SPECS: list[QuerySpec] = [
     ),
     QuerySpec("keyed_lookup", keyed_lookup, KEYED_LOOKUP_SQL, "S3,P6"),
     QuerySpec("cube_summary", cube_summary, CUBE_SUMMARY_SQL, "ext:grouping-sets"),
+    # Promoted into the driver window in round 4 (taking the slot the
+    # approx_distinct_users sketch vacated): fully oracle-verifiable, and it
+    # is the batch twin of the streaming watermarked rollup, so the driver
+    # contract now exercises that shape too.
+    QuerySpec(
+        "hourly_event_rollup",
+        hourly_event_rollup,
+        HOURLY_EVENT_ROLLUP_SQL,
+        "A9,streaming",
+    ),
 ]
 
 # Oracle-verified locally (test_oracle_parity) but outside the driver's
@@ -1018,12 +1028,6 @@ EXTRA_SPECS: list[QuerySpec] = [
         "ext:intersect,U2",
     ),
     QuerySpec("top_tokens", top_tokens, TOP_TOKENS_SQL, "ext:topk,O3"),
-    QuerySpec(
-        "hourly_event_rollup",
-        hourly_event_rollup,
-        HOURLY_EVENT_ROLLUP_SQL,
-        "A9,streaming",
-    ),
     QuerySpec(
         "priority_grouping_sets",
         priority_grouping_sets,

@@ -531,9 +531,9 @@ def test_salted_join_shuffles_on_salt(spark):
 def test_approx_distinct_error_bound(spark):
     """HLL++ sketch stays within its configured relative error (2% rsd →
     assert a loose 3σ ≈ 6% band) of the exact distinct count."""
-    from ida_ice_energy_simulation_etl_pipeline_spark.plans import QUERIES
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans import ALL_QUERIES
 
-    rows = QUERIES["approx_distinct_users"].fn(
+    rows = ALL_QUERIES["approx_distinct_users"].fn(
         spark, "/root/testdata/sf0.001"
     ).collect()
     assert rows
