@@ -103,9 +103,13 @@ def check_run_coverage(
     expected = set()
     for r in run_ids:
         expected.add(parse_run_id(r))
+    if not expected:
+        # Nothing expected → nothing can have failed.  (Also: an empty
+        # manifest would make schema inference on createDataFrame raise.)
+        return
     spark = meters.sparkSession
     expected_df = spark.createDataFrame(
-        sorted(expected), ["building_id", "scenario_id"]
+        sorted(expected), "building_id string, scenario_id string"
     )
     failed_df = expected_df.join(
         meters.select("building_id", "scenario_id").distinct(),

@@ -203,7 +203,10 @@ def simhash_col(tokens: Column) -> Column:
     with no common-subexpression elimination, so embedding md5(t) into
     each of the 16 struct fields (the previous form) re-hashed every
     token up to 16× — pre-hashing benches 38% faster at sf0.1 (0.45s vs
-    0.72s) with byte-identical signatures.  The signature string is
+    0.72s) with byte-identical signatures.  The once-per-token claim is
+    structural, not assumed: the analyzed expression tree contains
+    exactly one md5 call (inside the transform), pinned by
+    tests/test_plan_shapes.py::test_simhash_hashes_each_token_once.  The signature string is
     assembled in the finish lambda, where the accumulator is a bound
     variable — referencing it per bit re-reads the struct, never re-runs
     the fold.

@@ -11,10 +11,12 @@ where executors WILL die mid-batch and the stream WILL be restarted):
 * :func:`stream_to_parquet_batches` — the ``foreachBatch`` pattern for
   targets the native sink can't address (warehouse dirs, JDBC, custom
   layouts).  Each micro-batch lands in its own ``batch_id=N`` directory
-  written with ``overwrite`` mode and skipped entirely when its
-  ``_SUCCESS`` marker already exists — so a replayed batch id (restart
-  after a crash between sink write and offset commit) is idempotent:
-  either skipped, or atomically re-overwritten to the identical rows.
+  staged into a scratch directory and renamed into place (a single
+  filesystem rename, so readers never observe a half-written batch),
+  and skipped entirely when its ``_SUCCESS`` marker already exists — so
+  a replayed batch id (restart after a crash between sink write and
+  offset commit) is idempotent: either skipped, or re-staged and
+  swapped in with the identical rows.
 
 Both run with ``availableNow`` in tests (drain-and-stop) and unchanged
 with a continuous trigger in deployment.
@@ -22,6 +24,7 @@ with a continuous trigger in deployment.
 
 from __future__ import annotations
 
+import shutil
 from pathlib import Path
 from typing import Callable, Sequence
 
@@ -54,14 +57,29 @@ def stream_to_parquet(
 
 def idempotent_batch_writer(path: str | Path) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` function writing each micro-batch to its own
-    ``batch_id=N`` directory, idempotently (see module docstring)."""
+    ``batch_id=N`` directory, idempotently (see module docstring).
+
+    The batch is STAGED into ``_staging_batch_id=N`` and renamed into
+    place: Spark's own ``overwrite`` mode deletes-then-rewrites the
+    target non-atomically, so a concurrent reader (or a second crash
+    mid-rewrite) could observe partial data — the rename makes the
+    directory appear fully formed or not at all.  ``_SUCCESS`` inside
+    the committed directory remains the replay-skip marker; leftover
+    staging/uncommitted directories from a crash are simply re-staged.
+    (Local-FS semantics; on an object store, point the sink at the
+    native file sink in :func:`stream_to_parquet` instead, whose sink
+    log gives exactly-once without renames.)"""
     root = Path(path)
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         target = root / f"batch_id={batch_id}"
         if (target / "_SUCCESS").exists():
             return  # replayed batch already fully committed — skip
-        batch_df.write.mode("overwrite").parquet(str(target))
+        staging = root / f"_staging_batch_id={batch_id}"
+        batch_df.write.mode("overwrite").parquet(str(staging))
+        if target.exists():
+            shutil.rmtree(target)  # uncommitted debris from a prior crash
+        staging.rename(target)
 
     return write
 

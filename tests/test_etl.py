@@ -14,6 +14,7 @@ from ida_ice_energy_simulation_etl_pipeline_spark.etl.export import (
 )
 from ida_ice_energy_simulation_etl_pipeline_spark.etl.extract import (
     ExtractionError,
+    check_run_coverage,
     extract_run_by_id,
     extract_runs,
     extract_runs_from_zips,
@@ -90,6 +91,22 @@ def test_extract_zip_roundtrip(spark, tmp_path):
 def test_extract_missing_dir(spark, tmp_path):
     with pytest.raises(ExtractionError):
         extract_runs(spark, tmp_path / "nope")
+
+
+def test_run_coverage_breaker(entities):
+    meters = entities["meters"]
+    # all expected runs present → no trip
+    check_run_coverage(meters, ["run_BLDG_01_BASE"])
+    # majority missing → trips with a bounded failure sample
+    phantom = [f"run_PHANTOM_{i:02d}_BASE" for i in range(9)]
+    with pytest.raises(ExtractionError, match="runs unreadable"):
+        check_run_coverage(meters, ["run_BLDG_01_BASE", *phantom])
+
+
+def test_run_coverage_empty_manifest(entities):
+    # Empty expected set: nothing can have failed — must return cleanly,
+    # not crash on createDataFrame schema inference (r3 advice item).
+    check_run_coverage(entities["meters"], [])
 
 
 def test_extract_run_by_id(spark, runs_dir):

@@ -275,3 +275,15 @@ def test_cube_and_grouping_sets_single_expand(spark):
     # the dim join must resolve below the Expand as a broadcast at this SF
     exec_plan = _executed_plan(spark, "cube_summary")
     assert "SortMergeJoin" not in exec_plan
+
+
+def test_simhash_hashes_each_token_once(spark):
+    """The simhash fold must reference the PRE-HASHED array, not inline
+    md5(token) into each of the 16 struct-field expressions (HOF lambdas
+    get no CSE, so an inline md5 would run up to 16x per token).  The
+    analyzed expression tree must therefore contain exactly ONE md5 call
+    — inside the materializing transform()."""
+    df = ALL_QUERIES["dedup_simhash"].fn(spark, SF)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert plan.count("md5") == 1, f"expected 1 md5 call, plan has {plan.count('md5')}"
+    assert "transform(" in plan
