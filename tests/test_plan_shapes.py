@@ -287,3 +287,19 @@ def test_simhash_hashes_each_token_once(spark):
     plan = df._jdf.queryExecution().analyzed().toString()
     assert plan.count("md5") == 1, f"expected 1 md5 call, plan has {plan.count('md5')}"
     assert "transform(" in plan
+
+
+def test_jaccard_single_scan_and_merge_self_join(spark):
+    """The shingle computation (scan→explode→hash) is the expensive part
+    of the Jaccard kernel: the final AQE plan must run it ONCE, with every
+    other consumer reading a ReusedExchange, and the self-join must be the
+    pinned sort-merge (one shuffle read twice), never a broadcast rebuild
+    of the whole subtree."""
+    df = ALL_QUERIES["dedup_ngram_jaccard"].fn(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1, final.count("Scan parquet")
+    assert final.count("Generate") == 1  # one explode
+    assert final.count("SortMergeJoin") == 1
+    assert final.count("ReusedExchange") >= 2
