@@ -295,9 +295,15 @@ FROM toks
 # 4-gram with the held-out eval set (source 'src0')?  The standard
 # pre-training hygiene scan.  Shape: explode eval docs to DISTINCT
 # n-gram hashes (the eval set is small — at scale this side is the
-# broadcast side), LEFT SEMI join the exploded training n-grams against
-# it (semi join: existence only, no fan-out, stops at first match per
-# row), then distinct contaminated doc_ids → per-source rates.
+# broadcast side), broadcast LEFT join the exploded training n-grams
+# against it for a hit marker, then ONE two-level aggregation:
+# per-(doc,source) max(hit) — a doc's exploded grams are co-located in
+# its input partition, so the partial aggregate collapses the gram
+# stream to ~one row per doc BEFORE the shuffle — then per-source
+# count/sum.  explode_outer keeps gram-less (short) docs in the stream,
+# so n_docs needs no separate unexploded scan: two scans total, every
+# exchange carries doc-level (not gram-level) rows, and there is no
+# countDistinct Expand doubling the stream.
 # (Real corpora use 8-13-gram windows; the synthetic fixture's short
 # random sentences need n=4 for a non-degenerate overlap signal.)
 # Eval-side document-frequency cap: an n-gram that appears in more than
@@ -323,27 +329,32 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("gram_h")
         .agg(F.count(F.lit(1)).alias("eval_df"))
         .filter(F.col("eval_df") <= CONTAMINATION_EVAL_DF_CAP)
-        .select("gram_h")
+        .select("gram_h", F.lit(1).alias("hit"))
     )
-    train = docs.filter(F.col("source") != "src0")
-    contaminated = (
-        train.select("doc_id", "source", grams)
-        .select("doc_id", "source", F.xxhash64("gram").alias("gram_h"))
-        .join(F.broadcast(eval_grams), "gram_h", "left_semi")
-        .select("doc_id", "source")
-        .distinct()
-    )
-    totals = train.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    hits = contaminated.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_contaminated")
-    )
-    return (
-        totals.join(hits, "source", "left")
+    grams_outer = F.explode_outer(
+        word_shingles(word_tokens(F.col("text")), CONTAMINATION_NGRAM)
+    ).alias("gram")
+    # null-safe hash: explode_outer emits a null gram for gram-less docs,
+    # and xxhash64(NULL) would fold to the seed constant — a real (if
+    # astronomically unlikely) collision target — so keep it null and let
+    # the equi-join never match it.
+    train = (
+        docs.filter(F.col("source") != "src0")
+        .select("doc_id", "source", grams_outer)
         .select(
+            "doc_id",
             "source",
-            "n_docs",
-            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.when(F.col("gram").isNotNull(), F.xxhash64("gram")).alias("gram_h"),
         )
+    )
+    per_doc = (
+        train.join(F.broadcast(eval_grams), "gram_h", "left")
+        .groupBy("doc_id", "source")
+        .agg(F.max(F.coalesce("hit", F.lit(0))).alias("hit"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("hit").cast("long").alias("n_contaminated"),
     )
 
 

@@ -303,3 +303,17 @@ def test_jaccard_single_scan_and_merge_self_join(spark):
     assert final.count("Generate") == 1  # one explode
     assert final.count("SortMergeJoin") == 1
     assert final.count("ReusedExchange") >= 2
+
+
+def test_contamination_two_scans_broadcast_join(spark):
+    """Contamination check: exactly two scans of documents (eval + train —
+    no separate totals scan), the eval gram set joins as the BROADCAST
+    side, and the train gram stream reaches no exchange un-aggregated
+    (the per-doc partial agg collapses it map-side first)."""
+    df = ALL_QUERIES["contamination_check"].fn(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 2, final.count("Scan parquet")
+    assert "BroadcastHashJoin" in final
+    assert "hashpartitioning(doc_id" in final  # doc-level, not gram-level
