@@ -164,10 +164,25 @@ def main() -> None:
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    n_cpus = int(cpus) if cpus.isdigit() else 32
+    # Size the shuffle partitioning to the WORKLOAD, not the box: at bench
+    # scale (sf0.1 ≈ 17 MB of parquet) a 32-task wave per exchange costs
+    # more in scheduling than it returns in parallelism (measured ~25% of
+    # wall on the weak set).  ~1 MB of source parquet per partition,
+    # clamped to [8, n_cpus]; a real deployment sets this from cluster
+    # size (SCALE.md §3) and the clamp ceiling keeps the rule from ever
+    # UNDER-parallelizing relative to the old cpu-count default.
+    try:
+        input_mb = sum(
+            os.path.getsize(os.path.join(sf_dir, f"{t}.parquet")) for t in TABLES
+        ) / (1024 * 1024)
+    except OSError:
+        input_mb = float("inf")
+    shuffle_parts = max(8, min(n_cpus, int(input_mb)))
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus) if cpus.isdigit() else 32,
+        shuffle_partitions=shuffle_parts,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
