@@ -325,19 +325,30 @@ def ivf_topk(
             "centroid_id", F.struct("cent_cos", (-F.col("centroid_id")).alias("t"))
         ).alias("centroid_id"),
     )
-    cell_w = Window.partitionBy("vec_id").orderBy(
-        F.col("cent_cos").desc(), F.col("centroid_id")
-    )
-    probe_cells = (
-        scored_cent.filter(F.col("vec_id").isin(query_ids))
-        .withColumn("cell_rank", F.row_number().over(cell_w))
-        .filter(F.col("cell_rank") <= nprobe)
-        .select(
+    if nprobe == 1:
+        # The single probe cell IS the assigned cell: reuse the `assigned`
+        # aggregate (its exchange is shared with the probe join below via
+        # ReuseExchange) instead of re-executing the centroid-scoring
+        # subtree plus a ranking-window exchange just to rank one cell.
+        probe_cells = assigned.filter(F.col("vec_id").isin(query_ids)).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
             F.col("centroid_id").alias("q_cell"),
         )
-    )
+    else:
+        cell_w = Window.partitionBy("vec_id").orderBy(
+            F.col("cent_cos").desc(), F.col("centroid_id")
+        )
+        probe_cells = (
+            scored_cent.filter(F.col("vec_id").isin(query_ids))
+            .withColumn("cell_rank", F.row_number().over(cell_w))
+            .filter(F.col("cell_rank") <= nprobe)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb"),
+                F.col("centroid_id").alias("q_cell"),
+            )
+        )
     scored = (
         assigned.join(
             F.broadcast(probe_cells), F.col("centroid_id") == F.col("q_cell")

@@ -554,13 +554,17 @@ TFIDF_TOP_K = 3
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    raw = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(spark, raw)
     toks = docs.select(
         "doc_id", F.explode(word_tokens(F.col("text"))).alias("token")
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # count(*) over the RAW scan, not the repartitioned frame: with parquet
+    # aggregate pushdown this is a footer read, so the broadcast N branch
+    # never waits on (or duplicates) the fan-out exchange.
+    total = raw.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(dfreq, "token")
         .crossJoin(F.broadcast(total))
