@@ -897,6 +897,149 @@ FROM flagged
 """
 
 
+# --------------------------------------------------------------------------
+# PII scrubbing — redact emails / IPv4 addresses / phone numbers before a
+# corpus reaches training.  Pure map-side regexp work (JVM codegen, no
+# UDF): per-doc match counts via regexp_count and redaction via chained
+# regexp_replace, then one per-source aggregate.  At 100 TB this is a
+# single scan with no shuffle beyond the final (source-grain) aggregate.
+#
+# Patterns are kept inside the RE2 ∩ java.util.regex common subset
+# (character classes, bounded repeats, \b, non-capturing groups — no
+# lookaround, no backreferences) so Spark and the DuckDB oracle compile
+# them identically.
+#
+# The synthetic fixture corpus contains no digits or @-signs (word-salad
+# text), so the registry query PLANTS deterministic PII first — a pure
+# function of doc_id on both sides, making the oracle comparison
+# exercise the real match/redact pipeline with nonzero counts instead of
+# trivially summing zeros.  The library surface (scrub_pii) takes any
+# DataFrame/column; tests drive it with adversarial planted text.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+
+# (pattern, replacement token, count-column suffix); replacement order is
+# fixed email → ip → phone.  The patterns are mutually exclusive on any
+# text (an email never contains a dotted quad or a 3-3-4 dash group), so
+# the chain order cannot change what is counted or redacted.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    (PII_EMAIL_RE, "<EMAIL>", "email"),
+    (PII_IPV4_RE, "<IP>", "ip"),
+    (PII_PHONE_RE, "<PHONE>", "phone"),
+)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add per-rule match counts (``n_email``/``n_ip``/``n_phone``) and a
+    fully redacted ``scrubbed`` column.  Map-only; no shuffle."""
+    out = df
+    scrubbed = F.col(text_col)
+    for pat, token, suffix in PII_RULES:
+        out = out.withColumn(
+            f"n_{suffix}", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return out.withColumn("scrubbed", scrubbed)
+
+
+def _planted_pii_col() -> Column:
+    """Deterministic PII plant: a pure function of doc_id (identical
+    arithmetic in the oracle), appended to the fixture text."""
+    did = F.col("doc_id")
+    s = did.cast("string")
+    email = F.when(
+        did % 7 == 0, F.concat(F.lit(" contact user"), s, F.lit("@example.com"))
+    ).otherwise("")
+    ip = F.when(
+        did % 11 == 0,
+        F.concat(
+            F.lit(" from "),
+            (did % 256).cast("string"),
+            F.lit("."),
+            ((did * 3) % 256).cast("string"),
+            F.lit("."),
+            ((did * 7) % 256).cast("string"),
+            F.lit("."),
+            (did % 250).cast("string"),
+        ),
+    ).otherwise("")
+    phone = F.when(
+        did % 13 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise("")
+    return F.concat(F.col("text"), email, ip, phone)
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    planted = docs.select("doc_id", "source", _planted_pii_col().alias("text"))
+    s = scrub_pii(planted)
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("long").alias("emails_redacted"),
+        F.sum("n_ip").cast("long").alias("ips_redacted"),
+        F.sum("n_phone").cast("long").alias("phones_redacted"),
+        F.sum(
+            F.when(F.col("n_email") + F.col("n_ip") + F.col("n_phone") > 0, 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("pii_docs"),
+        F.sum(F.length("text")).cast("long").alias("chars_before"),
+        F.sum(F.length("scrubbed")).cast("long").alias("chars_after"),
+    )
+
+
+PII_SCRUB_SQL = f"""
+WITH planted AS (
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' from ' || (doc_id % 256)::VARCHAR
+                      || '.' || ((doc_id * 3) % 256)::VARCHAR
+                      || '.' || ((doc_id * 7) % 256)::VARCHAR
+                      || '.' || (doc_id % 250)::VARCHAR
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                      || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                 ELSE '' END AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT source, text,
+         len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_email,
+         len(regexp_extract_all(text, '{PII_IPV4_RE}')) AS n_ip,
+         len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS n_phone,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_IPV4_RE}', '<IP>', 'g'),
+             '{PII_PHONE_RE}', '<PHONE>', 'g') AS after_text
+  FROM planted
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_email) AS BIGINT) AS emails_redacted,
+       CAST(sum(n_ip) AS BIGINT) AS ips_redacted,
+       CAST(sum(n_phone) AS BIGINT) AS phones_redacted,
+       CAST(sum(CASE WHEN n_email + n_ip + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS pii_docs,
+       CAST(sum(len(text)) AS BIGINT) AS chars_before,
+       CAST(sum(len(after_text)) AS BIGINT) AS chars_after
+FROM scrubbed
+GROUP BY source
+"""
+
+
 # Driver-facing tier (see plans/relational.py note on the 50-query
 # window): text_quality folds in the repetition signals, text_fingerprint
 # folds cleaning + fingerprinting, split_sample folds split + sampling —
@@ -948,4 +1091,5 @@ EXTRA_SPECS: list[QuerySpec] = [
     QuerySpec(
         "repetition_stats", repetition_stats, REPETITION_STATS_SQL, "ext:text,quality"
     ),
+    QuerySpec("pii_scrub", pii_scrub, PII_SCRUB_SQL, "ext:text,pii"),
 ]

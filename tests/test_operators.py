@@ -604,3 +604,64 @@ def test_top_token_count_long_document(spark):
     plan = expr._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("array_sort") == 1
     assert "array_distinct" not in plan
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing — adversarial planted text (the registry query plants
+# arithmetic-derived PII; these fixtures hit the regex edge cases).
+def test_scrub_pii_counts_and_redacts(spark):
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        PII_RULES,
+        scrub_pii,
+    )
+
+    rows = [
+        # multiple matches of one type in one doc -> global replacement
+        (0, "mail a@b.co then c.d+tag@e-corp.org and AGAIN a@b.co"),
+        # all three types in one doc
+        (1, "email x_1%y@z.io from 192.168.0.1 call 555-123-4567"),
+        # near-misses that must NOT match: no TLD, 5-part quad stays
+        # partially matched, 3-3-3 phone shape
+        (2, "not-an-email a@b from 1.2.3.4.5 call 555-123-456"),
+        (3, "clean document with no personal data at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+
+    assert (got[0]["n_email"], got[0]["n_ip"], got[0]["n_phone"]) == (3, 0, 0)
+    assert got[0]["scrubbed"].count("<EMAIL>") == 3
+    assert "a@b.co" not in got[0]["scrubbed"]
+
+    assert (got[1]["n_email"], got[1]["n_ip"], got[1]["n_phone"]) == (1, 1, 1)
+    assert got[1]["scrubbed"] == "email <EMAIL> from <IP> call <PHONE>"
+
+    # '1.2.3.4.5' contains a dotted quad prefix ('1.2.3.4') — the \b
+    # boundary sits between '4' and '.', so the quad IS redacted and the
+    # trailing '.5' survives; 'a@b' (no TLD) and '555-123-456' do not
+    # match at all.
+    assert got[2]["n_email"] == 0 and got[2]["n_phone"] == 0
+    assert got[2]["n_ip"] == 1
+    assert "<IP>.5" in got[2]["scrubbed"]
+    assert "a@b " in got[2]["scrubbed"]
+
+    assert got[3]["scrubbed"] == got[3]["text"]
+
+    # nothing matching any rule survives in any scrubbed output
+    for pat, _, suffix in PII_RULES:
+        residual = (
+            scrub_pii(df)
+            .select(F.regexp_count("scrubbed", F.lit(pat)).alias("n"))
+            .agg(F.sum("n"))
+            .collect()[0][0]
+        )
+        assert residual == 0, f"unredacted {suffix} remains"
+
+
+def test_scrub_pii_is_map_only(spark):
+    """The scrub is a single projection — no exchange, no UDF, no join."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame([(1, "x@y.io")], ["doc_id", "text"])
+    plan = scrub_pii(df)._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython", "Join"):
+        assert bad not in plan
