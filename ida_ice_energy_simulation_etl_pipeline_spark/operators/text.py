@@ -1040,6 +1040,86 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Source-weighted data mixing — the training-mixture step: each source
+# gets a sampling weight w; every document is emitted floor(w) times plus
+# one more copy with probability frac(w), decided by a CONTENT-HASH coin
+# (md5-prefix, same recipe as split_col/sample_col) so the mix is
+# deterministic, partitioning-invariant, and exactly reproducible by the
+# oracle — never rand().  Shape: one map-side fan-out (explode of a
+# per-row 1..n_copies sequence; n_copies = 0 drops the row, i.e.
+# downsampling) followed by one source-grain aggregate.  At 100 TB the
+# exploded stream goes straight to the training sink — upsampling
+# materializes at write time, no shuffle beyond the report aggregate.
+#
+# Fixture weights cycle 0.25 · (1 + src_idx % 8) ∈ {0.25 … 2.0} so the
+# oracle exercises pure-downsample, pure-upsample, and fractional cases.
+MIX_WEIGHT_STEP = 0.25
+MIX_WEIGHT_CYCLE = 8
+
+
+def mix_copies_col(source: Column, doc_id: Column) -> Column:
+    """Number of copies of a doc under the cyclic fixture weights:
+    floor(w) + (hash-coin < frac(w)).  Pure function of (source, doc_id)."""
+    idx = F.substring(source, 4, 10).cast("int")
+    wt = (idx % MIX_WEIGHT_CYCLE + 1) * F.lit(MIX_WEIGHT_STEP)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix"), doc_id.cast("string")).cast("binary")), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    frac_threshold = ((wt - F.floor(wt)) * 65536).cast("long")
+    return (F.floor(wt) + (h < frac_threshold).cast("int")).cast("int")
+
+
+def data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    n_copies = mix_copies_col(F.col("source"), F.col("doc_id"))
+    # sequence(1, 0) in Spark infers step -1 and yields [1, 0] — guard
+    # with an empty array so explode DROPS zero-copy rows (downsampling).
+    copies = F.when(n_copies >= 1, F.sequence(F.lit(1), n_copies)).otherwise(
+        F.array().cast("array<int>")
+    )
+    exploded = docs.select(
+        "doc_id", "source", "n_chars", F.explode(copies).alias("epoch")
+    )
+    return exploded.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows_out"),
+        F.countDistinct("doc_id").alias("n_docs_kept"),
+        F.sum("n_chars").cast("long").alias("chars_out"),
+    )
+
+
+DATA_MIX_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source, n_chars,
+         (CAST(substr(source, 4, 10) AS INT) % {MIX_WEIGHT_CYCLE} + 1)
+             * {MIX_WEIGHT_STEP} AS wt
+  FROM documents
+),
+cop AS (
+  SELECT doc_id, source, n_chars,
+         CAST(floor(wt) AS INT)
+         + CASE WHEN CAST(('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                     < CAST((wt - floor(wt)) * 65536 AS BIGINT)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM w
+),
+ex AS (
+  SELECT doc_id, source, n_chars, unnest(range(1, n_copies + 1)) AS epoch
+  FROM cop
+)
+SELECT source,
+       count(*) AS n_rows_out,
+       count(DISTINCT doc_id) AS n_docs_kept,
+       CAST(sum(n_chars) AS BIGINT) AS chars_out
+FROM ex
+GROUP BY source
+"""
+
+
 # Driver-facing tier (see plans/relational.py note on the 50-query
 # window): text_quality folds in the repetition signals, text_fingerprint
 # folds cleaning + fingerprinting, split_sample folds split + sampling —
@@ -1092,4 +1172,5 @@ EXTRA_SPECS: list[QuerySpec] = [
         "repetition_stats", repetition_stats, REPETITION_STATS_SQL, "ext:text,quality"
     ),
     QuerySpec("pii_scrub", pii_scrub, PII_SCRUB_SQL, "ext:text,pii"),
+    QuerySpec("data_mix", data_mix, DATA_MIX_SQL, "ext:mixing,sampling"),
 ]

@@ -665,3 +665,45 @@ def test_scrub_pii_is_map_only(spark):
     plan = scrub_pii(df)._jdf.queryExecution().executedPlan().toString()
     for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython", "Join"):
         assert bad not in plan
+
+
+def test_mix_copies_weights_and_determinism(spark):
+    """floor(w) copies always; the fractional extra copy is a pure
+    content-hash function (never rand), so two evaluations agree and the
+    realized rate sits near frac(w)."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        MIX_WEIGHT_CYCLE,
+        MIX_WEIGHT_STEP,
+        mix_copies_col,
+    )
+
+    rows = [(i, f"src{s}") for s in range(MIX_WEIGHT_CYCLE) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = df.select(
+        "source", mix_copies_col(F.col("source"), F.col("doc_id")).alias("c")
+    )
+    got = {
+        r["source"]: (r["lo"], r["hi"], r["avg"])
+        for r in out.groupBy("source")
+        .agg(F.min("c").alias("lo"), F.max("c").alias("hi"), F.avg("c").alias("avg"))
+        .collect()
+    }
+    for s in range(MIX_WEIGHT_CYCLE):
+        w = (s % MIX_WEIGHT_CYCLE + 1) * MIX_WEIGHT_STEP
+        lo, hi, avg = got[f"src{s}"]
+        assert lo == int(w // 1) and hi == int(w // 1) + (1 if w % 1 else 0)
+        assert abs(avg - w) < 0.08, f"src{s}: realized {avg} vs weight {w}"
+    # deterministic: a second evaluation over a different partitioning
+    # yields the identical per-doc copy counts
+    again = (
+        df.repartition(7)
+        .select("doc_id", "source", mix_copies_col(F.col("source"), F.col("doc_id")).alias("c"))
+        .collect()
+    )
+    first = {
+        (r["doc_id"], r["source"]): r["c"]
+        for r in df.select(
+            "doc_id", "source", mix_copies_col(F.col("source"), F.col("doc_id")).alias("c")
+        ).collect()
+    }
+    assert all(first[(r["doc_id"], r["source"])] == r["c"] for r in again)
