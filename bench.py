@@ -66,6 +66,8 @@ HEADLINE = [
     "cube_summary",
     "text_clean",
     "top_tokens",
+    "pii_scrub",
+    "data_mix",
 ]
 
 # Optional subset for iteration / CI smoke: comma-separated query names.

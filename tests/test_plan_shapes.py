@@ -317,3 +317,29 @@ def test_contamination_two_scans_broadcast_join(spark):
     assert final.count("Scan parquet") == 2, final.count("Scan parquet")
     assert "BroadcastHashJoin" in final
     assert "hashpartitioning(doc_id" in final  # doc-level, not gram-level
+
+
+def test_ensure_parallelism_fanout_capped_by_shuffle_partitions(spark):
+    """The round-robin fan-out never exceeds the session's shuffle
+    partitioning: a workload-sized session (bench sets partitions from
+    input bytes) must not blast tiny inputs into cores-wide task waves;
+    at production settings (partitions >= cores) the cap is inert."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans.core import (
+        ensure_parallelism,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        small = max(2, cores // 2)
+        spark.conf.set("spark.sql.shuffle.partitions", str(small))
+        df = spark.range(1000).coalesce(1)
+        assert ensure_parallelism(spark, df).rdd.getNumPartitions() == small
+        spark.conf.set("spark.sql.shuffle.partitions", str(cores * 64))
+        df2 = spark.range(1000).coalesce(1)
+        assert ensure_parallelism(spark, df2).rdd.getNumPartitions() == cores
+        # already-parallel inputs are never reshuffled
+        df3 = spark.range(1000).repartition(cores * 2)
+        assert ensure_parallelism(spark, df3) is df3
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
