@@ -132,3 +132,70 @@ def test_cosine_known_value(sql):
 def test_word_shingles_short_input_empty(sql):
     [got] = sql(lambda df: word_shingles(word_tokens(df.t), 3), [("one two",)], ["t"])
     assert got == []
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing properties
+PII_FRAGMENTS = st.lists(
+    st.sampled_from(
+        [
+            "plain words here",
+            "a@b.co",
+            "x.y+z@mail-host.org",
+            "10.0.0.1",
+            "255.255.255.255",
+            "555-123-4567",
+            "not@tld",
+            "1.2.3",
+            "12-34-56",
+            "trailing dot 1.2.3.4.",
+        ]
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(frags=PII_FRAGMENTS)
+@SLOW
+def test_scrub_pii_idempotent_and_clean(spark, frags):
+    """Scrubbing is idempotent (replacement tokens contain no matchable
+    PII) and the scrubbed text never matches any rule."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        PII_RULES,
+        scrub_pii,
+    )
+
+    text = " ".join(frags)
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    once = scrub_pii(df).select(F.col("scrubbed").alias("text"), "doc_id")
+    row = scrub_pii(once).collect()[0]
+    assert row["scrubbed"] == row["text"]  # idempotent
+    assert row["n_email"] == row["n_ip"] == row["n_phone"] == 0
+
+
+@given(doc_ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=8, unique=True))
+@SLOW
+def test_mix_copies_matches_python_model(spark, doc_ids):
+    """mix_copies_col == the plain-Python md5 model for arbitrary doc ids."""
+    import hashlib
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        MIX_WEIGHT_CYCLE,
+        MIX_WEIGHT_STEP,
+        mix_copies_col,
+    )
+
+    rows = [(i, f"src{i % 5}") for i in doc_ids]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", mix_copies_col(F.col("source"), F.col("doc_id")).alias("c")
+        ).collect()
+    }
+    for i in doc_ids:
+        w = ((i % 5) % MIX_WEIGHT_CYCLE + 1) * MIX_WEIGHT_STEP
+        h = int(hashlib.md5(f"mix{i}".encode()).hexdigest()[:4], 16)
+        expected = int(w // 1) + (1 if h < int((w - w // 1) * 65536) else 0)
+        assert got[i] == expected
