@@ -1,0 +1,273 @@
+"""End-to-end training-corpus pipeline — the composition a 100 TB
+pretraining-data job actually runs, chained from the operator library:
+
+    raw documents
+      → language + quality filter        (map-only predicates)
+      → exact dedup                      (one shuffle on content hash)
+      → near dedup (MinHash-LSH → connected components → survivors)
+      → PII scrub                        (map-only regexp redaction)
+      → deterministic split assignment   (content-hash, map-only)
+      → optional sequence packing        (per-shard running-sum window)
+      → parquet partitioned by split     (atomic staged publish)
+
+Every stage is the SAME code the registry queries verify against DuckDB
+oracles (operators/text.py, operators/dedup.py, operators/graph.py) —
+this module only composes them, lands the result, and emits a stats
+manifest.  The stage-count manifest is computed in ONE conditional-
+aggregate pass over the input (the corpus_funnel recipe) plus one scan
+of the landed output; no per-stage count jobs, no driver-side loops.
+
+Scale notes: the only corpus-wide shuffles are the exact-dedup hash
+aggregate, the LSH band-bucket self-join, and the final partitioned
+write; everything else is map-side.  The validation gate re-reads the
+LANDED parquet (columnar, pruned) rather than re-running lineage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import word_tokens
+from ..operators.graph import connected_components
+from ..operators.text import (
+    FUNNEL_MIN_TOKENS,
+    FUNNEL_MIN_TTR,
+    predicted_lang,
+    scrub_pii,
+    split_col,
+)
+from ..session import get_spark
+
+
+@dataclass(frozen=True)
+class CorpusConfig:
+    """Knobs for one corpus build; defaults mirror the registry queries."""
+
+    langs: tuple[str, ...] = ("en",)
+    min_tokens: int = FUNNEL_MIN_TOKENS
+    min_ttr: float = FUNNEL_MIN_TTR
+    near_dedup: bool = True
+    scrub: bool = True
+    pack_budget: int | None = None  # tokens per training chunk; None = off
+    extra: dict = field(default_factory=dict)
+
+
+class CorpusGateError(RuntimeError):
+    def __init__(self, report: dict):
+        self.report = report
+        failed = [k for k, v in report.items() if v is not True]
+        super().__init__(f"corpus validation failed: {failed}")
+
+
+def _filtered(docs: DataFrame, cfg: CorpusConfig) -> DataFrame:
+    toks = word_tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    return docs.filter(
+        predicted_lang(F.col("text")).isin(*cfg.langs)
+        & (n_tokens >= cfg.min_tokens)
+        & (ttr >= cfg.min_ttr)
+    )
+
+
+def _exact_deduped(docs: DataFrame) -> DataFrame:
+    """Keep the min-doc_id representative per exact content hash — one
+    hash-keyed shuffle, deterministic under any partitioning (unlike
+    dropDuplicates, whose survivor is partition-order-dependent)."""
+    hashed = docs.withColumn("text_hash", F.md5(F.col("text").cast("binary")))
+    keeper = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
+    return hashed.join(keeper, ["text_hash", "doc_id"])
+
+
+def _near_deduped(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH candidates → connected components → canonical
+    (min doc_id) survivor per cluster.  Candidate generation is the
+    band-bucket join from operators/dedup.py — never doc×doc."""
+    from ..operators.dedup import lsh_candidate_pairs
+
+    pairs = lsh_candidate_pairs(docs)
+    comp = connected_components(
+        docs.select(F.col("doc_id").alias("vertex_id")),
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+    )
+    return docs.join(
+        comp.filter(F.col("vertex_id") == F.col("component")).select(
+            F.col("vertex_id").alias("doc_id")
+        ),
+        "doc_id",
+    )
+
+
+def _packed(docs: DataFrame, budget: int) -> DataFrame:
+    """GPT-style concat-and-chunk per source shard (the seq_packing
+    recipe): chunk_id = floor(tokens-before-this-doc / budget)."""
+    from pyspark.sql import Window
+
+    n_tok = F.size(word_tokens(F.col("text"))).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = F.sum(n_tok).over(w) - n_tok
+    return docs.withColumn("n_tokens", n_tok).withColumn(
+        "chunk_id", F.floor(before / budget).cast("long")
+    )
+
+
+def run_corpus_pipeline(
+    spark: SparkSession,
+    input_path: str | Path,
+    output_dir: str | Path,
+    config: CorpusConfig | None = None,
+) -> dict:
+    """Build the corpus; returns the manifest (also written as JSON)."""
+    cfg = config or CorpusConfig()
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    docs = spark.read.parquet(str(input_path))
+
+    kept = _exact_deduped(_filtered(docs, cfg))
+    if cfg.near_dedup:
+        kept = _near_deduped(kept)
+    if cfg.scrub:
+        kept = (
+            scrub_pii(kept)
+            .withColumn("pii_redactions", F.col("n_email") + F.col("n_ip") + F.col("n_phone"))
+            .drop("text", "n_email", "n_ip", "n_phone")
+            .withColumnRenamed("scrubbed", "text")
+        )
+    kept = kept.withColumn("split", split_col(F.col("doc_id")))
+    if cfg.pack_budget:
+        kept = _packed(kept, cfg.pack_budget)
+
+    # Staged publish: nothing appears at the final path unless the gate
+    # passes (same contract as etl/pipeline.py).
+    staging = output_dir / "corpus._staging"
+    final = output_dir / "corpus"
+    shutil.rmtree(staging, ignore_errors=True)
+    kept.write.mode("overwrite").partitionBy("split").parquet(str(staging))
+
+    # Stage counts: ONE conditional-aggregate input pass (corpus_funnel
+    # recipe) — n_near comes from the landed output below.
+    toks = word_tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    keep_pred = (
+        predicted_lang(F.col("text")).isin(*cfg.langs)
+        & (n_tokens >= cfg.min_tokens)
+        & (ttr >= cfg.min_ttr)
+    )
+    stage_row = docs.select(
+        keep_pred.alias("kept"),
+        F.md5(F.col("text").cast("binary")).alias("text_hash"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_filtered"),
+        F.countDistinct(F.when(F.col("kept"), F.col("text_hash"))).alias("n_exact"),
+    ).collect()[0]
+
+    # Explicit schema: an all-filtered corpus writes zero data files, and
+    # schema inference on an empty directory throws — the gate below must
+    # instead see n_out = 0 and fail with a clean report.
+    landed = spark.read.schema(kept.schema).parquet(str(staging))
+    out_row = landed.agg(
+        F.count(F.lit(1)).alias("n_out"),
+        F.countDistinct("text_hash").alias("n_out_hashes"),
+        F.countDistinct("split").alias("n_splits"),
+        F.sum(F.length("text")).cast("long").alias("chars_out"),
+        (
+            F.sum("pii_redactions").cast("long")
+            if cfg.scrub
+            else F.lit(None).cast("long")
+        ).alias("pii_redactions"),
+    ).collect()[0]
+    per_split = {
+        r["split"]: r["n"]
+        for r in landed.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    gate = {
+        "counts_monotonic": stage_row["n_raw"]
+        >= stage_row["n_filtered"]
+        >= stage_row["n_exact"]
+        >= out_row["n_out"],
+        "no_duplicate_hashes": out_row["n_out"] == out_row["n_out_hashes"],
+        "splits_valid": set(per_split) <= {"train", "val", "test"},
+        "nonempty": out_row["n_out"] > 0,
+    }
+    if not all(v is True for v in gate.values()):
+        shutil.rmtree(staging, ignore_errors=True)
+        raise CorpusGateError(gate)
+
+    shutil.rmtree(final, ignore_errors=True)
+    staging.rename(final)
+
+    manifest = {
+        "input": str(input_path),
+        "output": str(final),
+        "config": {
+            "langs": list(cfg.langs),
+            "min_tokens": cfg.min_tokens,
+            "min_ttr": cfg.min_ttr,
+            "near_dedup": cfg.near_dedup,
+            "scrub": cfg.scrub,
+            "pack_budget": cfg.pack_budget,
+        },
+        "stages": {
+            "n_raw": stage_row["n_raw"],
+            "n_filtered": stage_row["n_filtered"],
+            "n_exact_deduped": stage_row["n_exact"],
+            "n_written": out_row["n_out"],
+        },
+        "output_stats": {
+            "chars": out_row["chars_out"],
+            "pii_redactions": out_row["pii_redactions"],
+            "per_split": per_split,
+        },
+        "gate": gate,
+    }
+    (output_dir / "corpus_manifest.json").write_text(json.dumps(manifest, indent=2))
+    return manifest
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="Training-corpus pipeline (PySpark)")
+    ap.add_argument("--input", required=True, help="documents parquet path")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--langs", default="en", help="comma-separated language keep-list")
+    ap.add_argument("--min-tokens", type=int, default=FUNNEL_MIN_TOKENS)
+    ap.add_argument("--min-ttr", type=float, default=FUNNEL_MIN_TTR)
+    ap.add_argument("--no-near-dedup", action="store_true")
+    ap.add_argument("--no-scrub", action="store_true")
+    ap.add_argument("--pack-budget", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    cfg = CorpusConfig(
+        langs=tuple(s.strip() for s in args.langs.split(",") if s.strip()),
+        min_tokens=args.min_tokens,
+        min_ttr=args.min_ttr,
+        near_dedup=not args.no_near_dedup,
+        scrub=not args.no_scrub,
+        pack_budget=args.pack_budget,
+    )
+    spark = get_spark(app_name="corpus-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        manifest = run_corpus_pipeline(spark, args.input, args.output, cfg)
+    finally:
+        spark.stop()
+    print(json.dumps(manifest, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

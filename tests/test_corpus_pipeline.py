@@ -1,0 +1,128 @@
+"""End-to-end tests for the composed corpus pipeline — planted
+duplicates, planted PII, packing arithmetic, and the publish gate."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ida_ice_energy_simulation_etl_pipeline_spark.corpus import (
+    CorpusConfig,
+    run_corpus_pipeline,
+)
+from ida_ice_energy_simulation_etl_pipeline_spark.corpus.pipeline import (
+    CorpusGateError,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the old oak tree"
+)
+OTHER = (
+    "completely different text about query engines shuffles partitions "
+    "joins aggregates windows and the optimizer that plans them well"
+)
+
+
+@pytest.fixture()
+def corpus_input(spark, tmp_path):
+    rows = [
+        (0, BASE, "src0"),
+        (1, BASE, "src1"),  # exact dup of 0
+        (2, BASE.replace("lazy", "sleepy"), "src0"),  # near dup of 0
+        (3, OTHER + " reach me at someone@example.org today", "src1"),
+        (4, OTHER.replace("joins", "merges") + " extra tail words here", "src2"),
+        (5, "tiny", "src2"),  # fails min_tokens
+        (6, "der hund und die katze und der vogel und das haus und der baum und das auto", "src0"),  # de
+    ]
+    path = tmp_path / "docs.parquet"
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.parquet(str(path))
+    return path
+
+
+def test_corpus_pipeline_end_to_end(spark, corpus_input, tmp_path):
+    out = tmp_path / "out"
+    manifest = run_corpus_pipeline(
+        spark, corpus_input, out, CorpusConfig(pack_budget=16)
+    )
+    st = manifest["stages"]
+    # 7 raw; doc 5 (too short) and doc 6 (German) filtered; exact dedup
+    # folds 0/1; near dedup folds 2 into 0's cluster (and 4 stays: its
+    # text legitimately differs).
+    assert st["n_raw"] == 7
+    assert st["n_filtered"] == 5
+    assert st["n_exact_deduped"] == 4
+    assert st["n_written"] <= 4 and st["n_written"] >= 3
+    assert manifest["gate"] == {
+        "counts_monotonic": True,
+        "no_duplicate_hashes": True,
+        "splits_valid": True,
+        "nonempty": True,
+    }
+
+    landed = spark.read.parquet(str(out / "corpus"))
+    rows = {r["doc_id"]: r for r in landed.collect()}
+    assert 0 in rows and 1 not in rows  # exact dup dropped, min id kept
+    assert 2 not in rows  # near dup dropped
+    # PII scrubbed in the surviving text
+    assert 3 in rows and "someone@example.org" not in rows[3]["text"]
+    assert "<EMAIL>" in rows[3]["text"]
+    assert rows[3]["pii_redactions"] == 1
+    # packing: chunk_id = floor(tokens_before/budget), per source shard
+    for r in rows.values():
+        assert r["chunk_id"] >= 0 and r["n_tokens"] > 0
+    # manifest persisted and equals the returned dict
+    on_disk = json.loads((out / "corpus_manifest.json").read_text())
+    assert on_disk == manifest
+
+
+def test_corpus_pipeline_no_near_dedup_keeps_near_dups(spark, corpus_input, tmp_path):
+    manifest = run_corpus_pipeline(
+        spark,
+        corpus_input,
+        tmp_path / "out2",
+        CorpusConfig(near_dedup=False, scrub=False),
+    )
+    landed = spark.read.parquet(manifest["output"])
+    ids = {r["doc_id"] for r in landed.select("doc_id").collect()}
+    assert 2 in ids  # near-dup survives without the LSH stage
+    assert 1 not in ids  # exact dedup still applies
+    # scrub off: original text intact
+    texts = {r["doc_id"]: r["text"] for r in landed.collect()}
+    assert "someone@example.org" in texts[3]
+
+
+def test_corpus_gate_blocks_empty_output(spark, tmp_path):
+    path = tmp_path / "docs.parquet"
+    spark.createDataFrame(
+        [(0, "zu kurz", "src0")], ["doc_id", "text", "source"]
+    ).write.parquet(str(path))
+    out = tmp_path / "out3"
+    with pytest.raises(CorpusGateError) as exc:
+        run_corpus_pipeline(spark, path, out, CorpusConfig())
+    assert exc.value.report["nonempty"] is False
+    # nothing published, staging cleaned up
+    assert not (out / "corpus").exists()
+    assert not (out / "corpus._staging").exists()
+
+
+def test_corpus_split_fractions_at_scale(spark, tmp_path):
+    """Content-hash split lands near 80/10/10 on a bigger corpus and is
+    disjoint+exhaustive."""
+    rows = [
+        (i, f"unique document number {i} with sufficiently many distinct tokens alpha{i} beta{i} gamma{i}", f"src{i%3}")
+        for i in range(600)
+    ]
+    path = tmp_path / "docs.parquet"
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.parquet(str(path))
+    manifest = run_corpus_pipeline(
+        spark, path, tmp_path / "out4", CorpusConfig(near_dedup=False, scrub=False)
+    )
+    per = manifest["output_stats"]["per_split"]
+    total = sum(per.values())
+    assert total == manifest["stages"]["n_written"]
+    assert 0.7 < per["train"] / total < 0.9
+    assert 0.05 < per["val"] / total < 0.16
+    assert 0.05 < per["test"] / total < 0.16
