@@ -56,6 +56,7 @@ class CorpusConfig:
     near_dedup: bool = True
     scrub: bool = True
     pack_budget: int | None = None  # tokens per training chunk; None = off
+    shuffle_output: bool = False  # pseudo-random global order for training
     extra: dict = field(default_factory=dict)
 
 
@@ -148,6 +149,21 @@ def run_corpus_pipeline(
     kept = kept.withColumn("split", split_col(F.col("doc_id")))
     if cfg.pack_budget:
         kept = _packed(kept, cfg.pack_budget)
+    if cfg.shuffle_output:
+        # Deterministic pseudo-random GLOBAL order: training wants the
+        # corpus decorrelated from ingest order, and rand() would make
+        # the build irreproducible.  repartitionByRange on a content-hash
+        # key + an intra-partition sort gives a total order by
+        # md5(doc_id) — file k holds hash range k, so any reader
+        # streaming file 0..N sees a reproducible shuffled corpus.  One
+        # range exchange at write time; readers pay nothing.
+        kept = (
+            kept.withColumn(
+                "shuffle_key", F.md5(F.col("doc_id").cast("string").cast("binary"))
+            )
+            .repartitionByRange("shuffle_key")
+            .sortWithinPartitions("shuffle_key")
+        )
 
     # Staged publish: nothing appears at the final path unless the gate
     # passes (same contract as etl/pipeline.py).
@@ -221,6 +237,7 @@ def run_corpus_pipeline(
             "near_dedup": cfg.near_dedup,
             "scrub": cfg.scrub,
             "pack_budget": cfg.pack_budget,
+            "shuffle_output": cfg.shuffle_output,
         },
         "stages": {
             "n_raw": stage_row["n_raw"],
@@ -249,6 +266,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-near-dedup", action="store_true")
     ap.add_argument("--no-scrub", action="store_true")
     ap.add_argument("--pack-budget", type=int, default=None)
+    ap.add_argument(
+        "--shuffle-output",
+        action="store_true",
+        help="write in deterministic pseudo-random (content-hash) global order",
+    )
     args = ap.parse_args(argv)
 
     cfg = CorpusConfig(
@@ -258,6 +280,7 @@ def main(argv: list[str] | None = None) -> int:
         near_dedup=not args.no_near_dedup,
         scrub=not args.no_scrub,
         pack_budget=args.pack_budget,
+        shuffle_output=args.shuffle_output,
     )
     spark = get_spark(app_name="corpus-pipeline")
     spark.sparkContext.setLogLevel("ERROR")
