@@ -138,6 +138,14 @@ def run_corpus_pipeline(
 
     kept = _exact_deduped(_filtered(docs, cfg))
     if cfg.near_dedup:
+        # Materialize the dedup input ONCE: near-dedup consumes it three
+        # times (vertex set, MinHash-LSH pair derivation, survivor join),
+        # and without truncation each consumer re-executes the filter +
+        # exact-dedup lineage from the raw scan (measured 2× wall at
+        # sf0.1).  localCheckpoint suffices single-node; a cluster
+        # deployment lands this intermediate to storage instead (the
+        # etl/pipeline.py staging pattern) so executors can evict.
+        kept = kept.localCheckpoint(eager=True)
         kept = _near_deduped(kept)
     if cfg.scrub:
         kept = (

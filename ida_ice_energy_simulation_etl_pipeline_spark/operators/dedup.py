@@ -144,8 +144,14 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     exploded = sig.select(
         "doc_id", F.explode(bands).alias("band")
     ).select("doc_id", "band.band_idx", "band.band_key")
+    # Pin the self-join to sort-merge (the ngram_jaccard_pairs lesson,
+    # dedup.py:393): both sides are the SAME subtree, so the merge join
+    # reads ONE reused exchange twice, whereas AQE's broadcast pick
+    # re-executes the minhash+explode derivation to build the hash side —
+    # measured 4.9 s vs 2.7 s at sf0.1.  At corpus scale the band stream
+    # never broadcasts anyway.
     left = exploded.alias("a")
-    right = exploded.alias("b")
+    right = exploded.hint("shuffle_merge").alias("b")
     return (
         left.join(
             right,
@@ -282,7 +288,10 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "simhash", "b.blk", "b.key")
-    a, b = blocks.alias("a"), blocks.alias("b")
+    # Same sort-merge pin as lsh_candidate_pairs/ngram_jaccard_pairs: the
+    # sides share one subtree, the merge join reuses its exchange; AQE's
+    # broadcast pick would re-execute the simhash derivation.
+    a, b = blocks.alias("a"), blocks.hint("shuffle_merge").alias("b")
     hamming = reduce(
         lambda x, y: x + y,
         [
