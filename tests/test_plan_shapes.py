@@ -343,3 +343,33 @@ def test_ensure_parallelism_fanout_capped_by_shuffle_partitions(spark):
         assert ensure_parallelism(spark, df3) is df3
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+def test_lsh_band_self_join_is_merge_with_reused_exchange(spark):
+    """The MinHash-LSH band self-join must read ONE reused exchange twice
+    (pinned sort-merge) — AQE's broadcast pick re-executes the whole
+    signature derivation to build the hash side (measured ~2x at sf0.1)."""
+    df = ALL_QUERIES["dedup_minhash_lsh"].fn(spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert final.count("SortMergeJoin") == 1
+    assert final.count("ReusedExchange") >= 1
+    assert "BroadcastHashJoin" not in final
+
+
+def test_simhash_block_self_join_is_merge_with_reused_exchange(spark):
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans.core import load_table
+
+    df = simhash_near_pairs(load_table(spark, SF, "documents"))
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert final.count("SortMergeJoin") == 1
+    assert final.count("ReusedExchange") >= 1
+    assert "BroadcastHashJoin" not in final
