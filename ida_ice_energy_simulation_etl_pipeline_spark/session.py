@@ -24,25 +24,14 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(
-    app_name: str = "ida-ice-energy-spark",
-    master: str | None = None,
+def build_conf(
+    master: str | None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
-) -> SparkSession:
-    """Build (or fetch) the configured SparkSession.
-
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default ``*``)
-    so the same entry point works in tests, bench, and cluster deploys
-    (where ``master`` is injected by spark-submit and must stay None).
-    """
-    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
-        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
-
-    builder = SparkSession.builder.appName(app_name)
-    if master:
-        builder = builder.master(master)
-
+) -> dict[str, str]:
+    """The session conf as a pure function of (master, knobs) — split out
+    so the local-vs-cluster conditional is unit-testable without
+    standing up a second JVM."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
@@ -86,6 +75,27 @@ def get_spark(
         conf["spark.locality.wait"] = "0ms"
     if extra_conf:
         conf.update(extra_conf)
-    for k, v in conf.items():
+    return conf
+
+
+def get_spark(
+    app_name: str = "ida-ice-energy-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default ``*``)
+    so the same entry point works in tests, bench, and cluster deploys
+    (where ``master`` is injected by spark-submit and must stay None).
+    """
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    for k, v in build_conf(master, shuffle_partitions, extra_conf).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

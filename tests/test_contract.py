@@ -110,3 +110,27 @@ def test_bench_cli_emits_one_json_line(tmp_path):
     # the self-grading DuckDB column ran without per-query errors
     assert all(isinstance(v, float) for v in doc["duckdb_queries"].values())
     assert doc["sf"] == 0.001
+
+
+def test_session_conf_local_vs_cluster():
+    """Uncompressed shuffle + zero locality wait apply ONLY to known-local
+    masters; a cluster deploy (master=None, injected by spark-submit)
+    keeps Spark's network-appropriate defaults.  extra_conf overrides
+    everything."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.session import build_conf
+
+    local = build_conf("local[32]")
+    assert local["spark.shuffle.compress"] == "false"
+    assert local["spark.locality.wait"] == "0ms"
+
+    for cluster_master in (None, "yarn", "spark://host:7077", "k8s://https://h"):
+        conf = build_conf(cluster_master)
+        assert "spark.shuffle.compress" not in conf, cluster_master
+        assert "spark.locality.wait" not in conf, cluster_master
+        assert conf["spark.sql.adaptive.enabled"] == "true"
+
+    over = build_conf("local[4]", extra_conf={"spark.shuffle.compress": "true"})
+    assert over["spark.shuffle.compress"] == "true"
+    assert build_conf(None, shuffle_partitions=2000)[
+        "spark.sql.shuffle.partitions"
+    ] == "2000"
