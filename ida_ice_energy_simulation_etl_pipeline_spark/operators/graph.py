@@ -79,6 +79,105 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    vertices: DataFrame, edges: DataFrame, *, max_rounds: int = MAX_CC_ITERATIONS
+) -> tuple[DataFrame, int]:
+    """Alternating large-star / small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond") — the
+    extreme-diameter fallback SCALE.md prescribes for min-label
+    propagation.  Converges in O(log n) ROUNDS REGARDLESS OF DIAMETER:
+    each large-star hangs every larger neighbor off the neighborhood
+    minimum (halving tree height), each small-star flattens the smaller
+    neighbors onto it, and the fixpoint is a star forest whose center is
+    the component minimum — the same contract as connected_components,
+    which needs one round per unit of graph diameter and therefore loses
+    badly on path/chain graphs (see test_cc_star_beats_label_prop_rounds).
+
+    Same input contract as :func:`connected_components`; returns
+    ``(labels, rounds)`` so callers can observe convergence behavior.
+    Per round: two keyed shuffles (neighborhood min + emit), a
+    localCheckpoint to truncate lineage, and one (count, hash-sum)
+    aggregate action for the stability check.
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _stats(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src", "dst")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _stats(e)
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        # large-star: for each u, m = min(N(u) ∪ {u}); hang every LARGER
+        # neighbor v > u off m.
+        sym = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m = (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("src", "mn").alias("m"))
+        )
+        large = (
+            sym.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        # small-star: orient big→small; for each u, m = min(N<(u) ∪ {u});
+        # connect u and every smaller neighbor to m.
+        e2 = (
+            large.select(
+                F.greatest("src", "dst").alias("src"),
+                F.least("src", "dst").alias("dst"),
+            )
+            .distinct()
+        )
+        m2 = e2.groupBy("src").agg(F.min("dst").alias("m"))
+        joined = e2.join(m2, "src")
+        small = (
+            joined.select(F.col("dst").alias("child"), F.col("m").alias("root"))
+            .union(joined.select(F.col("src").alias("child"), F.col("m").alias("root")))
+            .filter(F.col("child") != F.col("root"))
+            .distinct()
+            .select(F.col("child").alias("src"), F.col("root").alias("dst"))
+            .select(
+                F.greatest("src", "dst").alias("src"),
+                F.least("src", "dst").alias("dst"),
+            )
+        )
+        e = small.localCheckpoint(eager=True)
+        cur = _stats(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    mapping = e.groupBy(F.col("src").alias("vertex_id")).agg(
+        F.min("dst").alias("_component")
+    )
+    labels = (
+        vertices.join(mapping, "vertex_id", "left")
+        .select(
+            "vertex_id",
+            F.coalesce("_component", F.col("vertex_id")).alias("component"),
+        )
+    )
+    return labels, rounds
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters from MinHash-LSH candidate pairs: per-source
     cluster census + canonical (min doc_id) members."""

@@ -707,3 +707,87 @@ def test_mix_copies_weights_and_determinism(spark):
         ).collect()
     }
     assert all(first[(r["doc_id"], r["source"])] == r["c"] for r in again)
+
+
+# --------------------------------------------------------------------------
+# Large-star/small-star connected components — the O(log n)-round variant
+def _uf_ground_truth(n, edge_list):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component = min id reachable
+    comp = {}
+    for v in range(n):
+        r = find(v)
+        comp.setdefault(r, v)
+    return {v: min(comp[find(v)], find(v)) for v in range(n)}
+
+
+def test_cc_star_matches_label_prop_and_ground_truth(spark):
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    #  path 1-2-3-4, triangle 5-6-7, isolated 0, plus dup/self edges
+    n = 8
+    edge_list = [(4, 3), (3, 2), (2, 1), (5, 6), (6, 7), (5, 7), (3, 2), (6, 6)]
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "vertex_id long")
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    truth = _uf_ground_truth(n, edge_list)
+    star_labels, rounds = connected_components_star(vertices, edges)
+    got_star = {r.vertex_id: r.component for r in star_labels.collect()}
+    got_prop = {
+        r.vertex_id: r.component
+        for r in connected_components(vertices, edges).collect()
+    }
+    assert got_star == truth == got_prop
+    assert rounds <= 6
+
+
+def test_cc_star_beats_label_prop_rounds_on_a_chain(spark):
+    """A 64-node path has diameter 63: min-label propagation needs ~63
+    rounds (it would blow the 50-round safety rail), while the
+    star algorithm collapses it in O(log n) rounds."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    n = 64
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "vertex_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    labels, rounds = connected_components_star(vertices, edges)
+    got = {r.vertex_id: r.component for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 12, f"expected O(log n) rounds, took {rounds}"
+
+
+def test_cc_star_random_graph_matches_ground_truth(spark):
+    import random
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    n = 200
+    edge_list = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(120)
+    ]
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "vertex_id long")
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    truth = _uf_ground_truth(n, edge_list)
+    labels, _ = connected_components_star(vertices, edges)
+    got = {r.vertex_id: r.component for r in labels.collect()}
+    assert got == truth
