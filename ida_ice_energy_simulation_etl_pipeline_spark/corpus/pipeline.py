@@ -54,6 +54,9 @@ class CorpusConfig:
     min_tokens: int = FUNNEL_MIN_TOKENS
     min_ttr: float = FUNNEL_MIN_TTR
     near_dedup: bool = True
+    # "label_prop" (diameter rounds — near-dup clusters are small/dense) or
+    # "star" (large-star/small-star, O(log n) rounds at any diameter)
+    cc_algorithm: str = "label_prop"
     scrub: bool = True
     pack_budget: int | None = None  # tokens per training chunk; None = off
     shuffle_output: bool = False  # pseudo-random global order for training
@@ -87,17 +90,22 @@ def _exact_deduped(docs: DataFrame) -> DataFrame:
     return hashed.join(keeper, ["text_hash", "doc_id"])
 
 
-def _near_deduped(docs: DataFrame) -> DataFrame:
+def _near_deduped(docs: DataFrame, cc_algorithm: str = "label_prop") -> DataFrame:
     """MinHash-LSH candidates → connected components → canonical
     (min doc_id) survivor per cluster.  Candidate generation is the
     band-bucket join from operators/dedup.py — never doc×doc."""
     from ..operators.dedup import lsh_candidate_pairs
+    from ..operators.graph import connected_components_star
 
     pairs = lsh_candidate_pairs(docs)
-    comp = connected_components(
-        docs.select(F.col("doc_id").alias("vertex_id")),
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
-    )
+    vertices = docs.select(F.col("doc_id").alias("vertex_id"))
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    if cc_algorithm == "star":
+        comp, _ = connected_components_star(vertices, edges)
+    elif cc_algorithm == "label_prop":
+        comp = connected_components(vertices, edges)
+    else:
+        raise ValueError(f"unknown cc_algorithm {cc_algorithm!r}")
     return docs.join(
         comp.filter(F.col("vertex_id") == F.col("component")).select(
             F.col("vertex_id").alias("doc_id")
@@ -146,7 +154,7 @@ def run_corpus_pipeline(
         # deployment lands this intermediate to storage instead (the
         # etl/pipeline.py staging pattern) so executors can evict.
         kept = kept.localCheckpoint(eager=True)
-        kept = _near_deduped(kept)
+        kept = _near_deduped(kept, cfg.cc_algorithm)
     if cfg.scrub:
         kept = (
             scrub_pii(kept)
@@ -272,6 +280,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--min-tokens", type=int, default=FUNNEL_MIN_TOKENS)
     ap.add_argument("--min-ttr", type=float, default=FUNNEL_MIN_TTR)
     ap.add_argument("--no-near-dedup", action="store_true")
+    ap.add_argument(
+        "--cc-algorithm",
+        choices=("label_prop", "star"),
+        default="label_prop",
+        help="near-dedup clustering: diameter-round label propagation or "
+        "O(log n)-round large-star/small-star",
+    )
     ap.add_argument("--no-scrub", action="store_true")
     ap.add_argument("--pack-budget", type=int, default=None)
     ap.add_argument(
@@ -286,6 +301,7 @@ def main(argv: list[str] | None = None) -> int:
         min_tokens=args.min_tokens,
         min_ttr=args.min_ttr,
         near_dedup=not args.no_near_dedup,
+        cc_algorithm=args.cc_algorithm,
         scrub=not args.no_scrub,
         pack_budget=args.pack_budget,
         shuffle_output=args.shuffle_output,
