@@ -293,6 +293,30 @@ GROUP BY cluster_size
 """
 
 
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters computed by the large-star/small-star CC variant —
+    same recursive-CTE oracle as the label-propagation query, so the
+    O(log n)-round algorithm gets full value-hash verification too."""
+    from .dedup import lsh_candidate_pairs
+
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    pairs = lsh_candidate_pairs(docs)
+    comp, _ = connected_components_star(
+        docs.select(F.col("doc_id").alias("vertex_id")),
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+    )
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.min("component").alias("min_component"),
+            F.max("component").alias("max_component"),
+        )
+    )
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "dedup_clusters", dedup_clusters, _dedup_clusters_sql(), "ext:dedup,graph"
@@ -302,5 +326,14 @@ SPECS: list[QuerySpec] = [
         dedup_survivors,
         _dedup_survivors_sql(),
         "ext:dedup,graph",
+    ),
+]
+
+EXTRA_SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "dedup_clusters_star",
+        dedup_clusters_star,
+        _dedup_clusters_sql(),
+        "ext:dedup,graph,star",
     ),
 ]
