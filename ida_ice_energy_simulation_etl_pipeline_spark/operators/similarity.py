@@ -419,8 +419,137 @@ SPECS: list[QuerySpec] = [
     QuerySpec("similarity_ivf", similarity_ivf, SIMILARITY_IVF_SQL, "ext:ann"),
 ]
 
+# --------------------------------------------------------------------------
+# K-means refinement (Lloyd iterations) — the "centroids refreshed
+# offline" step the IVF quantizer docstring assumes.  Each iteration is
+# two bounded shuffles: assignment is the SAME broadcast-codebook +
+# max_by map-side argmax as IVF cell assignment (the vectors×k cross
+# join collapses to one row per vector before any exchange), and the
+# centroid update is an element-wise mean — posexplode to (cluster,
+# dim_pos, value), partial-aggregated average per (cluster, pos), then
+# re-assembled into an array.  Centroids stay k×d rows (broadcast
+# scale) at ANY corpus size; the corpus is never shuffled, only scanned
+# once per iteration.  Deterministic init (first k vectors by vec_id)
+# keeps the whole refinement a pure function of the data — which is
+# what lets a fixed-iteration run be verified value-for-value against a
+# DuckDB oracle (kmeans_census below, manually unrolled CTEs), an
+# exactness check most engines never get for iterative ML.
+KMEANS_K = 8
+KMEANS_ITERATIONS = 2
+
+
+def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """argmax-cosine cluster per vector; ties to the smallest cluster id
+    (identical tie-break to the IVF quantizer and the oracle)."""
+    scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
+        "c_cos", cosine_similarity(F.col("embedding"), F.col("c_emb"))
+    )
+    return scored.groupBy("vec_id").agg(
+        F.first("embedding").alias("embedding"),
+        F.max_by(
+            "cluster_id", F.struct("c_cos", (-F.col("cluster_id")).alias("t"))
+        ).alias("cluster_id"),
+    )
+
+
+def kmeans_refine(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iterations: int = KMEANS_ITERATIONS,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """``iterations`` Lloyd rounds from the deterministic seed codebook;
+    returns the final (vec_id, embedding, cluster_id) assignment."""
+    centroids = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.col("embedding").cast("array<double>").alias("c_emb"),
+    )
+    assigned = _assign(emb, centroids)
+    for _ in range(iterations - 1):
+        means = (
+            assigned.select(
+                "cluster_id", F.posexplode("embedding").alias("pos", "v")
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cluster_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "cluster_id",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("c_emb"),
+            )
+        )
+        assigned = _assign(emb, means)
+    return assigned
+
+
+def kmeans_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ensure_parallelism(spark, load_table(spark, sf_dir, "embeddings"))
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    assigned = kmeans_refine(emb)
+    return (
+        assigned.join(labels, "vec_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+    )
+
+
+def _kmeans_census_sql() -> str:
+    """Two Lloyd rounds unrolled as CTEs — assignment → element-wise mean
+    centroids → re-assignment — then the integer census (all-BIGINT
+    output keeps the cross-engine hash float-free; the interior float
+    work agrees because both engines accumulate in double and the argmax
+    margins are far above ulp noise on this data)."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+c0 AS (SELECT vec_id AS cluster_id, emb AS c_emb FROM e WHERE vec_id < {KMEANS_K}),
+a1 AS (
+  SELECT vec_id, emb, cluster_id FROM (
+    SELECT e.vec_id, e.emb, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.emb, c.c_emb) DESC,
+                                       c.cluster_id) AS rk
+    FROM e CROSS JOIN c0 c
+  ) WHERE rk = 1
+),
+c1 AS (
+  SELECT cluster_id, list(m ORDER BY pos) AS c_emb FROM (
+    SELECT a1.cluster_id, t.pos, avg(a1.emb[t.pos]) AS m
+    FROM a1, unnest(range(1, {EMB_DIM} + 1)) AS t(pos)
+    GROUP BY a1.cluster_id, t.pos
+  ) GROUP BY cluster_id
+),
+a2 AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.emb, c.c_emb) DESC,
+                                       c.cluster_id) AS rk
+    FROM e CROSS JOIN c1 c
+  ) WHERE rk = 1
+)
+SELECT a2.cluster_id,
+       count(*) AS n_members,
+       min(a2.vec_id) AS min_vec_id,
+       count(DISTINCT e.label) AS n_labels
+FROM a2 JOIN e ON e.vec_id = a2.vec_id
+GROUP BY a2.cluster_id
+"""
+
+
 # Oracle-verified locally, outside the driver's 50-query window (the ANN
 # family already has three driver-facing entries over the same table).
 EXTRA_SPECS: list[QuerySpec] = [
     QuerySpec("embedding_stats", embedding_stats, EMBEDDING_STATS_SQL, "ext:ann"),
+    QuerySpec(
+        "kmeans_census", kmeans_census, _kmeans_census_sql(), "ext:ann,kmeans"
+    ),
 ]

@@ -791,3 +791,41 @@ def test_cc_star_random_graph_matches_ground_truth(spark):
     labels, _ = connected_components_star(vertices, edges)
     got = {r.vertex_id: r.component for r in labels.collect()}
     assert got == truth
+
+
+def test_kmeans_refine_recovers_planted_clusters(spark):
+    """Three well-separated planted clusters: after refinement every
+    member is assigned with its cluster-mates, and refinement strictly
+    improves on the seed assignment (seeds 0,1,2 all come from planted
+    cluster A, so the seed codebook CANNOT separate B and C — the
+    centroid-update step has to discover them)."""
+    import random
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.similarity import (
+        kmeans_refine,
+    )
+
+    rng = random.Random(3)
+    dim = 8
+    centers = {
+        "A": [5.0, 0, 0, 0, 0, 0, 0, 0],
+        "B": [0, 5.0, 0, 0, 0, 0, 0, 0],
+        "C": [0, 0, 5.0, 0, 0, 0, 0, 0],
+    }
+    rows, truth = [], {}
+    vid = 0
+    for name in ("A", "A", "A", "B", "B", "C"):  # seeds 0-2 all in A
+        for _ in range(10):
+            vec = [c + rng.gauss(0, 0.3) for c in centers[name]]
+            rows.append((vid, vec))
+            truth[vid] = name
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_refine(emb, k=3, iterations=4, dim=dim)
+    got = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+    # purity: every final cluster maps to exactly one planted cluster
+    by_cluster = {}
+    for v, c in got.items():
+        by_cluster.setdefault(c, set()).add(truth[v])
+    assert all(len(names) == 1 for names in by_cluster.values()), by_cluster
+    assert len(by_cluster) == 3  # all three planted clusters separated
