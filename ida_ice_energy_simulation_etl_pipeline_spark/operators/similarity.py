@@ -299,6 +299,7 @@ def ivf_topk(
     k: int = TOP_K,
     n_centroids: int = N_CENTROIDS,
     nprobe: int = 1,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN top-k with a multi-probe recall knob.
 
@@ -309,10 +310,21 @@ def ivf_topk(
     per-query window over ≤ |codebook| rows (driver-free, tiny), and the
     probe itself stays a broadcast equi-join on the cell id — scan cost
     scales as nprobe/n_centroids of the corpus, never all of it.
+
+    ``codebook`` (columns ``cluster_id``, ``c_emb``) swaps the default
+    deterministic seed quantizer for trained centroids — the
+    ``kmeans_centroids`` refinement output slots in directly.
     """
-    centroids = emb.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb")
-    )
+    if codebook is None:
+        centroids = emb.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cent_emb"),
+        )
+    else:
+        centroids = codebook.select(
+            F.col("cluster_id").alias("centroid_id"),
+            F.col("c_emb").alias("cent_emb"),
+        )
     scored_cent = emb.crossJoin(F.broadcast(centroids)).withColumn(
         "cent_cos", cosine_similarity(F.col("embedding"), F.col("cent_emb"))
     )
@@ -485,6 +497,27 @@ def kmeans_refine(
         )
         assigned = _assign(emb, means)
     return assigned
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iterations: int = KMEANS_ITERATIONS,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Final (cluster_id, c_emb) centroids of the refined assignment —
+    the trained codebook for ``ivf_topk(codebook=...)``."""
+    assigned = kmeans_refine(emb, k, iterations, dim)
+    return (
+        assigned.select("cluster_id", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cluster_id", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("cluster_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "cluster_id", F.transform(F.col("pm"), lambda s: s["m"]).alias("c_emb")
+        )
+    )
 
 
 def kmeans_census(spark: SparkSession, sf_dir: str) -> DataFrame:
