@@ -464,50 +464,9 @@ def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_refine(
-    emb: DataFrame,
-    k: int = KMEANS_K,
-    iterations: int = KMEANS_ITERATIONS,
-    dim: int = EMB_DIM,
-) -> DataFrame:
-    """``iterations`` Lloyd rounds from the deterministic seed codebook;
-    returns the final (vec_id, embedding, cluster_id) assignment."""
-    centroids = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cluster_id"),
-        F.col("embedding").cast("array<double>").alias("c_emb"),
-    )
-    assigned = _assign(emb, centroids)
-    for _ in range(iterations - 1):
-        means = (
-            assigned.select(
-                "cluster_id", F.posexplode("embedding").alias("pos", "v")
-            )
-            .groupBy("cluster_id", "pos")
-            .agg(F.avg("v").alias("m"))
-            .groupBy("cluster_id")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "m"))
-                ).alias("pm")
-            )
-            .select(
-                "cluster_id",
-                F.transform(F.col("pm"), lambda s: s["m"]).alias("c_emb"),
-            )
-        )
-        assigned = _assign(emb, means)
-    return assigned
-
-
-def kmeans_centroids(
-    emb: DataFrame,
-    k: int = KMEANS_K,
-    iterations: int = KMEANS_ITERATIONS,
-    dim: int = EMB_DIM,
-) -> DataFrame:
-    """Final (cluster_id, c_emb) centroids of the refined assignment —
-    the trained codebook for ``ivf_topk(codebook=...)``."""
-    assigned = kmeans_refine(emb, k, iterations, dim)
+def _centroid_means(assigned: DataFrame) -> DataFrame:
+    """Element-wise mean (cluster_id, c_emb) of an assignment — posexplode
+    to (cluster, pos, value), partial-agg average, reassemble the array."""
     return (
         assigned.select("cluster_id", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("cluster_id", "pos")
@@ -518,6 +477,33 @@ def kmeans_centroids(
             "cluster_id", F.transform(F.col("pm"), lambda s: s["m"]).alias("c_emb")
         )
     )
+
+
+def kmeans_refine(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iterations: int = KMEANS_ITERATIONS,
+) -> DataFrame:
+    """``iterations`` Lloyd rounds from the deterministic seed codebook;
+    returns the final (vec_id, embedding, cluster_id) assignment."""
+    centroids = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.col("embedding").cast("array<double>").alias("c_emb"),
+    )
+    assigned = _assign(emb, centroids)
+    for _ in range(iterations - 1):
+        assigned = _assign(emb, _centroid_means(assigned))
+    return assigned
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iterations: int = KMEANS_ITERATIONS,
+) -> DataFrame:
+    """Final (cluster_id, c_emb) centroids of the refined assignment —
+    the trained codebook for ``ivf_topk(codebook=...)``."""
+    return _centroid_means(kmeans_refine(emb, k, iterations))
 
 
 def kmeans_census(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -821,7 +821,7 @@ def test_kmeans_refine_recovers_planted_clusters(spark):
             truth[vid] = name
             vid += 1
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    out = kmeans_refine(emb, k=3, iterations=4, dim=dim)
+    out = kmeans_refine(emb, k=3, iterations=4)
     got = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
     # purity: every final cluster maps to exactly one planted cluster
     by_cluster = {}
