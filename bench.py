@@ -178,9 +178,9 @@ def main() -> None:
         input_mb = sum(
             os.path.getsize(os.path.join(sf_dir, f"{t}.parquet")) for t in TABLES
         ) / (1024 * 1024)
+        shuffle_parts = max(8, min(n_cpus, int(input_mb)))
     except OSError:
-        input_mb = float("inf")
-    shuffle_parts = max(8, min(n_cpus, int(input_mb)))
+        shuffle_parts = n_cpus  # unknown layout: fall back to cpu sizing
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",

@@ -28,7 +28,7 @@ from __future__ import annotations
 import argparse
 import json
 import shutil
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,7 +60,6 @@ class CorpusConfig:
     scrub: bool = True
     pack_budget: int | None = None  # tokens per training chunk; None = off
     shuffle_output: bool = False  # pseudo-random global order for training
-    extra: dict = field(default_factory=dict)
 
 
 class CorpusGateError(RuntimeError):
@@ -70,15 +69,22 @@ class CorpusGateError(RuntimeError):
         super().__init__(f"corpus validation failed: {failed}")
 
 
-def _filtered(docs: DataFrame, cfg: CorpusConfig) -> DataFrame:
+def _keep_pred(cfg: CorpusConfig):
+    """The language+quality keep predicate — ONE definition shared by the
+    filter stage and the manifest's stage-count pass, so the funnel
+    counts can never drift from what the pipeline actually kept."""
     toks = word_tokens(F.col("text"))
     n_tokens = F.size(toks)
     ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
-    return docs.filter(
+    return (
         predicted_lang(F.col("text")).isin(*cfg.langs)
         & (n_tokens >= cfg.min_tokens)
         & (ttr >= cfg.min_ttr)
     )
+
+
+def _filtered(docs: DataFrame, cfg: CorpusConfig) -> DataFrame:
+    return docs.filter(_keep_pred(cfg))
 
 
 def _exact_deduped(docs: DataFrame) -> DataFrame:
@@ -189,21 +195,17 @@ def run_corpus_pipeline(
     kept.write.mode("overwrite").partitionBy("split").parquet(str(staging))
 
     # Stage counts: ONE conditional-aggregate input pass (corpus_funnel
-    # recipe) — n_near comes from the landed output below.
-    toks = word_tokens(F.col("text"))
-    n_tokens = F.size(toks)
-    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
-    keep_pred = (
-        predicted_lang(F.col("text")).isin(*cfg.langs)
-        & (n_tokens >= cfg.min_tokens)
-        & (ttr >= cfg.min_ttr)
-    )
+    # recipe) — n_near comes from the landed output below.  Sums are
+    # null-coalesced: over a ZERO-ROW input sum() is NULL and the gate
+    # comparisons below would raise instead of failing cleanly.
     stage_row = docs.select(
-        keep_pred.alias("kept"),
+        _keep_pred(cfg).alias("kept"),
         F.md5(F.col("text").cast("binary")).alias("text_hash"),
     ).agg(
         F.count(F.lit(1)).alias("n_raw"),
-        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_filtered"),
+        F.coalesce(
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long"), F.lit(0)
+        ).alias("n_filtered"),
         F.countDistinct(F.when(F.col("kept"), F.col("text_hash"))).alias("n_exact"),
     ).collect()[0]
 

@@ -920,9 +920,11 @@ PII_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
 PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
 
 # (pattern, replacement token, count-column suffix); replacement order is
-# fixed email → ip → phone.  The patterns are mutually exclusive on any
-# text (an email never contains a dotted quad or a 3-3-4 dash group), so
-# the chain order cannot change what is counted or redacted.
+# fixed email → ip → phone.  The patterns CAN overlap (an email's domain
+# may contain a dotted quad, a phone-shaped group can sit in a local
+# part), so each rule is counted on the stream AFTER the earlier rules'
+# redactions — counts always equal redactions actually performed, with
+# the earlier rule winning the overlap by design.
 PII_RULES: tuple[tuple[str, str, str], ...] = (
     (PII_EMAIL_RE, "<EMAIL>", "email"),
     (PII_IPV4_RE, "<IP>", "ip"),
@@ -931,16 +933,14 @@ PII_RULES: tuple[tuple[str, str, str], ...] = (
 
 
 def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Add per-rule match counts (``n_email``/``n_ip``/``n_phone``) and a
-    fully redacted ``scrubbed`` column.  Map-only; no shuffle."""
+    """Add per-rule REDACTION counts (``n_email``/``n_ip``/``n_phone``)
+    and a fully redacted ``scrubbed`` column.  Map-only; no shuffle."""
     out = df
-    scrubbed = F.col(text_col)
+    cur = F.col(text_col)
     for pat, token, suffix in PII_RULES:
-        out = out.withColumn(
-            f"n_{suffix}", F.regexp_count(F.col(text_col), F.lit(pat))
-        )
-        scrubbed = F.regexp_replace(scrubbed, pat, token)
-    return out.withColumn("scrubbed", scrubbed)
+        out = out.withColumn(f"n_{suffix}", F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, token)
+    return out.withColumn("scrubbed", cur)
 
 
 def _planted_pii_col() -> Column:
@@ -1015,16 +1015,25 @@ WITH planted AS (
                  ELSE '' END AS text
   FROM documents
 ),
+staged AS (
+  -- counts mirror scrub_pii: each rule counted on the stream AFTER the
+  -- earlier rules' redactions, so counts == redactions performed
+  SELECT source, text,
+         regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM planted
+),
+staged2 AS (
+  SELECT source, text, t1,
+         regexp_replace(t1, '{PII_IPV4_RE}', '<IP>', 'g') AS t2
+  FROM staged
+),
 scrubbed AS (
   SELECT source, text,
          len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_email,
-         len(regexp_extract_all(text, '{PII_IPV4_RE}')) AS n_ip,
-         len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS n_phone,
-         regexp_replace(regexp_replace(regexp_replace(text,
-             '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
-             '{PII_IPV4_RE}', '<IP>', 'g'),
-             '{PII_PHONE_RE}', '<PHONE>', 'g') AS after_text
-  FROM planted
+         len(regexp_extract_all(t1, '{PII_IPV4_RE}')) AS n_ip,
+         len(regexp_extract_all(t2, '{PII_PHONE_RE}')) AS n_phone,
+         regexp_replace(t2, '{PII_PHONE_RE}', '<PHONE>', 'g') AS after_text
+  FROM staged2
 )
 SELECT source,
        count(*) AS n_docs,

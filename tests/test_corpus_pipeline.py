@@ -167,3 +167,18 @@ def test_corpus_cc_algorithms_agree(spark, corpus_input, tmp_path):
         landed = spark.read.parquet(m["output"])
         outs.append(sorted(r["doc_id"] for r in landed.select("doc_id").collect()))
     assert outs[0] == outs[1]
+
+
+def test_corpus_gate_handles_zero_row_input(spark, tmp_path):
+    """A ZERO-ROW input must fail the gate cleanly (nonempty=False), not
+    crash on NULL stage sums, and must leave no staging directory."""
+    path = tmp_path / "docs.parquet"
+    spark.createDataFrame([], "doc_id long, text string, source string").write.parquet(
+        str(path)
+    )
+    out = tmp_path / "out_empty"
+    with pytest.raises(CorpusGateError) as exc:
+        run_corpus_pipeline(spark, path, out, CorpusConfig(near_dedup=False))
+    assert exc.value.report["nonempty"] is False
+    assert not (out / "corpus").exists()
+    assert not (out / "corpus._staging").exists()

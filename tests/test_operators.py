@@ -875,3 +875,23 @@ def test_ivf_with_refined_codebook(spark, sf_dir):
         ).collect()
     ]
     assert max_over_mean(refined) <= max_over_mean(seed) + 1e-9
+
+
+def test_scrub_pii_overlapping_pii_counts_equal_redactions(spark):
+    """An email whose domain contains a dotted quad: the email rule wins
+    the overlap, and the counts reflect redactions actually performed —
+    no double-counting (the quad is gone before the IP rule runs)."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import scrub_pii
+
+    rows = [
+        (0, "mail u@1.2.3.4.com now"),
+        (1, "phone-in-local 555-123-4567@corp.io end"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert (got[0]["n_email"], got[0]["n_ip"], got[0]["n_phone"]) == (1, 0, 0)
+    assert got[0]["scrubbed"] == "mail <EMAIL> now"
+    assert (got[1]["n_email"], got[1]["n_ip"], got[1]["n_phone"]) == (1, 0, 0)
+    assert got[1]["scrubbed"] == "phone-in-local <EMAIL> end"
+    for r in got.values():
+        assert r["n_email"] + r["n_ip"] + r["n_phone"] == r["text"].count("@")
