@@ -895,3 +895,51 @@ def test_scrub_pii_overlapping_pii_counts_equal_redactions(spark):
     assert got[1]["scrubbed"] == "phone-in-local <EMAIL> end"
     for r in got.values():
         assert r["n_email"] + r["n_ip"] + r["n_phone"] == r["text"].count("@")
+
+
+# --------------------------------------------------------------------------
+# Batched embedding inference (iterator mapInPandas stand-in model)
+def test_embed_documents_deterministic_and_composes(spark, planted_docs):
+    """Embeddings are a pure function of text (invariant under
+    partitioning AND Arrow batch boundaries), unit-normalized, and feed
+    the semantic-dedup operator directly: the planted exact/near dups
+    surface as the top cosine pairs."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.dedup import (
+        embedding_near_pairs,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.inference import (
+        EMBED_DIM,
+        embed_documents,
+    )
+
+    def run(df):
+        return {
+            r["doc_id"]: r["embedding"]
+            for r in embed_documents(df).select("doc_id", "embedding").collect()
+        }
+
+    base = run(planted_docs)
+    # force many tiny Arrow batches through ONE task + a different
+    # partitioning: identical output proves batch/partition invariance
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+        rebatched = run(planted_docs.repartition(3))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert base == rebatched
+
+    for v in base.values():
+        assert len(v) == EMBED_DIM
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-5  # unit L2
+
+    emb = embed_documents(planted_docs).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in embedding_near_pairs(emb, dim=EMBED_DIM, threshold=0.8).collect()
+    }
+    assert pairs.get((0, 1)) == 1.0  # exact dup -> identical embedding
+    assert (0, 2) in pairs  # near dup -> high cosine
+    assert (4, 5) not in pairs  # unrelated docs stay apart
