@@ -58,6 +58,7 @@ class CorpusConfig:
     # "star" (large-star/small-star, O(log n) rounds at any diameter)
     cc_algorithm: str = "label_prop"
     scrub: bool = True
+    embed: bool = False  # append a unit-L2 embedding column (ANN-ready corpus)
     pack_budget: int | None = None  # tokens per training chunk; None = off
     shuffle_output: bool = False  # pseudo-random global order for training
 
@@ -168,6 +169,12 @@ def run_corpus_pipeline(
             .drop("text", "n_email", "n_ip", "n_phone")
             .withColumnRenamed("scrubbed", "text")
         )
+    if cfg.embed:
+        # Batched inference over the SCRUBBED text (redaction before
+        # embedding, the order a privacy-conscious pipeline requires).
+        from ..operators.inference import embed_documents
+
+        kept = embed_documents(kept)
     kept = kept.withColumn("split", split_col(F.col("doc_id")))
     if cfg.pack_budget:
         kept = _packed(kept, cfg.pack_budget)
@@ -254,6 +261,7 @@ def run_corpus_pipeline(
             "min_ttr": cfg.min_ttr,
             "near_dedup": cfg.near_dedup,
             "scrub": cfg.scrub,
+            "embed": cfg.embed,
             "pack_budget": cfg.pack_budget,
             "shuffle_output": cfg.shuffle_output,
         },
@@ -290,6 +298,11 @@ def main(argv: list[str] | None = None) -> int:
         "O(log n)-round large-star/small-star",
     )
     ap.add_argument("--no-scrub", action="store_true")
+    ap.add_argument(
+        "--embed",
+        action="store_true",
+        help="append a deterministic unit-L2 embedding column (ANN-ready)",
+    )
     ap.add_argument("--pack-budget", type=int, default=None)
     ap.add_argument(
         "--shuffle-output",
@@ -305,6 +318,7 @@ def main(argv: list[str] | None = None) -> int:
         near_dedup=not args.no_near_dedup,
         cc_algorithm=args.cc_algorithm,
         scrub=not args.no_scrub,
+        embed=args.embed,
         pack_budget=args.pack_budget,
         shuffle_output=args.shuffle_output,
     )

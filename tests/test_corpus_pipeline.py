@@ -182,3 +182,21 @@ def test_corpus_gate_handles_zero_row_input(spark, tmp_path):
     assert exc.value.report["nonempty"] is False
     assert not (out / "corpus").exists()
     assert not (out / "corpus._staging").exists()
+
+
+def test_corpus_embed_stage_lands_ann_ready_vectors(spark, corpus_input, tmp_path):
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.inference import (
+        EMBED_DIM,
+    )
+
+    m = run_corpus_pipeline(
+        spark,
+        corpus_input,
+        tmp_path / "out_emb",
+        CorpusConfig(near_dedup=False, embed=True),
+    )
+    landed = spark.read.parquet(m["output"])
+    rows = landed.select("doc_id", "embedding").collect()
+    assert all(len(r["embedding"]) == EMBED_DIM for r in rows)
+    for r in rows:
+        assert abs(sum(x * x for x in r["embedding"]) - 1.0) < 1e-5
