@@ -1,11 +1,14 @@
 """Multimodal-column plumbing: opaque ``binary`` payloads + typed metadata.
 
 Real at this layer: schema, partitioning, Arrow-batched ``mapInPandas``
-feature extraction, and the driver-contract query.  Stubbed (clearly):
-actual image/audio/video decoding — the codec libraries are not in this
-container, so ``decode_image``/``decode_audio`` raise NotImplementedError
-and ``frame_sample`` produces a deterministic fake, while the Spark-side
-batch shape is fully exercised.
+feature extraction, the driver-contract query, and — with no codec
+library at all — image METADATA decode (``parse_image_dims`` reads
+PNG/GIF/BMP/JPEG dimensions+format straight from container headers, the
+curation predicate most multimodal filters actually need).  Still gated
+or stubbed (clearly): PIXEL-level decode/resize (real via PIL when
+installed; NotImplementedError here), audio decode, and video frame
+extraction (``frame_sample`` is a deterministic fake with the real
+batch shape).
 
 At 100 TB the payload column dominates IO: feature extraction is map-only
 (no shuffle), and `spark.sql.files.maxPartitionBytes` bounds the Arrow
@@ -97,14 +100,57 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     return out.getvalue()
 
 
-def _pil_image_decoder() -> Callable[[bytes], tuple[int, int, str] | None]:
-    """Payload → (width, height, mode), or None for an undecodable payload.
-    Import-gated so building a plan without PIL fails fast and explicitly."""
+def parse_image_dims(payload: bytes) -> tuple[int, int, str] | None:
+    """REAL image metadata decode in pure Python — no codec library.
+
+    Container headers carry the dimensions, so width/height/format for
+    PNG, GIF, BMP, and JPEG (SOF marker scan) parse with ``struct``
+    alone; only PIXEL decode needs a codec.  This is what makes the
+    default feature-extraction path genuinely functional in a
+    library-free environment — dimension/format filtering (the common
+    multimodal curation predicate) never needed PIL.
+    Returns (width, height, format) or None for an unknown container.
+    """
+    import struct
+
+    if not payload or len(payload) < 10:
+        return None
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        w, h = struct.unpack(">II", payload[16:24])
+        return int(w), int(h), "PNG"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return int(w), int(h), "GIF"
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w, h = struct.unpack("<ii", payload[18:26])
+        return abs(int(w)), abs(int(h)), "BMP"  # negative h = top-down rows
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(payload):
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= len(payload):
+                    h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                    return int(w), int(h), "JPEG"
+                return None
+            i += 2 + seg_len
+    return None
+
+
+def _default_image_decoder() -> Callable[[bytes], tuple[int, int, str] | None]:
+    """Payload → (width, height, mode/format), or None when undecodable.
+    PIL (when installed) adds pixel-level decode and the color mode; the
+    dependency-free fallback is the REAL header parser above, so the
+    default path works — not stubs — in a library-free container."""
     if not HAS_PIL:
-        raise NotImplementedError(
-            "image feature extraction requires PIL (not installed); pass an "
-            "explicit decoder= to extract_image_features to run without it"
-        )
+        return parse_image_dims
     from io import BytesIO
 
     from PIL import Image
@@ -189,13 +235,13 @@ def extract_image_features(
     ``mapInPandas`` path as extract_features.
 
     ``decoder`` maps payload bytes → (width, height, mode) or None for
-    undecodable rows; the default is the PIL-backed decoder, which raises
-    NotImplementedError at plan-build time when PIL is absent (this
-    container) — pass a deterministic fake to exercise the plumbing
-    without codec libraries.  The callable is captured in the task
-    closure, so it ships to executors with the task, not via an import.
+    undecodable rows.  The default is REAL with no dependencies: the
+    pure-Python container-header parser (PNG/GIF/BMP/JPEG dims +
+    format), upgraded to full PIL decode (adds color mode) when PIL is
+    installed.  The callable is captured in the task closure, so it
+    ships to executors with the task, not via an import.
     """
-    decode = decoder if decoder is not None else _pil_image_decoder()
+    decode = decoder if decoder is not None else _default_image_decoder()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
