@@ -75,11 +75,47 @@ def decode_image(payload: bytes) -> object:
 
 
 def decode_audio(payload: bytes) -> object:
-    """STUB — real decode needs soundfile/ffmpeg (not in this container)."""
+    """STUB — SAMPLE decode needs soundfile/ffmpeg (not in this
+    container); audio METADATA decode is real — see parse_audio_meta."""
     raise NotImplementedError(
-        "audio decode requires an audio library; payload plumbing is real, "
-        "decode is intentionally stubbed"
+        "audio sample decode requires an audio library; metadata decode "
+        "(parse_audio_meta) and payload plumbing are real, sample decode "
+        "is intentionally stubbed"
     )
+
+
+def parse_audio_meta(payload: bytes) -> tuple[int, int, int, float] | None:
+    """REAL audio metadata decode in pure Python — WAV/RIFF container
+    headers carry everything a curation filter needs: returns
+    (n_channels, sample_rate, bits_per_sample, duration_s) by walking
+    the RIFF chunk list (fmt → data), or None for a non-WAV payload.
+    Sample decode still needs a codec; duration/rate filtering does not.
+    """
+    import struct
+
+    if not payload or len(payload) < 12:
+        return None
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data_size = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        if cid == b"fmt " and pos + 24 <= len(payload):
+            _, n_ch, rate = struct.unpack("<HHI", payload[pos + 8 : pos + 16])
+            bits = struct.unpack("<H", payload[pos + 22 : pos + 24])[0]
+            fmt = (n_ch, rate, bits)
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        return None
+    n_ch, rate, bits = fmt
+    byte_rate = n_ch * rate * max(bits // 8, 1)
+    duration = data_size / byte_rate if byte_rate else 0.0
+    return n_ch, rate, bits, duration
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:

@@ -1001,3 +1001,28 @@ def test_embed_documents_deterministic_and_composes(spark, planted_docs):
     assert pairs.get((0, 1)) == 1.0  # exact dup -> identical embedding
     assert (0, 2) in pairs  # near dup -> high cosine
     assert (4, 5) not in pairs  # unrelated docs stay apart
+
+
+def test_parse_audio_meta_real_wav_header():
+    """Handcrafted 16-bit stereo 8 kHz WAV: the RIFF chunk walk recovers
+    channels/rate/bits and computes duration from the data-chunk size."""
+    import struct
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        parse_audio_meta,
+    )
+
+    n_ch, rate, bits = 2, 8000, 16
+    n_samples = 4000  # 0.5 s
+    data = b"\x00" * (n_samples * n_ch * bits // 8)
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * bits // 8,
+                      n_ch * bits // 8, bits)
+    payload = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    assert parse_audio_meta(payload) == (2, 8000, 16, 0.5)
+    assert parse_audio_meta(b"ID3\x04 not a wav") is None
+    assert parse_audio_meta(b"RIFF\x00\x00\x00\x00AVI ") is None  # not WAVE
+    assert parse_audio_meta(b"") is None
