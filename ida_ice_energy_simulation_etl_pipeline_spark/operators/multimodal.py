@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -249,6 +250,43 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType(), False),
+        StructField("source", StringType(), True),
+        StructField("n_channels", LongType(), True),
+        StructField("sample_rate", LongType(), True),
+        StructField("bits_per_sample", LongType(), True),
+        StructField("duration_s", DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio metadata extraction through the same Arrow-batched
+    ``mapInPandas`` path — real (dependency-free) for WAV payloads via
+    the RIFF chunk walk; non-WAV rows yield null features."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [
+                parse_audio_meta(b) if b is not None else None
+                for b in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "source": pdf["source"],
+                    "n_channels": [m[0] if m else None for m in metas],
+                    "sample_rate": [m[1] if m else None for m in metas],
+                    "bits_per_sample": [m[2] if m else None for m in metas],
+                    "duration_s": [m[3] if m else None for m in metas],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
 
 
 IMAGE_FEATURE_SCHEMA = StructType(

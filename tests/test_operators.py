@@ -1026,3 +1026,35 @@ def test_parse_audio_meta_real_wav_header():
     assert parse_audio_meta(b"ID3\x04 not a wav") is None
     assert parse_audio_meta(b"RIFF\x00\x00\x00\x00AVI ") is None  # not WAVE
     assert parse_audio_meta(b"") is None
+
+
+def test_extract_audio_features_end_to_end(spark):
+    """WAV metadata extraction runs through mapInPandas with no codec:
+    real WAV rows get channels/rate/duration, junk rows get nulls."""
+    import struct
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    def wav(n_ch, rate, bits, seconds):
+        data = b"\x00" * int(seconds * rate * n_ch * bits // 8)
+        fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * bits // 8,
+                          n_ch * bits // 8, bits)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio/wav", wav(1, 16000, 16, 2.0), "s1"),
+            (2, "audio/mp3", b"ID3\x04junk", "s1"),
+        ],
+        ["item_id", "media_type", "payload", "source"],
+    )
+    rows = {r["item_id"]: r for r in extract_audio_features(media).collect()}
+    assert (rows[1]["n_channels"], rows[1]["sample_rate"]) == (1, 16000)
+    assert rows[1]["duration_s"] == 2.0
+    assert rows[2]["n_channels"] is None and rows[2]["duration_s"] is None
