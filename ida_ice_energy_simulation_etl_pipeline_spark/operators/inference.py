@@ -11,8 +11,9 @@ counts — but every Spark-side piece is the real shape:
   the generator, amortized across ALL Arrow batches of the partition;
 * numpy batch matmul per Arrow batch (BLAS, never per-row Python);
 * ``array<float>`` output column appended to the input schema, unit-L2
-  normalized, ready for ``cosine_similarity`` / ``embedding_near_pairs``
-  / ``kmeans_refine`` without adaptation.
+  normalized (NULL for token-free text — never a contract-violating zero
+  vector), ready for ``cosine_similarity`` / ``embedding_near_pairs`` /
+  ``kmeans_refine`` without adaptation.
 
 Determinism: token bucketing uses crc32 (not Python ``hash``, which is
 salted per process) and the projection matrix derives from a fixed seed,
@@ -77,10 +78,16 @@ def embed_documents(
         for pdf in it:
             emb = _featurize(pdf[text_col], HASH_BUCKETS) @ weights
             norms = np.sqrt(np.einsum("ij,ij->i", emb, emb))
-            norms[norms == 0.0] = 1.0
-            emb = emb / norms[:, None]
+            empty = norms == 0.0  # zero-token text has no direction
+            norms[empty] = 1.0
+            emb = (emb / norms[:, None]).astype(np.float32)
             pdf = pdf.copy()
-            pdf["embedding"] = [row.tolist() for row in emb.astype(np.float32)]
+            # NULL, not a zero vector, for token-free text: a zero vector
+            # would silently violate the unit-L2 contract downstream
+            # (sign-bucket LSH and argmax assignment both misbehave on it).
+            pdf["embedding"] = [
+                None if e else row.tolist() for e, row in zip(empty, emb)
+            ]
             yield pdf
 
     return docs.mapInPandas(batches, schema=out_schema)

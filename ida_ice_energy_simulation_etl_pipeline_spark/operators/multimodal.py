@@ -105,16 +105,21 @@ def parse_audio_meta(payload: bytes) -> tuple[int, int, int, float] | None:
         cid = payload[pos : pos + 4]
         size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
         if cid == b"fmt " and pos + 24 <= len(payload):
-            _, n_ch, rate = struct.unpack("<HHI", payload[pos + 8 : pos + 16])
+            # avg-bytes-per-sec comes from the header, NOT derived as
+            # n_ch*rate*bits/8 — compressed WAVs (ADPCM bits=4, GSM
+            # bits=0) have sub-byte sample rates and a derived figure
+            # would misreport duration by 2-13x.
+            _, n_ch, rate, byte_rate = struct.unpack(
+                "<HHII", payload[pos + 8 : pos + 20]
+            )
             bits = struct.unpack("<H", payload[pos + 22 : pos + 24])[0]
-            fmt = (n_ch, rate, bits)
+            fmt = (n_ch, rate, bits, byte_rate)
         elif cid == b"data":
             data_size = size
         pos += 8 + size + (size % 2)  # chunks are word-aligned
     if fmt is None or data_size is None:
         return None
-    n_ch, rate, bits = fmt
-    byte_rate = n_ch * rate * max(bits // 8, 1)
+    n_ch, rate, bits, byte_rate = fmt
     duration = data_size / byte_rate if byte_rate else 0.0
     return n_ch, rate, bits, duration
 
@@ -159,8 +164,14 @@ def parse_image_dims(payload: bytes) -> tuple[int, int, str] | None:
         w, h = struct.unpack("<HH", payload[6:10])
         return int(w), int(h), "GIF"
     if payload[:2] == b"BM" and len(payload) >= 26:
-        w, h = struct.unpack("<ii", payload[18:26])
-        return abs(int(w)), abs(int(h)), "BMP"  # negative h = top-down rows
+        dib = struct.unpack("<I", payload[14:18])[0]
+        if dib == 12:  # OS/2 BITMAPCOREHEADER: uint16 dims
+            w, h = struct.unpack("<HH", payload[18:22])
+            return int(w), int(h), "BMP"
+        if dib >= 40:  # BITMAPINFOHEADER family: int32 dims
+            w, h = struct.unpack("<ii", payload[18:26])
+            return abs(int(w)), abs(int(h)), "BMP"  # negative h = top-down
+        return None
     if payload[:2] == b"\xff\xd8":
         i = 2
         while i + 4 <= len(payload):
@@ -168,6 +179,9 @@ def parse_image_dims(payload: bytes) -> tuple[int, int, str] | None:
                 i += 1
                 continue
             marker = payload[i + 1]
+            if marker == 0xFF:
+                i += 1  # fill byte before a marker (B.1.1.2)
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers carry no length
                 continue
@@ -182,10 +196,13 @@ def parse_image_dims(payload: bytes) -> tuple[int, int, str] | None:
 
 
 def _default_image_decoder() -> Callable[[bytes], tuple[int, int, str] | None]:
-    """Payload → (width, height, mode/format), or None when undecodable.
-    PIL (when installed) adds pixel-level decode and the color mode; the
-    dependency-free fallback is the REAL header parser above, so the
-    default path works — not stubs — in a library-free container."""
+    """Payload → (width, height, format), or None when undecodable.
+    The dependency-free default is the REAL header parser above; PIL
+    (when installed) upgrades to pixel-level decode but reports the SAME
+    vocabulary (``img.format`` — 'PNG'/'JPEG'/...), so a curation
+    predicate written against one environment cannot silently match
+    nothing in the other.  Color-mode filtering needs an explicit
+    PIL-backed ``decoder=`` since only pixel decode knows the mode."""
     if not HAS_PIL:
         return parse_image_dims
     from io import BytesIO
@@ -195,7 +212,7 @@ def _default_image_decoder() -> Callable[[bytes], tuple[int, int, str] | None]:
     def decode(payload: bytes) -> tuple[int, int, str] | None:
         try:
             img = Image.open(BytesIO(payload))
-            return int(img.width), int(img.height), str(img.mode)
+            return int(img.width), int(img.height), str(img.format or "UNKNOWN")
         except Exception:
             return None
 

@@ -388,7 +388,11 @@ def _gif(w, h):
 def _bmp(w, h):
     import struct
 
-    return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, -h) + b"\x00" * 4
+    # BITMAPINFOHEADER (dib size 40 at offset 14), top-down (negative h)
+    return (
+        b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
+        + struct.pack("<ii", w, -h) + b"\x00" * 4
+    )
 
 
 def _jpeg(w, h):
@@ -397,6 +401,19 @@ def _jpeg(w, h):
     app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
     sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", h, w)
     return b"\xff\xd8" + app0 + sof0 + b"\x00" * 12
+
+
+def _wav(n_ch, rate, bits, seconds):
+    import struct
+
+    data = b"\x00" * int(seconds * rate * n_ch * bits // 8)
+    byte_rate = rate * n_ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, byte_rate, n_ch * bits // 8, bits)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
 
 
 def test_parse_image_dims_real_headers():
@@ -487,7 +504,8 @@ def test_image_features_real_pil_decode(spark):
         ["item_id", "media_type", "payload", "source"],
     )
     row = extract_image_features(media).collect()[0]
-    assert (row["width"], row["height"], row["mode"]) == (7, 3, "RGB")
+    # same vocabulary as the dependency-free fallback: container FORMAT
+    assert (row["width"], row["height"], row["mode"]) == (7, 3, "PNG")
 
 
 def test_multimodal_frame_explosion(spark):
@@ -1012,17 +1030,7 @@ def test_parse_audio_meta_real_wav_header():
         parse_audio_meta,
     )
 
-    n_ch, rate, bits = 2, 8000, 16
-    n_samples = 4000  # 0.5 s
-    data = b"\x00" * (n_samples * n_ch * bits // 8)
-    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * bits // 8,
-                      n_ch * bits // 8, bits)
-    payload = (
-        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
-        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"data" + struct.pack("<I", len(data)) + data
-    )
-    assert parse_audio_meta(payload) == (2, 8000, 16, 0.5)
+    assert parse_audio_meta(_wav(2, 8000, 16, 0.5)) == (2, 8000, 16, 0.5)
     assert parse_audio_meta(b"ID3\x04 not a wav") is None
     assert parse_audio_meta(b"RIFF\x00\x00\x00\x00AVI ") is None  # not WAVE
     assert parse_audio_meta(b"") is None
@@ -1037,19 +1045,9 @@ def test_extract_audio_features_end_to_end(spark):
         extract_audio_features,
     )
 
-    def wav(n_ch, rate, bits, seconds):
-        data = b"\x00" * int(seconds * rate * n_ch * bits // 8)
-        fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * bits // 8,
-                          n_ch * bits // 8, bits)
-        return (
-            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
-            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            + b"data" + struct.pack("<I", len(data)) + data
-        )
-
     media = spark.createDataFrame(
         [
-            (1, "audio/wav", wav(1, 16000, 16, 2.0), "s1"),
+            (1, "audio/wav", _wav(1, 16000, 16, 2.0), "s1"),
             (2, "audio/mp3", b"ID3\x04junk", "s1"),
         ],
         ["item_id", "media_type", "payload", "source"],
@@ -1058,3 +1056,55 @@ def test_extract_audio_features_end_to_end(spark):
     assert (rows[1]["n_channels"], rows[1]["sample_rate"]) == (1, 16000)
     assert rows[1]["duration_s"] == 2.0
     assert rows[2]["n_channels"] is None and rows[2]["duration_s"] is None
+
+
+def test_parse_image_dims_edge_variants():
+    """Round-4 review regressions: JPEG fill bytes before markers, OS/2
+    core-header BMPs, and compressed-WAV duration via the byte-rate
+    field."""
+    import struct
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        parse_audio_meta,
+        parse_image_dims,
+    )
+
+    # JPEG with 0xFF fill bytes before the SOF marker (B.1.1.2)
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 9, 5)
+    filled = b"\xff\xd8" + b"\xff\xff\xff" + sof0 + b"\x00" * 12
+    assert parse_image_dims(filled) == (5, 9, "JPEG")
+
+    # OS/2 BITMAPCOREHEADER: dib size 12, uint16 dims at 18/20
+    core = (
+        b"BM" + b"\x00" * 12 + struct.pack("<I", 12)
+        + struct.pack("<HHHH", 100, 100, 1, 24)
+    )
+    assert parse_image_dims(core) == (100, 100, "BMP")
+
+    # ADPCM-style WAV: bits=4, real byte_rate in the header — duration
+    # must come from byte_rate, not n_ch*rate*bits/8
+    byte_rate = 4550
+    fmt = struct.pack("<HHIIHH", 0x11, 1, 8000, byte_rate, 256, 4)
+    data = b"\x00" * (byte_rate * 2)  # 2 s of compressed audio
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    assert parse_audio_meta(wav) == (1, 8000, 4, 2.0)
+
+
+def test_embed_documents_null_for_token_free_text(spark):
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.inference import (
+        embed_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "real words here"), (2, ""), (3, "   ")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["embedding"]
+        for r in embed_documents(df).select("doc_id", "embedding").collect()
+    }
+    assert got[1] is not None and abs(sum(x * x for x in got[1]) - 1.0) < 1e-5
+    assert got[2] is None and got[3] is None  # never a zero vector
