@@ -1,0 +1,80 @@
+"""Continuous corpus ingestion — the streaming half of corpus/pipeline.py.
+
+New document files landing under a directory become micro-batches that
+flow through the SAME map-side operators the batch pipeline (and its
+DuckDB-verified registry queries) use: language+quality filter, PII
+scrub, deterministic split assignment.  Exact dedup runs as
+``dropDuplicatesWithinWatermark`` on the content hash — state is bounded
+by the watermark horizon instead of growing with corpus history, the
+standard trade for a continuous pipeline (a duplicate arriving AFTER the
+horizon re-enters; the periodic batch dedup pass sweeps those).
+
+Everything here is watermark-bounded or map-side: at 100 TB/day the only
+state is the in-horizon hash set, and the sink appends split-partitioned
+parquet exactly once per epoch (checkpointed file-sink semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..corpus.pipeline import CorpusConfig, _keep_pred
+from ..operators.text import scrub_pii, split_col
+
+DOC_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("text", StringType(), True),
+        StructField("source", StringType(), True),
+        StructField("ingest_ts", TimestampType(), False),
+    ]
+)
+
+
+def read_document_stream(
+    spark: SparkSession, path: str, fmt: str = "json"
+) -> DataFrame:
+    """File-source document stream (new files under ``path`` become
+    micro-batches) with the declared ingest schema."""
+    reader = spark.readStream.schema(DOC_STREAM_SCHEMA)
+    return reader.json(path) if fmt == "json" else reader.parquet(path)
+
+
+def corpus_ingest_stream(
+    docs: DataFrame,
+    config: CorpusConfig | None = None,
+    *,
+    dedup_watermark: str = "1 hour",
+) -> DataFrame:
+    """filter → exact-dedup-within-watermark → scrub → split, streaming.
+
+    Returns the transformed stream (append output mode); wire it to a
+    parquet sink with ``writeStream.partitionBy("split")`` or the
+    exactly-once helpers in streaming/sink.py.
+    """
+    cfg = config or CorpusConfig()
+    kept = docs.filter(_keep_pred(cfg))
+    kept = kept.withColumn("text_hash", F.md5(F.col("text").cast("binary")))
+    # Bounded-state exact dedup: the first in-horizon copy wins; state is
+    # (hashes seen within the watermark), NOT the whole corpus history.
+    kept = kept.withWatermark("ingest_ts", dedup_watermark)
+    kept = kept.dropDuplicatesWithinWatermark(["text_hash"])
+    if cfg.scrub:
+        kept = (
+            scrub_pii(kept)
+            .withColumn(
+                "pii_redactions",
+                F.col("n_email") + F.col("n_ip") + F.col("n_phone"),
+            )
+            .drop("text", "n_email", "n_ip", "n_phone")
+            .withColumnRenamed("scrubbed", "text")
+        )
+    return kept.withColumn("split", split_col(F.col("doc_id")))

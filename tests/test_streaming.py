@@ -322,3 +322,45 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     )
     bgot = sorted((r.err_id, r.user_id, r.c_value) for r in b.collect())
     assert bgot == got
+
+
+def test_corpus_ingest_stream_filters_dedups_scrubs(spark, tmp_path):
+    """Streaming corpus ingest: quality filter, in-horizon exact dedup,
+    PII scrub, and split assignment all apply per micro-batch; the
+    surviving rows match what the batch operators would keep."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.corpus.pipeline import (
+        CorpusConfig,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming.corpus import (
+        corpus_ingest_stream,
+        read_document_stream,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog near the old oak tree "
+        "while children play by the river bank every afternoon"
+    )
+    rows = [
+        {"doc_id": 1, "text": good, "source": "s1",
+         "ingest_ts": "2024-03-01T00:00:00"},
+        {"doc_id": 2, "text": good, "source": "s2",          # exact dup
+         "ingest_ts": "2024-03-01T00:01:00"},
+        {"doc_id": 3, "text": good + " reach me at a@b.co today",
+         "source": "s1", "ingest_ts": "2024-03-01T00:02:00"},
+        {"doc_id": 4, "text": "tiny", "source": "s2",        # fails filter
+         "ingest_ts": "2024-03-01T00:03:00"},
+    ]
+    ingest = tmp_path / "incoming"
+    ingest.mkdir()
+    (ingest / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = corpus_ingest_stream(
+        read_document_stream(spark, str(ingest)), CorpusConfig()
+    )
+    run_to_memory(stream, "corpus_ingest")
+    got = {r["doc_id"]: r for r in spark.sql("SELECT * FROM corpus_ingest").collect()}
+
+    assert set(got) == {1, 3}  # dup 2 dropped in-horizon, 4 filtered
+    assert "a@b.co" not in got[3]["text"] and "<EMAIL>" in got[3]["text"]
+    assert got[3]["pii_redactions"] == 1
+    assert all(r["split"] in ("train", "val", "test") for r in got.values())
