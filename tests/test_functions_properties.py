@@ -199,3 +199,41 @@ def test_mix_copies_matches_python_model(spark, doc_ids):
         h = int(hashlib.md5(f"mix{i}".encode()).hexdigest()[:4], 16)
         expected = int(w // 1) + (1 if h < int((w - w // 1) * 65536) else 0)
         assert got[i] == expected
+
+
+# --------------------------------------------------------------------------
+# Binary header parsers: total functions over arbitrary bytes
+@given(payload=st.binary(max_size=64))
+@SLOW
+def test_parse_image_dims_never_raises(payload):
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        parse_image_dims,
+    )
+
+    out = parse_image_dims(payload)
+    assert out is None or (
+        len(out) == 3 and out[0] >= 0 and out[1] >= 0 and isinstance(out[2], str)
+    )
+
+
+@given(
+    prefix=st.sampled_from(
+        [b"\x89PNG\r\n\x1a\n", b"GIF89a", b"BM", b"\xff\xd8", b"RIFF"]
+    ),
+    tail=st.binary(max_size=48),
+    cut=st.integers(0, 56),
+)
+@SLOW
+def test_header_parsers_survive_truncation(prefix, tail, cut):
+    """Valid magic numbers followed by arbitrary/truncated bodies parse to
+    None or a sane tuple — never an exception or negative dimension."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        parse_audio_meta,
+        parse_image_dims,
+    )
+
+    payload = (prefix + tail)[:cut]
+    img = parse_image_dims(payload)
+    assert img is None or (img[0] >= 0 and img[1] >= 0)
+    aud = parse_audio_meta(payload)
+    assert aud is None or (aud[0] >= 0 and aud[1] >= 0 and aud[3] >= 0)
