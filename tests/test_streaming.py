@@ -364,3 +364,53 @@ def test_corpus_ingest_stream_filters_dedups_scrubs(spark, tmp_path):
     assert "a@b.co" not in got[3]["text"] and "<EMAIL>" in got[3]["text"]
     assert got[3]["pii_redactions"] == 1
     assert all(r["split"] in ("train", "val", "test") for r in got.values())
+
+
+def test_corpus_ingest_dedup_state_spans_micro_batches(spark, tmp_path):
+    """A duplicate arriving in a LATER micro-batch (within the watermark
+    horizon) is still dropped — the dedup state is streaming state, not
+    per-batch dedup."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.corpus.pipeline import (
+        CorpusConfig,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming.corpus import (
+        DOC_STREAM_SCHEMA,
+        corpus_ingest_stream,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog near the old oak tree "
+        "while children play by the river bank every afternoon"
+    )
+    other = (
+        "a completely different second document about engines and shuffles "
+        "with plenty of distinct tokens to clear the quality bar easily"
+    )
+    ingest = tmp_path / "incoming2"
+    ingest.mkdir()
+    (ingest / "b1.json").write_text(
+        json.dumps({"doc_id": 1, "text": good, "source": "s1",
+                    "ingest_ts": "2024-03-01T00:00:00"})
+    )
+    (ingest / "b2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 2, "text": good, "source": "s2",  # cross-batch dup
+                 "ingest_ts": "2024-03-01T00:05:00"},
+                {"doc_id": 3, "text": other, "source": "s2",
+                 "ingest_ts": "2024-03-01T00:06:00"},
+            ]
+        )
+    )
+    docs = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .json(str(ingest))
+    )
+    stream = corpus_ingest_stream(docs, CorpusConfig(scrub=False))
+    run_to_memory(stream, "corpus_ingest2")
+    got = sorted(
+        r["doc_id"] for r in spark.sql("SELECT doc_id FROM corpus_ingest2").collect()
+    )
+    assert got == [1, 3]  # doc 2 deduped against batch-1 state
