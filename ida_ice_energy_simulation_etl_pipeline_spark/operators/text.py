@@ -658,6 +658,62 @@ GROUP BY 1, 2
 """
 
 
+def seq_pack_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZE the packed training sequences — the string each chunk
+    actually feeds to a trainer, not just its stats.  Same per-shard
+    chunk assignment as seq_packing; the emit is one grouped aggregate:
+    member texts are collected per (source, chunk_id), deterministically
+    ordered inside the array (array_sort on (doc_id, text) structs —
+    collect_list order is partition-dependent, a sort makes the output a
+    pure function of the data), then joined into one sequence string.
+    At 100 TB each chunk is ≤ budget tokens by construction, so group
+    state is bounded; the exchange moves each doc's text exactly once.
+    """
+    from pyspark.sql import Window
+
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    n_tok = F.size(word_tokens(F.col("text"))).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tok").over(w)
+    chunked = docs.select("source", "doc_id", "text", n_tok.alias("n_tok")).withColumn(
+        "chunk_id",
+        F.floor((cum - F.col("n_tok")) / F.lit(PACK_BUDGET_TOKENS)),
+    )
+    members = F.array_sort(F.collect_list(F.struct("doc_id", "text")))
+    return chunked.groupBy("source", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("chunk_tokens"),
+        F.array_join(
+            F.transform(members, lambda s: s["text"]), " "
+        ).alias("sequence"),
+    )
+
+
+SEQ_PACK_EMIT_SQL = f"""
+WITH sized AS (
+  SELECT source, doc_id, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+chunked AS (
+  SELECT source, doc_id, text, n_tok,
+         CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tok) / {PACK_BUDGET_TOKENS}) AS BIGINT) AS chunk_id
+  FROM sized
+)
+SELECT source, chunk_id, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS chunk_tokens,
+       string_agg(text, ' ' ORDER BY doc_id) AS sequence
+FROM chunked
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Deterministic stratified sampling: keep an exact-rate slice of each
 # stratum (source), selected by content hash — reproducible on any cluster
@@ -1182,4 +1238,7 @@ EXTRA_SPECS: list[QuerySpec] = [
     ),
     QuerySpec("pii_scrub", pii_scrub, PII_SCRUB_SQL, "ext:text,pii"),
     QuerySpec("data_mix", data_mix, DATA_MIX_SQL, "ext:mixing,sampling"),
+    QuerySpec(
+        "seq_pack_emit", seq_pack_emit, SEQ_PACK_EMIT_SQL, "ext:packing,emit"
+    ),
 ]
