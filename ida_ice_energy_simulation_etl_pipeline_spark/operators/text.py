@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import occurrence_count, punct_ratio, word_shingles, word_tokens
-from ..plans.core import QuerySpec, ensure_parallelism, load_table
+from ..plans.core import QuerySpec, ensure_parallelism, hash_parallelism, load_table
 
 # Function-word profiles for the language-ID heuristic.  Deliberately tiny:
 # language ID at scale is a per-row map-only op; the profile table is the
@@ -540,14 +540,21 @@ GROUP BY source
 
 
 # --------------------------------------------------------------------------
-# TF-IDF top terms per document.  Three keyed shuffles, each on a key that
-# shrinks the data: (doc, token) term frequencies, token-grain document
-# frequencies (vocabulary-sized — orders of magnitude smaller than the
-# corpus; joined back on token, AQE broadcasts it when it fits), and a
-# per-doc top-k ranking window (partitioned by doc_id — millions of tiny
-# window partitions parallelize perfectly).  The corpus size N enters via a
-# broadcast one-row aggregate, not a driver-side collect, so the plan stays
-# fully lazy.
+# TF-IDF top terms per document.  ONE corpus-grain shuffle: the documents
+# are hash-partitioned on doc_id BEFORE tokenization (at real scale a
+# doc_id-bucketed table makes even that free), and because
+# HashPartitioning(doc_id) satisfies the clustering requirement of both
+# the (doc_id, token) term-frequency aggregate and the per-doc top-k
+# ranking window, neither inserts an exchange of the exploded token
+# stream.  Document frequencies are vocabulary-grain (orders of magnitude
+# smaller than the corpus — map-side combine shrinks them before their
+# one small shuffle) and are explicitly broadcast back, which keeps the
+# doc_id partitioning intact through the join.  The tokenize+count
+# subtree is evaluated once per branch (tf and dfreq) — deliberate:
+# re-running a map-side subtree is cheaper at scale than materializing it
+# through an extra corpus-grain exchange just to enable ReuseExchange.
+# The corpus size N enters via a broadcast one-row aggregate computed on
+# the RAW scan (parquet footer count), not a driver-side collect.
 TFIDF_TOP_K = 3
 
 
@@ -555,24 +562,23 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     raw = load_table(spark, sf_dir, "documents")
-    docs = ensure_parallelism(spark, raw)
+    docs = hash_parallelism(spark, raw, "doc_id")
     toks = docs.select(
         "doc_id", F.explode(word_tokens(F.col("text"))).alias("token")
     )
+    # No exchange: hash(doc_id) already clusters (doc_id, token).
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    # count(*) over the RAW scan, not the repartitioned frame: with parquet
-    # aggregate pushdown this is a footer read, so the broadcast N branch
-    # never waits on (or duplicates) the fan-out exchange.
     total = raw.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "token")
+        tf.join(F.broadcast(dfreq), "token")
         .crossJoin(F.broadcast(total))
         .withColumn(
             "score",
             F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
         )
     )
+    # No exchange: broadcast joins preserved the doc_id partitioning.
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("token").asc()
     )

@@ -112,6 +112,26 @@ def ensure_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
+def hash_parallelism(spark: SparkSession, df: DataFrame, *keys: str) -> DataFrame:
+    """Like :func:`ensure_parallelism`, but hash-partition on ``keys``.
+
+    Establishing ``HashPartitioning(keys)`` up front lets every downstream
+    operator whose required clustering is satisfied by a SUBSET of its
+    grouping keys — ``groupBy(*keys, ...)`` aggregates and
+    ``Window.partitionBy(*keys)`` — reuse the ONE exchange instead of
+    inserting their own.  Unlike ``ensure_parallelism`` this repartitions
+    unconditionally: the point is the partitioning GUARANTEE, not the task
+    count, and at real scale the same guarantee comes for free from a
+    bucketed (``bucketBy(keys)``) table layout, making this a no-op there.
+    """
+    try:
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        shuffle_parts = 200
+    target = min(spark.sparkContext.defaultParallelism, shuffle_parts)
+    return df.repartition(target, *[F.col(k) for k in keys])
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for ``spark.sql`` use."""
     for t in TABLES:

@@ -373,3 +373,21 @@ def test_simhash_block_self_join_is_merge_with_reused_exchange(spark):
     assert final.count("SortMergeJoin") == 1
     assert final.count("ReusedExchange") >= 1
     assert "BroadcastHashJoin" not in final
+
+
+def test_tfidf_rides_one_docid_exchange(spark):
+    # the doc_id hash repartition is the ONLY corpus-grain exchange: the
+    # (doc_id, token) tf aggregate and the per-doc ranking window both
+    # reuse its HashPartitioning, and document frequencies come back via
+    # broadcast (vocabulary-grain), whose own small shuffle is the one
+    # other hashpartitioning exchange allowed here
+    plan = _executed_plan(spark, "tfidf_top_terms").split("== Initial Plan ==")[0]
+    live = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "ReusedExchange" not in l
+    ]
+    assert sum("doc_id" in l for l in live) == 1
+    assert len(live) <= 2  # + the vocabulary-grain dfreq shuffle
+    # the dfreq branch must REUSE the doc_id exchange, not rescan the table
+    assert "ReusedExchange" in plan
+    assert "BroadcastExchange" in plan
