@@ -48,6 +48,7 @@ HEADLINE = [
     "dedup_exact",
     "minhash_signatures",
     "dedup_ngram_jaccard",
+    "dedup_passages",
     "dedup_embedding",
     "similarity_topk",
     "similarity_ivf",

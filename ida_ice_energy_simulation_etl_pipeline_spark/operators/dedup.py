@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import word_shingles, word_tokens
-from ..plans.core import QuerySpec, ensure_parallelism, load_table
+from ..plans.core import QuerySpec, ensure_parallelism, hash_parallelism, load_table
 
 N_MINHASHES = 8
 N_BANDS = 4  # rows per band = N_MINHASHES // N_BANDS = 2
@@ -578,6 +578,109 @@ WHERE round(list_cosine_similarity(ea.emb, eb.emb), 4) >= {EMB_COS_THRESHOLD}
 """
 
 
+# --------------------------------------------------------------------------
+# Passage-level dedup (C4-style span removal, block granularity).
+#
+# Web-scale corpora repeat PASSAGES (boilerplate, license headers, quoted
+# chunks) far more often than whole documents; C4 famously drops any
+# repeated three-sentence span corpus-wide.  This operator implements the
+# same idea at fixed token-block granularity, which keeps removal
+# non-overlapping and deterministic: each document's token stream is cut
+# into consecutive PASSAGE_BLOCK_TOKENS-token blocks, and each distinct
+# block survives only at its FIRST corpus occurrence (min (doc_id, pos));
+# every later occurrence is dropped and the document is re-assembled from
+# its surviving blocks in order.
+#
+# Scale shape — exactly two corpus-grain shuffles, both unavoidable for
+# these semantics:
+#   1. hash(block) for the keep-first window (first-occurrence choice
+#      needs all copies of a block together);
+#   2. hash(doc_id) for re-assembly (a doc's surviving blocks back
+#      together) — pre-established by hash_parallelism so the final
+#      aggregate reuses the fan-out exchange's partitioning... (the
+#      window shuffle in between discards it, so re-assembly pays one
+#      exchange; at scale that exchange carries only SURVIVING blocks).
+# Every doc appears in the output (a fully-duplicated doc keeps
+# n_kept = 0 and empty text) because stats and re-assembly ride ONE
+# aggregate over ALL block rows with the survivor filter inside the
+# aggregate functions (conditional count + null-skipping collect_list),
+# not a pre-filter that would drop empty docs.
+PASSAGE_BLOCK_TOKENS = 8
+
+
+def passage_dedup(docs: DataFrame, block: int = PASSAGE_BLOCK_TOKENS) -> DataFrame:
+    """Corpus-wide keep-first dedup of ``block``-token passages.
+
+    Returns one row per input document: ``doc_id``, ``n_blocks`` (blocks
+    in), ``n_kept`` (blocks surviving), ``text_dedup`` (the re-assembled
+    surviving text, '' when everything was dropped).
+    """
+    toks = F.split(F.col("text"), " ")
+    n_blocks = F.ceil(F.size(toks) / F.lit(block)).cast("int")
+    blocks = docs.select(
+        "doc_id",
+        n_blocks.alias("n_blocks"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_blocks - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * block + 1, block), " "
+                ),
+            )
+        ).alias("pos", "block"),
+    )
+    # Keep-first: the window partitions on a 64-bit block hash (smaller
+    # shuffle key than the text; collisions ~n²/2⁶⁵, immaterial), the
+    # oracle partitions on the block text — same groups either way.
+    w = Window.partitionBy(F.xxhash64("block")).orderBy("doc_id", "pos")
+    keep = blocks.withColumn("rn", F.row_number().over(w))
+    is_first = F.col("rn") == 1
+    return keep.groupBy("doc_id").agg(
+        F.max("n_blocks").alias("n_blocks"),
+        F.sum(F.when(is_first, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(is_first, F.struct("pos", "block")))
+                ),
+                lambda s: s["block"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+
+
+def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = hash_parallelism(spark, load_table(spark, sf_dir, "documents"), "doc_id")
+    return passage_dedup(docs)
+
+
+DEDUP_PASSAGES_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+blocks AS (
+  SELECT doc_id, i - 1 AS pos,
+         CAST(ceil(len(t) / {PASSAGE_BLOCK_TOKENS}.0) AS INTEGER) AS n_blocks,
+         array_to_string(
+           t[((i - 1) * {PASSAGE_BLOCK_TOKENS} + 1):((i - 1) * {PASSAGE_BLOCK_TOKENS} + {PASSAGE_BLOCK_TOKENS})],
+           ' ') AS block
+  FROM toks,
+       unnest(range(1, CAST(ceil(len(t) / {PASSAGE_BLOCK_TOKENS}.0) AS BIGINT) + 1)) u(i)
+),
+keep AS (
+  SELECT doc_id, pos, n_blocks, block,
+         row_number() OVER (PARTITION BY block ORDER BY doc_id, pos) AS rn
+  FROM blocks
+)
+SELECT doc_id,
+       max(n_blocks) AS n_blocks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN block END, ' ' ORDER BY pos), '')
+         AS text_dedup
+FROM keep
+GROUP BY doc_id
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "ext:dedup,D1"),
     QuerySpec(
@@ -596,4 +699,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "dedup_embedding", dedup_embedding, _embedding_oracle_sql(), "ext:dedup,ann"
     ),
+]
+
+EXTRA_SPECS: list[QuerySpec] = [
+    QuerySpec("dedup_passages", dedup_passages, DEDUP_PASSAGES_SQL, "ext:dedup"),
 ]

@@ -1108,3 +1108,44 @@ def test_embed_documents_null_for_token_free_text(spark):
     }
     assert got[1] is not None and abs(sum(x * x for x in got[1]) - 1.0) < 1e-5
     assert got[2] is None and got[3] is None  # never a zero vector
+
+
+# --------------------------------------------------------------------------
+# Passage-level (C4-style block) dedup.
+
+
+def test_passage_dedup_keeps_first_occurrence_only(spark):
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.dedup import (
+        passage_dedup,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(8))  # one exact 8-token block
+    uniq_a = " ".join(f"a{i}" for i in range(8))
+    uniq_c = " ".join(f"c{i}" for i in range(8))
+    rows = [
+        (0, boiler + " " + uniq_a),  # first corpus occurrence of boiler
+        (1, boiler + " " + uniq_c),  # later occurrence -> boiler dropped
+        (2, boiler),                 # fully duplicated -> empty survivor
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in passage_dedup(docs, block=8).collect()}
+    assert len(out) == 3  # every doc present, even the fully-dropped one
+    assert out[0]["n_kept"] == 2 and out[0]["text_dedup"] == rows[0][1]
+    assert out[1]["n_kept"] == 1 and out[1]["text_dedup"] == uniq_c
+    assert out[2]["n_kept"] == 0 and out[2]["text_dedup"] == ""
+    assert out[2]["n_blocks"] == 1
+
+
+def test_passage_dedup_preserves_intra_doc_block_order(spark):
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.dedup import (
+        passage_dedup,
+    )
+
+    # 3 distinct blocks; a duplicate of the MIDDLE one planted in a later
+    # doc must not disturb the first doc's re-assembly order
+    blocks = [" ".join(f"w{j}_{i}" for i in range(4)) for j in range(3)]
+    rows = [(0, " ".join(blocks)), (1, blocks[1])]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in passage_dedup(docs, block=4).collect()}
+    assert out[0]["text_dedup"] == " ".join(blocks)
+    assert out[1]["n_kept"] == 0
