@@ -60,6 +60,7 @@ HEADLINE = [
     "dataset_split",
     "contamination_check",
     "repetition_stats",
+    "lm_perplexity",
     "tfidf_top_terms",
     "seq_packing",
     "event_pivot",

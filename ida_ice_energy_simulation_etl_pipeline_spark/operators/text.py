@@ -1191,6 +1191,91 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Bigram-LM perplexity scoring (CCNet-style quality filter).
+#
+# CCNet ranks web documents by the perplexity of a language model trained
+# on a trusted corpus; low-ppl ≈ fluent text, high-ppl ≈ gibberish or
+# boilerplate-shredded text.  Here the model is an add-one-smoothed
+# bigram LM estimated from the corpus itself (self-scoring — at
+# production scale you'd broadcast a model trained offline on the trusted
+# reference corpus, which only SIMPLIFIES this plan: the two count
+# branches disappear).
+#
+# Shape: adjacent bigrams are built IN-ROW with array HOFs (map-only, no
+# (doc, pos) shuffle), then two shrinking count aggregates — bigram-grain
+# and unigram-grain, both collapsing map-side — give the model; the score
+# join is bigram-keyed (AQE broadcasts the model when it fits, sort-merge
+# otherwise), and the per-doc average rides one doc_id aggregate.  The
+# vocabulary size (add-one denominator) enters as a broadcast one-row
+# aggregate, never a driver collect.
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = load_table(spark, sf_dir, "documents")
+    docs = hash_parallelism(spark, raw, "doc_id")
+    toks = docs.select("doc_id", word_tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= 2
+    )
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.struct(
+                    F.element_at("w", i).alias("prev"),
+                    F.element_at("w", i + 1).alias("cur"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.prev", "bg.cur")
+    c_bg = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bg"))
+    c_ug = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("c_ug"))
+    vocab = (
+        docs.select(F.explode(word_tokens(F.col("text"))).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    nll = -F.log(
+        (F.col("c_bg") + F.lit(1.0)) / (F.col("c_ug") + F.col("v"))
+    )
+    scored = (
+        pairs.join(c_bg, ["prev", "cur"])
+        .join(c_ug, ["prev"])
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", nll.alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nll"), 4).alias("avg_nll"),
+        F.round(F.exp(F.avg("nll")), 4).alias("ppl"),
+    )
+
+
+LM_PERPLEXITY_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pairs AS (
+  SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+  FROM toks, unnest(range(1, len(w))) u(i)
+  WHERE len(w) >= 2
+),
+c_bg AS (SELECT prev, cur, count(*) AS c_bg FROM pairs GROUP BY 1, 2),
+c_ug AS (SELECT prev, count(*) AS c_ug FROM pairs GROUP BY 1),
+v AS (SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(w) AS tok FROM toks)),
+scored AS (
+  SELECT doc_id, -ln((b.c_bg + 1.0) / (u.c_ug + v.v)) AS nll
+  FROM pairs p
+  JOIN c_bg b USING (prev, cur)
+  JOIN c_ug u USING (prev)
+  CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(nll), 4) AS avg_nll,
+       round(exp(avg(nll)), 4) AS ppl
+FROM scored
+GROUP BY doc_id
+"""
+
+
 # Driver-facing tier (see plans/relational.py note on the 50-query
 # window): text_quality folds in the repetition signals, text_fingerprint
 # folds cleaning + fingerprinting, split_sample folds split + sampling —
@@ -1246,5 +1331,8 @@ EXTRA_SPECS: list[QuerySpec] = [
     QuerySpec("data_mix", data_mix, DATA_MIX_SQL, "ext:mixing,sampling"),
     QuerySpec(
         "seq_pack_emit", seq_pack_emit, SEQ_PACK_EMIT_SQL, "ext:packing,emit"
+    ),
+    QuerySpec(
+        "lm_perplexity", lm_perplexity, LM_PERPLEXITY_SQL, "ext:text,quality,lm"
     ),
 ]

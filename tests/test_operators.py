@@ -1149,3 +1149,21 @@ def test_passage_dedup_preserves_intra_doc_block_order(spark):
     out = {r["doc_id"]: r for r in passage_dedup(docs, block=4).collect()}
     assert out[0]["text_dedup"] == " ".join(blocks)
     assert out[1]["n_kept"] == 0
+
+
+def test_lm_perplexity_ranks_gibberish_above_fluent(spark, tmp_path):
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        lm_perplexity,
+    )
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, fluent, "en", "src0", len(fluent)) for i in range(9)]
+    gibberish = "zq xv jk wp qn rl tb md cf gh"
+    rows.append((9, gibberish, "xx", "src1", len(gibberish)))
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in lm_perplexity(spark, str(tmp_path)).collect()}
+    # every bigram in the gibberish doc is corpus-unique -> far higher ppl
+    fluent_ppl = max(out[i]["ppl"] for i in range(9))
+    assert out[9]["ppl"] > 2 * fluent_ppl
