@@ -21,6 +21,7 @@ from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _IDENTIFIER = re.compile(r"^[a-zA-Z0-9_]+$")
 
@@ -227,3 +228,63 @@ def load_parquet_to_warehouse(
 def query(spark: SparkSession, sql: str) -> DataFrame:
     """Ad-hoc SQL entry point (reference query_duckdb, load:167-185)."""
     return spark.sql(sql)
+
+
+def merge_upsert_parquet(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str | Path,
+    keys: list[str],
+    partition_col: str,
+) -> list[str]:
+    """Incrementally MERGE a batch into a partitioned parquet table.
+
+    The reference's only incremental behavior is a daily FULL re-run with
+    a content-hash publish skip (SURVEY §2.10); at 100 TB a full rewrite
+    per day is untenable, so this is the hand-rolled equivalent of a
+    table-format MERGE (Delta/Iceberg upsert), built from Spark
+    primitives:
+
+    1. partitions touched by the batch = its distinct ``partition_col``
+       values (a tiny driver-side list — partition values are
+       low-cardinality by design);
+    2. survivors = existing rows of ONLY those partitions (partition
+       pruning keeps the read proportional to the batch, not the table)
+       minus rows whose key is replaced (left-anti join on ``keys``);
+    3. survivors ∪ batch written with dynamic
+       ``partitionOverwriteMode`` — Spark replaces exactly the touched
+       partition directories and leaves every other partition's files
+       untouched on disk.
+
+    The survivor set is ``localCheckpoint``-ed before the write: Spark
+    (correctly) refuses to overwrite a path that its own read lineage
+    depends on, and the checkpoint cuts that lineage.  The materialized
+    set is bounded by the touched partitions' size — the same working
+    set a real MERGE holds.  Returns the touched partition values.
+    """
+    path = Path(path)
+    writer_cols = batch.columns
+    if not path.exists():
+        batch.write.partitionBy(partition_col).parquet(str(path))
+        return sorted(
+            str(r[0]) for r in batch.select(partition_col).distinct().collect()
+        )
+    touched = [
+        r[0] for r in batch.select(partition_col).distinct().collect()
+    ]
+    existing = spark.read.parquet(str(path)).filter(
+        F.col(partition_col).isin(touched)
+    )
+    survivors = existing.join(
+        batch.select(*keys).distinct(), keys, "left_anti"
+    )
+    out = survivors.select(*writer_cols).unionByName(
+        batch
+    ).localCheckpoint()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy(partition_col).parquet(str(path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return sorted(str(t) for t in touched)

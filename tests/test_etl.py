@@ -368,3 +368,61 @@ def test_pipeline_gate_blocks(spark, tmp_path):
     write_run_dir(run, tmp_path)
     with pytest.raises(ValidationGateError):
         run_pipeline(spark, tmp_path, tmp_path / "out")
+
+
+def test_merge_upsert_parquet_touches_only_batch_partitions(spark, tmp_path):
+    import os
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.etl.load import (
+        merge_upsert_parquet,
+    )
+
+    path = tmp_path / "meters"
+    base = spark.createDataFrame(
+        [
+            ("B1", "t1", 10.0, "2026-01-01"),
+            ("B1", "t2", 11.0, "2026-01-01"),
+            ("B2", "t1", 20.0, "2026-01-02"),
+            ("B2", "t2", 21.0, "2026-01-02"),
+        ],
+        ["building_id", "ts", "kwh", "ds"],
+    )
+    touched = merge_upsert_parquet(
+        spark, base, path, keys=["building_id", "ts"], partition_col="ds"
+    )
+    assert touched == ["2026-01-01", "2026-01-02"]
+
+    def files_of(ds):
+        d = path / f"ds={ds}"
+        return {
+            f: os.path.getmtime(d / f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    day1_before = files_of("2026-01-01")
+    # batch: update one key in day 2, insert one new key in day 2
+    batch = spark.createDataFrame(
+        [
+            ("B2", "t2", 99.0, "2026-01-02"),  # update
+            ("B2", "t3", 22.0, "2026-01-02"),  # insert
+        ],
+        ["building_id", "ts", "kwh", "ds"],
+    )
+    touched = merge_upsert_parquet(
+        spark, batch, path, keys=["building_id", "ts"], partition_col="ds"
+    )
+    assert touched == ["2026-01-02"]
+    # untouched partition: same files, same mtimes (no rewrite)
+    assert files_of("2026-01-01") == day1_before
+    got = {
+        (r["building_id"], r["ts"]): r["kwh"]
+        for r in spark.read.parquet(str(path)).collect()
+    }
+    assert got == {
+        ("B1", "t1"): 10.0,
+        ("B1", "t2"): 11.0,
+        ("B2", "t1"): 20.0,  # survivor in the touched partition
+        ("B2", "t2"): 99.0,  # updated
+        ("B2", "t3"): 22.0,  # inserted
+    }
