@@ -9,7 +9,12 @@ streaming dedup keyed on event identity.
 from .hourly import dedup_stream, hourly_rollup_stream, read_event_stream
 from .joins import interval_join_stream
 from .sessions import sessionize_stream
-from .sink import stream_to_parquet, stream_to_parquet_batches
+from .sink import (
+    stream_to_parquet,
+    stream_to_parquet_batches,
+    stream_upsert_rollup,
+    upsert_batch_writer,
+)
 
 __all__ = [
     "read_event_stream",
@@ -19,4 +24,6 @@ __all__ = [
     "interval_join_stream",
     "stream_to_parquet",
     "stream_to_parquet_batches",
+    "stream_upsert_rollup",
+    "upsert_batch_writer",
 ]

@@ -102,3 +102,58 @@ def stream_to_parquet_batches(
     )
     q.awaitTermination()
     return q
+
+
+def upsert_batch_writer(
+    spark,
+    path: str | Path,
+    keys: Sequence[str],
+    partition_col: str,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function that MERGEs each micro-batch into a
+    partitioned parquet table by key (:func:`..etl.load.merge_upsert_parquet`).
+
+    This is the streaming-upsert-to-warehouse pattern: run a watermarked
+    aggregation in ``update`` output mode so each trigger emits only the
+    windows it changed, and merge those rows into the serving table keyed
+    on the window identity — late data re-emits its window and the merge
+    REPLACES the stale row, so the table converges to the batch answer
+    instead of accumulating one append per revision.  Replay-safe without
+    markers: re-merging the same rows is a no-op by construction
+    (idempotent by key, unlike an append sink).
+    """
+    from ..etl.load import merge_upsert_parquet
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_upsert_parquet(
+            spark, batch_df, path, keys=list(keys), partition_col=partition_col
+        )
+
+    return write
+
+
+def stream_upsert_rollup(
+    rollup: DataFrame,
+    path: str | Path,
+    checkpoint: str | Path,
+    keys: Sequence[str],
+    partition_col: str,
+    *,
+    query_name: str = "upsert_sink",
+) -> object:
+    """Drain an update-mode rollup stream into a merged serving table."""
+    spark = rollup.sparkSession
+    q = (
+        rollup.writeStream.foreachBatch(
+            upsert_batch_writer(spark, path, keys, partition_col)
+        )
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", str(checkpoint))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

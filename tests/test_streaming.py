@@ -414,3 +414,54 @@ def test_corpus_ingest_dedup_state_spans_micro_batches(spark, tmp_path):
         r["doc_id"] for r in spark.sql("SELECT doc_id FROM corpus_ingest2").collect()
     )
     assert got == [1, 3]  # doc 2 deduped against batch-1 state
+
+
+def test_streaming_upsert_rollup_converges_with_late_data(spark, tmp_path):
+    """Update-mode rollup merged into a partitioned serving table: a late
+    event re-emits its window and the MERGE replaces the stale row, so
+    the table equals the batch recomputation after every drain."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming.sink import (
+        stream_upsert_rollup,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    table = tmp_path / "serving"
+    ckpt = tmp_path / "ckpt"
+
+    def drain():
+        stream = read_event_stream(spark, str(src))
+        rollup = hourly_rollup_stream(stream).withColumn(
+            "ds", F.to_date("window_start")
+        )
+        stream_upsert_rollup(
+            rollup,
+            table,
+            ckpt,
+            keys=["window_start", "event_type"],
+            partition_col="ds",
+        )
+
+    rows = [_event(i, 5 * i, "click", 2.0) for i in range(6)]  # hour 0
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    drain()
+    got = {
+        (r["window_start"].hour, r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(str(table)).collect()
+    }
+    assert got == {(0, "click"): 6}
+
+    # second drain: a LATE hour-0 click (within watermark) plus hour-1 views
+    late = [_event(50, 10, "click", 2.0)]
+    views = [_event(100 + i, 60 + 5 * i, "view", 1.0) for i in range(3)]
+    (src / "b2.json").write_text(
+        "\n".join(json.dumps(r) for r in late + views)
+    )
+    drain()
+    got = {
+        (r["window_start"].hour, r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(str(table)).collect()
+    }
+    # hour-0 row REPLACED (6 -> 7), not duplicated; hour-1 row inserted
+    assert got == {(0, "click"): (7, 14.0), (1, "view"): (3, 3.0)}
+    assert spark.read.parquet(str(table)).count() == 2
