@@ -1167,3 +1167,41 @@ def test_lm_perplexity_ranks_gibberish_above_fluent(spark, tmp_path):
     # every bigram in the gibberish doc is corpus-unique -> far higher ppl
     fluent_ppl = max(out[i]["ppl"] for i in range(9))
     assert out[9]["ppl"] > 2 * fluent_ppl
+
+
+def test_pq_topk_recovers_planted_clusters(spark):
+    """PQ asymmetric-distance ANN on tight clusters: quantized candidates
+    must still rank same-cluster neighbors first, and cluster members
+    must collapse to identical PQ codes (the 16x compression claim)."""
+    import math
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+    )
+
+    def vec(center: int, jitter: int) -> list[float]:
+        return [math.sin(center * 37.0 + d) + 0.001 * jitter for d in range(16)]
+
+    # vec_id<8 double as the deterministic codebook — interleave ids
+    # (cluster = id % 3) so the first 8 ids span all 3 centers and every
+    # cluster gets codebook entries to quantize to
+    rows = [(j * 3 + c, vec(c, j), c) for c in range(3) for j in range(8)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = pq_topk(emb, query_ids=[0, 2], k=3, dim=16, m=4, n_codes=8).collect()
+    assert len(got) == 6
+    for r in got:
+        assert r["query_id"] % 3 == r["neighbor_id"] % 3, (
+            f"PQ ANN crossed clusters: {r}"
+        )
+    codes = {
+        r["vec_id"]: tuple(r[f"code_{i}"] for i in range(4))
+        for r in pq_encode(emb, dim=16, m=4, k=8).collect()
+    }
+    # every member quantizes to SAME-cluster codebook entries in every
+    # subspace (the codebook holds ~3 entries per cluster, so members may
+    # split across them, but never across clusters)
+    for c in range(3):
+        for j in range(8):
+            for code in codes[j * 3 + c]:
+                assert code % 3 == c, f"vec {j * 3 + c} quantized cross-cluster"
