@@ -1015,7 +1015,67 @@ SPECS: list[QuerySpec] = [
 
 # Oracle-verified locally (test_oracle_parity) but outside the driver's
 # 50-query window: each overlaps a driver query's operator coverage.
+# --------------------------------------------------------------------------
+# One-pass table profiler (ANALYZE-style column statistics).
+#
+# The stats a cost-based optimizer (and a data engineer eyeballing a new
+# 100 TB drop) needs — per-column null count, distinct count, min, max —
+# computed for every measure column in ONE scan: all the conditional and
+# distinct aggregates land in a single global aggregate, then the
+# one-row result is exploded into a row per column.  The distinct
+# aggregates are EXACT here so the DuckDB oracle hash-matches; the scale
+# knob is swapping count_distinct for approx_count_distinct (HLL), which
+# removes the per-distinct-column Expand at the cost of oracle exactness
+# (the approx_distinct_users sketch query covers that path).
+PROFILE_COLUMNS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in PROFILE_COLUMNS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+        ]
+    one = li.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"nn_{c}").cast("long").alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.round(F.col(f"mn_{c}"), 4).alias("min_value"),
+                F.round(F.col(f"mx_{c}"), 4).alias("max_value"),
+            )
+            for c in PROFILE_COLUMNS
+        ]
+    )
+    return one.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def _table_profile_sql() -> str:
+    branches = []
+    for c in PROFILE_COLUMNS:
+        branches.append(
+            f"""SELECT '{c}' AS column_name,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       round(min({c}), 4) AS min_value,
+       round(max({c}), 4) AS max_value
+FROM lineitem"""
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
 EXTRA_SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "table_profile", table_profile, _table_profile_sql(), "ext:stats,analyze"
+    ),
     QuerySpec("surrogate_keys", surrogate_keys, SURROGATE_KEYS_SQL, "D4,O1"),
     QuerySpec("event_type_stats", event_type_stats, EVENT_TYPE_STATS_SQL, "A3"),
     QuerySpec("peak_metrics", peak_metrics, PEAK_METRICS_SQL, "A10,A5"),

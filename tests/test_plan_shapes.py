@@ -391,3 +391,10 @@ def test_tfidf_rides_one_docid_exchange(spark):
     # the dfreq branch must REUSE the doc_id exchange, not rescan the table
     assert "ReusedExchange" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_table_profile_single_scan(spark):
+    # every column's null/ndv/min/max stats ride ONE scan of lineitem —
+    # a per-column pass would multiply 100 TB reads by the column count
+    plan = _executed_plan(spark, "table_profile").split("== Initial Plan ==")[0]
+    assert plan.count("FileScan parquet") == 1
