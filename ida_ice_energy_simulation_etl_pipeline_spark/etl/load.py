@@ -288,3 +288,45 @@ def merge_upsert_parquet(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return sorted(str(t) for t in touched)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str | Path,
+    *,
+    target_mb: int = 128,
+    sort_by: list[str] | None = None,
+) -> dict[str, int]:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(bytes / target_mb)`` right-sized files.
+
+    Streaming sinks and frequent MERGE batches accrete small files; at
+    100 TB a scan pays per-file open/footer costs and the scheduler pays
+    per-split overhead, so periodic compaction is standard table
+    maintenance (what OPTIMIZE does in table formats).  ``sort_by``
+    additionally range-clusters during the rewrite (the
+    ``load_to_parquet(sort_within=...)`` data-skipping layout), so one
+    maintenance pass buys both fewer files AND narrow per-file min/max
+    stats.  The rewrite is staged next to the target and swapped in with
+    two renames so readers never observe a half-compacted directory.
+    Returns {"files_before", "files_after", "bytes"}.
+    """
+    path = Path(path)
+    files = [p for p in path.rglob("*.parquet") if p.is_file()]
+    total = sum(p.stat().st_size for p in files)
+    n_out = max(1, -(-total // (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(str(path))
+    if sort_by:
+        df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        df = df.repartition(n_out)
+    staging = path.with_name(path.name + "._compacting")
+    retired = path.with_name(path.name + "._retired")
+    df.write.mode("overwrite").parquet(str(staging))
+    path.rename(retired)
+    staging.rename(path)
+    import shutil
+
+    shutil.rmtree(retired)
+    after = len([p for p in path.rglob("*.parquet") if p.is_file()])
+    return {"files_before": len(files), "files_after": after, "bytes": total}

@@ -426,3 +426,26 @@ def test_merge_upsert_parquet_touches_only_batch_partitions(spark, tmp_path):
         ("B2", "t2"): 99.0,  # updated
         ("B2", "t3"): 22.0,  # inserted
     }
+
+
+def test_compact_parquet_binpacks_and_preserves_rows(spark, tmp_path):
+    from ida_ice_energy_simulation_etl_pipeline_spark.etl.load import (
+        compact_parquet,
+    )
+
+    path = tmp_path / "events_landing"
+    df = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+    # simulate a fragmented streaming landing zone: 64 tiny files
+    df.repartition(64).write.parquet(str(path))
+    import os
+
+    n_before = sum(
+        1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    assert n_before >= 32
+    stats = compact_parquet(spark, path, target_mb=128, sort_by=["id"])
+    assert stats["files_before"] == n_before
+    assert stats["files_after"] == 1  # tiny data -> one right-sized file
+    out = spark.read.parquet(str(path))
+    assert out.count() == 10000
+    assert out.agg(F.sum("v")).first()[0] == 2 * sum(range(10000))
