@@ -1236,11 +1236,12 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     nll = -F.log(
         (F.col("c_bg") + F.lit(1.0)) / (F.col("c_ug") + F.col("v"))
     )
-    scored = (
-        pairs.join(c_bg, ["prev", "cur"])
-        .join(c_ug, ["prev"])
-        .crossJoin(F.broadcast(vocab))
-        .select("doc_id", nll.alias("nll"))
+    # Assemble the model FIRST (bigram ⋈ unigram counts — model-grain, far
+    # below corpus-grain), so the corpus-grain pair stream pays ONE score
+    # join instead of two.
+    model = c_bg.join(c_ug, ["prev"]).crossJoin(F.broadcast(vocab))
+    scored = pairs.join(model, ["prev", "cur"]).select(
+        "doc_id", nll.alias("nll")
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
