@@ -330,3 +330,58 @@ def compact_parquet(
     shutil.rmtree(retired)
     after = len([p for p in path.rglob("*.parquet") if p.is_file()])
     return {"files_before": len(files), "files_after": after, "bytes": total}
+
+
+def zorder_cluster(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    bits: int = 8,
+    n_files: int | None = None,
+) -> DataFrame:
+    """Z-order (Morton-curve) clustering for MULTI-column data skipping.
+
+    ``repartitionByRange(sort_col)`` (``load_to_parquet(sort_within=)``)
+    narrows per-file min/max stats on ONE column; queries filtering the
+    second column still scan everything.  Z-ordering interleaves the bit
+    patterns of each column's normalized bucket, so files cover a small
+    hyper-rectangle of the combined key space and parquet min/max stats
+    stay narrow on EVERY participating column — the multi-dimension
+    layout OPTIMIZE ZORDER BY provides in table formats.
+
+    Buckets are value-normalized against broadcast per-column min/max
+    (one tiny extra aggregate over the input — no driver collect), the
+    interleave is a folded shift/or expression (pure codegen), and the
+    result is range-partitioned + sorted on the z-value, ready to write.
+    Skewed columns get skewed buckets — production would swap the linear
+    normalization for quantile buckets; the interleave is unchanged.
+    """
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for i in range(bits - 1, -1, -1):  # high bits first
+        for j, c in enumerate(cols):
+            span = F.col(f"mx_{c}") - F.col(f"mn_{c}")
+            bucket = F.least(
+                F.lit(top),
+                F.floor(
+                    (F.col(c).cast("double") - F.col(f"mn_{c}"))
+                    / F.when(span > 0, span).otherwise(F.lit(1.0))
+                    * (top + 1)
+                ),
+            ).cast("long")
+            bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1))
+            z = F.shiftleft(z, 1).bitwiseOR(bit)
+    out = out.withColumn("_z", z).drop(
+        *[f"mn_{c}" for c in cols], *[f"mx_{c}" for c in cols]
+    )
+    parts = [n_files] if n_files else []
+    return (
+        out.repartitionByRange(*parts, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )

@@ -449,3 +449,53 @@ def test_compact_parquet_binpacks_and_preserves_rows(spark, tmp_path):
     out = spark.read.parquet(str(path))
     assert out.count() == 10000
     assert out.agg(F.sum("v")).first()[0] == 2 * sum(range(10000))
+
+
+def test_zorder_narrows_file_stats_on_both_columns(spark, tmp_path):
+    """Z-order vs linear sort on a 2-D uniform grid: the linear layout
+    narrows per-file min/max only on its sort column, z-order on BOTH —
+    the property parquet data skipping actually uses."""
+    import pyarrow.parquet as pq
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.etl.load import (
+        zorder_cluster,
+    )
+
+    grid = (
+        spark.range(0, 64)
+        .withColumnRenamed("id", "x")
+        .crossJoin(spark.range(0, 64).withColumnRenamed("id", "y"))
+    )
+
+    def mean_frac(path, col):
+        """Mean fraction of the global [0,63] range a file's stats cover."""
+        fracs = []
+        for f in (tmp_path / path).rglob("*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = min(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            fracs.append((hi - lo) / 63.0)
+        return sum(fracs) / len(fracs)
+
+    grid.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(
+        str(tmp_path / "linear")
+    )
+    zorder_cluster(grid, ["x", "y"], n_files=16).write.parquet(
+        str(tmp_path / "zorder")
+    )
+    # linear: x narrow, y full-range
+    assert mean_frac("linear", "x") < 0.2
+    assert mean_frac("linear", "y") > 0.9
+    # z-order: BOTH columns substantially narrowed
+    assert mean_frac("zorder", "x") < 0.5
+    assert mean_frac("zorder", "y") < 0.5
