@@ -54,6 +54,11 @@ class CorpusConfig:
     min_tokens: int = FUNNEL_MIN_TOKENS
     min_ttr: float = FUNNEL_MIN_TTR
     near_dedup: bool = True
+    # drop repeated fixed-size token passages corpus-wide (C4-style);
+    # docs whose every block is dropped leave the corpus
+    passage_dedup: bool = False
+    # drop docs whose self-trained bigram perplexity exceeds this
+    max_ppl: float | None = None
     # "label_prop" (diameter rounds — near-dup clusters are small/dense) or
     # "star" (large-star/small-star, O(log n) rounds at any diameter)
     cc_algorithm: str = "label_prop"
@@ -162,6 +167,31 @@ def run_corpus_pipeline(
         # etl/pipeline.py staging pattern) so executors can evict.
         kept = kept.localCheckpoint(eager=True)
         kept = _near_deduped(kept, cfg.cc_algorithm)
+    if cfg.passage_dedup:
+        # keep-first block removal (operators/dedup.py::passage_dedup):
+        # replace each doc's text with its surviving blocks; fully-
+        # duplicated docs leave the corpus
+        from ..operators.dedup import passage_dedup as _pd
+
+        blocks = _pd(kept.select("doc_id", "text"))
+        kept = kept.drop("text").join(
+            blocks.filter(F.col("n_kept") > 0).select(
+                "doc_id", F.col("text_dedup").alias("text")
+            ),
+            "doc_id",
+        )
+    if cfg.max_ppl is not None:
+        # CCNet-style fluency gate (operators/text.py::bigram_ppl): the
+        # model is self-trained on the already-filtered corpus; a
+        # production build broadcasts an offline model instead
+        from ..operators.text import bigram_ppl
+
+        ppl = bigram_ppl(kept.select("doc_id", "text"))
+        kept = kept.join(
+            ppl.filter(F.col("ppl") <= cfg.max_ppl).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
     if cfg.scrub:
         kept = (
             scrub_pii(kept)
@@ -260,6 +290,8 @@ def run_corpus_pipeline(
             "min_tokens": cfg.min_tokens,
             "min_ttr": cfg.min_ttr,
             "near_dedup": cfg.near_dedup,
+            "passage_dedup": cfg.passage_dedup,
+            "max_ppl": cfg.max_ppl,
             "scrub": cfg.scrub,
             "embed": cfg.embed,
             "pack_budget": cfg.pack_budget,
@@ -297,6 +329,17 @@ def main(argv: list[str] | None = None) -> int:
         help="near-dedup clustering: diameter-round label propagation or "
         "O(log n)-round large-star/small-star",
     )
+    ap.add_argument(
+        "--passage-dedup",
+        action="store_true",
+        help="drop repeated fixed-size token passages corpus-wide (C4-style)",
+    )
+    ap.add_argument(
+        "--max-ppl",
+        type=float,
+        default=None,
+        help="drop docs whose self-trained bigram perplexity exceeds this",
+    )
     ap.add_argument("--no-scrub", action="store_true")
     ap.add_argument(
         "--embed",
@@ -317,6 +360,8 @@ def main(argv: list[str] | None = None) -> int:
         min_ttr=args.min_ttr,
         near_dedup=not args.no_near_dedup,
         cc_algorithm=args.cc_algorithm,
+        passage_dedup=args.passage_dedup,
+        max_ppl=args.max_ppl,
         scrub=not args.no_scrub,
         embed=args.embed,
         pack_budget=args.pack_budget,

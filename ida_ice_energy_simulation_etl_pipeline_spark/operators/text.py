@@ -1211,7 +1211,15 @@ GROUP BY source
 # aggregate, never a driver collect.
 def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load_table(spark, sf_dir, "documents")
-    docs = hash_parallelism(spark, raw, "doc_id")
+    return bigram_ppl(hash_parallelism(spark, raw, "doc_id"))
+
+
+def bigram_ppl(docs: DataFrame) -> DataFrame:
+    """Per-doc add-one-smoothed bigram perplexity (see lm_perplexity).
+
+    Returns (doc_id, n_bigrams, avg_nll, ppl); docs with < 2 tokens have
+    no bigrams and are absent from the output.
+    """
     toks = docs.select("doc_id", word_tokens(F.col("text")).alias("w")).filter(
         F.size("w") >= 2
     )

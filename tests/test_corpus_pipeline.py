@@ -200,3 +200,88 @@ def test_corpus_embed_stage_lands_ann_ready_vectors(spark, corpus_input, tmp_pat
     assert all(len(r["embedding"]) == EMBED_DIM for r in rows)
     for r in rows:
         assert abs(sum(x * x for x in r["embedding"]) - 1.0) < 1e-5
+
+
+def test_corpus_passage_dedup_stage_strips_repeated_blocks(spark, tmp_path):
+    # block dedup is ALIGNMENT-sensitive (fixed 8-token windows), so the
+    # planted boilerplate sits at an 8-token phase in both docs: at
+    # offset 0 in doc 0 and offset 16 in doc 1
+    boiler = " ".join(f"license term {i} applies here now ok yes" for i in (1, 2))
+    fluent_a = (
+        "the engine reads the table and joins rows "
+        "and writes the result to the store today"
+    )  # 16 tokens
+    fluent_b = (
+        "an optimizer prunes unused columns while a scheduler "
+        "assigns many pending tasks across executor slots quickly"
+    )  # 16 tokens
+    rows = [
+        (0, boiler + " " + fluent_a, "src0"),              # first boiler copy kept
+        (1, fluent_b + " " + boiler + " again ok", "src1"),  # later copy stripped
+    ]
+    path = tmp_path / "docs.parquet"
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.parquet(str(path))
+    out = tmp_path / "out"
+    manifest = run_corpus_pipeline(
+        spark,
+        path,
+        out,
+        CorpusConfig(
+            langs=("en", "unknown"),
+            min_tokens=5,
+            min_ttr=0.0,
+            near_dedup=False,
+            passage_dedup=True,
+            scrub=False,
+        ),
+    )
+    landed = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(str(out / "corpus")).collect()
+    }
+    assert boiler in landed[0]       # first occurrence kept
+    assert boiler not in landed[1]   # later occurrence stripped
+    assert manifest["config"]["passage_dedup"] is True
+
+
+def test_corpus_ppl_gate_drops_gibberish(spark, tmp_path):
+    """--max-ppl drops the high-perplexity doc; the threshold is derived
+    from the operator itself (midpoint between fluent and gibberish
+    scores) so the test pins the GATING behavior, not a magic number."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        bigram_ppl,
+    )
+
+    fluent = (
+        "the engine reads the table and joins the rows and writes the "
+        "result to the store while the planner prunes the columns"
+    )
+    gibberish = "zq xv jk wp qn rl tb md cf gh bn vc xs ze rq wt yu io pl km"
+    rows = [(i, fluent + f" tail word {i} ok", "src0") for i in range(4)]
+    rows.append((9, gibberish, "src2"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    ppls = {r["doc_id"]: r["ppl"] for r in bigram_ppl(docs).collect()}
+    fluent_max = max(v for k, v in ppls.items() if k != 9)
+    assert ppls[9] > fluent_max  # the corpus separates at all
+    threshold = (fluent_max + ppls[9]) / 2
+
+    path = tmp_path / "docs.parquet"
+    docs.write.parquet(str(path))
+    out = tmp_path / "out"
+    manifest = run_corpus_pipeline(
+        spark,
+        path,
+        out,
+        CorpusConfig(
+            langs=("en", "unknown"),
+            min_tokens=5,
+            min_ttr=0.0,
+            near_dedup=False,
+            max_ppl=threshold,
+            scrub=False,
+        ),
+    )
+    landed = {r["doc_id"] for r in spark.read.parquet(str(out / "corpus")).collect()}
+    assert 9 not in landed, "gibberish doc survived the perplexity gate"
+    assert landed == {0, 1, 2, 3}
+    assert manifest["config"]["max_ppl"] == threshold
