@@ -392,6 +392,108 @@ SPECS: list[QuerySpec] = [
     QuerySpec("props_extract", props_extract, PROPS_EXTRACT_SQL, "ext:json,F10"),
 ]
 
+# --------------------------------------------------------------------------
+# Conversion funnel — ordered-sequence analytics (MATCH_RECOGNIZE-lite).
+#
+# For each user: first 'view', then first 'click' within FUNNEL_WINDOW of
+# it, then first 'purchase' within FUNNEL_WINDOW of that; the report is
+# users-per-step with conversion vs step 1 (the step window is what makes
+# a funnel a funnel — unbounded "ever afterwards" matching converges to
+# 100% on any long-lived user base).  Shape: events hash-partitioned on user_id ONCE —
+# the three step aggregates and both step joins are user-grain, so they
+# all satisfy their clustering from that single exchange (AQE may also
+# broadcast the shrinking step frames); the final three counts are
+# one-row aggregates.  Timestamps compare in exact integer microseconds
+# on both engines (the repo-wide timestamp-determinism rule).
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000  # next step must land within 24 h
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .core import hash_parallelism
+
+    ev = hash_parallelism(
+        spark, load_table(spark, sf_dir, "events"), "user_id"
+    ).select("user_id", "event_type", epoch_us("ts").alias("ts_us"))
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    c = (
+        ev.join(v, "user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts_us") > F.col("t1"))
+            & (F.col("ts_us") <= F.col("t1") + FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts_us") > F.col("t2"))
+            & (F.col("ts_us") <= F.col("t2") + FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    base = v.agg(F.count(F.lit(1)).alias("n0"))
+
+    def step_row(df: DataFrame, no: int, name: str) -> DataFrame:
+        return (
+            df.agg(F.count(F.lit(1)).alias("n_users"))
+            .crossJoin(F.broadcast(base))
+            .select(
+                F.lit(no).alias("step_no"),
+                F.lit(name).alias("step"),
+                F.col("n_users"),
+                F.round(F.col("n_users").cast("double") / F.col("n0"), 4).alias(
+                    "conversion"
+                ),
+            )
+        )
+
+    return (
+        step_row(v, 1, "view")
+        .unionByName(step_row(c, 2, "click"))
+        .unionByName(step_row(p, 3, "purchase"))
+    )
+
+
+EVENT_FUNNEL_SQL = f"""
+WITH v AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+    AND epoch_us(e.ts) <= v.t1 + {FUNNEL_WINDOW_US}
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+    AND epoch_us(e.ts) <= c.t2 + {FUNNEL_WINDOW_US}
+  GROUP BY e.user_id
+),
+n AS (SELECT (SELECT count(*) FROM v) AS n0)
+SELECT 1 AS step_no, 'view' AS step, (SELECT count(*) FROM v) AS n_users,
+       round(CAST((SELECT count(*) FROM v) AS DOUBLE) / n.n0, 4) AS conversion FROM n
+UNION ALL
+SELECT 2, 'click', (SELECT count(*) FROM c),
+       round(CAST((SELECT count(*) FROM c) AS DOUBLE) / n.n0, 4) FROM n
+UNION ALL
+SELECT 3, 'purchase', (SELECT count(*) FROM p),
+       round(CAST((SELECT count(*) FROM p) AS DOUBLE) / n.n0, 4) FROM n
+"""
+
+
 # Oracle-verified locally, outside the driver window (operator overlap:
 # ranking window ↔ top_parts_per_brand, rollup ↔ orders/multires rollups).
 # approx_distinct_users lives here BY DESIGN: a sketch can never hash-match
@@ -410,4 +512,5 @@ EXTRA_SPECS: list[QuerySpec] = [
     ),
     QuerySpec("rolling_avg_value", rolling_avg_value, ROLLING_AVG_VALUE_SQL, "ext:window"),
     QuerySpec("customer_rollup", customer_rollup, CUSTOMER_ROLLUP_SQL, "ext:rollup"),
+    QuerySpec("event_funnel", event_funnel, EVENT_FUNNEL_SQL, "ext:funnel,sequence"),
 ]
