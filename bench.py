@@ -70,6 +70,9 @@ HEADLINE = [
     "top_tokens",
     "pii_scrub",
     "data_mix",
+    "similarity_pq",
+    "table_profile",
+    "event_funnel",
 ]
 
 # Optional subset for iteration / CI smoke: comma-separated query names.

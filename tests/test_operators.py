@@ -1205,3 +1205,24 @@ def test_pq_topk_recovers_planted_clusters(spark):
         for j in range(8):
             for code in codes[j * 3 + c]:
                 assert code % 3 == c, f"vec {j * 3 + c} quantized cross-cluster"
+
+
+def test_passage_dedup_unique_corpus_is_identity(spark):
+    """When no block repeats corpus-wide, passage dedup must be a perfect
+    round-trip: every doc keeps all blocks and re-assembles to its exact
+    original text (whitespace-tokenized corpora only — the operator's
+    documented contract)."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.dedup import (
+        passage_dedup,
+    )
+
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(n)))
+        for i, n in enumerate([1, 7, 8, 9, 16, 17, 31])
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in passage_dedup(docs, block=8).collect()}
+    for i, text in rows:
+        assert out[i]["text_dedup"] == text, f"doc {i} not a round-trip"
+        assert out[i]["n_kept"] == out[i]["n_blocks"]
+        assert out[i]["n_blocks"] == -(-len(text.split()) // 8)

@@ -398,3 +398,41 @@ def test_table_profile_single_scan(spark):
     # a per-column pass would multiply 100 TB reads by the column count
     plan = _executed_plan(spark, "table_profile").split("== Initial Plan ==")[0]
     assert plan.count("FileScan parquet") == 1
+
+
+def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):
+    """The session enables Spark's runtime bloom-filter injection: a
+    selective dim-side predicate should cut the fact scan before the join
+    at production scale.  The application-side size threshold (10 GB
+    default) is what keeps it OFF at fixture scale, so lower it here to
+    pin that the capability actually fires in this session config."""
+    from pyspark.sql import functions as F
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans.core import load_table
+
+    # production-representative conditions: the app side exceeds the scan
+    # threshold and the join is a genuine shuffle join (the injection rule
+    # tests SIZES, not hints — a broadcastable build side skips it because
+    # broadcast already prunes at the join)
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF, "lineitem")
+        orders = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "might_contain" in plan or "bloomfilter" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
