@@ -187,10 +187,13 @@ def run_corpus_pipeline(
         from ..operators.text import bigram_ppl
 
         ppl = bigram_ppl(kept.select("doc_id", "text"))
-        kept = kept.join(
-            ppl.filter(F.col("ppl") <= cfg.max_ppl).select("doc_id"),
-            "doc_id",
-            "left_semi",
+        # LEFT join + null-pass: a doc with < 2 tokens has no bigrams and
+        # therefore no ppl row — undefined perplexity passes through (the
+        # length gates own short docs), it is not "infinitely bad"
+        kept = (
+            kept.join(ppl.select("doc_id", "ppl"), "doc_id", "left")
+            .filter(F.col("ppl").isNull() | (F.col("ppl") <= cfg.max_ppl))
+            .drop("ppl")
         )
     if cfg.scrub:
         kept = (

@@ -272,9 +272,14 @@ def merge_upsert_parquet(
     touched = [
         r[0] for r in batch.select(partition_col).distinct().collect()
     ]
-    existing = spark.read.parquet(str(path)).filter(
-        F.col(partition_col).isin(touched)
-    )
+    # NULL-safe membership: isin() never matches NULL, but dynamic
+    # overwrite WILL replace __HIVE_DEFAULT_PARTITION__ when the batch
+    # carries null partition values — without this, null-partition
+    # survivors would be silently deleted instead of preserved.
+    member = F.col(partition_col).isin([t for t in touched if t is not None])
+    if any(t is None for t in touched):
+        member = member | F.col(partition_col).isNull()
+    existing = spark.read.parquet(str(path)).filter(member)
     survivors = existing.join(
         batch.select(*keys).distinct(), keys, "left_anti"
     )
@@ -307,26 +312,57 @@ def compact_parquet(
     additionally range-clusters during the rewrite (the
     ``load_to_parquet(sort_within=...)`` data-skipping layout), so one
     maintenance pass buys both fewer files AND narrow per-file min/max
-    stats.  The rewrite is staged next to the target and swapped in with
-    two renames so readers never observe a half-compacted directory.
-    Returns {"files_before", "files_after", "bytes"}.
+    stats.  A Hive-partitioned layout (``col=value`` directories — what
+    ``merge_upsert_parquet`` and the streaming upsert sink write) is
+    detected from the data-file paths and PRESERVED: each partition
+    directory is compacted in place, so partition pruning and subsequent
+    dynamic-partition merges keep working.
+
+    The rewrite is staged next to the target and swapped in with two
+    renames.  Readers can hit a brief not-found window between them
+    (local-FS rename gives no atomic directory swap; a table format's
+    metadata pointer is the real fix), and a crash between the renames
+    leaves a ``._retired`` directory — both stale staging and retired
+    leftovers are reclaimed at the start of the next run, so compaction
+    self-heals instead of wedging.  Returns {"files_before",
+    "files_after", "bytes"}.
     """
+    import shutil
+
     path = Path(path)
+    staging = path.with_name(path.name + "._compacting")
+    retired = path.with_name(path.name + "._retired")
+    # reclaim debris from a prior crashed run
+    shutil.rmtree(staging, ignore_errors=True)
+    if not path.exists() and retired.exists():
+        retired.rename(path)  # crashed between the two renames: roll back
+    shutil.rmtree(retired, ignore_errors=True)
+
     files = [p for p in path.rglob("*.parquet") if p.is_file()]
     total = sum(p.stat().st_size for p in files)
     n_out = max(1, -(-total // (target_mb * 1024 * 1024)))
+    # partition columns, in nesting order, from any data file's dirs
+    part_cols: list[str] = []
+    if files:
+        for seg in files[0].relative_to(path).parts[:-1]:
+            if "=" in seg:
+                part_cols.append(seg.split("=", 1)[0])
     df = spark.read.parquet(str(path))
     if sort_by:
         df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+    elif part_cols:
+        # co-locate each Hive partition's rows so a task writes one file
+        # per partition value it holds (≈max(n_out, n_partitions) files),
+        # instead of every task spraying a file into every partition dir
+        df = df.repartition(n_out, *[F.col(c) for c in part_cols])
     else:
         df = df.repartition(n_out)
-    staging = path.with_name(path.name + "._compacting")
-    retired = path.with_name(path.name + "._retired")
-    df.write.mode("overwrite").parquet(str(staging))
+    writer = df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(str(staging))
     path.rename(retired)
     staging.rename(path)
-    import shutil
-
     shutil.rmtree(retired)
     after = len([p for p in path.rglob("*.parquet") if p.is_file()])
     return {"files_before": len(files), "files_after": after, "bytes": total}

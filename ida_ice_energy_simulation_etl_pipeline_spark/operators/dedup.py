@@ -596,10 +596,7 @@ WHERE round(list_cosine_similarity(ea.emb, eb.emb), 4) >= {EMB_COS_THRESHOLD}
 #   1. hash(block) for the keep-first window (first-occurrence choice
 #      needs all copies of a block together);
 #   2. hash(doc_id) for re-assembly (a doc's surviving blocks back
-#      together) — pre-established by hash_parallelism so the final
-#      aggregate reuses the fan-out exchange's partitioning... (the
-#      window shuffle in between discards it, so re-assembly pays one
-#      exchange; at scale that exchange carries only SURVIVING blocks).
+#      together) — at scale this exchange carries only SURVIVING blocks.
 # Every doc appears in the output (a fully-duplicated doc keeps
 # n_kept = 0 and empty text) because stats and re-assembly ride ONE
 # aggregate over ALL block rows with the survivor filter inside the
@@ -651,7 +648,11 @@ def passage_dedup(docs: DataFrame, block: int = PASSAGE_BLOCK_TOKENS) -> DataFra
 
 
 def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = hash_parallelism(spark, load_table(spark, sf_dir, "documents"), "doc_id")
+    # ensure_parallelism, NOT hash_parallelism: the block-hash window
+    # destroys any doc_id pre-partitioning before re-assembly needs it,
+    # so an upfront doc_id exchange would be a pure extra corpus-grain
+    # shuffle (unlike tfidf/lm_perplexity, where it is reused)
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
     return passage_dedup(docs)
 
 

@@ -767,7 +767,7 @@ codes AS (
 ),
 qscored AS (
   SELECT e.vec_id AS query_id, c.cid,
-         {d2_cols.replace('AS d2_', 'AS d2_')}
+         {d2_cols}
   FROM e CROSS JOIN cent c
   WHERE e.vec_id < {N_QUERIES}
 ),

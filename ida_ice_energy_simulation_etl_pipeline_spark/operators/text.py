@@ -558,7 +558,15 @@ GROUP BY source
 TFIDF_TOP_K = 3
 
 
-def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tfidf_top_terms(
+    spark: SparkSession, sf_dir: str, *, broadcast_dfreq: bool = True
+) -> DataFrame:
+    """``broadcast_dfreq`` is the vocabulary-size escape hatch: the hint
+    is right up to ~100M distinct tokens, but a raw web-corpus vocabulary
+    can exceed Spark's broadcast hard limits (8 GB / 512M rows) — pass
+    False there to let AQE pick the join, paying back the two exchanges
+    the hint elides (token-grain on tf, doc_id-grain before the window).
+    """
     from pyspark.sql import Window
 
     raw = load_table(spark, sf_dir, "documents")
@@ -571,7 +579,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     total = raw.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "token")
+        tf.join(F.broadcast(dfreq) if broadcast_dfreq else dfreq, "token")
         .crossJoin(F.broadcast(total))
         .withColumn(
             "score",

@@ -285,3 +285,30 @@ def test_corpus_ppl_gate_drops_gibberish(spark, tmp_path):
     assert 9 not in landed, "gibberish doc survived the perplexity gate"
     assert landed == {0, 1, 2, 3}
     assert manifest["config"]["max_ppl"] == threshold
+
+
+def test_corpus_ppl_gate_passes_docs_without_bigrams(spark, tmp_path):
+    """A doc too short to have bigrams has UNDEFINED perplexity — it must
+    pass the ppl gate (length gates own short docs), not be dropped."""
+    rows = [
+        (0, "one", "src0"),  # 1 token: no bigrams
+        (1, "the engine reads the table and joins the rows", "src0"),
+    ]
+    path = tmp_path / "docs.parquet"
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.parquet(str(path))
+    out = tmp_path / "out"
+    run_corpus_pipeline(
+        spark,
+        path,
+        out,
+        CorpusConfig(
+            langs=("en", "unknown"),
+            min_tokens=1,
+            min_ttr=0.0,
+            near_dedup=False,
+            max_ppl=1e9,
+            scrub=False,
+        ),
+    )
+    landed = {r["doc_id"] for r in spark.read.parquet(str(out / "corpus")).collect()}
+    assert landed == {0, 1}

@@ -499,3 +499,53 @@ def test_zorder_narrows_file_stats_on_both_columns(spark, tmp_path):
     # z-order: BOTH columns substantially narrowed
     assert mean_frac("zorder", "x") < 0.5
     assert mean_frac("zorder", "y") < 0.5
+
+
+def test_merge_upsert_preserves_null_partition_survivors(spark, tmp_path):
+    from ida_ice_energy_simulation_etl_pipeline_spark.etl.load import (
+        merge_upsert_parquet,
+    )
+
+    path = tmp_path / "t"
+    base = spark.createDataFrame(
+        [("A", 1.0, None), ("B", 2.0, None), ("C", 3.0, "2026-01-01")],
+        "k string, v double, ds string",
+    )
+    merge_upsert_parquet(spark, base, path, keys=["k"], partition_col="ds")
+    batch = spark.createDataFrame([("D", 4.0, None)], "k string, v double, ds string")
+    merge_upsert_parquet(spark, batch, path, keys=["k"], partition_col="ds")
+    got = {r["k"]: r["v"] for r in spark.read.parquet(str(path)).collect()}
+    # A and B lived in the null partition the batch touched: they must
+    # survive the dynamic overwrite of __HIVE_DEFAULT_PARTITION__
+    assert got == {"A": 1.0, "B": 2.0, "C": 3.0, "D": 4.0}
+
+
+def test_compact_parquet_preserves_hive_partition_layout(spark, tmp_path):
+    import os
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.etl.load import (
+        compact_parquet,
+        merge_upsert_parquet,
+    )
+
+    path = tmp_path / "t"
+    base = spark.createDataFrame(
+        [(f"k{i}", float(i), f"2026-01-0{1 + i % 2}") for i in range(20)],
+        "k string, v double, ds string",
+    ).repartition(8)
+    base.write.partitionBy("ds").parquet(str(path))
+    compact_parquet(spark, path, target_mb=128)
+    # layout preserved: ds=... dirs remain, no root-level data files
+    root_files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert root_files == []
+    assert sorted(d for d in os.listdir(path) if d.startswith("ds=")) == [
+        "ds=2026-01-01",
+        "ds=2026-01-02",
+    ]
+    # and a subsequent MERGE still works against the compacted table
+    batch = spark.createDataFrame(
+        [("k0", 99.0, "2026-01-01")], "k string, v double, ds string"
+    )
+    merge_upsert_parquet(spark, batch, path, keys=["k"], partition_col="ds")
+    got = {r["k"]: r["v"] for r in spark.read.parquet(str(path)).collect()}
+    assert len(got) == 20 and got["k0"] == 99.0
