@@ -1293,6 +1293,69 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Overlapping-window chunking (RAG / embedding prep).
+#
+# Retrieval corpora index CHUNKS, not documents: fixed token windows with
+# stride overlap so no sentence is orphaned at a boundary.  Map-only —
+# the window enumeration is an in-row array transform + posexplode, so
+# chunking composes with the scan and the embedding stage
+# (operators/inference.py) can run over the exploded stream directly.
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    toks = word_tokens(F.col("text"))
+    n = F.size(toks)
+    # chunks fully covering the doc: 1 + ceil((n - W) / S) when n > W
+    n_chunks = F.when(
+        n > CHUNK_TOKENS,
+        F.lit(1) + F.ceil((n - CHUNK_TOKENS) / F.lit(CHUNK_STRIDE)),
+    ).otherwise(F.lit(1)).cast("int")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    F.array_join(
+                        F.slice(toks, i * CHUNK_STRIDE + 1, CHUNK_TOKENS), " "
+                    ).alias("chunk_text"),
+                    F.least(
+                        F.lit(CHUNK_TOKENS), n - i * CHUNK_STRIDE
+                    ).cast("long").alias("chunk_tokens"),
+                ),
+            )
+        ).alias("chunk_idx", "c"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "c.chunk_text",
+        "c.chunk_tokens",
+    )
+
+
+DOC_CHUNKS_SQL = f"""
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+n AS (
+  SELECT doc_id, source, w, len(w) AS n,
+         CAST(CASE WHEN len(w) > {CHUNK_TOKENS}
+              THEN 1 + ceil((len(w) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0)
+              ELSE 1 END AS INTEGER) AS n_chunks
+  FROM toks
+)
+SELECT doc_id, source, CAST(i - 1 AS BIGINT) AS chunk_idx,
+       array_to_string(w[((i - 1) * {CHUNK_STRIDE} + 1):((i - 1) * {CHUNK_STRIDE} + {CHUNK_TOKENS})], ' ')
+         AS chunk_text,
+       CAST(least({CHUNK_TOKENS}, n - (i - 1) * {CHUNK_STRIDE}) AS BIGINT) AS chunk_tokens
+FROM n, unnest(range(1, CAST(n_chunks AS BIGINT) + 1)) u(i)
+"""
+
+
 # Driver-facing tier (see plans/relational.py note on the 50-query
 # window): text_quality folds in the repetition signals, text_fingerprint
 # folds cleaning + fingerprinting, split_sample folds split + sampling —
@@ -1352,4 +1415,5 @@ EXTRA_SPECS: list[QuerySpec] = [
     QuerySpec(
         "lm_perplexity", lm_perplexity, LM_PERPLEXITY_SQL, "ext:text,quality,lm"
     ),
+    QuerySpec("doc_chunks", doc_chunks, DOC_CHUNKS_SQL, "ext:text,rag,chunking"),
 ]

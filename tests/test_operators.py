@@ -1226,3 +1226,38 @@ def test_passage_dedup_unique_corpus_is_identity(spark):
         assert out[i]["text_dedup"] == text, f"doc {i} not a round-trip"
         assert out[i]["n_kept"] == out[i]["n_blocks"]
         assert out[i]["n_blocks"] == -(-len(text.split()) // 8)
+
+
+def test_doc_chunks_cover_with_overlap(spark, tmp_path):
+    """Chunk windows must tile the doc completely with the configured
+    stride overlap: every token appears in >= 1 chunk, consecutive chunks
+    share exactly CHUNK_TOKENS - CHUNK_STRIDE tokens, and a short doc is
+    one whole-text chunk."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        doc_chunks,
+    )
+
+    long_n = CHUNK_TOKENS + 2 * CHUNK_STRIDE + 5  # 3 strides worth
+    rows = [
+        (0, " ".join(f"t{j}" for j in range(long_n)), "en", "src0", 0),
+        (1, "short doc", "en", "src0", 0),
+    ]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = doc_chunks(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    chunks0 = sorted(by_doc[0], key=lambda r: r["chunk_idx"])
+    toks = [c["chunk_text"].split() for c in chunks0]
+    # full coverage, in order
+    covered = toks[0] + [t for w in toks[1:] for t in w[CHUNK_TOKENS - CHUNK_STRIDE:]]
+    assert covered == [f"t{j}" for j in range(long_n)]
+    # exact overlap between consecutive windows
+    for a, b in zip(toks, toks[1:]):
+        assert a[CHUNK_STRIDE:] == b[: CHUNK_TOKENS - CHUNK_STRIDE]
+    assert [c["chunk_text"] for c in by_doc[1]] == ["short doc"]
+    assert by_doc[1][0]["chunk_tokens"] == 2
