@@ -17,6 +17,7 @@ Reference sinks re-expressed (src/etl/load/__init__.py):
 from __future__ import annotations
 
 import re
+from collections.abc import Callable
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
@@ -421,3 +422,33 @@ def zorder_cluster(
         .sortWithinPartitions("_z")
         .drop("_z")
     )
+
+
+def vacuum_partitions(
+    path: str | Path,
+    partition_col: str,
+    keep: Callable[[str], bool],
+) -> list[str]:
+    """Retention sweep over a Hive-partitioned table: drop every
+    ``partition_col=value`` directory whose value fails ``keep``.
+
+    Pure directory-level deletes — no Spark job, no data rewrite: with a
+    date-valued partition column this is the O(1)-per-partition retention
+    pass (e.g. ``keep=lambda ds: ds >= cutoff``) that pairs with the
+    MERGE/compaction maintenance suite.  Values compare as their Hive
+    directory-name strings (dates in ISO form order correctly).  Returns
+    the dropped partition values.
+    """
+    import shutil
+
+    path = Path(path)
+    prefix = f"{partition_col}="
+    dropped = []
+    for d in sorted(path.iterdir()):
+        if not (d.is_dir() and d.name.startswith(prefix)):
+            continue
+        value = d.name[len(prefix):]
+        if not keep(value):
+            shutil.rmtree(d)
+            dropped.append(value)
+    return dropped

@@ -549,3 +549,19 @@ def test_compact_parquet_preserves_hive_partition_layout(spark, tmp_path):
     merge_upsert_parquet(spark, batch, path, keys=["k"], partition_col="ds")
     got = {r["k"]: r["v"] for r in spark.read.parquet(str(path)).collect()}
     assert len(got) == 20 and got["k0"] == 99.0
+
+
+def test_vacuum_partitions_drops_expired_only(spark, tmp_path):
+    from ida_ice_energy_simulation_etl_pipeline_spark.etl.load import (
+        vacuum_partitions,
+    )
+
+    path = tmp_path / "t"
+    spark.createDataFrame(
+        [(i, f"2026-01-0{1 + i % 3}") for i in range(9)], "k long, ds string"
+    ).write.partitionBy("ds").parquet(str(path))
+    dropped = vacuum_partitions(path, "ds", keep=lambda ds: ds >= "2026-01-02")
+    assert dropped == ["2026-01-01"]
+    # Spark infers the partition dir values as DATE — compare as strings
+    got = {str(r["ds"]) for r in spark.read.parquet(str(path)).collect()}
+    assert got == {"2026-01-02", "2026-01-03"}
