@@ -264,6 +264,19 @@ def merge_upsert_parquet(
     set a real MERGE holds.  Returns the touched partition values.
     """
     path = Path(path)
+    # A crashed compaction may have left the live table under ._retired:
+    # roll it back (or refuse on ambiguity) BEFORE the empty-table branch
+    # below could recreate the table from just this batch and strand the
+    # pre-crash rows.
+    retired = path.with_name(path.name + "._retired")
+    if retired.exists():
+        if not path.exists():
+            retired.rename(path)
+        else:
+            raise RuntimeError(
+                f"{retired} and {path} both exist — reconcile the crashed "
+                "compaction before merging"
+            )
     writer_cols = batch.columns
     if not path.exists():
         batch.write.partitionBy(partition_col).parquet(str(path))
@@ -322,26 +335,35 @@ def compact_parquet(
     The rewrite is staged next to the target and swapped in with two
     renames.  Readers can hit a brief not-found window between them
     (local-FS rename gives no atomic directory swap; a table format's
-    metadata pointer is the real fix), and a crash between the renames
-    leaves a ``._retired`` directory — both stale staging and retired
-    leftovers are reclaimed at the start of the next run, so compaction
-    self-heals instead of wedging.  Returns {"files_before",
-    "files_after", "bytes"}.
+    metadata pointer is the real fix).  Crash recovery is CONSERVATIVE:
+    a leftover ``._retired`` directory rolls back automatically only
+    when the table path itself is missing (crash exactly between the two
+    renames); if BOTH exist — e.g. another writer recreated the table
+    after the crash — the function refuses to run rather than guess
+    which copy is authoritative, because deleting ``._retired`` on a
+    guess would silently discard the pre-crash table.  Returns
+    {"files_before", "files_after", "bytes"}.
     """
     import shutil
 
     path = Path(path)
     staging = path.with_name(path.name + "._compacting")
     retired = path.with_name(path.name + "._retired")
-    # reclaim debris from a prior crashed run
-    shutil.rmtree(staging, ignore_errors=True)
-    if not path.exists() and retired.exists():
-        retired.rename(path)  # crashed between the two renames: roll back
-    shutil.rmtree(retired, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)  # staged data is never unique
+    if retired.exists():
+        if not path.exists():
+            retired.rename(path)  # crashed between the two renames: roll back
+        else:
+            raise RuntimeError(
+                f"{retired} and {path} both exist (crash followed by new "
+                "writes?) — reconcile manually before compacting; refusing "
+                "to delete either copy"
+            )
 
     files = [p for p in path.rglob("*.parquet") if p.is_file()]
     total = sum(p.stat().st_size for p in files)
-    n_out = max(1, -(-total // (target_mb * 1024 * 1024)))
+    target_bytes = target_mb * 1024 * 1024
+    n_out = max(1, -(-total // target_bytes))
     # partition columns, in nesting order, from any data file's dirs
     part_cols: list[str] = []
     if files:
@@ -349,13 +371,29 @@ def compact_parquet(
             if "=" in seg:
                 part_cols.append(seg.split("=", 1)[0])
     df = spark.read.parquet(str(path))
-    if sort_by:
+    if part_cols:
+        # Distribute WITHIN each Hive partition too: hashing on the
+        # partition columns alone would land a whole partition value in
+        # one task (one arbitrarily large output file, zero rewrite
+        # parallelism), so a deterministic row-hash salt sized from the
+        # LARGEST partition directory spreads each value over enough
+        # tasks that every output file still targets ~target_mb.
+        by_dir: dict[str, int] = {}
+        for f in files:
+            by_dir[f.relative_to(path).parts[0]] = (
+                by_dir.get(f.relative_to(path).parts[0], 0) + f.stat().st_size
+            )
+        max_part = max(by_dir.values(), default=0)
+        salt_n = max(1, -(-max_part // target_bytes))
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_n))
+        keys = [F.col(c) for c in (sort_by or [])] or [salt]
+        df = df.repartitionByRange(
+            n_out, *[F.col(c) for c in part_cols], *keys
+        )
+        if sort_by:
+            df = df.sortWithinPartitions(*part_cols, *sort_by)
+    elif sort_by:
         df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
-    elif part_cols:
-        # co-locate each Hive partition's rows so a task writes one file
-        # per partition value it holds (≈max(n_out, n_partitions) files),
-        # instead of every task spraying a file into every partition dir
-        df = df.repartition(n_out, *[F.col(c) for c in part_cols])
     else:
         df = df.repartition(n_out)
     writer = df.write.mode("overwrite")
@@ -435,20 +473,32 @@ def vacuum_partitions(
     Pure directory-level deletes — no Spark job, no data rewrite: with a
     date-valued partition column this is the O(1)-per-partition retention
     pass (e.g. ``keep=lambda ds: ds >= cutoff``) that pairs with the
-    MERGE/compaction maintenance suite.  Values compare as their Hive
-    directory-name strings (dates in ISO form order correctly).  Returns
-    the dropped partition values.
+    MERGE/compaction maintenance suite.  Values are the raw Hive
+    directory-name strings (dates in ISO form order correctly), INCLUDING
+    the ``__HIVE_DEFAULT_PARTITION__`` sentinel for null partition values
+    — a date-parsing ``keep`` must handle it explicitly or it is retained
+    forever.  All ``keep`` decisions are made BEFORE the first delete, so
+    a raising callback aborts the sweep cleanly instead of leaving a
+    half-vacuumed table.  A missing table is a no-op.  Returns the
+    dropped partition values.
     """
     import shutil
 
     path = Path(path)
+    if not path.exists():
+        return []
     prefix = f"{partition_col}="
+    # two-phase: decide everything first, then delete — keep() errors
+    # must not strand a partially-swept table
+    doomed = [
+        d
+        for d in sorted(path.iterdir())
+        if d.is_dir()
+        and d.name.startswith(prefix)
+        and not keep(d.name[len(prefix):])
+    ]
     dropped = []
-    for d in sorted(path.iterdir()):
-        if not (d.is_dir() and d.name.startswith(prefix)):
-            continue
-        value = d.name[len(prefix):]
-        if not keep(value):
-            shutil.rmtree(d)
-            dropped.append(value)
+    for d in doomed:
+        shutil.rmtree(d)
+        dropped.append(d.name[len(prefix):])
     return dropped

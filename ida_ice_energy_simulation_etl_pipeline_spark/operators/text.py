@@ -1306,7 +1306,11 @@ CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
 
 
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    docs = ensure_parallelism(
+        spark, load_table(spark, sf_dir, "documents")
+    ).filter(F.col("text").isNotNull())  # a null text has no chunks (the
+    # oracle's range(1, NULL) unnests zero rows; without this filter Spark
+    # would emit a nonsense chunk_tokens=-1 row via size(null) = -1)
     toks = word_tokens(F.col("text"))
     n = F.size(toks)
     # chunks fully covering the doc: 1 + ceil((n - W) / S) when n > W

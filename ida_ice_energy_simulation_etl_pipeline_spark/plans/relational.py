@@ -1044,22 +1044,29 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt")
     )
     name = F.array(*[F.lit(c) for c in PROFILE_COLUMNS])[F.col("col_idx")]
+    per_col = level1.groupBy("col_idx").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("value").isNull(), F.col("cnt"))), F.lit(0)
+        ).alias("n_nulls"),
+        F.count(F.when(F.col("value").isNotNull(), 1)).alias("n_distinct"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+    # seed frame keeps the contract "one stats row per declared column"
+    # on an EMPTY table (where the grouped aggregate yields zero rows;
+    # the oracle's UNION of global aggregates always yields one per
+    # column) — tiny driver-free range, broadcast by size
+    seed = spark.range(len(PROFILE_COLUMNS)).select(
+        F.col("id").cast("int").alias("col_idx")
+    )
     return (
-        level1.groupBy("col_idx")
-        .agg(
-            F.sum("cnt").alias("n_rows"),
-            F.coalesce(
-                F.sum(F.when(F.col("value").isNull(), F.col("cnt"))), F.lit(0)
-            ).alias("n_nulls"),
-            F.count(F.when(F.col("value").isNotNull(), 1)).alias("n_distinct"),
-            F.round(F.min("value"), 4).alias("min_value"),
-            F.round(F.max("value"), 4).alias("max_value"),
-        )
+        seed.join(per_col, "col_idx", "left")
         .select(
             name.alias("column_name"),
-            "n_rows",
-            "n_nulls",
-            "n_distinct",
+            F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+            F.coalesce("n_nulls", F.lit(0)).alias("n_nulls"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
             "min_value",
             "max_value",
         )
@@ -1072,7 +1079,7 @@ def _table_profile_sql() -> str:
         branches.append(
             f"""SELECT '{c}' AS column_name,
        count(*) AS n_rows,
-       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(coalesce(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
        count(DISTINCT {c}) AS n_distinct,
        round(min({c}), 4) AS min_value,
        round(max({c}), 4) AS max_value

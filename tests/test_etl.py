@@ -565,3 +565,74 @@ def test_vacuum_partitions_drops_expired_only(spark, tmp_path):
     # Spark infers the partition dir values as DATE — compare as strings
     got = {str(r["ds"]) for r in spark.read.parquet(str(path)).collect()}
     assert got == {"2026-01-02", "2026-01-03"}
+
+
+def test_compact_refuses_when_both_table_and_retired_exist(spark, tmp_path):
+    from ida_ice_energy_simulation_etl_pipeline_spark.etl.load import (
+        compact_parquet,
+        merge_upsert_parquet,
+    )
+
+    path = tmp_path / "t"
+    spark.range(10).write.parquet(str(path))
+    retired = tmp_path / "t._retired"
+    retired.mkdir()
+    (retired / "stale.parquet").write_bytes(b"x")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="reconcile"):
+        compact_parquet(spark, path)
+    batch = spark.createDataFrame([(1, "a")], "k long, ds string")
+    with _pytest.raises(RuntimeError, match="reconcile"):
+        merge_upsert_parquet(spark, batch, path, keys=["k"], partition_col="ds")
+
+
+def test_vacuum_decides_before_deleting_and_skips_missing(tmp_path):
+    from ida_ice_energy_simulation_etl_pipeline_spark.etl.load import (
+        vacuum_partitions,
+    )
+
+    assert vacuum_partitions(tmp_path / "absent", "ds", keep=lambda v: True) == []
+    path = tmp_path / "t"
+    for ds in ("2026-01-01", "__HIVE_DEFAULT_PARTITION__", "2026-03-01"):
+        (path / f"ds={ds}").mkdir(parents=True)
+
+    def raising_keep(v):
+        if v.startswith("__"):
+            raise ValueError(v)
+        return v >= "2026-02-01"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        vacuum_partitions(path, "ds", keep=raising_keep)
+    # decide-first: NOTHING was deleted despite 2026-01-01 failing keep
+    assert sorted(d.name for d in path.iterdir()) == [
+        "ds=2026-01-01",
+        "ds=2026-03-01",
+        "ds=__HIVE_DEFAULT_PARTITION__",
+    ]
+
+
+def test_compact_splits_oversized_partition_and_respects_sort(spark, tmp_path):
+    """A single huge Hive partition must be rewritten by MULTIPLE tasks
+    into multiple target-sized files, not one unbounded file."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.etl.load import (
+        compact_parquet,
+    )
+
+    path = tmp_path / "t"
+    df = (
+        spark.range(0, 200_000)
+        .withColumn("payload", F.sha2(F.col("id").cast("string"), 256))
+        .withColumn("ds", F.lit("2026-01-01"))
+    )
+    df.repartition(16).write.partitionBy("ds").parquet(str(path))
+    # ~14 MB of payload in ONE partition; 1 MB target => many files
+    stats = compact_parquet(spark, path, target_mb=1)
+    import os
+
+    part = path / "ds=2026-01-01"
+    files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    assert len(files) >= 4, f"partition not split: {len(files)} file(s)"
+    assert spark.read.parquet(str(path)).count() == 200_000

@@ -1261,3 +1261,24 @@ def test_doc_chunks_cover_with_overlap(spark, tmp_path):
         assert a[CHUNK_STRIDE:] == b[: CHUNK_TOKENS - CHUNK_STRIDE]
     assert [c["chunk_text"] for c in by_doc[1]] == ["short doc"]
     assert by_doc[1][0]["chunk_tokens"] == 2
+
+
+def test_table_profile_empty_table_keeps_one_row_per_column(spark, tmp_path):
+    """Contract: one stats row per declared column even on an EMPTY
+    table (n=0, ndv=0, null min/max) — the grouped formulation would
+    otherwise silently drop columns."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans.core import load_table
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans.relational import (
+        PROFILE_COLUMNS,
+        table_profile,
+    )
+
+    src = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    src.filter("l_orderkey < 0").repartition(1).write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    rows = {r["column_name"]: r for r in table_profile(spark, str(tmp_path)).collect()}
+    assert set(rows) == set(PROFILE_COLUMNS)
+    for r in rows.values():
+        assert (r["n_rows"], r["n_nulls"], r["n_distinct"]) == (0, 0, 0)
+        assert r["min_value"] is None and r["max_value"] is None
