@@ -7,6 +7,7 @@ streaming dedup keyed on event identity.
 """
 
 from .hourly import dedup_stream, hourly_rollup_stream, read_event_stream
+from .funnel import funnel_stream
 from .joins import interval_join_stream
 from .sessions import sessionize_stream
 from .sink import (
@@ -21,6 +22,7 @@ __all__ = [
     "hourly_rollup_stream",
     "dedup_stream",
     "sessionize_stream",
+    "funnel_stream",
     "interval_join_stream",
     "stream_to_parquet",
     "stream_to_parquet_batches",

@@ -465,3 +465,101 @@ def test_streaming_upsert_rollup_converges_with_late_data(spark, tmp_path):
     # hour-0 row REPLACED (6 -> 7), not duplicated; hour-1 row inserted
     assert got == {(0, "click"): (7, 14.0), (1, "view"): (3, 3.0)}
     assert spark.read.parquet(str(table)).count() == 2
+
+
+def test_funnel_stream_matches_batch(spark, tmp_path, sf_dir):
+    """Replay the events fixture through the stateful streaming funnel
+    and assert the per-step user counts EXACTLY match the batch
+    event_funnel query — the watermark-finalization logic (first-view
+    shifts, step windows, timeout emission) must reproduce the batch
+    three-join semantics."""
+    import os
+    from datetime import datetime
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans import ALL_QUERIES
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans.core import load_table
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming import (
+        funnel_stream,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming.hourly import (
+        EVENT_SCHEMA,
+    )
+
+    in_dir = tmp_path / "in"
+    ev = load_table(spark, str(sf_dir), "events").select(
+        *(f.name for f in EVENT_SCHEMA.fields)
+    )
+    ev.coalesce(1).write.parquet(str(in_dir))
+    # sentinel far past max(ts) + 2*window: every funnel finalizes
+    sentinel = spark.createDataFrame(
+        [(10**9, datetime(2024, 9, 1), -1, "click", 0.0, "{}")], EVENT_SCHEMA
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(str(in_dir))
+    parts = sorted(in_dir.glob("part-*.parquet"), key=lambda p: p.stat().st_mtime)
+    now = parts[-1].stat().st_mtime
+    for i, p in enumerate(parts):
+        os.utime(p, (now - 60 * (len(parts) - i), now - 60 * (len(parts) - i)))
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    run_to_memory(
+        funnel_stream(stream, watermark="0 seconds"), "funnel_t"
+    )
+    rows = [
+        r for r in spark.table("funnel_t").collect() if r["user_id"] >= 0
+    ]
+    # one final row per user that ever viewed; steps monotone counts
+    stream_counts = {
+        1: len(rows),
+        2: sum(1 for r in rows if r["step"] >= 2),
+        3: sum(1 for r in rows if r["step"] >= 3),
+    }
+    batch = {
+        r["step_no"]: r["n_users"]
+        for r in ALL_QUERIES["event_funnel"].fn(spark, str(sf_dir)).collect()
+    }
+    assert stream_counts == batch
+    # spot-check the timestamps agree with batch semantics for one user
+    for r in rows:
+        if r["step"] == 3:
+            assert r["t_view"] < r["t_click"] < r["t_purchase"]
+            break
+
+
+def test_funnel_stream_out_of_order_view_reclaims_buffered_click(
+    spark, tmp_path
+):
+    """A click delivered BEFORE its (event-time-earlier) view must be
+    buffered and claimed once the view arrives in a later micro-batch —
+    the no-view-yet branch may only discard sub-watermark events."""
+    import os
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming import (
+        funnel_stream,
+    )
+
+    # event times: view at minute 0, click at minute 30 — delivered in
+    # reverse order across micro-batches, within a 2h watermark
+    b1 = [_event(0, 30, "click", 1.0) | {"user_id": 7}]
+    b2 = [_event(1, 0, "view", 1.0) | {"user_id": 7}]
+    b3 = [_event(2, 60 * 24 * 3, "view", 0.0) | {"user_id": 999}]  # finalizer
+    for i, rows in enumerate([b1, b2, b3], 1):
+        (tmp_path / f"b{i}.json").write_text(
+            "\n".join(json.dumps(r) for r in rows)
+        )
+    now = (tmp_path / "b3.json").stat().st_mtime
+    for i in (1, 2, 3):
+        os.utime(tmp_path / f"b{i}.json", (now - 60 * (4 - i),) * 2)
+
+    stream = spark.readStream.schema(
+        read_event_stream(spark, str(tmp_path)).schema
+    ).option("maxFilesPerTrigger", 1).json(str(tmp_path))
+    run_to_memory(funnel_stream(stream, watermark="2 hours"), "funnel_ooo_t")
+    rows = {
+        r["user_id"]: r for r in spark.table("funnel_ooo_t").collect()
+    }
+    assert rows[7]["step"] == 2  # the pre-delivered click was claimed
+    assert rows[7]["t_click"].minute == 30
