@@ -10,13 +10,27 @@ click/purchase are all below the watermark and can no longer arrive.
 
 State is bounded by construction:
 
-* ``t1_us`` only decreases, and candidate clicks/purchases are pruned to
-  ``ts ≤ t1 + 2W`` (nothing later can enter either step window);
+* ``t1_us`` only decreases, so upper-bound pruning is always safe:
+  clicks above ``t1 + W`` and purchases above ``t1 + 2W`` can never be
+  window-eligible under any final (smaller) t1;
+* the LOWER bound is watermark-guarded: a candidate at or below BOTH t1
+  and the watermark is dead (any future, earlier view must still have
+  ``t1' > watermark``, so nothing at/below the watermark can sit above
+  it), but a candidate merely below the CURRENT t1 is kept while it is
+  above the watermark — a later-arriving earlier view may still claim it;
 * a user with buffered clicks/purchases but NO view yet keeps only
-  events above the current watermark — a future view must have
-  ``t1 > watermark``, so anything at or below it can never land inside
-  ``(t1, t1 + W]`` — and garbage-collects by timeout when the watermark
-  passes its newest buffered event.
+  events above the current watermark (same argument) and
+  garbage-collects by timeout when the watermark passes its newest
+  buffered event.
+
+Emission is one row per funnel EPISODE: after a user's funnel finalizes
+and its state is removed, activity arriving later (necessarily above the
+watermark, i.e. ≥ 2W after the first view) starts a NEW episode with its
+own row.  For feeds where each user's first view precedes the rest of
+their activity by less than the watermark horizon — the batch-replay
+test's regime — episodes and users coincide and the stream reproduces
+the batch query exactly; otherwise a downstream ``min_by(t_view)`` per
+user reduces episodes to the batch's global-first-view semantics.
 
 Output: ``(user_id, t_view, t_click, t_purchase, step)`` — step ∈ {1,2,3},
 nullable click/purchase timestamps.  Conversion rates are a trivial batch
@@ -120,11 +134,16 @@ def make_funnel(window_us: int = FUNNEL_WINDOW_US):
 
         wm_us = state.getCurrentWatermarkMs() * 1_000
         if t1 >= 0:
-            # nothing past t1 + 2W can enter either step window
-            horizon = t1 + 2 * window_us
-            clicks = [c for c in clicks if t1 < c <= horizon]
-            purchases = [p for p in purchases if t1 < p <= horizon]
+            # upper bounds are final under a decreasing t1; the lower
+            # bound may only drop candidates ALSO at/below the watermark
+            # (an earlier view could still arrive with wm < t1' < c)
+            live = lambda x: x > t1 or x > wm_us  # noqa: E731
+            clicks = [c for c in clicks if live(c) and c <= t1 + window_us]
+            purchases = [
+                p for p in purchases if live(p) and p <= t1 + 2 * window_us
+            ]
             state.update((int(t1), clicks, purchases))
+            horizon = t1 + 2 * window_us
             state.setTimeoutTimestamp(max(horizon // 1_000, wm_us // 1_000 + 1))
         else:
             # no view yet: a future view has t1 > watermark, so buffered

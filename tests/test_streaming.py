@@ -491,11 +491,15 @@ def test_funnel_stream_matches_batch(spark, tmp_path, sf_dir):
     )
     ev.coalesce(1).write.parquet(str(in_dir))
     # sentinel far past max(ts) + 2*window: every funnel finalizes
+    fixture_parts = set(in_dir.glob("part-*.parquet"))
     sentinel = spark.createDataFrame(
         [(10**9, datetime(2024, 9, 1), -1, "click", 0.0, "{}")], EVENT_SCHEMA
     )
     sentinel.coalesce(1).write.mode("append").parquet(str(in_dir))
-    parts = sorted(in_dir.glob("part-*.parquet"), key=lambda p: p.stat().st_mtime)
+    # deterministic micro-batch order (mtime ties would be arbitrary):
+    # fixture parts strictly older than the sentinel part
+    sentinel_parts = set(in_dir.glob("part-*.parquet")) - fixture_parts
+    parts = sorted(fixture_parts) + sorted(sentinel_parts)
     now = parts[-1].stat().st_mtime
     for i, p in enumerate(parts):
         os.utime(p, (now - 60 * (len(parts) - i), now - 60 * (len(parts) - i)))
@@ -554,12 +558,60 @@ def test_funnel_stream_out_of_order_view_reclaims_buffered_click(
     for i in (1, 2, 3):
         os.utime(tmp_path / f"b{i}.json", (now - 60 * (4 - i),) * 2)
 
-    stream = spark.readStream.schema(
-        read_event_stream(spark, str(tmp_path)).schema
-    ).option("maxFilesPerTrigger", 1).json(str(tmp_path))
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming.hourly import (
+        EVENT_SCHEMA,
+    )
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path))
+    )
     run_to_memory(funnel_stream(stream, watermark="2 hours"), "funnel_ooo_t")
     rows = {
         r["user_id"]: r for r in spark.table("funnel_ooo_t").collect()
     }
     assert rows[7]["step"] == 2  # the pre-delivered click was claimed
     assert rows[7]["t_click"].minute == 30
+
+
+def test_funnel_stream_earlier_view_reclaims_sub_t1_click(spark, tmp_path):
+    """A click BELOW the current t1 (but above the watermark) must stay
+    buffered: a later micro-batch can deliver an even earlier view that
+    shifts t1 left and makes the click window-eligible."""
+    import os
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming import (
+        funnel_stream,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming.hourly import (
+        EVENT_SCHEMA,
+    )
+
+    # batch 1: view@100min and click@50min (click < t1 — would be lost to
+    # an unguarded lower-bound prune); batch 2: earlier view@10min shifts
+    # t1 so the click lands in (t1, t1+W]; batch 3: far-future finalizer
+    b1 = [
+        _event(0, 100, "view", 1.0) | {"user_id": 7},
+        _event(1, 50, "click", 1.0) | {"user_id": 7},
+    ]
+    b2 = [_event(2, 10, "view", 1.0) | {"user_id": 7}]
+    b3 = [_event(3, 60 * 24 * 3, "view", 0.0) | {"user_id": 999}]
+    for i, rows in enumerate([b1, b2, b3], 1):
+        (tmp_path / f"b{i}.json").write_text(
+            "\n".join(json.dumps(r) for r in rows)
+        )
+    now = (tmp_path / "b3.json").stat().st_mtime
+    for i in (1, 2, 3):
+        os.utime(tmp_path / f"b{i}.json", (now - 60 * (4 - i),) * 2)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path))
+    )
+    run_to_memory(funnel_stream(stream, watermark="2 hours"), "funnel_shift_t")
+    rows = {r["user_id"]: r for r in spark.table("funnel_shift_t").collect()}
+    assert rows[7]["step"] == 2
+    assert rows[7]["t_view"].minute == 10
+    assert rows[7]["t_click"].minute == 50
