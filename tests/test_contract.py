@@ -100,15 +100,23 @@ def test_bench_cli_emits_one_json_line(tmp_path):
     stdout_lines = [ln for ln in out.stdout.strip().splitlines() if ln]
     assert len(stdout_lines) == 1, f"bench stdout must be 1 line, got {stdout_lines}"
     line = stdout_lines[-1]
-    assert len(line) < 8192, "headline JSON too large for the capture window"
+    assert len(line) < 1900, (
+        "headline JSON must fit the driver's 2000-char stdout tail capture "
+        "(BENCH_r03 came back parsed:null when the line outgrew it)"
+    )
     doc = json.loads(line)
     assert doc["metric"] == "headline_queries_total"
     assert doc["unit"] == "sec"
     assert set(doc["queries"]) == {"pricing_summary", "time_dim", "dedup_exact"}
     assert all(isinstance(v, float) and v >= 0 for v in doc["queries"].values())
     assert doc["value"] >= 0
-    # the self-grading DuckDB column ran without per-query errors
-    assert all(isinstance(v, float) for v in doc["duckdb_queries"].values())
+    # the self-grading DuckDB total ran; the per-query DuckDB column
+    # lives in the side file to keep the stdout line inside the capture
+    assert isinstance(doc["duckdb_total"], float)
+    assert "duckdb_queries" not in doc
+    detail = json.load(open(os.path.join(REPO, "bench_detail.json")))
+    assert set(detail["duckdb_queries"]) == set(doc["queries"])
+    assert all(isinstance(v, float) for v in detail["duckdb_queries"].values())
     assert doc["sf"] == 0.001
 
 
@@ -134,3 +142,25 @@ def test_session_conf_local_vs_cluster():
     assert build_conf(None, shuffle_partitions=2000)[
         "spark.sql.shuffle.partitions"
     ] == "2000"
+
+
+def test_bench_full_headline_fits_capture_window():
+    """The FULL headline set must produce a stdout line under the
+    driver's 2000-char tail capture even with worst-case float widths."""
+    import json as _json
+
+    import bench
+
+    qs = {n: 12.3456 for n in bench.HEADLINE}
+    h = {
+        "metric": "headline_queries_total",
+        "value": 1234.5678,
+        "unit": "sec",
+        "queries": qs,
+        "repeats": 3,
+        "max_rel_spread": 1.2345,
+        "noisy_queries": {n: 1.2345 for n in list(bench.HEADLINE)[:8]},
+        "duckdb_total": 1234.5678,
+        "sf": 0.1,
+    }
+    assert len(_json.dumps(h)) < 1900
