@@ -1360,6 +1360,59 @@ FROM n, unnest(range(1, CAST(n_chunks AS BIGINT) + 1)) u(i)
 """
 
 
+# --------------------------------------------------------------------------
+# BPE merge candidates — one round of byte-pair-encoding training.
+#
+# Tokenizer training's inner loop is "count every adjacent symbol pair
+# corpus-wide, merge the most frequent" (Sennrich et al., 2016).  This
+# implements that counting round over characters within words: pairs are
+# enumerated IN-ROW (a word's adjacent char pairs via substring over a
+# sequence — map-only, like the bigram/chunk builders), counted with one
+# map-side-combining aggregate at pair grain (alphabet², tiny), and the
+# top candidates come back through TakeOrderedAndProject — no global
+# sort.  Iterating = re-running with the chosen merge applied; the
+# counting round shown here is the part that touches the corpus.
+BPE_TOP_K = 20
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    words = docs.select(F.explode(word_tokens(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(BPE_TOP_K)
+    )
+
+
+BPE_MERGE_CANDIDATES_SQL = f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair
+  FROM words, unnest(range(1, len(w))) u(i)
+  WHERE len(w) >= 2
+)
+SELECT pair, count(*) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {BPE_TOP_K}
+"""
+
+
 # Driver-facing tier (see plans/relational.py note on the 50-query
 # window): text_quality folds in the repetition signals, text_fingerprint
 # folds cleaning + fingerprinting, split_sample folds split + sampling —
@@ -1420,4 +1473,10 @@ EXTRA_SPECS: list[QuerySpec] = [
         "lm_perplexity", lm_perplexity, LM_PERPLEXITY_SQL, "ext:text,quality,lm"
     ),
     QuerySpec("doc_chunks", doc_chunks, DOC_CHUNKS_SQL, "ext:text,rag,chunking"),
+    QuerySpec(
+        "bpe_merge_candidates",
+        bpe_merge_candidates,
+        BPE_MERGE_CANDIDATES_SQL,
+        "ext:text,tokenizer",
+    ),
 ]
