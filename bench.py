@@ -73,6 +73,8 @@ HEADLINE = [
     "similarity_pq",
     "table_profile",
     "event_funnel",
+    "doc_chunks",
+    "bpe_merge_candidates",
 ]
 
 # Optional subset for iteration / CI smoke: comma-separated query names.

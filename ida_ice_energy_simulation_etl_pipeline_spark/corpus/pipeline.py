@@ -63,6 +63,10 @@ class CorpusConfig:
     # "star" (large-star/small-star, O(log n) rounds at any diameter)
     cc_algorithm: str = "label_prop"
     scrub: bool = True
+    # RAG output mode: explode docs into overlapping token-window chunks
+    # of this size (stride 3/4) AFTER scrub, BEFORE embed — chunk-level
+    # embeddings are what a retrieval index serves
+    chunk_tokens: int | None = None
     embed: bool = False  # append a unit-L2 embedding column (ANN-ready corpus)
     pack_budget: int | None = None  # tokens per training chunk; None = off
     shuffle_output: bool = False  # pseudo-random global order for training
@@ -132,9 +136,10 @@ def _packed(docs: DataFrame, budget: int) -> DataFrame:
     from pyspark.sql import Window
 
     n_tok = F.size(word_tokens(F.col("text"))).cast("long")
+    order = ["doc_id", "chunk_idx"] if "chunk_idx" in docs.columns else ["doc_id"]
     w = (
         Window.partitionBy("source")
-        .orderBy("doc_id")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     before = F.sum(n_tok).over(w) - n_tok
@@ -202,6 +207,13 @@ def run_corpus_pipeline(
             .drop("text", "n_email", "n_ip", "n_phone")
             .withColumnRenamed("scrubbed", "text")
         )
+    if cfg.chunk_tokens:
+        # RAG chunking (operators/text.py::chunk_docs): every metadata
+        # column passes through; text becomes the chunk text, so the
+        # embed stage below produces CHUNK-level vectors
+        from ..operators.text import chunk_docs
+
+        kept = chunk_docs(kept, block=cfg.chunk_tokens)
     if cfg.embed:
         # Batched inference over the SCRUBBED text (redaction before
         # embedding, the order a privacy-conscious pipeline requires).
@@ -253,9 +265,15 @@ def run_corpus_pipeline(
     # schema inference on an empty directory throws — the gate below must
     # instead see n_out = 0 and fail with a clean report.
     landed = spark.read.schema(kept.schema).parquet(str(staging))
+    # chunk mode: row identity is (doc, chunk); monotonicity holds at
+    # DOC grain (chunking multiplies rows by design)
+    hash_cols = (
+        ["text_hash", "chunk_idx"] if cfg.chunk_tokens else ["text_hash"]
+    )
     out_row = landed.agg(
         F.count(F.lit(1)).alias("n_out"),
-        F.countDistinct("text_hash").alias("n_out_hashes"),
+        F.countDistinct("doc_id").alias("n_out_docs"),
+        F.countDistinct(*hash_cols).alias("n_out_hashes"),
         F.countDistinct("split").alias("n_splits"),
         F.sum(F.length("text")).cast("long").alias("chars_out"),
         (
@@ -273,7 +291,7 @@ def run_corpus_pipeline(
         "counts_monotonic": stage_row["n_raw"]
         >= stage_row["n_filtered"]
         >= stage_row["n_exact"]
-        >= out_row["n_out"],
+        >= out_row["n_out_docs"],
         "no_duplicate_hashes": out_row["n_out"] == out_row["n_out_hashes"],
         "splits_valid": set(per_split) <= {"train", "val", "test"},
         "nonempty": out_row["n_out"] > 0,
@@ -297,6 +315,7 @@ def run_corpus_pipeline(
             "max_ppl": cfg.max_ppl,
             "scrub": cfg.scrub,
             "embed": cfg.embed,
+            "chunk_tokens": cfg.chunk_tokens,
             "pack_budget": cfg.pack_budget,
             "shuffle_output": cfg.shuffle_output,
         },
@@ -305,6 +324,7 @@ def run_corpus_pipeline(
             "n_filtered": stage_row["n_filtered"],
             "n_exact_deduped": stage_row["n_exact"],
             "n_written": out_row["n_out"],
+            "n_docs_written": out_row["n_out_docs"],
         },
         "output_stats": {
             "chars": out_row["chars_out"],
@@ -349,6 +369,12 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="append a deterministic unit-L2 embedding column (ANN-ready)",
     )
+    ap.add_argument(
+        "--chunk-tokens",
+        type=int,
+        default=None,
+        help="RAG mode: explode docs into overlapping token-window chunks",
+    )
     ap.add_argument("--pack-budget", type=int, default=None)
     ap.add_argument(
         "--shuffle-output",
@@ -366,6 +392,7 @@ def main(argv: list[str] | None = None) -> int:
         passage_dedup=args.passage_dedup,
         max_ppl=args.max_ppl,
         scrub=not args.no_scrub,
+        chunk_tokens=args.chunk_tokens,
         embed=args.embed,
         pack_budget=args.pack_budget,
         shuffle_output=args.shuffle_output,

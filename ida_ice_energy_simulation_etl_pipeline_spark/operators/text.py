@@ -1305,41 +1305,59 @@ CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
 
 
-def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = ensure_parallelism(
-        spark, load_table(spark, sf_dir, "documents")
-    ).filter(F.col("text").isNotNull())  # a null text has no chunks (the
-    # oracle's range(1, NULL) unnests zero rows; without this filter Spark
-    # would emit a nonsense chunk_tokens=-1 row via size(null) = -1)
+def chunk_docs(
+    docs: DataFrame, block: int = CHUNK_TOKENS, stride: int | None = None
+) -> DataFrame:
+    """Explode a documents frame into overlapping token-window chunks.
+
+    Every non-``text`` column passes through to its chunks; ``text`` is
+    REPLACED by the chunk's text, with ``chunk_idx``/``chunk_tokens``
+    appended.  Null-text docs yield no chunks (size(null) = -1 would
+    otherwise fabricate a chunk_tokens=-1 row).  Map-only.
+    """
+    stride = stride if stride is not None else max(1, block * 3 // 4)
+    docs = docs.filter(F.col("text").isNotNull())
     toks = word_tokens(F.col("text"))
     n = F.size(toks)
     # chunks fully covering the doc: 1 + ceil((n - W) / S) when n > W
     n_chunks = F.when(
-        n > CHUNK_TOKENS,
-        F.lit(1) + F.ceil((n - CHUNK_TOKENS) / F.lit(CHUNK_STRIDE)),
+        n > block,
+        F.lit(1) + F.ceil((n - block) / F.lit(stride)),
     ).otherwise(F.lit(1)).cast("int")
+    others = [c for c in docs.columns if c != "text"]
     return docs.select(
-        "doc_id",
-        "source",
+        *others,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), n_chunks - 1),
                 lambda i: F.struct(
                     F.array_join(
-                        F.slice(toks, i * CHUNK_STRIDE + 1, CHUNK_TOKENS), " "
+                        F.slice(toks, i * stride + 1, block), " "
                     ).alias("chunk_text"),
-                    F.least(
-                        F.lit(CHUNK_TOKENS), n - i * CHUNK_STRIDE
-                    ).cast("long").alias("chunk_tokens"),
+                    F.least(F.lit(block), n - i * stride)
+                    .cast("long")
+                    .alias("chunk_tokens"),
                 ),
             )
         ).alias("chunk_idx", "c"),
     ).select(
+        *others,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("text"),
+        F.col("c.chunk_tokens").alias("chunk_tokens"),
+    )
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(
+        spark, load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "source", "text")
+    return chunk_docs(docs, block=CHUNK_TOKENS, stride=CHUNK_STRIDE).select(
         "doc_id",
         "source",
-        F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        "c.chunk_text",
-        "c.chunk_tokens",
+        "chunk_idx",
+        F.col("text").alias("chunk_text"),
+        "chunk_tokens",
     )
 
 

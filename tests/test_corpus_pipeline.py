@@ -312,3 +312,42 @@ def test_corpus_ppl_gate_passes_docs_without_bigrams(spark, tmp_path):
     )
     landed = {r["doc_id"] for r in spark.read.parquet(str(out / "corpus")).collect()}
     assert landed == {0, 1}
+
+
+def test_corpus_chunk_mode_builds_rag_chunks(spark, tmp_path):
+    """--chunk-tokens explodes docs into overlapping windows AFTER scrub
+    and BEFORE embed: chunks inherit the doc's split (no leakage), carry
+    chunk-level embeddings, and the gate holds at doc grain."""
+    long_text = " ".join(f"w{j}" for j in range(20))
+    rows = [(i, long_text + f" tail{i}", "src0") for i in range(4)]
+    path = tmp_path / "docs.parquet"
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.parquet(str(path))
+    out = tmp_path / "out"
+    manifest = run_corpus_pipeline(
+        spark,
+        path,
+        out,
+        CorpusConfig(
+            langs=("en", "unknown"),
+            min_tokens=5,
+            min_ttr=0.0,
+            near_dedup=False,
+            scrub=False,
+            chunk_tokens=8,  # stride 6: 21 tokens -> 1 + ceil(13/6) = 4 chunks
+            embed=True,
+        ),
+    )
+    landed = spark.read.parquet(str(out / "corpus"))
+    rows_out = landed.collect()
+    by_doc = {}
+    for r in rows_out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(len(chunks) == 4 for chunks in by_doc.values())
+    # chunks of one doc share its split; embeddings are chunk-level
+    for chunks in by_doc.values():
+        assert len({r["split"] for r in chunks}) == 1
+        assert all(r["embedding"] is not None for r in chunks)
+    assert manifest["stages"]["n_docs_written"] == 4
+    assert manifest["stages"]["n_written"] == 16
+    assert manifest["gate"]["counts_monotonic"] is True
+    assert manifest["gate"]["no_duplicate_hashes"] is True
