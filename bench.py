@@ -2,7 +2,9 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "duckdb_queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "duckdb_total": sec, "sf": ...} — kept slim
+enough for the driver's 2000-char stdout tail capture; the per-query
+DuckDB column and all other diagnostics go to bench_detail.json.
 
 Noise robustness: each query is timed over REPEATS (default 3) passes at
 steady state — one untimed warmup pass first (JVM startup, whole-stage
@@ -298,7 +300,7 @@ def main() -> None:
     except OSError:
         pass  # diagnostics are best-effort; the stdout line is the record
     line = json.dumps(headline)
-    if len(line) > 1900:  # stay inside the 2000-char capture, with margin
+    if len(line) >= 1900:  # stay inside the 2000-char capture, with margin
         headline.pop("noisy_queries", None)
         line = json.dumps(headline)
     print(line)

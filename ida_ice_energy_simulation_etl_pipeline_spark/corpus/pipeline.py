@@ -135,7 +135,12 @@ def _packed(docs: DataFrame, budget: int) -> DataFrame:
     recipe): chunk_id = floor(tokens-before-this-doc / budget)."""
     from pyspark.sql import Window
 
-    n_tok = F.size(word_tokens(F.col("text"))).cast("long")
+    # chunk mode already materialized the exact per-row token count
+    n_tok = (
+        F.col("chunk_tokens").cast("long")
+        if "chunk_tokens" in docs.columns
+        else F.size(word_tokens(F.col("text"))).cast("long")
+    )
     order = ["doc_id", "chunk_idx"] if "chunk_idx" in docs.columns else ["doc_id"]
     w = (
         Window.partitionBy("source")
@@ -156,6 +161,10 @@ def run_corpus_pipeline(
 ) -> dict:
     """Build the corpus; returns the manifest (also written as JSON)."""
     cfg = config or CorpusConfig()
+    if cfg.chunk_tokens is not None and cfg.chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {cfg.chunk_tokens}")
+    if cfg.pack_budget is not None and cfg.pack_budget < 1:
+        raise ValueError(f"pack_budget must be >= 1, got {cfg.pack_budget}")
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
 
@@ -236,7 +245,15 @@ def run_corpus_pipeline(
                 "shuffle_key", F.md5(F.col("doc_id").cast("string").cast("binary"))
             )
             .repartitionByRange("shuffle_key")
-            .sortWithinPartitions("shuffle_key")
+            .sortWithinPartitions(
+                # chunk rows share their doc's shuffle_key — chunk_idx
+                # breaks the tie so the shuffled order stays reproducible
+                *(
+                    ["shuffle_key", "chunk_idx"]
+                    if cfg.chunk_tokens
+                    else ["shuffle_key"]
+                )
+            )
         )
 
     # Staged publish: nothing appears at the final path unless the gate
@@ -277,7 +294,15 @@ def run_corpus_pipeline(
         F.countDistinct("split").alias("n_splits"),
         F.sum(F.length("text")).cast("long").alias("chars_out"),
         (
-            F.sum("pii_redactions").cast("long")
+            # chunk mode duplicates the per-doc count onto every chunk;
+            # sum one representative chunk per doc (chunk_idx = 0)
+            (
+                F.sum(
+                    F.when(F.col("chunk_idx") == 0, F.col("pii_redactions"))
+                ).cast("long")
+                if cfg.chunk_tokens
+                else F.sum("pii_redactions").cast("long")
+            )
             if cfg.scrub
             else F.lit(None).cast("long")
         ).alias("pii_redactions"),
