@@ -615,3 +615,58 @@ def test_funnel_stream_earlier_view_reclaims_sub_t1_click(spark, tmp_path):
     assert rows[7]["step"] == 2
     assert rows[7]["t_view"].minute == 10
     assert rows[7]["t_click"].minute == 50
+
+
+def test_funnel_stream_state_survives_checkpointed_restart(spark, tmp_path):
+    """Stop the funnel query mid-funnel, add the finalizing batch, and
+    RESTART from the same checkpoint: the open funnel state (view +
+    buffered click) must be recovered and emit exactly one final row —
+    the operational property of applyInPandasWithState recovery."""
+    import os
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming import (
+        funnel_stream,
+        stream_to_parquet,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming.hourly import (
+        EVENT_SCHEMA,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+
+    def drain():
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        funnel = funnel_stream(stream, watermark="0 seconds")
+        stream_to_parquet(funnel, out, ckpt, query_name="funnel_sink")
+
+    # run 1: view then click arrive; funnel stays OPEN in state
+    b1 = [
+        _event(0, 0, "view", 1.0) | {"user_id": 3},
+        _event(1, 30, "click", 1.0) | {"user_id": 3},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    drain()
+    assert spark.read.schema(
+        "user_id long, t_view timestamp, t_click timestamp, "
+        "t_purchase timestamp, step long"
+    ).parquet(str(out)).count() == 0  # nothing finalized yet
+
+    # run 2 (restarted from checkpoint): far-future batch fires the timeout
+    b2 = [_event(2, 60 * 24 * 5, "view", 0.0) | {"user_id": 999}]
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+    now = (src / "b2.json").stat().st_mtime
+    os.utime(src / "b1.json", (now - 60, now - 60))
+    drain()
+    rows = [
+        r
+        for r in spark.read.parquet(str(out)).collect()
+        if r["user_id"] == 3
+    ]
+    assert len(rows) == 1  # recovered state finalized exactly once
+    assert rows[0]["step"] == 2 and rows[0]["t_click"].minute == 30
