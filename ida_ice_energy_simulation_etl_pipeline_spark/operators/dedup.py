@@ -682,6 +682,50 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Dedup provenance diagnostics — WHERE does duplication come from?
+#
+# Dedup planning needs the source-pair breakdown (mirror sites duplicate
+# ACROSS sources; boilerplate duplicates WITHIN one) before choosing
+# per-source vs global dedup.  Exact-dup pairs via a self-equi-join on
+# the 128-bit content hash — the join key is the hash, so fan-out is
+# bounded by duplicate-group size, never corpus size; pair counts roll
+# up to unordered source pairs.
+def dup_pairs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    hashed = docs.select(
+        "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    a, b = hashed.alias("a"), hashed.hint("shuffle_merge").alias("b")
+    pairs = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    return (
+        pairs.select(
+            F.least("a.source", "b.source").alias("source_a"),
+            F.greatest("a.source", "b.source").alias("source_b"),
+            (F.col("a.source") == F.col("b.source")).alias("same_source"),
+        )
+        .groupBy("source_a", "source_b", "same_source")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )
+
+
+DUP_PAIRS_BY_SOURCE_SQL = """
+WITH hashed AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
+)
+SELECT least(sa, sb) AS source_a,
+       greatest(sa, sb) AS source_b,
+       sa = sb AS same_source,
+       count(*) AS n_dup_pairs
+FROM pairs
+GROUP BY 1, 2, 3
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "ext:dedup,D1"),
     QuerySpec(
@@ -704,4 +748,10 @@ SPECS: list[QuerySpec] = [
 
 EXTRA_SPECS: list[QuerySpec] = [
     QuerySpec("dedup_passages", dedup_passages, DEDUP_PASSAGES_SQL, "ext:dedup"),
+    QuerySpec(
+        "dup_pairs_by_source",
+        dup_pairs_by_source,
+        DUP_PAIRS_BY_SOURCE_SQL,
+        "ext:dedup,diagnostics",
+    ),
 ]

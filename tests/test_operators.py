@@ -1282,3 +1282,29 @@ def test_table_profile_empty_table_keeps_one_row_per_column(spark, tmp_path):
     for r in rows.values():
         assert (r["n_rows"], r["n_nulls"], r["n_distinct"]) == (0, 0, 0)
         assert r["min_value"] is None and r["max_value"] is None
+
+
+def test_dup_pairs_by_source_classifies_within_vs_cross(spark):
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.dedup import (
+        dup_pairs_by_source,
+    )
+    import tempfile
+
+    rows = [
+        (0, "same text here", "srcA"),
+        (1, "same text here", "srcA"),   # within-source dup
+        (2, "same text here", "srcB"),   # cross-source dups with 0 and 1
+        (3, "unique content one", "srcB"),
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+    got = {
+        (r["source_a"], r["source_b"], r["same_source"]): r["n_dup_pairs"]
+        for r in dup_pairs_by_source(spark, d).collect()
+    }
+    assert got == {
+        ("srcA", "srcA", True): 1,   # (0,1)
+        ("srcA", "srcB", False): 2,  # (0,2), (1,2)
+    }
