@@ -683,6 +683,80 @@ GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Duplicated-span detection — the alignment-INSENSITIVE scan.
+#
+# passage_dedup removes duplicates at fixed block boundaries; a repeated
+# passage at a different token offset slips through (the suffix-array
+# dedup of Lee et al. 2022 exists precisely for this).  This operator is
+# the detection half at Spark scale: EVERY w-token window (stride 1) is
+# hashed in-row, and a span is "duplicated" when its hash occurs more
+# than once corpus-wide.  Stride-1 windows are ~n_tokens rows — linear,
+# map-enumerated, shuffled once at span-hash grain with map-side combine
+# — and the report rolls up per source, pointing removal (passage_dedup,
+# or offline suffix-array surgery) at the sources that need it.
+SPAN_TOKENS = 8
+
+
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    toks = word_tokens(F.col("text"))
+    n = F.size(toks)
+    spans = docs.filter(n >= SPAN_TOKENS).select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - SPAN_TOKENS + 1),
+                lambda i: F.xxhash64(F.array_join(F.slice(toks, i, SPAN_TOKENS), " ")),
+            )
+        ).alias("span_h"),
+    )
+    counts = spans.groupBy("span_h").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        # a span seen in k sources still counts once per (source, span)
+        # for the per-source rollup below — carry the source set
+        F.collect_set("source").alias("sources"),
+    )
+    per_source = counts.select(
+        F.explode("sources").alias("source"),
+        F.lit(1).alias("n_spans"),
+        F.when(F.col("n_occ") > 1, 1).otherwise(0).alias("n_dup"),
+    )
+    return per_source.groupBy("source").agg(
+        F.sum("n_spans").cast("long").alias("n_distinct_spans"),
+        F.sum("n_dup").cast("long").alias("n_dup_spans"),
+        F.round(
+            F.sum("n_dup") / F.sum("n_spans"), 4
+        ).alias("dup_span_rate"),
+    )
+
+
+DUP_SPAN_STATS_SQL = f"""
+WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+spans AS (
+  SELECT source, array_to_string(w[i:i + {SPAN_TOKENS - 1}], ' ') AS span
+  FROM toks, unnest(range(1, len(w) - {SPAN_TOKENS} + 2)) u(i)
+  WHERE len(w) >= {SPAN_TOKENS}
+),
+counts AS (
+  SELECT span, count(*) AS n_occ, list_distinct(list(source)) AS sources
+  FROM spans GROUP BY span
+),
+per_source AS (
+  SELECT unnest(sources) AS source,
+         1 AS n_spans,
+         CASE WHEN n_occ > 1 THEN 1 ELSE 0 END AS n_dup
+  FROM counts
+)
+SELECT source,
+       CAST(sum(n_spans) AS BIGINT) AS n_distinct_spans,
+       CAST(sum(n_dup) AS BIGINT) AS n_dup_spans,
+       round(CAST(sum(n_dup) AS DOUBLE) / sum(n_spans), 4) AS dup_span_rate
+FROM per_source
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # Dedup provenance diagnostics — WHERE does duplication come from?
 #
 # Dedup planning needs the source-pair breakdown (mirror sites duplicate
@@ -753,5 +827,11 @@ EXTRA_SPECS: list[QuerySpec] = [
         dup_pairs_by_source,
         DUP_PAIRS_BY_SOURCE_SQL,
         "ext:dedup,diagnostics",
+    ),
+    QuerySpec(
+        "dup_span_stats",
+        dup_span_stats,
+        DUP_SPAN_STATS_SQL,
+        "ext:dedup,spans,diagnostics",
     ),
 ]

@@ -1308,3 +1308,31 @@ def test_dup_pairs_by_source_classifies_within_vs_cross(spark):
         ("srcA", "srcA", True): 1,   # (0,1)
         ("srcA", "srcB", False): 2,  # (0,2), (1,2)
     }
+
+
+def test_dup_span_stats_catches_unaligned_duplicates(spark):
+    """A passage repeated at a DIFFERENT token offset is invisible to
+    fixed-block passage dedup but must show up in the stride-1 span scan."""
+    import tempfile
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.dedup import (
+        dup_span_stats,
+        passage_dedup,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    pre = "x y z"  # 3-token shift: misaligns every 8-token block
+    rows = [
+        (0, boiler + " " + " ".join(f"u{i}" for i in range(8)), "srcA"),
+        (1, pre + " " + boiler + " " + " ".join(f"v{i}" for i in range(5)), "srcB"),
+    ]
+    d = tempfile.mkdtemp()
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    # block dedup misses it: every doc keeps all blocks
+    blocks = {r["doc_id"]: r for r in passage_dedup(docs, block=8).collect()}
+    assert all(r["n_kept"] == r["n_blocks"] for r in blocks.values())
+    # span scan flags the shared boiler span in BOTH sources
+    stats = {r["source"]: r for r in dup_span_stats(spark, d).collect()}
+    assert stats["srcA"]["n_dup_spans"] >= 1
+    assert stats["srcB"]["n_dup_spans"] >= 1
