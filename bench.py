@@ -77,6 +77,7 @@ HEADLINE = [
     "event_funnel",
     "doc_chunks",
     "bpe_merge_candidates",
+    "dup_span_stats",
 ]
 
 # Optional subset for iteration / CI smoke: comma-separated query names.
