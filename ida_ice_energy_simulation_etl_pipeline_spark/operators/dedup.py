@@ -700,14 +700,12 @@ SPAN_TOKENS = 8
 def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
     toks = word_tokens(F.col("text"))
-    n = F.size(toks)
-    spans = docs.filter(n >= SPAN_TOKENS).select(
+    # word_shingles centralizes the stride-1 window enumeration (and its
+    # fewer-than-n-tokens guard); spans ride as 64-bit hashes
+    spans = docs.select(
         "source",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), n - SPAN_TOKENS + 1),
-                lambda i: F.xxhash64(F.array_join(F.slice(toks, i, SPAN_TOKENS), " ")),
-            )
+            F.transform(word_shingles(toks, SPAN_TOKENS), lambda sp: F.xxhash64(sp))
         ).alias("span_h"),
     )
     counts = spans.groupBy("span_h").agg(

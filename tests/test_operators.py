@@ -1284,11 +1284,10 @@ def test_table_profile_empty_table_keeps_one_row_per_column(spark, tmp_path):
         assert r["min_value"] is None and r["max_value"] is None
 
 
-def test_dup_pairs_by_source_classifies_within_vs_cross(spark):
+def test_dup_pairs_by_source_classifies_within_vs_cross(spark, tmp_path):
     from ida_ice_energy_simulation_etl_pipeline_spark.operators.dedup import (
         dup_pairs_by_source,
     )
-    import tempfile
 
     rows = [
         (0, "same text here", "srcA"),
@@ -1296,7 +1295,7 @@ def test_dup_pairs_by_source_classifies_within_vs_cross(spark):
         (2, "same text here", "srcB"),   # cross-source dups with 0 and 1
         (3, "unique content one", "srcB"),
     ]
-    d = tempfile.mkdtemp()
+    d = str(tmp_path)
     spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.mode(
         "overwrite"
     ).parquet(f"{d}/documents.parquet")
@@ -1310,11 +1309,9 @@ def test_dup_pairs_by_source_classifies_within_vs_cross(spark):
     }
 
 
-def test_dup_span_stats_catches_unaligned_duplicates(spark):
+def test_dup_span_stats_catches_unaligned_duplicates(spark, tmp_path):
     """A passage repeated at a DIFFERENT token offset is invisible to
     fixed-block passage dedup but must show up in the stride-1 span scan."""
-    import tempfile
-
     from ida_ice_energy_simulation_etl_pipeline_spark.operators.dedup import (
         dup_span_stats,
         passage_dedup,
@@ -1326,7 +1323,7 @@ def test_dup_span_stats_catches_unaligned_duplicates(spark):
         (0, boiler + " " + " ".join(f"u{i}" for i in range(8)), "srcA"),
         (1, pre + " " + boiler + " " + " ".join(f"v{i}" for i in range(5)), "srcB"),
     ]
-    d = tempfile.mkdtemp()
+    d = str(tmp_path)
     docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
     docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
     # block dedup misses it: every doc keeps all blocks
