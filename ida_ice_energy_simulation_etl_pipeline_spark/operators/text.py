@@ -1244,7 +1244,12 @@ def bigram_ppl(docs: DataFrame) -> DataFrame:
         ).alias("bg"),
     ).select("doc_id", "bg.prev", "bg.cur")
     c_bg = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bg"))
-    c_ug = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("c_ug"))
+    # Unigram counts derived FROM the bigram counts (sum over `cur`) —
+    # algebraically exact for integer counts, and it turns the second
+    # corpus-grain aggregate into a model-grain one: the exploded pair
+    # stream is scanned twice (c_bg + score join) instead of three times,
+    # and one corpus-grain shuffle disappears from the 100 TB plan.
+    c_ug = c_bg.groupBy("prev").agg(F.sum("c_bg").alias("c_ug"))
     vocab = (
         docs.select(F.explode(word_tokens(F.col("text"))).alias("tok"))
         .agg(F.countDistinct("tok").alias("v"))
