@@ -78,6 +78,9 @@ HEADLINE = [
     "doc_chunks",
     "bpe_merge_candidates",
     "dup_span_stats",
+    "gap_fill",
+    "fuzzy_part_matches",
+    "rolling_anomaly",
 ]
 
 # Optional subset for iteration / CI smoke: comma-separated query names.

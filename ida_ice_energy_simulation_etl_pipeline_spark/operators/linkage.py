@@ -1,0 +1,109 @@
+"""Record linkage: blocked fuzzy matching on string similarity.
+
+Entity resolution over dirty catalogs (the "same part, misspelled name"
+problem) — a capability family the reference's exact-key joins cannot
+express.  The scale discipline is the standard linkage recipe:
+
+1. **Collapse to value grain first** — group records to distinct
+   (block_key, name) with a support count, so the quadratic comparison
+   runs over distinct VALUES, never records (64 distinct names here vs
+   20 k part rows at sf0.1; on a 100 TB catalog the value grain is
+   typically orders of magnitude below record grain).
+2. **Block, then compare** — candidate pairs come from an equi-join on a
+   cheap blocking key; the O(b²) comparison cost is bounded by the
+   largest block, never |R|².  Choosing the block key IS the scale knob:
+   on real data use several redundant cheap keys (prefix, phonetic code,
+   length bucket) unioned, each bounded.
+3. **Refine inside the block** — the exact edit-distance predicate runs
+   only on blocked candidates, JVM-side (``levenshtein`` is a built-in
+   on both engines, so the oracle reproduces it bit-for-bit).
+
+The emitted pair carries ``n_record_pairs = cnt_a × cnt_b`` — the number
+of underlying record pairs the name-grain match represents — so the
+record-grain result is recoverable by joining back on name (one
+broadcast of this tiny match table at any scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.core import QuerySpec, load_table
+
+MAX_EDIT_DIST = 3
+
+
+def fuzzy_matches(
+    records: DataFrame,
+    block_col: str,
+    name_col: str,
+    max_dist: int = MAX_EDIT_DIST,
+) -> DataFrame:
+    """Name-grain fuzzy match pairs within blocks (see module docstring).
+
+    Returns (block, name_a, name_b, edit_dist, n_record_pairs) with
+    ``name_a < name_b`` and ``1 <= edit_dist <= max_dist`` (identical
+    names are exact duplicates — dedup territory, not linkage).
+    """
+    names = records.groupBy(
+        F.col(block_col).alias("block"), F.col(name_col).alias("name")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    a = names.select(
+        "block", F.col("name").alias("name_a"), F.col("cnt").alias("cnt_a")
+    )
+    b = names.select(
+        "block", F.col("name").alias("name_b"), F.col("cnt").alias("cnt_b")
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    # The two sides are the SAME aggregate — Spark reuses one exchange
+    # (ReuseExchange) for both join inputs, so the value-grain collapse
+    # is paid once.
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter((dist >= 1) & (dist <= max_dist))
+        .select(
+            "block",
+            "name_a",
+            "name_b",
+            dist.alias("edit_dist"),
+            (F.col("cnt_a") * F.col("cnt_b")).alias("n_record_pairs"),
+        )
+    )
+
+
+def fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate part names within a p_type block (registry query)."""
+    return fuzzy_matches(
+        load_table(spark, sf_dir, "part"), "p_type", "p_name"
+    ).select(
+        F.col("block").alias("p_type"),
+        "name_a",
+        "name_b",
+        "edit_dist",
+        "n_record_pairs",
+    )
+
+
+FUZZY_PART_MATCHES_SQL = f"""
+WITH names AS (
+  SELECT p_type, p_name, count(*) AS cnt FROM part GROUP BY 1, 2
+)
+SELECT a.p_type, a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist,
+       a.cnt * b.cnt AS n_record_pairs
+FROM names a JOIN names b
+  ON a.p_type = b.p_type AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {MAX_EDIT_DIST}
+"""
+
+
+EXTRA_SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "fuzzy_part_matches",
+        fuzzy_part_matches,
+        FUZZY_PART_MATCHES_SQL,
+        "ext:linkage,fuzzy-join",
+    ),
+]

@@ -208,3 +208,84 @@ SPECS: list[QuerySpec] = [
         "ext:range-join",
     ),
 ]
+
+
+# --------------------------------------------------------------------------
+# Time-series gap-fill (hypertable `time_bucket_gapfill` + `locf`): densify
+# an hourly rollup to the FULL hour grid and forward-fill the holes — the
+# reconstruction twin of `gap_detection` (which only reports holes), and
+# the canonical prep for meter data whose loggers drop readings.
+#
+# Shape: the hourly rollup is one keyed aggregate; the grid is
+# |keys| × sequence(min_hour, max_hour) built from a broadcast ONE-ROW
+# span aggregate (never a driver collect); the fill is one
+# last(ignorenulls) window that rides the grid join's partitioning.  At
+# 100 TB the grid is generated per key shard (map-side explode), the only
+# corpus-grain shuffle is the rollup itself, and the window state is one
+# value per key — nothing scales with gap length.
+def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # round(sum, 2), not avg: the source values carry exactly 2 decimals,
+    # so the rounded sum is the exact decimal value on both engines —
+    # avg() is a continuous rational that lands exactly ON half-rounding
+    # boundaries (avg = m/(100·k)) where Spark and DuckDB double-rounding
+    # diverge (observed at sf0.1).  Same rule as hourly_event_rollup.
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.round(F.sum("value"), 2).alias("hourly_value"))
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias(
+                "hour_ts"
+            ),
+        )
+    )
+    fill_w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.join(hourly, ["event_type", "hour_ts"], "left").select(
+        "event_type",
+        "hour_ts",
+        F.col("hourly_value").isNull().cast("int").alias("is_gap"),
+        F.last("hourly_value", ignorenulls=True).over(fill_w).alias("value_ffill"),
+    )
+
+
+GAP_FILL_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         round(sum(value), 2) AS hourly_value
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+),
+grid AS (
+  SELECT t.event_type, g.hour_ts
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+              FROM span) g
+)
+SELECT g.event_type, g.hour_ts,
+       CASE WHEN h.hourly_value IS NULL THEN 1 ELSE 0 END AS is_gap,
+       last_value(h.hourly_value IGNORE NULLS)
+           OVER (PARTITION BY g.event_type ORDER BY g.hour_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+FROM grid g LEFT JOIN hourly h USING (event_type, hour_ts)
+"""
+
+
+EXTRA_SPECS: list[QuerySpec] = [
+    QuerySpec("gap_fill", gap_fill, GAP_FILL_SQL, "ext:gapfill,F3,F4"),
+]

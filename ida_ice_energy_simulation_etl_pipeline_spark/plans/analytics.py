@@ -77,6 +77,56 @@ WHERE event_id < 2000
 
 
 # --------------------------------------------------------------------------
+# Rolling z-score anomaly detection — the streaming-monitoring classic
+# (flag a reading that deviates > Zσ from its trailing baseline), batch
+# twin of a watermarked streaming detector.  The baseline window EXCLUDES
+# the current row (-N..-1) so an outlier can't suppress its own signal.
+# One shuffle on the series key; the window state is one N-row frame per
+# key, independent of series length — the shape holds at 100 TB with
+# per-device keys.  The report collapses to per-type counts so the
+# engine-boundary float comparison happens on rounded aggregates only.
+ANOMALY_LOOKBACK = 50
+ANOMALY_Z = 3.0
+
+
+def rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOMALY_LOOKBACK, -1)
+    )
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    scored = ev.select("event_type", z.alias("z")).filter(F.col("z").isNotNull())
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum((F.abs(F.col("z")) > ANOMALY_Z).cast("int"))
+        .cast("long")
+        .alias("n_outliers"),
+        F.round(F.max(F.abs(F.col("z"))), 2).alias("max_abs_z"),
+    )
+
+
+ROLLING_ANOMALY_SQL = f"""
+WITH scored AS (
+  SELECT event_type,
+         (value - avg(value) OVER w) / stddev_samp(value) OVER w AS z
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN {ANOMALY_LOOKBACK} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type,
+       count(*) AS n_scored,
+       CAST(sum(CASE WHEN abs(z) > {ANOMALY_Z} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers,
+       round(max(abs(z)), 2) AS max_abs_z
+FROM scored
+WHERE z IS NOT NULL
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Sessionization: gap-based session assignment (lag + cumulative sum) —
 # the canonical event-pipeline op; batch twin of stateful streaming
 # sessionization.
@@ -523,4 +573,10 @@ EXTRA_SPECS: list[QuerySpec] = [
     QuerySpec("rolling_avg_value", rolling_avg_value, ROLLING_AVG_VALUE_SQL, "ext:window"),
     QuerySpec("customer_rollup", customer_rollup, CUSTOMER_ROLLUP_SQL, "ext:rollup"),
     QuerySpec("event_funnel", event_funnel, EVENT_FUNNEL_SQL, "ext:funnel,sequence"),
+    QuerySpec(
+        "rolling_anomaly",
+        rolling_anomaly,
+        ROLLING_ANOMALY_SQL,
+        "ext:anomaly,window",
+    ),
 ]

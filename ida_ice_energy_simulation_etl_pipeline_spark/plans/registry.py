@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from ..operators import dedup as _dedup
 from ..operators import graph as _graph
+from ..operators import linkage as _linkage
 from ..operators import multimodal as _multimodal
 from ..operators import similarity as _similarity
 from ..operators import temporal as _temporal
@@ -34,11 +35,14 @@ _MODULES = (
     _graph,
     _similarity,
     _temporal,
+    _linkage,
     _text,
     _multimodal,
 )
 
-_ALL_SPECS: list[QuerySpec] = [s for m in _MODULES for s in m.SPECS]
+_ALL_SPECS: list[QuerySpec] = [
+    s for m in _MODULES for s in getattr(m, "SPECS", [])
+]
 _EXTRA_SPECS: list[QuerySpec] = [
     s for m in _MODULES for s in getattr(m, "EXTRA_SPECS", [])
 ]

@@ -1333,3 +1333,37 @@ def test_dup_span_stats_catches_unaligned_duplicates(spark, tmp_path):
     stats = {r["source"]: r for r in dup_span_stats(spark, d).collect()}
     assert stats["srcA"]["n_dup_spans"] >= 1
     assert stats["srcB"]["n_dup_spans"] >= 1
+
+
+# --------------------------------------------------------------------------
+# Rolling z-score anomaly detection (plans/analytics.py::rolling_anomaly)
+def test_rolling_anomaly_flags_planted_spike(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans.analytics import (
+        rolling_anomaly,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    # 60 calm readings around 10.0 (tiny deterministic wiggle), one 100.0
+    # spike at the end, then one more calm reading scored against a
+    # baseline that now CONTAINS the spike (variance inflated → not
+    # flagged) — the -N..-1 frame keeps the spike itself flaggable.
+    rows = []
+    for i in range(60):
+        rows.append((i, t0 + timedelta(minutes=i), 1, "A", 10.0 + (i % 5) * 0.1, None))
+    rows.append((60, t0 + timedelta(minutes=60), 1, "A", 100.0, None))
+    rows.append((61, t0 + timedelta(minutes=61), 1, "A", 10.2, None))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = {r.event_type: r for r in rolling_anomaly(spark, str(tmp_path)).collect()}
+    a = out["A"]
+    # row 0 has an empty (-50..-1) baseline and row 1 a single-row one
+    # (stddev_samp of 1 value is null) → both unscored
+    assert a.n_scored == 60
+    assert a.n_outliers == 1
+    assert a.max_abs_z > 100  # the spike is hundreds of σ out on calm data

@@ -116,3 +116,42 @@ def test_range_join_stays_equi_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------------------------------
+# Gap-fill (grid densify + forward fill)
+def test_gap_fill_densifies_and_ffills(spark, tmp_path):
+    # Hours 0,1,3 present for type A (hour 2 missing); hour 1 only for B.
+    def _h(hour: int):
+        return datetime(2024, 1, 1, hour, 30)
+
+    rows = [
+        (1, _h(0), 1, "A", 10.0, None),
+        (2, _h(1), 1, "A", 20.0, None),
+        (3, _h(3), 1, "A", 40.0, None),
+        (4, _h(1), 2, "B", 5.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    p = str(tmp_path / "events.parquet")
+    df.write.parquet(p)
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.temporal import gap_fill
+
+    out = gap_fill(spark, str(tmp_path))
+    got = {
+        (r.event_type, r.hour_ts.hour): (r.is_gap, r.value_ffill)
+        for r in out.collect()
+    }
+    # Full 2-type × 4-hour grid.
+    assert len(got) == 8
+    # A: hour 2 is a gap, forward-filled from hour 1.
+    assert got[("A", 0)] == (0, 10.0)
+    assert got[("A", 2)] == (1, 20.0)
+    assert got[("A", 3)] == (0, 40.0)
+    # B: leading gap stays null (nothing to carry), later gaps carry 5.0.
+    assert got[("B", 0)] == (1, None)
+    assert got[("B", 1)] == (0, 5.0)
+    assert got[("B", 3)] == (1, 5.0)
