@@ -15,7 +15,6 @@ Two paths:
 from __future__ import annotations
 
 import hashlib
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -586,23 +585,58 @@ PQ_M = 4  # subspaces
 PQ_K = 8  # codebook entries per subspace
 
 
-def _sq_l2_sql(a: str, b: str) -> str:
-    """Squared L2 via explicit sequential fold (bit-reproducible).
-
-    SQL-fragment form: one ``F.expr`` parse per distance column instead of
-    ~20 py4j round-trips of lambda-builder traffic (measured 0.24 s of
-    pure driver latency per pq_topk build with the Column-lambda form).
-    """
+def _sq_l2_sub_sql(a: str, b: str, sub: int, i: str = "i") -> str:
+    """Squared L2 over subspace ``i`` (a lambda variable) of two vectors —
+    explicit sequential fold so DuckDB reproduces the sum bit-for-bit."""
     return (
-        f"aggregate(zip_with({a}, {b}, "
+        f"aggregate(zip_with(slice({a}, {i} * {sub} + 1, {sub}), "
+        f"slice({b}, {i} * {sub} + 1, {sub}), "
         f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
         f"* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
         f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
 
 
-def _subvec_sql(col: str, m: int, sub_dim: int) -> str:
-    return f"slice({col}, {m * sub_dim + 1}, {sub_dim})"
+def _codebook(emb: DataFrame, k: int) -> DataFrame:
+    """The k-row deterministic codebook as ONE cid-ordered array row.
+
+    ``sort_array`` on (cid, cent_emb) structs orders by the distinct cid,
+    so ``cbook[cid + 1]`` is centroid cid — the whole model broadcasts as
+    a single literal-like row and every downstream PQ step is map-only.
+    """
+    return emb.filter(F.col("vec_id") < k).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cent_emb"),
+                )
+            )
+        ).alias("cbook")
+    )
+
+
+def _pq_coded(emb: DataFrame, *, dim: int, m: int, k: int) -> DataFrame:
+    """emb + a ``codes`` array<bigint> column (one PQ code per subspace).
+
+    Map-only: the codebook rides in as a broadcast 1-row cross join and
+    the per-subspace argmin is an in-row ``array_min`` over (distance,
+    cid) structs — ties go to the smallest centroid id, and NO
+    corpus-grain shuffle happens (the old formulation's cross-join +
+    ``max_by`` group-by re-shuffled every vector once per encode).
+    """
+    sub = dim // m
+    codes = (
+        f"transform(sequence(0, {m - 1}), i -> "
+        f"array_min(transform(cbook, c -> struct("
+        + _sq_l2_sub_sql("embedding", "c.cent_emb", sub)
+        + " AS d, c.cid AS cid))).cid)"
+    )
+    return (
+        emb.crossJoin(F.broadcast(_codebook(emb, k)))
+        .withColumn("codes", F.expr(codes))
+        .drop("cbook")
+    )
 
 
 def pq_encode(
@@ -612,38 +646,13 @@ def pq_encode(
     m: int = PQ_M,
     k: int = PQ_K,
 ) -> DataFrame:
-    """Append ``code_0..code_{m-1}`` PQ codes to the embeddings.
-
-    One broadcast of the k-row codebook + one map-side-combining
-    aggregate: the cross join keeps a vector's k scored rows in one
-    task, and per-subspace ``min_by`` argmins (ties to the smallest
-    centroid id) collapse them before any shuffle — the IVF assignment
-    recipe, once per subspace.
-    """
-    sub = dim // m
-    cents = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_emb")
-    )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
+    """Append ``code_0..code_{m-1}`` PQ codes to the embeddings (map-only;
+    see ``_pq_coded``)."""
+    coded = _pq_coded(emb, dim=dim, m=m, k=k)
+    return coded.select(
         "vec_id",
         "embedding",
-        "cid",
-        *[
-            F.expr(
-                _sq_l2_sql(
-                    _subvec_sql("embedding", i, sub),
-                    _subvec_sql("cent_emb", i, sub),
-                )
-            ).alias(f"d2_{i}")
-            for i in range(m)
-        ],
-    )
-    return scored.groupBy("vec_id").agg(
-        F.first("embedding").alias("embedding"),
-        *[
-            F.expr(f"max_by(cid, struct(-d2_{i}, -cid))").alias(f"code_{i}")
-            for i in range(m)
-        ],
+        *[F.element_at("codes", i + 1).alias(f"code_{i}") for i in range(m)],
     )
 
 
@@ -659,50 +668,33 @@ def pq_topk(
     """Approximate top-k by PQ asymmetric distance (smaller = closer).
 
     Candidates are scored from their codes alone: per query, a distance
-    table (query subvector vs every codebook entry, collected into
-    centroid-id-ordered arrays) broadcasts with the query row, and each
-    candidate's distance is ``m`` ``element_at`` lookups — the scan never
-    touches a float vector.
+    table (query subvector vs every codebook entry, as centroid-id-ordered
+    arrays) broadcasts with the query row, and each candidate's distance
+    is ``m`` ``element_at`` lookups — the scan never touches a float
+    vector.  Both the encode side and the distance-table side are
+    map-only (in-row HOFs over the broadcast codebook array); the only
+    shuffles are the two tiny ``grouped_topk`` windows.
     """
     sub = dim // m
-    coded = pq_encode(emb, dim=dim, m=m, k=n_codes)
-    cents = emb.filter(F.col("vec_id") < n_codes).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_emb")
-    )
-    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    coded = _pq_coded(emb, dim=dim, m=m, k=n_codes)
+    dts = (
+        f"transform(sequence(0, {m - 1}), i -> "
+        f"transform(cbook, c -> "
+        + _sq_l2_sub_sql("q_emb", "c.cent_emb", sub)
+        + "))"
     )
     qdist = (
-        q.crossJoin(F.broadcast(cents))
-        .select(
-            "query_id",
-            "cid",
-            *[
-                F.expr(
-                    _sq_l2_sql(
-                        _subvec_sql("q_emb", i, sub),
-                        _subvec_sql("cent_emb", i, sub),
-                    )
-                ).alias(f"d2_{i}")
-                for i in range(m)
-            ],
-        )
-        .groupBy("query_id")
-        .agg(
-            *[
-                F.expr(
-                    f"transform(array_sort(collect_list(struct(cid, d2_{i}))),"
-                    f" s -> s.d2_{i})"
-                ).alias(f"dt_{i}")
-                for i in range(m)
-            ]
-        )
+        emb.filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+        .crossJoin(F.broadcast(_codebook(emb, n_codes)))
+        .select("query_id", F.expr(dts).alias("dts"))
     )
-    adist = reduce(
-        lambda acc, i: acc
-        + F.element_at(F.col(f"dt_{i}"), F.col(f"code_{i}").cast("int") + 1),
-        range(1, m),
-        F.element_at(F.col("dt_0"), F.col("code_0").cast("int") + 1),
+    # dt lookups fold left over subspaces — same accumulation order as the
+    # oracle's d2_0 + d2_1 + ... sum.
+    adist = F.expr(
+        f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE), (acc, i) -> "
+        f"acc + element_at(element_at(dts, i + 1), "
+        f"CAST(element_at(codes, i + 1) AS INT) + 1))"
     )
     scored = (
         coded.crossJoin(F.broadcast(qdist))
