@@ -77,6 +77,56 @@ WHERE event_id < 2000
 
 
 # --------------------------------------------------------------------------
+# Distribution windows: ntile deciles + cume_dist over a tie-broken total
+# order — the balance-band report a BI user writes against the customer
+# dim.  Both functions are deterministic here because the ORDER BY carries
+# the unique c_custkey tie-breaker.  The window partitions by market
+# segment (5 values), so at 100 TB this exact formulation would funnel the
+# whole dim through ≤5 sort partitions — the scale path swaps ntile for
+# approx_percentile decile BOUNDARIES (one pass, mergeable sketch) and
+# assigns bands with a broadcast range join; the fixture keeps the exact
+# window so the oracle can hash-match.
+def customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_acctbal",
+            F.ntile(10).over(w).cast("long").alias("decile"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.round(F.max("cd"), 4).alias("cume_ub"),
+        )
+    )
+
+
+CUSTOMER_DECILES_SQL = """
+WITH d AS (
+  SELECT c_mktsegment, c_acctbal,
+         CAST(ntile(10) OVER w AS BIGINT) AS decile,
+         cume_dist() OVER w AS cd
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+)
+SELECT c_mktsegment, decile,
+       count(*) AS n_customers,
+       min(c_acctbal) AS min_bal,
+       max(c_acctbal) AS max_bal,
+       round(avg(c_acctbal), 4) AS avg_bal,
+       round(max(cd), 4) AS cume_ub
+FROM d
+GROUP BY c_mktsegment, decile
+"""
+
+
+# --------------------------------------------------------------------------
 # Rolling z-score anomaly detection — the streaming-monitoring classic
 # (flag a reading that deviates > Zσ from its trailing baseline), batch
 # twin of a watermarked streaming detector.  The baseline window EXCLUDES
@@ -571,6 +621,12 @@ EXTRA_SPECS: list[QuerySpec] = [
         "ext:window",
     ),
     QuerySpec("rolling_avg_value", rolling_avg_value, ROLLING_AVG_VALUE_SQL, "ext:window"),
+    QuerySpec(
+        "customer_deciles",
+        customer_deciles,
+        CUSTOMER_DECILES_SQL,
+        "ext:window,ntile",
+    ),
     QuerySpec("customer_rollup", customer_rollup, CUSTOMER_ROLLUP_SQL, "ext:rollup"),
     QuerySpec("event_funnel", event_funnel, EVENT_FUNNEL_SQL, "ext:funnel,sequence"),
     QuerySpec(
