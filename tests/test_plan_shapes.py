@@ -436,3 +436,14 @@ def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_similarity_pq_is_map_only_outside_topk(spark):
+    """PQ encode + asymmetric scoring must stay in-row over the broadcast
+    codebook array: the only hash exchanges allowed in the executed plan
+    are the two grouped_topk window phases — a corpus-grain shuffle here
+    means the encode regressed to a join+group-by formulation."""
+    exec_plan = _executed_plan(spark, "similarity_pq").split("== Initial Plan ==")[0]
+    n_hash = exec_plan.count("Exchange hashpartitioning")
+    assert n_hash <= 2, f"PQ plan gained a corpus-grain shuffle ({n_hash} exchanges)"
+    assert "BroadcastNestedLoopJoin" in exec_plan or "BroadcastExchange" in exec_plan
