@@ -81,6 +81,8 @@ HEADLINE = [
     "gap_fill",
     "fuzzy_part_matches",
     "rolling_anomaly",
+    "quality_classifier",
+    "customer_deciles",
 ]
 
 # Optional subset for iteration / CI smoke: comma-separated query names.

@@ -1436,6 +1436,81 @@ LIMIT {BPE_TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Linear quality-classifier inference — the fasttext-style "keep/drop"
+# scoring step of a web-corpus pipeline, expressed as pure column math so
+# inference runs inside whole-stage codegen (no model server, no UDF).
+# The weights here are fixture literals; a production deployment swaps
+# them for a broadcast join against a one-row model table (same plan
+# shape) — training happens offline, the engine only does inference.
+# Map-only: one scan, zero shuffles; the keep decision tests the raw
+# logit (z >= 0 ⟺ sigmoid(z) >= 0.5) so the engine-boundary float
+# comparison never touches exp().
+QC_BIAS = -1.2
+QC_W_LOG_TOKENS = 0.55
+QC_W_STOPWORD = 2.0
+QC_W_TTR = 1.1
+QC_W_PUNCT = -3.0
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    toks = F.col("toks")
+    n_tokens = F.size(toks)
+    feats = docs.select(
+        "doc_id", "source", "text", word_tokens(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        "source",
+        F.log(n_tokens.cast("double")).alias("f_log_tokens"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin("the", "a"))).cast("double")
+            / n_tokens
+        ).alias("f_stopword"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tokens).alias("f_ttr"),
+        punct_ratio(F.col("text")).alias("f_punct"),
+    )
+    z = (
+        F.lit(QC_BIAS)
+        + F.lit(QC_W_LOG_TOKENS) * F.col("f_log_tokens")
+        + F.lit(QC_W_STOPWORD) * F.col("f_stopword")
+        + F.lit(QC_W_TTR) * F.col("f_ttr")
+        + F.lit(QC_W_PUNCT) * F.col("f_punct")
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
+        "doc_id",
+        "source",
+        F.round(score, 4).alias("quality_score"),
+        (z >= 0).cast("long").alias("keep"),
+    )
+
+
+QUALITY_CLASSIFIER_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, source,
+         ln(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS f_log_tokens,
+         CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS f_stopword,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS f_ttr,
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+             / length(text) AS f_punct
+  FROM documents
+),
+z AS (
+  SELECT doc_id, source,
+         {QC_BIAS} + {QC_W_LOG_TOKENS} * f_log_tokens + {QC_W_STOPWORD} * f_stopword
+         + {QC_W_TTR} * f_ttr + {QC_W_PUNCT} * f_punct AS z
+  FROM feats
+)
+SELECT doc_id, source,
+       round(1.0 / (1.0 + exp(-z)), 4) AS quality_score,
+       CAST(CASE WHEN z >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM z
+"""
+
+
 # Driver-facing tier (see plans/relational.py note on the 50-query
 # window): text_quality folds in the repetition signals, text_fingerprint
 # folds cleaning + fingerprinting, split_sample folds split + sampling —
@@ -1501,5 +1576,11 @@ EXTRA_SPECS: list[QuerySpec] = [
         bpe_merge_candidates,
         BPE_MERGE_CANDIDATES_SQL,
         "ext:text,tokenizer",
+    ),
+    QuerySpec(
+        "quality_classifier",
+        quality_classifier,
+        QUALITY_CLASSIFIER_SQL,
+        "ext:text,quality,inference",
     ),
 ]
