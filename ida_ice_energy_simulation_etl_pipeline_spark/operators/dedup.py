@@ -117,15 +117,9 @@ FROM sh
 """
 
 
-def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """LSH banding: docs whose signatures agree on ≥1 full band.
-
-    Physical shape at scale: explode to (band_idx, band_key, doc_id) —
-    band_key is a hash of r consecutive minhashes — then a self-equi-join
-    on the band bucket.  Only colliding buckets pair up; the shuffle key
-    is the band bucket, so skew stays bounded by bucket size, not corpus
-    size.
-    """
+def banded_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) stream: band_key is a hash of r
+    consecutive minhashes — the LSH bucketing key (map-only)."""
     sig = with_minhash_signature(docs)
     rows = N_MINHASHES // N_BANDS
     bands = F.array(
@@ -141,9 +135,21 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    exploded = sig.select(
-        "doc_id", F.explode(bands).alias("band")
-    ).select("doc_id", "band.band_idx", "band.band_key")
+    return sig.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id", "band.band_idx", "band.band_key"
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """LSH banding: docs whose signatures agree on ≥1 full band.
+
+    Physical shape at scale: explode to (band_idx, band_key, doc_id) —
+    band_key is a hash of r consecutive minhashes — then a self-equi-join
+    on the band bucket.  Only colliding buckets pair up; the shuffle key
+    is the band bucket, so skew stays bounded by bucket size, not corpus
+    size.
+    """
+    exploded = banded_signatures(docs)
     # Pin the self-join to sort-merge (the ngram_jaccard_pairs lesson,
     # dedup.py:393): both sides are the SAME subtree, so the merge join
     # reads ONE reused exchange twice, whereas AQE's broadcast pick
@@ -798,6 +804,102 @@ GROUP BY 1, 2, 3
 """
 
 
+# --------------------------------------------------------------------------
+# Incremental dedup — new-batch ingestion against an already-indexed
+# corpus, the shape production pipelines actually run (the full-corpus
+# self-joins above are the bootstrap; every later ingest is asymmetric:
+# small batch vs huge index).  Exact layer: the batch's content hashes
+# left-join the index's distinct-hash table — at 100 TB that table is
+# bucketed/sorted by hash on disk so the probe is a bucket-local join,
+# never a broadcast of the index.  Near-dup layer: the batch's LSH band
+# stream joins the index's band stream on the band bucket — the shuffle
+# key is the bucket, the join fan-out is bounded by bucket size, and the
+# index side's signatures are precomputed-at-ingest in production (here
+# both sides derive from the fixture in one plan).  The fixture splits
+# documents by doc_id % 10: 0–7 = indexed corpus, 8–9 = incoming batch.
+INCR_INDEX_MOD = 10
+INCR_INDEX_KEEP = 8
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    is_idx = (F.col("doc_id") % INCR_INDEX_MOD) < INCR_INDEX_KEEP
+    idx, batch = docs.filter(is_idx), docs.filter(~is_idx)
+    idx_hashes = (
+        idx.select(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    exact = (
+        batch.select(
+            "doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash")
+        )
+        .join(idx_hashes, "text_hash", "left")
+        .select(
+            "doc_id", F.coalesce("hit", F.lit(0)).cast("long").alias("exact_dup")
+        )
+    )
+    bb = banded_signatures(batch).alias("b")
+    ib = banded_signatures(idx).alias("i")
+    near = (
+        bb.join(
+            ib,
+            (F.col("b.band_idx") == F.col("i.band_idx"))
+            & (F.col("b.band_key") == F.col("i.band_key")),
+        )
+        .groupBy(F.col("b.doc_id").alias("doc_id"))
+        .agg(F.countDistinct(F.col("i.doc_id")).alias("n_near_index"))
+    )
+    return (
+        exact.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_dup",
+            F.coalesce("n_near_index", F.lit(0)).alias("n_near_index"),
+        )
+        .withColumn(
+            "is_new",
+            ((F.col("exact_dup") == 0) & (F.col("n_near_index") == 0)).cast(
+                "long"
+            ),
+        )
+    )
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {', '.join(_minhash_sql_exprs())} FROM sh),
+bands AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, {b} AS band_idx, {_band_key_sql(b, _ROWS)} AS band_key FROM sig"
+      for b in range(N_BANDS)
+  )}
+),
+idxh AS (SELECT DISTINCT md5(text) AS th
+         FROM documents WHERE doc_id % {INCR_INDEX_MOD} < {INCR_INDEX_KEEP}),
+exact AS (
+  SELECT d.doc_id,
+         CASE WHEN i.th IS NOT NULL THEN 1 ELSE 0 END AS exact_dup
+  FROM documents d LEFT JOIN idxh i ON md5(d.text) = i.th
+  WHERE d.doc_id % {INCR_INDEX_MOD} >= {INCR_INDEX_KEEP}
+),
+near AS (
+  SELECT bb.doc_id, count(DISTINCT ib.doc_id) AS n_near_index
+  FROM bands bb JOIN bands ib
+    ON bb.band_idx = ib.band_idx AND bb.band_key = ib.band_key
+  WHERE bb.doc_id % {INCR_INDEX_MOD} >= {INCR_INDEX_KEEP}
+    AND ib.doc_id % {INCR_INDEX_MOD} < {INCR_INDEX_KEEP}
+  GROUP BY bb.doc_id
+)
+SELECT e.doc_id,
+       CAST(e.exact_dup AS BIGINT) AS exact_dup,
+       CAST(coalesce(n.n_near_index, 0) AS BIGINT) AS n_near_index,
+       CAST(CASE WHEN e.exact_dup = 0 AND coalesce(n.n_near_index, 0) = 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_new
+FROM exact e LEFT JOIN near n ON e.doc_id = n.doc_id
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "ext:dedup,D1"),
     QuerySpec(
@@ -831,5 +933,11 @@ EXTRA_SPECS: list[QuerySpec] = [
         dup_span_stats,
         DUP_SPAN_STATS_SQL,
         "ext:dedup,spans,diagnostics",
+    ),
+    QuerySpec(
+        "incremental_dedup",
+        incremental_dedup,
+        INCREMENTAL_DEDUP_SQL,
+        "ext:dedup,incremental",
     ),
 ]

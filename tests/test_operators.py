@@ -1367,3 +1367,37 @@ def test_rolling_anomaly_flags_planted_spike(spark, tmp_path):
     assert a.n_scored == 60
     assert a.n_outliers == 1
     assert a.max_abs_z > 100  # the spike is hundreds of σ out on calm data
+
+
+def test_incremental_dedup_flags_batch_against_index(spark, tmp_path):
+    """doc_id % 10 splits the fixture: 0-7 indexed, 8-9 incoming batch.
+    An exact copy must flag exact_dup, a near-dup must surface index band
+    collisions without an exact hit, and novel text must come out is_new."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    text_a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    text_b = (
+        "energy simulation pipelines aggregate hourly meter readings into monthly "
+        "rollups and the warehouse layer exposes curated views joining zone "
+        "conditions weather traces and equipment schedules for downstream analysts"
+    )
+    rows = [(i, f"filler index doc number {i} " + " ".join(f"w{i}x{j}" for j in range(12)), "s")
+            for i in range(2, 8)]
+    rows += [(0, text_a, "s"), (1, text_b, "s")]
+    rows += [
+        (8, text_a, "s"),                                   # exact copy of idx 0
+        (9, text_b.replace("hourly", "daily"), "s"),        # near-dup of idx 1
+        (18, "completely novel content about nothing seen before in any corpus", "s"),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in incremental_dedup(spark, str(tmp_path)).collect()}
+    assert set(out) == {8, 9, 18}
+    assert out[8]["exact_dup"] == 1 and out[8]["is_new"] == 0
+    assert out[9]["exact_dup"] == 0
+    assert out[9]["n_near_index"] >= 1 and out[9]["is_new"] == 0
+    assert out[18]["exact_dup"] == 0 and out[18]["n_near_index"] == 0
+    assert out[18]["is_new"] == 1

@@ -447,3 +447,13 @@ def test_similarity_pq_is_map_only_outside_topk(spark):
     n_hash = exec_plan.count("Exchange hashpartitioning")
     assert n_hash <= 2, f"PQ plan gained a corpus-grain shuffle ({n_hash} exchanges)"
     assert "BroadcastNestedLoopJoin" in exec_plan or "BroadcastExchange" in exec_plan
+
+
+def test_quality_classifier_is_map_only(spark):
+    """Model inference must stay inside codegen: no exchange beyond
+    ensure_parallelism's RoundRobin spread, no Generate, no Python eval."""
+    plan = _optimized_plan(spark, "quality_classifier")
+    assert "Generate" not in plan
+    exec_plan = _executed_plan(spark, "quality_classifier").split("== Initial Plan ==")[0]
+    assert exec_plan.count("Exchange hashpartitioning") == 0
+    assert "BatchEvalPython" not in exec_plan and "ArrowEvalPython" not in exec_plan
