@@ -1088,9 +1088,61 @@ FROM lineitem"""
     return "\nUNION ALL\n".join(branches)
 
 
+# --------------------------------------------------------------------------
+# Year-over-year reconciliation — the one join flavor the registry lacked:
+# FULL OUTER, whose whole point is surfacing keys present on only one
+# side (churned vs newly-active customers).  Both inputs are
+# customer-grain aggregates (map-side combined), the join key is the
+# grouping key, so at 100 TB this is two shrinking aggregates + one
+# key-aligned sort-merge join — no corpus-grain rows cross the wire.
+def yoy_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+
+    def rev(year: int, out: str) -> DataFrame:
+        return (
+            orders.filter(yr == year)
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.round(F.sum("o_totalprice"), 2).alias(out))
+        )
+
+    zero = F.lit(0.0)
+    return (
+        rev(1995, "rev_1995")
+        .join(rev(1996, "rev_1996"), "custkey", "full_outer")
+        .select(
+            "custkey",
+            F.coalesce("rev_1995", zero).alias("rev_1995"),
+            F.coalesce("rev_1996", zero).alias("rev_1996"),
+            F.round(
+                F.coalesce("rev_1996", zero) - F.coalesce("rev_1995", zero), 2
+            ).alias("delta"),
+        )
+    )
+
+
+YOY_CUSTOMER_REVENUE_SQL = """
+WITH a AS (SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS rev_1995
+           FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+b AS (SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS rev_1996
+      FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1)
+SELECT coalesce(a.custkey, b.custkey) AS custkey,
+       coalesce(rev_1995, 0.0) AS rev_1995,
+       coalesce(rev_1996, 0.0) AS rev_1996,
+       round(coalesce(rev_1996, 0.0) - coalesce(rev_1995, 0.0), 2) AS delta
+FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
+"""
+
+
 EXTRA_SPECS: list[QuerySpec] = [
     QuerySpec(
         "table_profile", table_profile, _table_profile_sql(), "ext:stats,analyze"
+    ),
+    QuerySpec(
+        "yoy_customer_revenue",
+        yoy_customer_revenue,
+        YOY_CUSTOMER_REVENUE_SQL,
+        "ext:full-outer,reconciliation",
     ),
     QuerySpec("surrogate_keys", surrogate_keys, SURROGATE_KEYS_SQL, "D4,O1"),
     QuerySpec("event_type_stats", event_type_stats, EVENT_TYPE_STATS_SQL, "A3"),
