@@ -1089,6 +1089,59 @@ FROM lineitem"""
 
 
 # --------------------------------------------------------------------------
+# Equi-depth histograms — the other half of ANALYZE-grade statistics
+# (table_profile gives ndv/null/min/max; a cost-based optimizer's
+# selectivity estimates need quantile BOUNDARIES).  Same in-row melt as
+# table_profile, then ONE exact-percentile aggregate per column with an
+# array of fractions (one sort + one value buffer per column, not one
+# per boundary), exploded to (column, bucket) rows.  Exact percentile is
+# the fixture/oracle choice; at 100 TB the knob is approx_percentile —
+# a mergeable t-digest, same plan shape minus the per-group sort.
+HISTOGRAM_BUCKETS = 8
+
+
+def column_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    fracs = [i / HISTOGRAM_BUCKETS for i in range(HISTOGRAM_BUCKETS + 1)]
+    melted = li.select(
+        F.posexplode(
+            F.array(*[F.col(c).cast("double") for c in PROFILE_COLUMNS])
+        ).alias("col_idx", "value")
+    ).filter(F.col("value").isNotNull())
+    name = F.array(*[F.lit(c) for c in PROFILE_COLUMNS])[F.col("col_idx")]
+    per_col = melted.groupBy("col_idx").agg(
+        F.percentile("value", F.lit(fracs)).alias("bounds")
+    )
+    return per_col.select(
+        name.alias("column_name"),
+        F.posexplode("bounds").alias("bound_idx", "boundary"),
+    ).select(
+        "column_name",
+        F.col("bound_idx").cast("long").alias("bound_idx"),
+        F.round("boundary", 4).alias("boundary"),
+    )
+
+
+def _column_histograms_sql() -> str:
+    fracs = ", ".join(
+        str(i / HISTOGRAM_BUCKETS) for i in range(HISTOGRAM_BUCKETS + 1)
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, "
+        f"quantile_cont(CAST({c} AS DOUBLE), [{fracs}]) AS bounds "
+        f"FROM lineitem WHERE {c} IS NOT NULL"
+        for c in PROFILE_COLUMNS
+    )
+    return f"""
+WITH per_col AS ({branches})
+SELECT column_name,
+       CAST(i AS BIGINT) AS bound_idx,
+       round(bounds[i + 1], 4) AS boundary
+FROM per_col, unnest(range(0, {HISTOGRAM_BUCKETS + 1})) u(i)
+"""
+
+
+# --------------------------------------------------------------------------
 # Year-over-year reconciliation — the one join flavor the registry lacked:
 # FULL OUTER, whose whole point is surfacing keys present on only one
 # side (churned vs newly-active customers).  Both inputs are
@@ -1143,6 +1196,12 @@ EXTRA_SPECS: list[QuerySpec] = [
         yoy_customer_revenue,
         YOY_CUSTOMER_REVENUE_SQL,
         "ext:full-outer,reconciliation",
+    ),
+    QuerySpec(
+        "column_histograms",
+        column_histograms,
+        _column_histograms_sql(),
+        "ext:stats,histogram",
     ),
     QuerySpec("surrogate_keys", surrogate_keys, SURROGATE_KEYS_SQL, "D4,O1"),
     QuerySpec("event_type_stats", event_type_stats, EVENT_TYPE_STATS_SQL, "A3"),
