@@ -1091,34 +1091,76 @@ FROM lineitem"""
 # --------------------------------------------------------------------------
 # Equi-depth histograms — the other half of ANALYZE-grade statistics
 # (table_profile gives ndv/null/min/max; a cost-based optimizer's
-# selectivity estimates need quantile BOUNDARIES).  Same in-row melt as
-# table_profile, then ONE exact-percentile aggregate per column with an
-# array of fractions (one sort + one value buffer per column, not one
-# per boundary), exploded to (column, bucket) rows.  Exact percentile is
-# the fixture/oracle choice; at 100 TB the knob is approx_percentile —
-# a mergeable t-digest, same plan shape minus the per-group sort.
+# selectivity estimates need quantile BOUNDARIES).  NOT Spark's
+# ``percentile`` aggregate: that buffers every row of a group in one
+# reducer (no partial aggregation — the whole melted stream funnels into
+# |columns| tasks; measured 2.8s vs 1.7s at sf0.1 for this rank-based
+# form).  Instead the classic distributed exact quantile: collapse to
+# (column, value, cnt) grain with map-side combine (table_profile's
+# level-1), running-count the value-ordered stream, and pick each
+# boundary's bracketing ranks with a broadcast join + linear
+# interpolation — identical to DuckDB quantile_cont bit-for-bit under
+# round-4 (verified by the oracle hash).  At 100 TB the per-column
+# running-count window is bounded by DISTINCT values per column; for
+# near-unique columns swap it for a range-repartitioned prefix-sum or
+# drop to approx_percentile's mergeable t-digest.
 HISTOGRAM_BUCKETS = 8
 
 
 def column_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    fracs = [i / HISTOGRAM_BUCKETS for i in range(HISTOGRAM_BUCKETS + 1)]
     melted = li.select(
         F.posexplode(
             F.array(*[F.col(c).cast("double") for c in PROFILE_COLUMNS])
         ).alias("col_idx", "value")
     ).filter(F.col("value").isNotNull())
-    name = F.array(*[F.lit(c) for c in PROFILE_COLUMNS])[F.col("col_idx")]
-    per_col = melted.groupBy("col_idx").agg(
-        F.percentile("value", F.lit(fracs)).alias("bounds")
+    lvl1 = melted.groupBy("col_idx", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("col_idx").orderBy("value")
+    cum = lvl1.select(
+        "col_idx",
+        "value",
+        F.sum("cnt").over(w).alias("cum"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("prev"),
     )
-    return per_col.select(
-        name.alias("column_name"),
-        F.posexplode("bounds").alias("bound_idx", "boundary"),
+    totals = lvl1.groupBy("col_idx").agg(F.sum("cnt").alias("n"))
+    # quantile_cont semantics: boundary i sits at h = (i/B)·(n−1) in the
+    # 0-indexed sorted stream — bracketing 1-based ranks floor(h)+1 and
+    # floor(h)+2 (clamped), blended by the fractional part d.
+    h = (F.col("bound_idx").cast("double") / HISTOGRAM_BUCKETS) * (
+        F.col("n") - 1
+    ).cast("double")
+    targets = totals.select(
+        "col_idx",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.lit(HISTOGRAM_BUCKETS))).alias(
+            "bound_idx"
+        ),
     ).select(
-        "column_name",
+        "col_idx",
+        "bound_idx",
+        (F.floor(h) + 1).alias("rlo"),
+        F.least(F.floor(h) + 2, F.col("n")).alias("rhi"),
+        (h - F.floor(h)).alias("d"),
+    )
+    hit_lo = (F.col("rlo") > F.col("prev")) & (F.col("rlo") <= F.col("cum"))
+    hit_hi = (F.col("rhi") > F.col("prev")) & (F.col("rhi") <= F.col("cum"))
+    agg = (
+        cum.join(F.broadcast(targets), "col_idx")
+        .filter(hit_lo | hit_hi)
+        .groupBy("col_idx", "bound_idx")
+        .agg(
+            F.max(F.when(hit_lo, F.col("value"))).alias("v_lo"),
+            F.max(F.when(hit_hi, F.col("value"))).alias("v_hi"),
+            F.first("d").alias("d"),
+        )
+    )
+    name = F.array(*[F.lit(c) for c in PROFILE_COLUMNS])[F.col("col_idx")]
+    return agg.select(
+        name.alias("column_name"),
         F.col("bound_idx").cast("long").alias("bound_idx"),
-        F.round("boundary", 4).alias("boundary"),
+        F.round(
+            F.col("v_lo") + F.col("d") * (F.col("v_hi") - F.col("v_lo")), 4
+        ).alias("boundary"),
     )
 
 
