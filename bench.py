@@ -83,6 +83,7 @@ HEADLINE = [
     "rolling_anomaly",
     "quality_classifier",
     "customer_deciles",
+    "yoy_customer_revenue",
 ]
 
 # Optional subset for iteration / CI smoke: comma-separated query names.

@@ -1401,3 +1401,37 @@ def test_incremental_dedup_flags_batch_against_index(spark, tmp_path):
     assert out[9]["n_near_index"] >= 1 and out[9]["is_new"] == 0
     assert out[18]["exact_dup"] == 0 and out[18]["n_near_index"] == 0
     assert out[18]["is_new"] == 1
+
+
+def test_column_histograms_matches_numpy_linear_quantiles(spark, tmp_path):
+    """The rank-bracket interpolation must reproduce linear-interpolation
+    quantiles (numpy method='linear' == SQL quantile_cont) on planted
+    edge cases: all-ties, distinct ramp, negatives+ties, two-valued."""
+    import numpy as np
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans.relational import (
+        HISTOGRAM_BUCKETS,
+        PROFILE_COLUMNS,
+        column_histograms,
+    )
+
+    n = 16
+    planted = {
+        "l_quantity": [5.0] * n,
+        "l_extendedprice": [float(i + 1) for i in range(n)],
+        "l_discount": [-3.5, -1.0, 2.0, 2.0, 7.25, 7.25, 7.25, 9.0] * 2,
+        "l_tax": [0.0, 0.08] * 8,
+    }
+    rows = [tuple(planted[c][i] for c in PROFILE_COLUMNS) for i in range(n)]
+    spark.createDataFrame(rows, PROFILE_COLUMNS).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = {
+        (r["column_name"], r["bound_idx"]): r["boundary"]
+        for r in column_histograms(spark, str(tmp_path)).collect()
+    }
+    fracs = [i / HISTOGRAM_BUCKETS for i in range(HISTOGRAM_BUCKETS + 1)]
+    for c in PROFILE_COLUMNS:
+        expect = np.quantile(np.array(planted[c]), fracs, method="linear")
+        for i, e in enumerate(expect):
+            assert out[(c, i)] == round(float(e), 4), (c, i, out[(c, i)], e)
