@@ -84,3 +84,58 @@ def salted_agg(
         return F.sum(name).alias(name)
 
     return phase1.groupBy(*keys).agg(*[_combine(name) for name in aggs])
+
+
+# --------------------------------------------------------------------------
+# Registered query: the salted rollup as a driver-verifiable operator.
+# The salt is rand(seed) — partition-layout-dependent — but the OUTPUT is
+# salt-invariant (sums/counts/min/max recombine exactly), so a plain
+# GROUP BY oracle hash-matches it: the determinism claim in the module
+# docstring gets a cross-engine proof, not just a local equivalence test.
+from pyspark.sql import SparkSession  # noqa: E402
+
+from ..plans.core import QuerySpec, load_table  # noqa: E402
+
+
+def skew_resilient_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum("value"),
+            "min_value": F.min("value"),
+            "max_value": F.max("value"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+        F.round(F.col("sum_value") / F.col("n_events"), 4).alias("avg_value"),
+    )
+
+
+SKEW_RESILIENT_ROLLUP_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value,
+       round(sum(value) / count(*), 4) AS avg_value
+FROM events
+GROUP BY event_type
+"""
+
+
+EXTRA_SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "skew_resilient_rollup",
+        skew_resilient_rollup,
+        SKEW_RESILIENT_ROLLUP_SQL,
+        "ext:skew,salting,A1",
+    ),
+]

@@ -20,6 +20,7 @@ from ..operators import graph as _graph
 from ..operators import linkage as _linkage
 from ..operators import multimodal as _multimodal
 from ..operators import similarity as _similarity
+from ..operators import skew as _skew
 from ..operators import temporal as _temporal
 from ..operators import text as _text
 from . import analytics as _analytics
@@ -36,6 +37,7 @@ _MODULES = (
     _similarity,
     _temporal,
     _linkage,
+    _skew,
     _text,
     _multimodal,
 )
