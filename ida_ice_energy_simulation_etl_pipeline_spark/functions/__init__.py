@@ -7,6 +7,7 @@ zero Python row UDFs, per SURVEY.md §2.11.
 from .columns import (
     cosine_similarity,
     cosine_similarity_arrow,
+    cosine_similarity_sql,
     dow_monday0,
     is_weekend,
     l2_norm,
@@ -19,6 +20,7 @@ from .columns import (
 __all__ = [
     "cosine_similarity",
     "cosine_similarity_arrow",
+    "cosine_similarity_sql",
     "dow_monday0",
     "is_weekend",
     "l2_norm",

@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import cosine_similarity, l2_norm
+from ..functions import cosine_similarity, cosine_similarity_sql, l2_norm
 from ..plans.core import QuerySpec, ensure_parallelism, load_table
 
 TOP_K = 5
@@ -286,10 +286,11 @@ def lsh_topk(
 # centroid — that cell id is the inverted-list / partition key, so an ANN
 # probe scans ~1/N_CENTROIDS of the corpus (nprobe=1) instead of all of
 # it, then exact-reranks inside the cell.  All built-in column ops: the
-# 8-row codebook is broadcast and assignment is a max_by hash aggregate —
-# the broadcast cross join keeps a vector's C scored rows in one task, so
-# map-side partial aggregation collapses them to ONE row per vector before
-# the shuffle (a window argmax would shuffle AND sort all n×C rows).
+# codebook collapses to ONE cid-ordered array row (the PQ recipe) that
+# broadcasts everywhere, and both cell assignment and the per-query probe
+# list are in-row array HOFs over it — NO corpus-grain exchange at all
+# before the top-k windows (the earlier max_by group-by shuffled one row
+# per vector; a window argmax would shuffle AND sort all n×C rows).
 N_CENTROIDS = 8
 
 
@@ -305,62 +306,46 @@ def ivf_topk(
 
     ``nprobe`` is the standard IVF recall/latency dial: each query probes
     its ``nprobe`` closest cells instead of only the nearest one, so
-    neighbors that fell just across a Voronoi boundary are recovered.  The
-    probe list is built from the broadcast codebook scores with a
-    per-query window over ≤ |codebook| rows (driver-free, tiny), and the
-    probe itself stays a broadcast equi-join on the cell id — scan cost
-    scales as nprobe/n_centroids of the corpus, never all of it.
+    neighbors that fell just across a Voronoi boundary are recovered.
+    Cell assignment and the probe list are both in-row HOFs over the
+    broadcast codebook array (rank = array_sort on (-cos, cid) structs —
+    exactly the oracle's ORDER BY cos DESC, centroid_id tie-break), and
+    the probe is a broadcast equi-join on the cell id — scan cost scales
+    as nprobe/n_centroids of the corpus, and nothing corpus-grain
+    shuffles outside the top-k windows.
 
     ``codebook`` (columns ``cluster_id``, ``c_emb``) swaps the default
     deterministic seed quantizer for trained centroids — the
     ``kmeans_centroids`` refinement output slots in directly.
     """
     if codebook is None:
-        centroids = emb.filter(F.col("vec_id") < n_centroids).select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("embedding").alias("cent_emb"),
-        )
+        cb = _codebook(emb, n_centroids)
     else:
-        centroids = codebook.select(
-            F.col("cluster_id").alias("centroid_id"),
-            F.col("c_emb").alias("cent_emb"),
-        )
-    scored_cent = emb.crossJoin(F.broadcast(centroids)).withColumn(
-        "cent_cos", cosine_similarity("embedding", "cent_emb")
-    )
-    # argmax-cosine centroid, ties to the smallest centroid_id (the struct
-    # ordering (cos, -id) makes max_by reproduce the oracle's
-    # ORDER BY cos DESC, centroid_id tie-break exactly)
-    assigned = scored_cent.groupBy("vec_id").agg(
-        F.first("embedding").alias("embedding"),  # constant within the group
-        F.max_by(
-            "centroid_id", F.struct("cent_cos", (-F.col("centroid_id")).alias("t"))
-        ).alias("centroid_id"),
-    )
-    if nprobe == 1:
-        # The single probe cell IS the assigned cell: reuse the `assigned`
-        # aggregate (its exchange is shared with the probe join below via
-        # ReuseExchange) instead of re-executing the centroid-scoring
-        # subtree plus a ranking-window exchange just to rank one cell.
-        probe_cells = assigned.filter(F.col("vec_id").isin(query_ids)).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("centroid_id").alias("q_cell"),
-        )
-    else:
-        cell_w = Window.partitionBy("vec_id").orderBy(
-            F.col("cent_cos").desc(), F.col("centroid_id")
-        )
-        probe_cells = (
-            scored_cent.filter(F.col("vec_id").isin(query_ids))
-            .withColumn("cell_rank", F.row_number().over(cell_w))
-            .filter(F.col("cell_rank") <= nprobe)
-            .select(
-                F.col("vec_id").alias("query_id"),
-                F.col("embedding").alias("q_emb"),
-                F.col("centroid_id").alias("q_cell"),
+        cb = codebook.select(
+            F.col("cluster_id").alias("cid"), F.col("c_emb").alias("cent_emb")
+        ).agg(
+            F.sort_array(F.collect_list(F.struct("cid", "cent_emb"))).alias(
+                "cbook"
             )
         )
+    cos = cosine_similarity_sql("embedding", "c.cent_emb")
+    ranked = f"array_sort(transform(cbook, c -> struct(-({cos}) AS negcos, c.cid AS cid)))"
+    assigned = (
+        emb.crossJoin(F.broadcast(cb))
+        .withColumn("centroid_id", F.expr(f"element_at({ranked}, 1).cid"))
+        .drop("cbook")
+    )
+    probe_cells = (
+        emb.filter(F.col("vec_id").isin(query_ids))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(
+                F.expr(f"transform(slice({ranked}, 1, {int(nprobe)}), s -> s.cid)")
+            ).alias("q_cell"),
+        )
+    )
     scored = (
         assigned.join(
             F.broadcast(probe_cells), F.col("centroid_id") == F.col("q_cell")
