@@ -419,10 +419,9 @@ SPECS: list[QuerySpec] = [
 # --------------------------------------------------------------------------
 # K-means refinement (Lloyd iterations) — the "centroids refreshed
 # offline" step the IVF quantizer docstring assumes.  Each iteration is
-# two bounded shuffles: assignment is the SAME broadcast-codebook +
-# max_by map-side argmax as IVF cell assignment (the vectors×k cross
-# join collapses to one row per vector before any exchange), and the
-# centroid update is an element-wise mean — posexplode to (cluster,
+# ONE bounded shuffle: assignment is the same in-row argmax over the
+# broadcast codebook array as IVF cell assignment (zero exchanges), and
+# the centroid update is an element-wise mean — posexplode to (cluster,
 # dim_pos, value), partial-aggregated average per (cluster, pos), then
 # re-assembled into an array.  Centroids stay k×d rows (broadcast
 # scale) at ANY corpus size; the corpus is never shuffled, only scanned
@@ -437,15 +436,30 @@ KMEANS_ITERATIONS = 2
 
 def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """argmax-cosine cluster per vector; ties to the smallest cluster id
-    (identical tie-break to the IVF quantizer and the oracle)."""
-    scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
-        "c_cos", cosine_similarity("embedding", "c_emb")
+    (identical tie-break to the IVF quantizer and the oracle).  Map-only:
+    the k×d centroid frame folds into one cid-ordered array row and the
+    argmax is an in-row HOF — no per-vector shuffle."""
+    cb = centroids.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("cluster_id").alias("cid"),
+                    F.col("c_emb").alias("cent_emb"),
+                )
+            )
+        ).alias("cbook")
     )
-    return scored.groupBy("vec_id").agg(
-        F.first("embedding").alias("embedding"),
-        F.max_by(
-            "cluster_id", F.struct("c_cos", (-F.col("cluster_id")).alias("t"))
-        ).alias("cluster_id"),
+    cos = cosine_similarity_sql("embedding", "c.cent_emb")
+    return (
+        emb.crossJoin(F.broadcast(cb))
+        .withColumn(
+            "cluster_id",
+            F.expr(
+                f"array_min(transform(cbook, c -> "
+                f"struct(-({cos}) AS negcos, c.cid AS cid))).cid"
+            ),
+        )
+        .select("vec_id", "embedding", "cluster_id")
     )
 
 
