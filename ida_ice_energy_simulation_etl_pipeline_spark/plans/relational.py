@@ -1184,6 +1184,53 @@ FROM per_col, unnest(range(0, {HISTOGRAM_BUCKETS + 1})) u(i)
 
 
 # --------------------------------------------------------------------------
+# Most-common values — the third ANALYZE statistic (profile → ndv/bounds,
+# histograms → quantiles, MCV list → the hot values a selectivity
+# estimator treats specially).  Rides the same melt + (column, value)
+# count as table_profile's level 1; the per-column top-k is a window over
+# value-grain rows (bounded by distinct values, not table rows).
+MCV_K = 3
+
+
+def column_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.select(
+        F.posexplode(
+            F.array(*[F.col(c).cast("double") for c in PROFILE_COLUMNS])
+        ).alias("col_idx", "value")
+    ).filter(F.col("value").isNotNull())
+    counts = melted.groupBy("col_idx", "value").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("col_idx").orderBy(F.col("n").desc(), F.col("value"))
+    name = F.array(*[F.lit(c) for c in PROFILE_COLUMNS])[F.col("col_idx")]
+    return (
+        counts.withColumn("value_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("value_rank") <= MCV_K)
+        .select(name.alias("column_name"), "value_rank", "value", "n")
+    )
+
+
+def _column_top_values_sql() -> str:
+    branches = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, CAST({c} AS DOUBLE) AS value, count(*) AS n "
+        f"FROM lineitem WHERE {c} IS NOT NULL GROUP BY 2"
+        for c in PROFILE_COLUMNS
+    )
+    return f"""
+WITH counts AS ({branches}),
+ranked AS (
+  SELECT column_name, value, n,
+         CAST(row_number() OVER (PARTITION BY column_name
+                                 ORDER BY n DESC, value) AS BIGINT) AS value_rank
+  FROM counts
+)
+SELECT column_name, value_rank, value, n
+FROM ranked WHERE value_rank <= {MCV_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # Year-over-year reconciliation — the one join flavor the registry lacked:
 # FULL OUTER, whose whole point is surfacing keys present on only one
 # side (churned vs newly-active customers).  Both inputs are
@@ -1244,6 +1291,12 @@ EXTRA_SPECS: list[QuerySpec] = [
         column_histograms,
         _column_histograms_sql(),
         "ext:stats,histogram",
+    ),
+    QuerySpec(
+        "column_top_values",
+        column_top_values,
+        _column_top_values_sql(),
+        "ext:stats,mcv",
     ),
     QuerySpec("surrogate_keys", surrogate_keys, SURROGATE_KEYS_SQL, "D4,O1"),
     QuerySpec("event_type_stats", event_type_stats, EVENT_TYPE_STATS_SQL, "A3"),
