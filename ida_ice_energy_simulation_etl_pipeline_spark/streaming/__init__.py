@@ -8,7 +8,7 @@ streaming dedup keyed on event identity.
 
 from .hourly import dedup_stream, hourly_rollup_stream, read_event_stream
 from .funnel import funnel_stream
-from .joins import interval_join_stream
+from .joins import enriched_rollup_stream, interval_join_stream
 from .sessions import sessionize_stream
 from .sink import (
     stream_to_parquet,
@@ -23,6 +23,7 @@ __all__ = [
     "dedup_stream",
     "sessionize_stream",
     "funnel_stream",
+    "enriched_rollup_stream",
     "interval_join_stream",
     "stream_to_parquet",
     "stream_to_parquet_batches",

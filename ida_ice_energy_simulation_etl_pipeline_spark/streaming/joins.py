@@ -51,3 +51,40 @@ def interval_join_stream(
         & (F.col("c_ts") > F.col("e_ts"))
         & (F.col("c_ts") <= F.col("e_ts") + F.expr(f"INTERVAL {window}")),
     ).select("err_id", "user_id", "e_ts", "c_ts", "c_value")
+
+
+def enriched_rollup_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    *,
+    on: str = "user_id",
+    group_col: str = "segment",
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup.
+
+    The standard serving-layer shape: a watermarked event stream joins a
+    STATIC dimension (no watermark needed — static sides hold no state;
+    Spark plans a broadcast/hash join against the batch relation and
+    re-resolves it per micro-batch, so a dim refresh is picked up on the
+    next trigger) and rolls up per (dim attribute, event-time window).
+    State is bounded by the watermark exactly as in the plain windowed
+    rollup; the join itself adds none.  At 100 TB the dim side follows
+    the same broadcast rules as batch: ≤ threshold broadcasts, larger
+    dims shuffle the micro-batch (never the stream history).
+    """
+    enriched = events.withWatermark("ts", watermark).join(
+        F.broadcast(dim.select(on, group_col)), on
+    )
+    return enriched.groupBy(
+        F.window("ts", window).alias("win"), F.col(group_col)
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ).select(
+        F.col("win.start").alias("window_start"),
+        group_col,
+        "n_events",
+        "sum_value",
+    )

@@ -670,3 +670,52 @@ def test_funnel_stream_state_survives_checkpointed_restart(spark, tmp_path):
     ]
     assert len(rows) == 1  # recovered state finalized exactly once
     assert rows[0]["step"] == 2 and rows[0]["t_click"].minute == 30
+
+
+def test_enriched_rollup_stream_matches_batch(spark, tmp_path):
+    """Stream-static enrichment join + windowed rollup equals the batch
+    join+groupBy over the same rows — the serving-layer dim-enrichment
+    shape (static side holds no stream state)."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming import (
+        enriched_rollup_stream,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming.hourly import (
+        EVENT_SCHEMA,
+        run_to_memory,
+    )
+
+    rows = [
+        *(_event(i, 5 * i, "click", 2.0) for i in range(12)),
+        *(_event(100 + i, 60 + 5 * i, "view", 1.0) for i in range(6)),
+    ]
+    (tmp_path / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+    dim = spark.createDataFrame(
+        [(u, "gold" if u % 2 == 0 else "basic") for u in range(7)],
+        ["user_id", "segment"],
+    )
+    stream = read_event_stream(spark, str(tmp_path))
+    run_to_memory(
+        enriched_rollup_stream(stream, dim), "enr_t", output_mode="complete"
+    )
+    got = sorted(
+        (r.window_start.hour, r.segment, r.n_events, r.sum_value)
+        for r in spark.table("enr_t").collect()
+    )
+    batch = spark.read.schema(EVENT_SCHEMA).json(str(tmp_path))
+    expect = sorted(
+        (r.window_start.hour, r.segment, r.n_events, r.sum_value)
+        for r in batch.join(dim, "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "sum_value",
+        )
+        .collect()
+    )
+    assert got == expect and len(got) >= 4
