@@ -26,6 +26,7 @@ LANDED parquet (columnar, pruned) rather than re-running lineage.
 from __future__ import annotations
 
 import argparse
+import math
 import json
 import shutil
 from dataclasses import dataclass
@@ -59,6 +60,9 @@ class CorpusConfig:
     passage_dedup: bool = False
     # drop docs whose self-trained bigram perplexity exceeds this
     max_ppl: float | None = None
+    # drop docs whose logistic quality-classifier score is below this
+    # probability (operators/text.py::quality_logit; map-only predicate)
+    min_quality: float | None = None
     # "label_prop" (diameter rounds — near-dup clusters are small/dense) or
     # "star" (large-star/small-star, O(log n) rounds at any diameter)
     cc_algorithm: str = "label_prop"
@@ -165,6 +169,10 @@ def run_corpus_pipeline(
         raise ValueError(f"chunk_tokens must be >= 1, got {cfg.chunk_tokens}")
     if cfg.pack_budget is not None and cfg.pack_budget < 1:
         raise ValueError(f"pack_budget must be >= 1, got {cfg.pack_budget}")
+    if cfg.min_quality is not None and not (0.0 < cfg.min_quality < 1.0):
+        raise ValueError(
+            f"min_quality must be in (0, 1), got {cfg.min_quality}"
+        )
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
 
@@ -209,6 +217,14 @@ def run_corpus_pipeline(
             .filter(F.col("ppl").isNull() | (F.col("ppl") <= cfg.max_ppl))
             .drop("ppl")
         )
+    if cfg.min_quality is not None:
+        # model-based keep/drop (operators/text.py::quality_logit): the
+        # threshold is applied to the raw logit — sigmoid is monotonic,
+        # so no exp() runs in the hot predicate
+        from ..operators.text import quality_logit
+
+        thr = math.log(cfg.min_quality / (1.0 - cfg.min_quality))
+        kept = kept.filter(quality_logit(F.col("text")) >= thr)
     if cfg.scrub:
         kept = (
             scrub_pii(kept)
@@ -338,6 +354,7 @@ def run_corpus_pipeline(
             "near_dedup": cfg.near_dedup,
             "passage_dedup": cfg.passage_dedup,
             "max_ppl": cfg.max_ppl,
+            "min_quality": cfg.min_quality,
             "scrub": cfg.scrub,
             "embed": cfg.embed,
             "chunk_tokens": cfg.chunk_tokens,
@@ -388,6 +405,13 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="drop docs whose self-trained bigram perplexity exceeds this",
     )
+    ap.add_argument(
+        "--min-quality",
+        type=float,
+        default=None,
+        help="drop docs whose quality-classifier score falls below this "
+        "probability in (0, 1)",
+    )
     ap.add_argument("--no-scrub", action="store_true")
     ap.add_argument(
         "--embed",
@@ -416,6 +440,7 @@ def main(argv: list[str] | None = None) -> int:
         cc_algorithm=args.cc_algorithm,
         passage_dedup=args.passage_dedup,
         max_ppl=args.max_ppl,
+        min_quality=args.min_quality,
         scrub=not args.no_scrub,
         chunk_tokens=args.chunk_tokens,
         embed=args.embed,

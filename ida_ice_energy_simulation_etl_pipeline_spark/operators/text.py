@@ -1453,32 +1453,34 @@ QC_W_TTR = 1.1
 QC_W_PUNCT = -3.0
 
 
-def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
-    toks = F.col("toks")
+def quality_logit(text: Column) -> Column:
+    """The classifier's raw logit z as a single in-row expression — the
+    reusable form for filter predicates (sigmoid is monotonic, so
+    ``score >= p`` ⟺ ``z >= log(p/(1-p))`` with no exp() at the
+    comparison boundary)."""
+    toks = word_tokens(text)
     n_tokens = F.size(toks)
-    feats = docs.select(
-        "doc_id", "source", "text", word_tokens(F.col("text")).alias("toks")
-    ).select(
-        "doc_id",
-        "source",
-        F.log(n_tokens.cast("double")).alias("f_log_tokens"),
-        (
+    return (
+        F.lit(QC_BIAS)
+        + F.lit(QC_W_LOG_TOKENS) * F.log(n_tokens.cast("double"))
+        + F.lit(QC_W_STOPWORD)
+        * (
             F.size(F.filter(toks, lambda t: t.isin("the", "a"))).cast("double")
             / n_tokens
-        ).alias("f_stopword"),
-        (F.size(F.array_distinct(toks)).cast("double") / n_tokens).alias("f_ttr"),
-        punct_ratio(F.col("text")).alias("f_punct"),
+        )
+        + F.lit(QC_W_TTR)
+        * (F.size(F.array_distinct(toks)).cast("double") / n_tokens)
+        + F.lit(QC_W_PUNCT) * punct_ratio(text)
     )
-    z = (
-        F.lit(QC_BIAS)
-        + F.lit(QC_W_LOG_TOKENS) * F.col("f_log_tokens")
-        + F.lit(QC_W_STOPWORD) * F.col("f_stopword")
-        + F.lit(QC_W_TTR) * F.col("f_ttr")
-        + F.lit(QC_W_PUNCT) * F.col("f_punct")
-    )
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    z = F.col("z")
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    return feats.select(
+    return docs.select(
+        "doc_id", "source", quality_logit(F.col("text")).alias("z")
+    ).select(
         "doc_id",
         "source",
         F.round(score, 4).alias("quality_score"),

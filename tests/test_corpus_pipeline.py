@@ -351,3 +351,51 @@ def test_corpus_chunk_mode_builds_rag_chunks(spark, tmp_path):
     assert manifest["stages"]["n_written"] == 16
     assert manifest["gate"]["counts_monotonic"] is True
     assert manifest["gate"]["no_duplicate_hashes"] is True
+
+
+def test_corpus_pipeline_min_quality_gate_drops_low_score_docs(
+    spark, tmp_path
+):
+    """A min_quality threshold keeps fluent docs and drops a stopword-free
+    punctuation-heavy doc whose classifier score sits below it; the
+    threshold is validated up front."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        quality_logit,
+    )
+
+    junk = "!!! ??? ;;; ... zzz qqq xxx !!! ??? ;;; ... zzz qqq xxx !!! ???"
+    rows = [
+        (0, BASE, "src0"),
+        (1, OTHER, "src1"),
+        (2, junk, "src2"),
+    ]
+    path = tmp_path / "docs.parquet"
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    df.write.parquet(str(path))
+    # pick a threshold strictly between the junk doc's score and the
+    # fluent docs' scores so the test pins ordering, not magic numbers
+    z = {
+        r["doc_id"]: r["z"]
+        for r in df.select("doc_id", quality_logit(F.col("text")).alias("z")).collect()
+    }
+    sig = lambda v: 1.0 / (1.0 + math.exp(-v))
+    assert sig(z[2]) < min(sig(z[0]), sig(z[1]))
+    thr = (sig(z[2]) + min(sig(z[0]), sig(z[1]))) / 2
+    manifest = run_corpus_pipeline(
+        spark,
+        path,
+        tmp_path / "out",
+        CorpusConfig(
+            langs=("en", "xx"), near_dedup=False, min_quality=thr, scrub=False
+        ),
+    )
+    assert manifest["stages"]["n_docs_written"] == 2
+    assert manifest["config"]["min_quality"] == thr
+    with pytest.raises(ValueError):
+        run_corpus_pipeline(
+            spark, path, tmp_path / "out2", CorpusConfig(min_quality=1.5)
+        )
