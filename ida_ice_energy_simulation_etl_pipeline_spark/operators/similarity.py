@@ -277,6 +277,50 @@ def lsh_topk(
     ).select("query_id", "nn_rank", F.col("vec_id").alias("neighbor_id"), "cos")
 
 
+def similarity_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered Hamming-1 multiprobe LSH ANN (lsh_topk with the recall
+    dial ON) — the probing path the bucket-census query only implies."""
+    emb = ensure_parallelism(spark, load_table(spark, sf_dir, "embeddings"))
+    out = lsh_topk(emb, list(range(N_QUERIES)), multiprobe=True)
+    return out.select(
+        "query_id", "nn_rank", "neighbor_id", F.round("cos", 4).alias("cos_sim")
+    )
+
+
+def _lsh_probe_oracle_sql() -> str:
+    n = N_HYPERPLANES
+    return f"""
+WITH sig AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                    {lsh_bucket_sql_expr(EMB_DIM)} AS bucket
+             FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket
+      FROM sig WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT query_id, q_emb, q_bucket AS p FROM q
+  UNION ALL
+  SELECT query_id, q_emb,
+         substr(q_bucket, 1, i)
+         || (CASE WHEN substr(q_bucket, i + 1, 1) = '1' THEN '0' ELSE '1' END)
+         || substr(q_bucket, i + 2, {n} - i - 1) AS p
+  FROM q, unnest(range(0, {n})) u(i)
+),
+scored AS (
+  SELECT query_id, s.vec_id AS neighbor_id,
+         list_cosine_similarity(p.q_emb, s.emb) AS cos
+  FROM probes p JOIN sig s ON s.bucket = p.p
+  WHERE p.query_id <> s.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS BIGINT) AS nn_rank
+  FROM scored
+)
+SELECT query_id, nn_rank, neighbor_id, round(cos, 4) AS cos_sim
+FROM ranked WHERE nn_rank <= {TOP_K}
+"""
+
+
 # --------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the second scale path beside hyperplane LSH.
 #
@@ -792,4 +836,10 @@ EXTRA_SPECS: list[QuerySpec] = [
         "kmeans_census", kmeans_census, _kmeans_census_sql(), "ext:ann,kmeans"
     ),
     QuerySpec("similarity_pq", similarity_pq, _pq_sql(), "ext:ann,pq"),
+    QuerySpec(
+        "similarity_lsh_probe",
+        similarity_lsh_probe,
+        _lsh_probe_oracle_sql(),
+        "ext:ann,multiprobe",
+    ),
 ]
