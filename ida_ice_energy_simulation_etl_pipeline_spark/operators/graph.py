@@ -317,6 +317,100 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Quality-aware survivor policy — production dedup keeps the BEST cluster
+# member, not the arbitrarily-first one: among near-dup cluster members
+# the doc with the highest classifier logit survives (ties → smallest
+# doc_id).  The ranking adds one cluster-grain max_by aggregate on top of
+# the CC labels; the logit itself is in-row (quality_logit), so the only
+# new shuffle is component-keyed and cluster-sized.  Output is an
+# all-integer per-source census — the cross-engine argmax is safe because
+# distinct texts differ in logit by far more than cross-engine ulp noise,
+# and identical texts tie-break on doc_id identically in both engines.
+def dedup_survivors_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_logit
+    from .dedup import lsh_candidate_pairs
+
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    pairs = lsh_candidate_pairs(docs)
+    comp = connected_components(
+        docs.select(F.col("doc_id").alias("vertex_id")),
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+    )
+    scored = docs.select(
+        "doc_id", "source", quality_logit(F.col("text")).alias("z")
+    ).join(comp, F.col("doc_id") == F.col("vertex_id"))
+    best = scored.groupBy("component").agg(
+        F.expr("max_by(doc_id, struct(z, -doc_id))").alias("keep_id")
+    )
+    kept = F.when(F.col("doc_id") == F.col("keep_id"), 1).otherwise(0)
+    return (
+        scored.join(best, "component")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum(kept)).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+def _dedup_survivors_ranked_sql() -> str:
+    from ..operators.text import (
+        QC_BIAS,
+        QC_W_LOG_TOKENS,
+        QC_W_PUNCT,
+        QC_W_STOPWORD,
+        QC_W_TTR,
+    )
+    from .dedup import DEDUP_MINHASH_LSH_SQL
+
+    return f"""
+WITH RECURSIVE
+pairs AS ({DEDUP_MINHASH_LSH_SQL}),
+undirected AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM undirected
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN undirected e ON r.dst = e.src
+),
+comp AS (
+  SELECT d.doc_id, d.source,
+         least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS component
+  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+  GROUP BY d.doc_id, d.source
+),
+z AS (
+  SELECT doc_id,
+         {QC_BIAS} + {QC_W_LOG_TOKENS} * ln(CAST(len(string_split(text, ' ')) AS DOUBLE))
+         + {QC_W_STOPWORD} * (CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+                  / len(string_split(text, ' ')))
+         + {QC_W_TTR} * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' ')))
+         + {QC_W_PUNCT} * (CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                   / length(text)) AS z
+  FROM documents
+),
+ranked AS (
+  SELECT c.source, c.doc_id,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY z.z DESC, c.doc_id) AS rk
+  FROM comp c JOIN z ON c.doc_id = z.doc_id
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(count(*) - sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped
+FROM ranked
+GROUP BY source
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "dedup_clusters", dedup_clusters, _dedup_clusters_sql(), "ext:dedup,graph"
@@ -335,5 +429,11 @@ EXTRA_SPECS: list[QuerySpec] = [
         dedup_clusters_star,
         _dedup_clusters_sql(),
         "ext:dedup,graph,star",
+    ),
+    QuerySpec(
+        "dedup_survivors_ranked",
+        dedup_survivors_ranked,
+        _dedup_survivors_ranked_sql(),
+        "ext:dedup,graph,quality",
     ),
 ]
