@@ -224,7 +224,11 @@ def run_corpus_pipeline(
         from ..operators.text import quality_logit
 
         thr = math.log(cfg.min_quality / (1.0 - cfg.min_quality))
-        kept = kept.filter(quality_logit(F.col("text")) >= thr)
+        # NULL logit (degenerate text: zero length) passes through, the
+        # same convention as the ppl gate above — the length/lang gates
+        # own degenerate docs, the classifier only ranks scoreable ones
+        z = quality_logit(F.col("text"))
+        kept = kept.filter(z.isNull() | (z >= thr))
     if cfg.scrub:
         kept = (
             scrub_pii(kept)

@@ -356,13 +356,7 @@ def dedup_survivors_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_survivors_ranked_sql() -> str:
-    from ..operators.text import (
-        QC_BIAS,
-        QC_W_LOG_TOKENS,
-        QC_W_PUNCT,
-        QC_W_STOPWORD,
-        QC_W_TTR,
-    )
+    from ..operators.text import quality_z_sql
     from .dedup import DEDUP_MINHASH_LSH_SQL
 
     return f"""
@@ -385,14 +379,7 @@ comp AS (
   GROUP BY d.doc_id, d.source
 ),
 z AS (
-  SELECT doc_id,
-         {QC_BIAS} + {QC_W_LOG_TOKENS} * ln(CAST(len(string_split(text, ' ')) AS DOUBLE))
-         + {QC_W_STOPWORD} * (CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
-                  / len(string_split(text, ' ')))
-         + {QC_W_TTR} * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                  / len(string_split(text, ' ')))
-         + {QC_W_PUNCT} * (CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
-                   / length(text)) AS z
+  SELECT doc_id, {quality_z_sql("text")} AS z
   FROM documents
 ),
 ranked AS (

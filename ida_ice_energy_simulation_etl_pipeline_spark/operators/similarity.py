@@ -365,18 +365,16 @@ def ivf_topk(
     if codebook is None:
         cb = _codebook(emb, n_centroids)
     else:
-        cb = codebook.select(
-            F.col("cluster_id").alias("cid"), F.col("c_emb").alias("cent_emb")
-        ).agg(
-            F.sort_array(F.collect_list(F.struct("cid", "cent_emb"))).alias(
-                "cbook"
+        cb = _fold_codebook(
+            codebook.select(
+                F.col("cluster_id").alias("cid"),
+                F.col("c_emb").alias("cent_emb"),
             )
         )
-    cos = cosine_similarity_sql("embedding", "c.cent_emb")
-    ranked = f"array_sort(transform(cbook, c -> struct(-({cos}) AS negcos, c.cid AS cid)))"
+    key = _cos_key_sql("embedding")
     assigned = (
         emb.crossJoin(F.broadcast(cb))
-        .withColumn("centroid_id", F.expr(f"element_at({ranked}, 1).cid"))
+        .withColumn("centroid_id", F.expr(f"array_min({key}).cid"))
         .drop("cbook")
     )
     probe_cells = (
@@ -386,7 +384,10 @@ def ivf_topk(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
             F.explode(
-                F.expr(f"transform(slice({ranked}, 1, {int(nprobe)}), s -> s.cid)")
+                F.expr(
+                    f"transform(slice(array_sort({key}), 1, {int(nprobe)}),"
+                    f" s -> s.cid)"
+                )
             ).alias("q_cell"),
         )
     )
@@ -483,25 +484,16 @@ def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     (identical tie-break to the IVF quantizer and the oracle).  Map-only:
     the k×d centroid frame folds into one cid-ordered array row and the
     argmax is an in-row HOF — no per-vector shuffle."""
-    cb = centroids.agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.col("cluster_id").alias("cid"),
-                    F.col("c_emb").alias("cent_emb"),
-                )
-            )
-        ).alias("cbook")
+    cb = _fold_codebook(
+        centroids.select(
+            F.col("cluster_id").alias("cid"), F.col("c_emb").alias("cent_emb")
+        )
     )
-    cos = cosine_similarity_sql("embedding", "c.cent_emb")
     return (
         emb.crossJoin(F.broadcast(cb))
         .withColumn(
             "cluster_id",
-            F.expr(
-                f"array_min(transform(cbook, c -> "
-                f"struct(-({cos}) AS negcos, c.cid AS cid))).cid"
-            ),
+            F.expr(f"array_min({_cos_key_sql('embedding')}).cid"),
         )
         .select("vec_id", "embedding", "cluster_id")
     )
@@ -640,26 +632,46 @@ def _sq_l2_sub_sql(a: str, b: str, sub: int, i: str = "i") -> str:
     )
 
 
-def _codebook(emb: DataFrame, k: int) -> DataFrame:
-    """The k-row deterministic codebook as ONE cid-ordered array row.
-
-    ``sort_array`` on (cid, cent_emb) structs orders by the distinct cid,
-    so ``cbook[cid + 1]`` is centroid cid — the whole model broadcasts as
-    a single literal-like row and every downstream PQ step is map-only.
-    """
-    return emb.filter(F.col("vec_id") < k).agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.col("vec_id").alias("cid"),
-                    F.col("embedding").alias("cent_emb"),
-                )
-            )
-        ).alias("cbook")
+def _fold_codebook(centroids: DataFrame) -> DataFrame:
+    """Collapse a (cid, cent_emb) frame to ONE cid-ordered ``cbook`` array
+    row — ``sort_array`` on (cid, cent_emb) structs orders by the
+    distinct cid, so ``cbook[cid + 1]`` is centroid cid and the whole
+    model broadcasts as a single literal-like row.  Shared by the PQ,
+    IVF, and k-means paths so the struct field names every downstream
+    ``c.cid`` / ``c.cent_emb`` fragment relies on exist in ONE place."""
+    return centroids.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cent_emb"))).alias("cbook")
     )
 
 
-def _pq_coded(emb: DataFrame, *, dim: int, m: int, k: int) -> DataFrame:
+def _codebook(emb: DataFrame, k: int) -> DataFrame:
+    """The k-row deterministic seed codebook (first k vectors by vec_id)
+    folded to one array row."""
+    return _fold_codebook(
+        emb.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_emb")
+        )
+    )
+
+
+def _cos_key_sql(vec_col: str) -> str:
+    """(negated-cosine, cid) struct array over the broadcast cbook — the
+    shared argmax key for IVF assignment, probe ranking, and k-means.
+    ``nanvl(cos, +inf)`` pins NaN cosine (zero-norm centroid) to rank
+    FIRST after negation, matching both the oracle's ORDER BY cos DESC
+    (NaN sorts greatest in DuckDB) and the pre-rewrite ``max_by``
+    formulation (NaN is greatest in Spark's ordering) — a bare ``-cos``
+    would flip NaN to last and silently diverge the assignment."""
+    cos = cosine_similarity_sql(vec_col, "c.cent_emb")
+    return (
+        f"transform(cbook, c -> struct("
+        f"-nanvl({cos}, CAST('Infinity' AS DOUBLE)) AS negcos, c.cid AS cid))"
+    )
+
+
+def _pq_coded(
+    emb: DataFrame, *, dim: int, m: int, k: int, cb: DataFrame | None = None
+) -> DataFrame:
     """emb + a ``codes`` array<bigint> column (one PQ code per subspace).
 
     Map-only: the codebook rides in as a broadcast 1-row cross join and
@@ -675,8 +687,10 @@ def _pq_coded(emb: DataFrame, *, dim: int, m: int, k: int) -> DataFrame:
         + _sq_l2_sub_sql("embedding", "c.cent_emb", sub)
         + " AS d, c.cid AS cid))).cid)"
     )
+    if cb is None:
+        cb = _codebook(emb, k)
     return (
-        emb.crossJoin(F.broadcast(_codebook(emb, k)))
+        emb.crossJoin(F.broadcast(cb))
         .withColumn("codes", F.expr(codes))
         .drop("cbook")
     )
@@ -719,7 +733,8 @@ def pq_topk(
     shuffles are the two tiny ``grouped_topk`` windows.
     """
     sub = dim // m
-    coded = _pq_coded(emb, dim=dim, m=m, k=n_codes)
+    cb = _codebook(emb, n_codes)
+    coded = _pq_coded(emb, dim=dim, m=m, k=n_codes, cb=cb)
     dts = (
         f"transform(sequence(0, {m - 1}), i -> "
         f"transform(cbook, c -> "
@@ -729,7 +744,7 @@ def pq_topk(
     qdist = (
         emb.filter(F.col("vec_id").isin(query_ids))
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
-        .crossJoin(F.broadcast(_codebook(emb, n_codes)))
+        .crossJoin(F.broadcast(cb))
         .select("query_id", F.expr(dts).alias("dts"))
     )
     # dt lookups fold left over subspaces — same accumulation order as the

@@ -23,8 +23,10 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..plans.core import QuerySpec, load_table
 
 DEFAULT_SALTS = 8
 _SALT = "__salt"
@@ -92,11 +94,6 @@ def salted_agg(
 # salt-invariant (sums/counts/min/max recombine exactly), so a plain
 # GROUP BY oracle hash-matches it: the determinism claim in the module
 # docstring gets a cross-engine proof, not just a local equivalence test.
-from pyspark.sql import SparkSession  # noqa: E402
-
-from ..plans.core import QuerySpec, load_table  # noqa: E402
-
-
 def skew_resilient_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = salted_agg(

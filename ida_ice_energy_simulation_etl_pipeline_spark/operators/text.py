@@ -1488,23 +1488,27 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_z_sql(text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`quality_logit` — the ONE definition of the
+    classifier's feature SQL, shared by every oracle that scores quality
+    (quality_classifier here, dedup_survivors_ranked in graph.py) so a
+    weight or feature retune can never silently diverge an oracle."""
+    t = text_expr
+    return (
+        f"{QC_BIAS} + {QC_W_LOG_TOKENS} * ln(CAST(len(string_split({t}, ' ')) AS DOUBLE))"
+        f" + {QC_W_STOPWORD} * (CAST(len(list_filter(string_split({t}, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)"
+        f" / len(string_split({t}, ' ')))"
+        f" + {QC_W_TTR} * (CAST(len(list_distinct(string_split({t}, ' '))) AS DOUBLE)"
+        f" / len(string_split({t}, ' ')))"
+        f" + {QC_W_PUNCT} * (CAST(length({t}) - length(regexp_replace({t}, '[.,;:!?]', '', 'g')) AS DOUBLE)"
+        f" / length({t}))"
+    )
+
+
 QUALITY_CLASSIFIER_SQL = f"""
-WITH feats AS (
-  SELECT doc_id, source,
-         ln(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS f_log_tokens,
-         CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
-             / len(string_split(text, ' ')) AS f_stopword,
-         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-             / len(string_split(text, ' ')) AS f_ttr,
-         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
-             / length(text) AS f_punct
+WITH z AS (
+  SELECT doc_id, source, {quality_z_sql("text")} AS z
   FROM documents
-),
-z AS (
-  SELECT doc_id, source,
-         {QC_BIAS} + {QC_W_LOG_TOKENS} * f_log_tokens + {QC_W_STOPWORD} * f_stopword
-         + {QC_W_TTR} * f_ttr + {QC_W_PUNCT} * f_punct AS z
-  FROM feats
 )
 SELECT doc_id, source,
        round(1.0 / (1.0 + exp(-z)), 4) AS quality_score,

@@ -25,7 +25,7 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1033,17 +1033,38 @@ SPECS: list[QuerySpec] = [
 PROFILE_COLUMNS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
-def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    melted = li.select(
+def _melted_profile(li: DataFrame) -> DataFrame:
+    """(col_idx, value) in-row melt of PROFILE_COLUMNS, NULLs kept —
+    shared entry point of the whole ANALYZE family (profile, histograms,
+    MCV) so the cast/explode recipe lives in one place."""
+    return li.select(
         F.posexplode(
             F.array(*[F.col(c).cast("double") for c in PROFILE_COLUMNS])
         ).alias("col_idx", "value")
     )
-    level1 = melted.groupBy("col_idx", "value").agg(
+
+
+def _profile_value_counts(li: DataFrame) -> DataFrame:
+    """Non-null (col_idx, value, cnt) grain — the level-1 aggregate the
+    histogram and MCV queries both ride (map-side combined)."""
+    return (
+        _melted_profile(li)
+        .filter(F.col("value").isNotNull())
+        .groupBy("col_idx", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _profile_col_name() -> Column:
+    return F.array(*[F.lit(c) for c in PROFILE_COLUMNS])[F.col("col_idx")]
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    level1 = _melted_profile(li).groupBy("col_idx", "value").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    name = F.array(*[F.lit(c) for c in PROFILE_COLUMNS])[F.col("col_idx")]
+    name = _profile_col_name()
     per_col = level1.groupBy("col_idx").agg(
         F.sum("cnt").alias("n_rows"),
         F.coalesce(
@@ -1109,12 +1130,7 @@ HISTOGRAM_BUCKETS = 8
 
 def column_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    melted = li.select(
-        F.posexplode(
-            F.array(*[F.col(c).cast("double") for c in PROFILE_COLUMNS])
-        ).alias("col_idx", "value")
-    ).filter(F.col("value").isNotNull())
-    lvl1 = melted.groupBy("col_idx", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    lvl1 = _profile_value_counts(li)
     w = Window.partitionBy("col_idx").orderBy("value")
     cum = lvl1.select(
         "col_idx",
@@ -1154,7 +1170,7 @@ def column_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("d").alias("d"),
         )
     )
-    name = F.array(*[F.lit(c) for c in PROFILE_COLUMNS])[F.col("col_idx")]
+    name = _profile_col_name()
     return agg.select(
         name.alias("column_name"),
         F.col("bound_idx").cast("long").alias("bound_idx"),
@@ -1194,16 +1210,9 @@ MCV_K = 3
 
 def column_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    melted = li.select(
-        F.posexplode(
-            F.array(*[F.col(c).cast("double") for c in PROFILE_COLUMNS])
-        ).alias("col_idx", "value")
-    ).filter(F.col("value").isNotNull())
-    counts = melted.groupBy("col_idx", "value").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    counts = _profile_value_counts(li).withColumnRenamed("cnt", "n")
     w = Window.partitionBy("col_idx").orderBy(F.col("n").desc(), F.col("value"))
-    name = F.array(*[F.lit(c) for c in PROFILE_COLUMNS])[F.col("col_idx")]
+    name = _profile_col_name()
     return (
         counts.withColumn("value_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("value_rank") <= MCV_K)

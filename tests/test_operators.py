@@ -1435,3 +1435,22 @@ def test_column_histograms_matches_numpy_linear_quantiles(spark, tmp_path):
         expect = np.quantile(np.array(planted[c]), fracs, method="linear")
         for i, e in enumerate(expect):
             assert out[(c, i)] == round(float(e), 4), (c, i, out[(c, i)], e)
+
+
+def test_assignment_nan_cosine_ranks_first(spark):
+    """A zero-norm centroid yields NaN cosine; the in-row argmax must
+    treat NaN as the GREATEST similarity (DuckDB ORDER BY cos DESC and
+    Spark max_by both sort NaN greatest) — a bare negation would flip it
+    to worst and silently diverge assignments from the oracles."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.similarity import (
+        _assign,
+    )
+
+    emb = spark.createDataFrame(
+        [(10, [1.0, 2.0]), (11, [3.0, -1.0])], ["vec_id", "embedding"]
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])], ["cluster_id", "c_emb"]
+    )
+    got = {r["vec_id"]: r["cluster_id"] for r in _assign(emb, cents).collect()}
+    assert got == {10: 0, 11: 0}, got
