@@ -766,6 +766,70 @@ GROUP BY source
 
 
 # --------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-ES): each
+# row draws a deterministic pseudo-uniform u from its content hash and
+# ranks by log(u)/w — the top-k per stratum is then an exact weighted
+# sample without replacement, here with w = n_chars so longer documents
+# are proportionally favored (the "sample by token budget" step of a
+# data-mixture build).  rand() would make the sample irreproducible;
+# the hash-u makes it a pure function of the data, so the DuckDB oracle
+# re-derives the identical sample.  Map-only scoring + one per-stratum
+# top-k window (grouped-topk two-phase applies at corpus scale).
+WEIGHTED_SAMPLE_K = 5
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    # u in (0, 1]: 24-bit md5 fraction, +1 so log(u) is never -inf for u=0
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("ws"), F.col("doc_id").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / 16777216.0
+    key = F.log(u) / F.col("n_chars").cast("double")
+    w = Window.partitionBy("source").orderBy(F.col("key").desc(), F.col("doc_id"))
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .withColumn("key", key)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= WEIGHTED_SAMPLE_K)
+        .select("source", "sample_rank", "doc_id", "n_chars")
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH k AS (
+  SELECT source, doc_id, n_chars,
+         ln((CAST(('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 1.0)
+            / 16777216.0) / CAST(n_chars AS DOUBLE) AS key
+  FROM documents
+  WHERE n_chars > 0
+),
+r AS (
+  SELECT source, doc_id, n_chars,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY key DESC, doc_id) AS BIGINT) AS sample_rank
+  FROM k
+)
+SELECT source, sample_rank, doc_id, n_chars
+FROM r WHERE sample_rank <= {WEIGHTED_SAMPLE_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # Text cleaning: the normalize pass every web-scrape pipeline runs before
 # dedup/tokenization — lowercase, strip non-text characters, collapse
 # whitespace runs.  Pure regexp_replace composition (whole-stage codegen,
@@ -1562,6 +1626,12 @@ EXTRA_SPECS: list[QuerySpec] = [
         stratified_sample,
         STRATIFIED_SAMPLE_SQL,
         "ext:sampling",
+    ),
+    QuerySpec(
+        "weighted_sample",
+        weighted_sample,
+        WEIGHTED_SAMPLE_SQL,
+        "ext:sampling,weighted",
     ),
     QuerySpec("doc_fingerprint", doc_fingerprint, DOC_FINGERPRINT_SQL, "ext:text"),
     QuerySpec("text_clean", text_clean, TEXT_CLEAN_SQL, "ext:text,cleaning"),
