@@ -385,6 +385,91 @@ GROUP BY t.source
 
 
 # --------------------------------------------------------------------------
+# Contamination by OVERLAP FRACTION — the stricter per-doc criterion
+# (any-hit flags a doc for one shared idiom; real decontamination flags
+# docs whose distinct-n-gram overlap with the eval set exceeds a
+# fraction).  Same broadcast-semi shape as contamination_check — the
+# eval gram set rides one broadcast, the train stream pays one exploded
+# pass — with the per-doc aggregate counting DISTINCT grams so repeated
+# idioms inside one doc don't inflate the ratio.
+CONTAMINATION_OVERLAP_FLAG = 0.5
+
+
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    grams = F.explode(
+        word_shingles(word_tokens(F.col("text")), CONTAMINATION_NGRAM)
+    ).alias("gram")
+    eval_grams = (
+        docs.filter(F.col("source") == "src0")
+        .select(grams)
+        .select(F.xxhash64("gram").alias("gram_h"))
+        .groupBy("gram_h")
+        .agg(F.count(F.lit(1)).alias("eval_df"))
+        .filter(F.col("eval_df") <= CONTAMINATION_EVAL_DF_CAP)
+        .select("gram_h", F.lit(1).alias("hit"))
+    )
+    train = (
+        docs.filter(F.col("source") != "src0")
+        .select("doc_id", "source", grams)
+        .select("doc_id", "source", F.xxhash64("gram").alias("gram_h"))
+    )
+    per_doc = (
+        train.join(F.broadcast(eval_grams), "gram_h", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.countDistinct("gram_h").alias("n_grams"),
+            F.countDistinct(F.when(F.col("hit") == 1, F.col("gram_h"))).alias(
+                "n_shared"
+            ),
+        )
+        .withColumn(
+            "overlap", F.col("n_shared") / F.col("n_grams").cast("double")
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("overlap"), 4).alias("avg_overlap"),
+        F.round(F.max("overlap"), 4).alias("max_overlap"),
+        F.sum(
+            (F.col("overlap") >= CONTAMINATION_OVERLAP_FLAG).cast("int")
+        )
+        .cast("long")
+        .alias("n_flagged"),
+    )
+
+
+CONTAMINATION_OVERLAP_SQL = f"""
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, greatest(len(w) - {CONTAMINATION_NGRAM - 2}, 1)),
+                               i -> array_to_string(w[i:i+{CONTAMINATION_NGRAM - 1}], ' '))) AS gram
+  FROM toks
+),
+eval_grams AS (SELECT gram FROM grams WHERE source = 'src0'
+               GROUP BY gram HAVING count(*) <= {CONTAMINATION_EVAL_DF_CAP}),
+per_doc AS (
+  SELECT g.doc_id, g.source,
+         count(DISTINCT g.gram) AS n_grams,
+         count(DISTINCT CASE WHEN e.gram IS NOT NULL THEN g.gram END) AS n_shared
+  FROM grams g LEFT JOIN eval_grams e ON g.gram = e.gram
+  WHERE g.source <> 'src0'
+  GROUP BY g.doc_id, g.source
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(CAST(n_shared AS DOUBLE) / n_grams), 4) AS avg_overlap,
+       round(max(CAST(n_shared AS DOUBLE) / n_grams), 4) AS max_overlap,
+       CAST(sum(CASE WHEN CAST(n_shared AS DOUBLE) / n_grams
+                          >= {CONTAMINATION_OVERLAP_FLAG} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flagged
+FROM per_doc
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # Deterministic train/val/test split: assignment is a pure function of the
 # doc's content hash, never of row order or partitioning — reproducible on
 # any cluster size, stable under re-ingestion, and exactly re-derivable by
@@ -1632,6 +1717,12 @@ EXTRA_SPECS: list[QuerySpec] = [
         weighted_sample,
         WEIGHTED_SAMPLE_SQL,
         "ext:sampling,weighted",
+    ),
+    QuerySpec(
+        "contamination_overlap",
+        contamination_overlap,
+        CONTAMINATION_OVERLAP_SQL,
+        "ext:contamination,overlap",
     ),
     QuerySpec("doc_fingerprint", doc_fingerprint, DOC_FINGERPRINT_SQL, "ext:text"),
     QuerySpec("text_clean", text_clean, TEXT_CLEAN_SQL, "ext:text,cleaning"),
