@@ -1,15 +1,22 @@
 """Similarity search over the ``embeddings`` table (``array<float>``).
 
-Two paths:
+Four paths, all built-in column math (`zip_with`/`aggregate` folds in
+DOUBLE precision — no Python round-trip):
 
 * **Brute-force cosine top-k** — correctness baseline.  Queries are tiny
-  (broadcast); candidates stream through a map-side cosine + per-query
-  top-k window.  All vector math is built-in (`zip_with`/`aggregate` in
-  DOUBLE precision) — no Python round-trip.
-* **Random-hyperplane LSH buckets** — the scale path: sign-bit sketches
-  put near vectors in the same bucket so a 100 TB ANN query only scans
-  colliding buckets.  Hyperplanes are derived deterministically from md5
-  so results are reproducible (and oracle-checkable).
+  (broadcast); candidates stream through a map-side cosine + the
+  two-phase per-query top-k window.
+* **Random-hyperplane LSH buckets** (+ Hamming-1 multiprobe) — sign-bit
+  sketches put near vectors in the same bucket so a 100 TB ANN query
+  only scans colliding buckets.  Hyperplanes derive deterministically
+  from md5 so results are reproducible (and oracle-checkable).
+* **IVF cells** (+ nprobe) — a broadcast array codebook assigns every
+  vector its cell in-row; probes scan ~nprobe/N of the corpus and
+  exact-rerank inside the cell.
+* **Product quantization** — codes replace vectors (~16× memory);
+  asymmetric-distance scoring needs only per-query distance tables and
+  M array lookups per candidate.  K-means refinement (Lloyd rounds)
+  trains codebooks for both quantizer paths.
 """
 
 from __future__ import annotations
