@@ -852,6 +852,71 @@ FROM ranked WHERE nn_rank <= {TOP_K}
 
 # Oracle-verified locally, outside the driver's 50-query window (the ANN
 # family already has three driver-facing entries over the same table).
+# --------------------------------------------------------------------------
+# ANN quality evaluation — recall@k of every approximate path against the
+# brute-force ground truth, as ONE query.  This is the acceptance harness
+# a real ANN deployment runs after (re)building an index; here it is
+# itself oracle-verified, so the recall numbers the engine reports are
+# cross-engine exact, not self-graded.  Each method's top-k is the same
+# plan the standalone queries use; the truth set joins each candidate set
+# on (query, neighbor) and the per-method rollup is integer counts plus
+# one exact ratio.
+def _pair_set(df: DataFrame, method: str) -> DataFrame:
+    return df.select(
+        F.lit(method).alias("method"), "query_id", "neighbor_id"
+    )
+
+
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ensure_parallelism(spark, load_table(spark, sf_dir, "embeddings"))
+    qids = list(range(N_QUERIES))
+    truth = similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    candidates = (
+        _pair_set(lsh_topk(emb, qids, multiprobe=True), "lsh_multiprobe")
+        .unionAll(_pair_set(ivf_topk(emb, qids), "ivf"))
+        .unionAll(_pair_set(pq_topk(emb, qids), "pq"))
+    )
+    denom = float(N_QUERIES * TOP_K)
+    return (
+        candidates.join(truth.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left")
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n_returned"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / F.lit(denom), 4
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def _ann_recall_sql() -> str:
+    denom = float(N_QUERIES * TOP_K)
+    return f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id FROM ({SIMILARITY_TOPK_SQL}) t
+),
+cand AS (
+  SELECT 'lsh_multiprobe' AS method, query_id, neighbor_id
+  FROM ({_lsh_probe_oracle_sql()}) l
+  UNION ALL
+  SELECT 'ivf' AS method, query_id, neighbor_id FROM ({SIMILARITY_IVF_SQL}) i
+  UNION ALL
+  SELECT 'pq' AS method, query_id, neighbor_id FROM ({_pq_sql()}) p
+)
+SELECT c.method,
+       count(*) AS n_returned,
+       CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits,
+       round(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / {denom}, 4)
+           AS recall_at_k
+FROM cand c
+LEFT JOIN truth t
+  ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+GROUP BY c.method
+"""
+
+
 EXTRA_SPECS: list[QuerySpec] = [
     QuerySpec("embedding_stats", embedding_stats, EMBEDDING_STATS_SQL, "ext:ann"),
     QuerySpec(
@@ -863,5 +928,11 @@ EXTRA_SPECS: list[QuerySpec] = [
         similarity_lsh_probe,
         _lsh_probe_oracle_sql(),
         "ext:ann,multiprobe",
+    ),
+    QuerySpec(
+        "ann_recall",
+        ann_recall,
+        _ann_recall_sql(),
+        "ext:ann,evaluation",
     ),
 ]
