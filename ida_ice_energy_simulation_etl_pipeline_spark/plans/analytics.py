@@ -519,7 +519,12 @@ FUNNEL_STEPS = ["view", "click", "purchase"]
 FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000  # next step must land within 24 h
 
 
-def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _funnel_steps(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The per-user step frames (v, c, p) shared by the global and
+    segmented funnel reports — first view, first in-window click after
+    it, first in-window purchase after that."""
     from .core import hash_parallelism
 
     ev = hash_parallelism(
@@ -550,6 +555,11 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("t3"))
     )
+    return v, c, p
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v, c, p = _funnel_steps(spark, sf_dir)
     base = v.agg(F.count(F.lit(1)).alias("n0"))
 
     def step_row(df: DataFrame, no: int, name: str) -> DataFrame:
@@ -571,6 +581,76 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(step_row(c, 2, "click"))
         .unionByName(step_row(p, 3, "purchase"))
     )
+
+
+# --------------------------------------------------------------------------
+# Segmented funnel — conversion rates per customer segment: the events
+# stream carries user ids that join the customer dim (broadcast), so the
+# BI follow-up question "which segment converts" is one extra broadcast
+# join + a segment-grain rollup over the same step frames.
+def segmented_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v, c, p = _funnel_steps(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    clicked = F.coalesce("clicked", F.lit(0))
+    purchased = F.coalesce("purchased", F.lit(0))
+    users = (
+        v.join(c.select("user_id", F.lit(1).alias("clicked")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("purchased")), "user_id", "left")
+        .join(F.broadcast(cust), "user_id")
+    )
+    return users.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_viewers"),
+        F.sum(clicked).cast("long").alias("n_clickers"),
+        F.sum(purchased).cast("long").alias("n_purchasers"),
+        F.round(
+            F.sum(clicked) / F.count(F.lit(1)).cast("double"), 4
+        ).alias("click_rate"),
+        F.round(
+            F.sum(purchased) / F.count(F.lit(1)).cast("double"), 4
+        ).alias("purchase_rate"),
+    )
+
+
+SEGMENTED_FUNNEL_SQL = f"""
+WITH v AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+    AND epoch_us(e.ts) <= v.t1 + {FUNNEL_WINDOW_US}
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+    AND epoch_us(e.ts) <= c.t2 + {FUNNEL_WINDOW_US}
+  GROUP BY e.user_id
+),
+users AS (
+  SELECT v.user_id,
+         CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END AS clicked,
+         CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS purchased,
+         cu.c_mktsegment
+  FROM v
+  LEFT JOIN c ON v.user_id = c.user_id
+  LEFT JOIN p ON v.user_id = p.user_id
+  JOIN customer cu ON v.user_id = cu.c_custkey
+)
+SELECT c_mktsegment,
+       count(*) AS n_viewers,
+       CAST(sum(clicked) AS BIGINT) AS n_clickers,
+       CAST(sum(purchased) AS BIGINT) AS n_purchasers,
+       round(sum(clicked) / CAST(count(*) AS DOUBLE), 4) AS click_rate,
+       round(sum(purchased) / CAST(count(*) AS DOUBLE), 4) AS purchase_rate
+FROM users
+GROUP BY c_mktsegment
+"""
 
 
 EVENT_FUNNEL_SQL = f"""
@@ -629,6 +709,12 @@ EXTRA_SPECS: list[QuerySpec] = [
     ),
     QuerySpec("customer_rollup", customer_rollup, CUSTOMER_ROLLUP_SQL, "ext:rollup"),
     QuerySpec("event_funnel", event_funnel, EVENT_FUNNEL_SQL, "ext:funnel,sequence"),
+    QuerySpec(
+        "segmented_funnel",
+        segmented_funnel,
+        SEGMENTED_FUNNEL_SQL,
+        "ext:funnel,segmentation",
+    ),
     QuerySpec(
         "rolling_anomaly",
         rolling_anomaly,
