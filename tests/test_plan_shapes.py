@@ -457,3 +457,31 @@ def test_quality_classifier_is_map_only(spark):
     exec_plan = _executed_plan(spark, "quality_classifier").split("== Initial Plan ==")[0]
     assert exec_plan.count("Exchange hashpartitioning") == 0
     assert "BatchEvalPython" not in exec_plan and "ArrowEvalPython" not in exec_plan
+
+
+def test_incremental_dedup_band_join_is_equi(spark):
+    """Batch-vs-index candidate generation must be an equi-join on the
+    band bucket — a nested-loop or cartesian pairing would be O(batch x
+    index) at scale."""
+    plan = _executed_plan(spark, "incremental_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_column_histograms_no_percentile_buffer(spark):
+    """The rank-bracket quantile must not regress to percentile()'s
+    buffer-everything aggregate (no partial aggregation) nor to the
+    Expand-based multi-distinct; the 36-row boundary-target frame must
+    broadcast to the cumulative-count stream."""
+    plan = _executed_plan(spark, "column_histograms")
+    assert "percentile" not in plan.lower()
+    assert "Expand" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_weighted_sample_single_window_exchange(spark):
+    """A-ES scoring is map-only; the only hash exchange is the per-source
+    top-k window (grouped-topk two-phase applies beyond fixture scale)."""
+    exec_plan = _executed_plan(spark, "weighted_sample").split("== Initial Plan ==")[0]
+    assert exec_plan.count("Exchange hashpartitioning") <= 1
+    assert "BatchEvalPython" not in exec_plan
