@@ -1454,3 +1454,29 @@ def test_assignment_nan_cosine_ranks_first(spark):
     )
     got = {r["vec_id"]: r["cluster_id"] for r in _assign(emb, cents).collect()}
     assert got == {10: 0, 11: 0}, got
+
+
+def test_weighted_sample_partitioning_invariant_and_weighted(
+    spark, sf_dir, tmp_path
+):
+    """A-ES keys are pure content-hash functions, so the sample must be
+    byte-identical on any input layout; and with w = n_chars the sampled
+    docs must skew LONGER than the corpus average (the weighting works)."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        weighted_sample,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans.core import load_table
+
+    base = sorted(map(tuple, weighted_sample(spark, sf_dir).collect()))
+    assert len(base) > 0
+    docs = load_table(spark, sf_dir, "documents")
+    for n_parts in (1, 7):
+        alt = tmp_path / f"p{n_parts}"
+        docs.repartition(n_parts).write.parquet(
+            str(alt / "documents.parquet")
+        )
+        got = sorted(map(tuple, weighted_sample(spark, str(alt)).collect()))
+        assert got == base, f"layout {n_parts} changed the sample"
+    sampled_avg = sum(r[3] for r in base) / len(base)
+    corpus_avg = docs.agg(F.avg("n_chars")).collect()[0][0]
+    assert sampled_avg > corpus_avg
