@@ -636,3 +636,25 @@ def test_compact_splits_oversized_partition_and_respects_sort(spark, tmp_path):
     files = [f for f in os.listdir(part) if f.endswith(".parquet")]
     assert len(files) >= 4, f"partition not split: {len(files)} file(s)"
     assert spark.read.parquet(str(path)).count() == 200_000
+
+
+def test_snapshot_diff_classifies_added_removed_changed(spark, tmp_path):
+    """CDC diff of two snapshots: keys only in new -> added, only in old
+    -> removed, both-with-different-payload -> changed, else unchanged."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.etl.load import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "s", "v"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 31.0), (4, "d", 40.0)], ["id", "s", "v"]
+    )
+    old.write.parquet(str(tmp_path / "old"))
+    new.write.parquet(str(tmp_path / "new"))
+    got = {
+        r["id"]: r["status"]
+        for r in snapshot_diff(
+            spark, tmp_path / "old", tmp_path / "new", ["id"]
+        ).collect()
+    }
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
