@@ -515,26 +515,40 @@ def snapshot_diff(
 
     Returns one row per key present in either snapshot, with ``status`` ∈
     {added, removed, changed, unchanged} — ``changed`` compares an md5
-    over ``compare_cols`` (default: all non-key columns of the NEW
-    snapshot, sorted for stability).  Shape: two column-pruned scans +
-    ONE key-aligned full outer join; the content hash collapses arbitrary
-    row width to 32 bytes before the exchange, so the shuffle moves keys
-    + hashes, never payloads — the diff of two 100 TB snapshots costs two
-    scans and one keyed shuffle.  (For partitioned tables, diff partition
-    by partition and skip partitions whose file listings are identical —
-    the vacuum/compact maintenance pattern above.)
+    over the row's JSON encoding (``to_json`` of a struct with
+    ``ignoreNullFields=false``): NULLs are encoded explicitly and
+    strings are quoted, so a NULL↔value swap between columns or a
+    separator character inside a value can never collide (both
+    ``concat_ws`` AND Spark's ``hash``/``xxhash64`` silently SKIP null
+    inputs and would miss such changes).  ``compare_cols`` defaults to
+    the non-key columns present in
+    BOTH snapshots (sorted) — columns added or dropped between versions
+    are excluded from the comparison (schema evolution must not crash
+    the diff; pass ``compare_cols`` explicitly to fail on asymmetry).
+    Shape: two column-pruned scans + ONE key-aligned full outer join;
+    the hash collapses arbitrary row width to 8 bytes before the
+    exchange, so the shuffle moves keys + hashes, never payloads — the
+    diff of two 100 TB snapshots costs two scans and one keyed shuffle.
+    (For partitioned tables, diff partition by partition and skip
+    partitions whose file listings are identical — the vacuum/compact
+    maintenance pattern above.)
     """
     key_cols = list(key_cols)
     old = spark.read.parquet(str(old_path))
     new = spark.read.parquet(str(new_path))
     if compare_cols is None:
-        compare_cols = sorted(c for c in new.columns if c not in key_cols)
+        compare_cols = sorted(
+            (set(new.columns) & set(old.columns)) - set(key_cols)
+        )
     compare_cols = list(compare_cols)
+    if not compare_cols:
+        raise ValueError("snapshot_diff: no shared non-key columns to compare")
 
     def hashed(df: DataFrame, out: str) -> DataFrame:
         h = F.md5(
-            F.concat_ws(
-                "\x1f", *[F.col(c).cast("string") for c in compare_cols]
+            F.to_json(
+                F.struct(*[F.col(c) for c in compare_cols]),
+                {"ignoreNullFields": "false"},
             ).cast("binary")
         )
         return df.select(*key_cols, h.alias(out))

@@ -409,22 +409,43 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("eval_df") <= CONTAMINATION_EVAL_DF_CAP)
         .select("gram_h", F.lit(1).alias("hit"))
     )
+    # explode_outer keeps gram-less (< n-token) docs in the report with
+    # overlap 0 — the same denominator convention as contamination_check.
+    grams_outer = F.explode_outer(
+        word_shingles(word_tokens(F.col("text")), CONTAMINATION_NGRAM)
+    ).alias("gram")
     train = (
         docs.filter(F.col("source") != "src0")
-        .select("doc_id", "source", grams)
-        .select("doc_id", "source", F.xxhash64("gram").alias("gram_h"))
+        .select("doc_id", "source", grams_outer)
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("gram").isNotNull(), F.xxhash64("gram")).alias("gram_h"),
+        )
+    )
+    # Distinct-gram counting WITHOUT countDistinct: two stacked aggregates
+    # (per-gram max(hit), then per-doc count/sum) — the multi-countDistinct
+    # form compiles to an Expand that doubles the exploded gram stream,
+    # exactly the shape contamination_check's comment engineers around.
+    per_gram = (
+        train.join(F.broadcast(eval_grams), "gram_h", "left")
+        .groupBy("doc_id", "source", "gram_h")
+        .agg(F.max(F.coalesce("hit", F.lit(0))).alias("hit"))
     )
     per_doc = (
-        train.join(F.broadcast(eval_grams), "gram_h", "left")
-        .groupBy("doc_id", "source")
+        per_gram.groupBy("doc_id", "source")
         .agg(
-            F.countDistinct("gram_h").alias("n_grams"),
-            F.countDistinct(F.when(F.col("hit") == 1, F.col("gram_h"))).alias(
-                "n_shared"
-            ),
+            F.count("gram_h").alias("n_grams"),
+            F.sum(
+                F.when(F.col("gram_h").isNotNull(), F.col("hit")).otherwise(0)
+            ).alias("n_shared"),
         )
         .withColumn(
-            "overlap", F.col("n_shared") / F.col("n_grams").cast("double")
+            "overlap",
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("n_shared") / F.col("n_grams").cast("double"),
+            ).otherwise(F.lit(0.0)),
         )
     )
     return per_doc.groupBy("source").agg(
@@ -449,20 +470,28 @@ grams AS (
 ),
 eval_grams AS (SELECT gram FROM grams WHERE source = 'src0'
                GROUP BY gram HAVING count(*) <= {CONTAMINATION_EVAL_DF_CAP}),
-per_doc AS (
-  SELECT g.doc_id, g.source,
+per_doc_grams AS (
+  SELECT g.doc_id,
          count(DISTINCT g.gram) AS n_grams,
          count(DISTINCT CASE WHEN e.gram IS NOT NULL THEN g.gram END) AS n_shared
   FROM grams g LEFT JOIN eval_grams e ON g.gram = e.gram
   WHERE g.source <> 'src0'
-  GROUP BY g.doc_id, g.source
+  GROUP BY g.doc_id
+),
+per_doc AS (
+  SELECT d.doc_id, d.source,
+         coalesce(p.n_grams, 0) AS n_grams,
+         coalesce(p.n_shared, 0) AS n_shared,
+         CASE WHEN coalesce(p.n_grams, 0) > 0
+              THEN CAST(p.n_shared AS DOUBLE) / p.n_grams ELSE 0.0 END AS overlap
+  FROM documents d LEFT JOIN per_doc_grams p ON d.doc_id = p.doc_id
+  WHERE d.source <> 'src0'
 )
 SELECT source,
        count(*) AS n_docs,
-       round(avg(CAST(n_shared AS DOUBLE) / n_grams), 4) AS avg_overlap,
-       round(max(CAST(n_shared AS DOUBLE) / n_grams), 4) AS max_overlap,
-       CAST(sum(CASE WHEN CAST(n_shared AS DOUBLE) / n_grams
-                          >= {CONTAMINATION_OVERLAP_FLAG} THEN 1 ELSE 0 END) AS BIGINT)
+       round(avg(overlap), 4) AS avg_overlap,
+       round(max(overlap), 4) AS max_overlap,
+       CAST(sum(CASE WHEN overlap >= {CONTAMINATION_OVERLAP_FLAG} THEN 1 ELSE 0 END) AS BIGINT)
            AS n_flagged
 FROM per_doc
 GROUP BY source

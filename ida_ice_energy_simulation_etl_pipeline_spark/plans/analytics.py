@@ -595,10 +595,16 @@ def segmented_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clicked = F.coalesce("clicked", F.lit(0))
     purchased = F.coalesce("purchased", F.lit(0))
+    # LEFT join + UNKNOWN bucket: a viewer with no dim row (anonymous /
+    # late-arriving customer) must not silently vanish — the segment
+    # counts always sum back to event_funnel's step-1 total.
     users = (
         v.join(c.select("user_id", F.lit(1).alias("clicked")), "user_id", "left")
         .join(p.select("user_id", F.lit(1).alias("purchased")), "user_id", "left")
-        .join(F.broadcast(cust), "user_id")
+        .join(F.broadcast(cust), "user_id", "left")
+        .withColumn(
+            "c_mktsegment", F.coalesce("c_mktsegment", F.lit("UNKNOWN"))
+        )
     )
     return users.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_viewers"),
@@ -636,11 +642,11 @@ users AS (
   SELECT v.user_id,
          CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END AS clicked,
          CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS purchased,
-         cu.c_mktsegment
+         coalesce(cu.c_mktsegment, 'UNKNOWN') AS c_mktsegment
   FROM v
   LEFT JOIN c ON v.user_id = c.user_id
   LEFT JOIN p ON v.user_id = p.user_id
-  JOIN customer cu ON v.user_id = cu.c_custkey
+  LEFT JOIN customer cu ON v.user_id = cu.c_custkey
 )
 SELECT c_mktsegment,
        count(*) AS n_viewers,

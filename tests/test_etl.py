@@ -658,3 +658,27 @@ def test_snapshot_diff_classifies_added_removed_changed(spark, tmp_path):
         ).collect()
     }
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_snapshot_diff_null_swaps_and_schema_evolution(spark, tmp_path):
+    """A NULL moving between adjacent columns is a CHANGE (a string-concat
+    hash would silently drop the NULL and call it unchanged), and a column
+    added in the new snapshot must not crash the diff — it is excluded
+    from the default comparison set."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.etl.load import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None, "x"), (2, "same", "v")], ["id", "s", "v"]
+    )
+    new = spark.createDataFrame(
+        [(1, "x", None, 9.0), (2, "same", "v", 9.0)], ["id", "s", "v", "w"]
+    )
+    old.write.parquet(str(tmp_path / "old"))
+    new.write.parquet(str(tmp_path / "new"))
+    got = {
+        r["id"]: r["status"]
+        for r in snapshot_diff(
+            spark, tmp_path / "old", tmp_path / "new", ["id"]
+        ).collect()
+    }
+    assert got == {1: "changed", 2: "unchanged"}

@@ -485,3 +485,11 @@ def test_weighted_sample_single_window_exchange(spark):
     exec_plan = _executed_plan(spark, "weighted_sample").split("== Initial Plan ==")[0]
     assert exec_plan.count("Exchange hashpartitioning") <= 1
     assert "BatchEvalPython" not in exec_plan
+
+
+def test_contamination_overlap_no_expand(spark):
+    """Distinct-gram counting must be the stacked-aggregate form — a
+    multi-countDistinct compiles to an Expand that doubles the exploded
+    gram-grain stream (the shape contamination_check engineers around)."""
+    plan = _executed_plan(spark, "contamination_overlap")
+    assert "Expand" not in plan
