@@ -761,6 +761,116 @@ GROUP BY source
 
 
 # --------------------------------------------------------------------------
+# Duplicated-span SCRUBBING — the removal half of the alignment-
+# insensitive scan (dup_span_stats is the detection half).
+#
+# Lee et al. 2022 remove every ≥50-token substring that repeats anywhere
+# in the corpus via a suffix array — inherently single-machine.  The
+# Spark-scale approximation at fixed width w: mark every stride-1
+# w-token window whose 64-bit hash occurs ≥ min_occ times corpus-wide,
+# then drop every token COVERED by a marked window and re-join the
+# survivors.  Consecutive repeated windows mark overlapping ranges, so a
+# long repeated passage is excised wholesale (plus up to w-1 boundary
+# tokens), which is the same conservative over-trim the suffix-array
+# method applies at match edges.
+#
+# Shape: window hashes are map-enumerated in-row (~n_tokens rows); ONE
+# span-hash-grain shuffle (map-side combined) finds the duplicated
+# hashes; marking is an equi-join back on span_h — NOT a broadcast: at
+# 100 TB the duplicated-hash set is corpus-dependent and unbounded, so
+# the join shuffles both sides on span_h and AQE upgrades it to
+# broadcast only when the dup set turns out tiny.  Marked START
+# positions (not w× expanded covered positions) travel through the
+# per-doc collect; coverage is resolved IN-ROW by an exists() over the
+# start list.  As with passage_dedup, grouping on the 64-bit hash
+# instead of the window text trades a ~n²/2⁶⁵ collision for a far
+# smaller shuffle key.
+SCRUB_MIN_OCC = 2
+
+
+def span_scrub_frame(
+    docs: DataFrame, *, span: int = SPAN_TOKENS, min_occ: int = SCRUB_MIN_OCC
+) -> DataFrame:
+    """(doc_id, n_tokens, n_scrubbed, text_scrubbed) — every token covered
+    by a corpus-duplicated w-token window removed, survivors re-joined."""
+    toks = docs.select("doc_id", word_tokens(F.col("text")).alias("w"))
+    spans = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                word_shingles(F.col("w"), span), lambda sp: F.xxhash64(sp)
+            )
+        ).alias("pos", "span_h"),
+    )
+    dup = (
+        spans.groupBy("span_h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= min_occ)
+        .select("span_h")
+    )
+    starts = (
+        spans.join(dup, "span_h")
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("starts"))
+    )
+    joined = toks.join(starts, "doc_id", "left").withColumn(
+        "starts", F.coalesce("starts", F.array().cast("array<int>"))
+    )
+    covered = lambda i: F.exists(  # noqa: E731 — shared by both branches
+        F.col("starts"), lambda s: (i >= s) & (i <= s + F.lit(span - 1))
+    )
+    kept_idx = F.filter(
+        F.sequence(F.lit(0), F.size("w") - 1), lambda i: ~covered(i)
+    )
+    return joined.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        (F.size("w") - F.size(kept_idx)).cast("long").alias("n_scrubbed"),
+        F.array_join(
+            F.transform(kept_idx, lambda i: F.element_at("w", i + 1)), " "
+        ).alias("text_scrubbed"),
+    )
+
+
+def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    return span_scrub_frame(docs)
+
+
+SPAN_SCRUB_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+spans AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i + {SPAN_TOKENS - 1}], ' ') AS span
+  FROM toks, unnest(range(1, len(w) - {SPAN_TOKENS} + 2)) u(i)
+  WHERE len(w) >= {SPAN_TOKENS}
+),
+dup AS (SELECT span FROM spans GROUP BY span HAVING count(*) >= {SCRUB_MIN_OCC}),
+starts AS (
+  SELECT doc_id, list(pos) AS starts
+  FROM spans JOIN dup USING (span)
+  GROUP BY doc_id
+),
+joined AS (
+  SELECT t.doc_id, t.w, coalesce(s.starts, CAST([] AS BIGINT[])) AS starts
+  FROM toks t LEFT JOIN starts s USING (doc_id)
+),
+kept AS (
+  SELECT doc_id, w,
+         list_filter(range(0, len(w)),
+                     i -> len(list_filter(starts, s -> i >= s AND i <= s + {SPAN_TOKENS - 1})) = 0)
+           AS kept_idx
+  FROM joined
+)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(w) - len(kept_idx) AS BIGINT) AS n_scrubbed,
+       coalesce(array_to_string(list_transform(kept_idx, i -> w[i + 1]), ' '), '')
+         AS text_scrubbed
+FROM kept
+"""
+
+
+# --------------------------------------------------------------------------
 # Dedup provenance diagnostics — WHERE does duplication come from?
 #
 # Dedup planning needs the source-pair breakdown (mirror sites duplicate
@@ -933,6 +1043,12 @@ EXTRA_SPECS: list[QuerySpec] = [
         dup_span_stats,
         DUP_SPAN_STATS_SQL,
         "ext:dedup,spans,diagnostics",
+    ),
+    QuerySpec(
+        "span_scrub",
+        span_scrub,
+        SPAN_SCRUB_SQL,
+        "ext:dedup,spans,surgery",
     ),
     QuerySpec(
         "incremental_dedup",

@@ -1335,6 +1335,56 @@ def test_dup_span_stats_catches_unaligned_duplicates(spark, tmp_path):
     assert stats["srcB"]["n_dup_spans"] >= 1
 
 
+def test_span_scrub_excises_unaligned_repeat_keeps_unique(spark):
+    """The removal half: an 8-token passage repeated at a different
+    offset is cut from BOTH occurrences; tokens outside any duplicated
+    window survive in order; sub-span docs pass through untouched."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.dedup import (
+        span_scrub_frame,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    uniq_a = " ".join(f"u{i}" for i in range(8))
+    uniq_b = " ".join(f"v{i}" for i in range(8))
+    rows = [
+        (0, boiler + " " + uniq_a, "srcA"),
+        (1, "x y z " + boiler + " " + uniq_b, "srcB"),
+        (2, "too short", "srcC"),  # < span tokens: no windows, untouched
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r["doc_id"]: r for r in span_scrub_frame(docs).collect()}
+    # doc 0: boiler excised exactly (windows straddling the boundary are
+    # unique, so only positions 0..7 are covered); unique tail survives
+    assert got[0]["n_scrubbed"] == 8
+    assert got[0]["text_scrubbed"] == uniq_a
+    # doc 1: same 8 boiler tokens cut at offset 3; prefix + tail survive
+    assert got[1]["n_scrubbed"] == 8
+    assert got[1]["text_scrubbed"] == "x y z " + uniq_b
+    # doc 2: shorter than the span width — identity
+    assert got[2]["n_scrubbed"] == 0
+    assert got[2]["text_scrubbed"] == "too short"
+
+
+def test_span_scrub_long_repeat_excised_wholesale(spark):
+    """A repeated passage LONGER than the window width marks overlapping
+    stride-1 windows whose union covers the whole passage."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.dedup import (
+        span_scrub_frame,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(20))  # 20-token repeat
+    rows = [
+        (0, passage + " " + " ".join(f"a{i}" for i in range(8)), "s"),
+        (1, " ".join(f"c{i}" for i in range(4)) + " " + passage, "s"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r["doc_id"]: r for r in span_scrub_frame(docs).collect()}
+    assert got[0]["n_scrubbed"] == 20
+    assert got[0]["text_scrubbed"] == " ".join(f"a{i}" for i in range(8))
+    assert got[1]["n_scrubbed"] == 20
+    assert got[1]["text_scrubbed"] == " ".join(f"c{i}" for i in range(4))
+
+
 # --------------------------------------------------------------------------
 # Rolling z-score anomaly detection (plans/analytics.py::rolling_anomaly)
 def test_rolling_anomaly_flags_planted_spike(spark, tmp_path):
