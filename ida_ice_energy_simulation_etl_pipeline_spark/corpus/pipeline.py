@@ -8,7 +8,12 @@ pretraining-data job actually runs, chained from the operator library:
       → PII scrub                        (map-only regexp redaction)
       → deterministic split assignment   (content-hash, map-only)
       → optional sequence packing        (per-shard running-sum window)
-      → parquet partitioned by split     (atomic staged publish)
+      → parquet/JSONL partitioned by split (atomic staged publish)
+
+Input arrives as parquet or JSONL (``input_format``) — JSONL reads with
+an EXPLICIT schema (inference would cost a full pre-scan of the corpus)
+and tolerates bare ``{"text": ...}`` records by deriving content-hash
+doc ids and default metadata.
 
 Every stage is the SAME code the registry queries verify against DuckDB
 oracles (operators/text.py, operators/dedup.py, operators/graph.py) —
@@ -74,6 +79,10 @@ class CorpusConfig:
     embed: bool = False  # append a unit-L2 embedding column (ANN-ready corpus)
     pack_budget: int | None = None  # tokens per training chunk; None = off
     shuffle_output: bool = False  # pseudo-random global order for training
+    # I/O formats — web-scale corpora arrive and ship as JSONL at least
+    # as often as parquet ("parquet" | "jsonl" on either side)
+    input_format: str = "parquet"
+    output_format: str = "parquet"
 
 
 class CorpusGateError(RuntimeError):
@@ -81,6 +90,38 @@ class CorpusGateError(RuntimeError):
         self.report = report
         failed = [k for k, v in report.items() if v is not True]
         super().__init__(f"corpus validation failed: {failed}")
+
+
+# Explicit JSONL schema: letting Spark infer would cost a FULL extra
+# scan of the corpus before the first real job — at 100 TB that is the
+# single most expensive mistake a reader can make.
+DOC_JSONL_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+)
+
+
+def _read_docs(spark: SparkSession, input_path: str | Path, cfg: CorpusConfig) -> DataFrame:
+    if cfg.input_format == "parquet":
+        return spark.read.parquet(str(input_path))
+    if cfg.input_format == "jsonl":
+        raw = spark.read.schema(DOC_JSONL_SCHEMA).json(str(input_path))
+        # Minimal records tolerated: a bare {"text": ...} line is valid.
+        # Missing doc_id becomes the 64-bit content hash (content-
+        # addressed id — identical texts collide into one id, which exact
+        # dedup would collapse anyway); lang/source default; n_chars is
+        # derived.  All map-only.
+        return raw.select(
+            F.coalesce("doc_id", F.xxhash64("text")).alias("doc_id"),
+            "text",
+            F.coalesce("lang", F.lit("und")).alias("lang"),
+            F.coalesce("source", F.lit("unknown")).alias("source"),
+            F.coalesce("n_chars", F.length("text").cast("long")).alias(
+                "n_chars"
+            ),
+        )
+    raise ValueError(
+        f"input_format must be 'parquet' or 'jsonl', got {cfg.input_format!r}"
+    )
 
 
 def _keep_pred(cfg: CorpusConfig):
@@ -176,7 +217,11 @@ def run_corpus_pipeline(
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
 
-    docs = spark.read.parquet(str(input_path))
+    if cfg.output_format not in ("parquet", "jsonl"):
+        raise ValueError(
+            f"output_format must be 'parquet' or 'jsonl', got {cfg.output_format!r}"
+        )
+    docs = _read_docs(spark, input_path, cfg)
 
     kept = _exact_deduped(_filtered(docs, cfg))
     if cfg.near_dedup:
@@ -281,7 +326,11 @@ def run_corpus_pipeline(
     staging = output_dir / "corpus._staging"
     final = output_dir / "corpus"
     shutil.rmtree(staging, ignore_errors=True)
-    kept.write.mode("overwrite").partitionBy("split").parquet(str(staging))
+    writer = kept.write.mode("overwrite").partitionBy("split")
+    if cfg.output_format == "jsonl":
+        writer.json(str(staging))
+    else:
+        writer.parquet(str(staging))
 
     # Stage counts: ONE conditional-aggregate input pass (corpus_funnel
     # recipe) — n_near comes from the landed output below.  Sums are
@@ -301,7 +350,12 @@ def run_corpus_pipeline(
     # Explicit schema: an all-filtered corpus writes zero data files, and
     # schema inference on an empty directory throws — the gate below must
     # instead see n_out = 0 and fail with a clean report.
-    landed = spark.read.schema(kept.schema).parquet(str(staging))
+    landed_reader = spark.read.schema(kept.schema)
+    landed = (
+        landed_reader.json(str(staging))
+        if cfg.output_format == "jsonl"
+        else landed_reader.parquet(str(staging))
+    )
     # chunk mode: row identity is (doc, chunk); monotonicity holds at
     # DOC grain (chunking multiplies rows by design)
     hash_cols = (
@@ -364,6 +418,8 @@ def run_corpus_pipeline(
             "chunk_tokens": cfg.chunk_tokens,
             "pack_budget": cfg.pack_budget,
             "shuffle_output": cfg.shuffle_output,
+            "input_format": cfg.input_format,
+            "output_format": cfg.output_format,
         },
         "stages": {
             "n_raw": stage_row["n_raw"],
@@ -434,6 +490,19 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="write in deterministic pseudo-random (content-hash) global order",
     )
+    ap.add_argument(
+        "--input-format",
+        choices=("parquet", "jsonl"),
+        default="parquet",
+        help="input layout; jsonl reads with an explicit schema (no "
+        "inference scan) and tolerates bare {\"text\": ...} records",
+    )
+    ap.add_argument(
+        "--output-format",
+        choices=("parquet", "jsonl"),
+        default="parquet",
+        help="landed corpus layout (split-partitioned either way)",
+    )
     args = ap.parse_args(argv)
 
     cfg = CorpusConfig(
@@ -450,6 +519,8 @@ def main(argv: list[str] | None = None) -> int:
         embed=args.embed,
         pack_budget=args.pack_budget,
         shuffle_output=args.shuffle_output,
+        input_format=args.input_format,
+        output_format=args.output_format,
     )
     spark = get_spark(app_name="corpus-pipeline")
     spark.sparkContext.setLogLevel("ERROR")

@@ -78,6 +78,61 @@ def test_corpus_pipeline_end_to_end(spark, corpus_input, tmp_path):
     assert on_disk == manifest
 
 
+def test_corpus_pipeline_jsonl_in_jsonl_out(spark, tmp_path):
+    """JSONL at both ends: explicit-schema read (bare {"text": ...}
+    records tolerated, content-addressed ids derived), split-partitioned
+    JSONL landing readable back with the written schema."""
+    import json as _json
+
+    src = tmp_path / "docs.jsonl"
+    lines = [
+        {"doc_id": 0, "text": BASE, "source": "src0"},
+        {"doc_id": 1, "text": BASE, "source": "src1"},  # exact dup
+        {"text": OTHER},  # bare record: no id/lang/source/n_chars
+        {"doc_id": 4, "text": "tiny"},  # fails min_tokens
+    ]
+    src.write_text("\n".join(_json.dumps(x) for x in lines) + "\n")
+    out = tmp_path / "out_jsonl"
+    manifest = run_corpus_pipeline(
+        spark,
+        src,
+        out,
+        CorpusConfig(
+            near_dedup=False, input_format="jsonl", output_format="jsonl"
+        ),
+    )
+    assert manifest["gate"]["nonempty"] is True
+    assert manifest["stages"]["n_raw"] == 4
+    assert manifest["stages"]["n_exact_deduped"] == 2  # BASE folded, OTHER
+    # landing is split-partitioned JSON text files, not parquet
+    part_files = list((out / "corpus").rglob("part-*"))
+    assert part_files and all(p.suffix == ".json" for p in part_files)
+    assert any("split=" in str(p) for p in part_files)
+    # readable back as plain JSONL: every line parses, bare record got a
+    # derived (content-hash) id and defaulted metadata
+    landed = [
+        _json.loads(ln)
+        for p in part_files
+        for ln in p.read_text().splitlines()
+    ]
+    by_text = {r["text"]: r for r in landed}
+    other_scrubbed = [r for r in landed if r["text"].startswith("completely")]
+    assert other_scrubbed and other_scrubbed[0]["doc_id"] is not None
+    assert other_scrubbed[0]["source"] == "unknown"
+    assert len(by_text) == len(landed)  # no duplicate texts landed
+
+
+def test_corpus_pipeline_rejects_unknown_formats(spark, corpus_input, tmp_path):
+    with pytest.raises(ValueError, match="input_format"):
+        run_corpus_pipeline(
+            spark, corpus_input, tmp_path / "x", CorpusConfig(input_format="csv")
+        )
+    with pytest.raises(ValueError, match="output_format"):
+        run_corpus_pipeline(
+            spark, corpus_input, tmp_path / "y", CorpusConfig(output_format="orc")
+        )
+
+
 def test_corpus_pipeline_no_near_dedup_keeps_near_dups(spark, corpus_input, tmp_path):
     manifest = run_corpus_pipeline(
         spark,
