@@ -585,6 +585,122 @@ WHERE round(list_cosine_similarity(ea.emb, eb.emb), 4) >= {EMB_COS_THRESHOLD}
 
 
 # --------------------------------------------------------------------------
+# SemDeDup — cluster-then-dedup semantic deduplication (Abbas et al.
+# 2023).  The LSH-banded near-pair scan above asks "which pairs are
+# close"; SemDeDup asks "which examples are REDUNDANT" and answers it
+# cluster-locally: k-means-partition the embedding space, and inside
+# each cluster drop every example that has cosine ≥ τ to a
+# better-ranked cluster-mate, where rank prefers the example FARTHEST
+# from the centroid (lowest cosine-to-centroid — the paper's choice:
+# boundary examples carry more information than cluster-core ones).
+#
+# Shape: cell assignment is the IVF recipe — an in-row argmax over the
+# broadcast codebook (map-only, no corpus-grain exchange); then ONE
+# shuffle on the cell id and a per-cell chunked GEMM (`applyInPandas`)
+# that resolves the dominance rule vectorized — no m²/2 pair rows ever
+# materialize.  Cluster count is the scale knob: SemDeDup runs ~100k
+# clusters at web scale, keeping cells at corpus/k vectors so the GEMM
+# stays bounded; the dominance EXISTS-rule (not greedy keep-set
+# membership) is what makes the result order-independent and therefore
+# expressible as a self-join oracle.
+SEMDEDUP_TAU = EMB_COS_THRESHOLD
+
+
+def semantic_dedup_frame(
+    emb: DataFrame,
+    *,
+    n_centroids: int | None = None,
+    tau: float = SEMDEDUP_TAU,
+) -> DataFrame:
+    """(vec_id, centroid_id, cent_cos, kept) — kept=0 iff a same-cell
+    vector with cosine ≥ tau ranks better ((cent_cos, vec_id) ascending)."""
+    from .similarity import N_CENTROIDS, _codebook, _cos_key_sql
+
+    k = N_CENTROIDS if n_centroids is None else n_centroids
+    key = _cos_key_sql("embedding")
+    assigned = (
+        emb.crossJoin(F.broadcast(_codebook(emb, k)))
+        .withColumn("best", F.expr(f"array_min({key})"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("best.cid").alias("centroid_id"),
+            F.round(-F.col("best.negcos"), 4).alias("cent_cos"),
+        )
+    )
+
+    def cell_kept(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        ccos = pdf["cent_cos"].to_numpy()
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        norms[norms == 0.0] = 1.0
+        mn = m / norms[:, None]
+        # rank position: cent_cos ascending (farthest-from-centroid
+        # first, the paper's keep preference), vec_id tie-break
+        rank = np.empty(len(ids), dtype=np.int64)
+        rank[np.lexsort((ids, ccos))] = np.arange(len(ids))
+        kept = np.ones(len(ids), dtype=bool)
+        for lo in range(0, len(ids), _GEMM_CHUNK):
+            hi = min(lo + _GEMM_CHUNK, len(ids))
+            g = np.round(mn[lo:hi] @ mn.T, 4) >= tau
+            g[np.arange(lo, hi) - lo, np.arange(lo, hi)] = False
+            dominated = (g & (rank[None, :] < rank[lo:hi, None])).any(axis=1)
+            kept[lo:hi] = ~dominated
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "centroid_id": pdf["centroid_id"].to_numpy(),
+                "cent_cos": ccos,
+                "kept": kept.astype(np.int64),
+            }
+        )
+
+    return assigned.groupBy("centroid_id").applyInPandas(
+        cell_kept,
+        "vec_id bigint, centroid_id bigint, cent_cos double, kept bigint",
+    )
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ensure_parallelism(spark, load_table(spark, sf_dir, "embeddings"))
+    return semantic_dedup_frame(emb)
+
+
+def _semantic_oracle_sql() -> str:
+    from .similarity import N_CENTROIDS
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, emb AS cent_emb FROM e WHERE vec_id < {N_CENTROIDS}),
+asg AS (
+  SELECT vec_id, emb, centroid_id, round(ccos, 4) AS cent_cos FROM (
+    SELECT e.vec_id, e.emb, c.centroid_id,
+           list_cosine_similarity(e.emb, c.cent_emb) AS ccos,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.emb, c.cent_emb) DESC,
+                                       c.centroid_id) AS rk
+    FROM e CROSS JOIN cent c
+  ) WHERE rk = 1
+),
+dominated AS (
+  SELECT DISTINCT a.vec_id
+  FROM asg a JOIN asg b
+    ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+  WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= {SEMDEDUP_TAU}
+    AND (b.cent_cos < a.cent_cos
+         OR (b.cent_cos = a.cent_cos AND b.vec_id < a.vec_id))
+)
+SELECT a.vec_id, a.centroid_id, a.cent_cos,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM asg a LEFT JOIN dominated d ON a.vec_id = d.vec_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Passage-level dedup (C4-style span removal, block granularity).
 #
 # Web-scale corpora repeat PASSAGES (boilerplate, license headers, quoted
@@ -1049,6 +1165,12 @@ EXTRA_SPECS: list[QuerySpec] = [
         span_scrub,
         SPAN_SCRUB_SQL,
         "ext:dedup,spans,surgery",
+    ),
+    QuerySpec(
+        "dedup_semantic",
+        dedup_semantic,
+        _semantic_oracle_sql(),
+        "ext:dedup,ann,semdedup",
     ),
     QuerySpec(
         "incremental_dedup",

@@ -1021,6 +1021,36 @@ def test_embed_documents_deterministic_and_composes(spark, planted_docs):
     assert (4, 5) not in pairs  # unrelated docs stay apart
 
 
+def test_semantic_dedup_keeps_farthest_from_centroid(spark):
+    """SemDeDup planted geometry: a near-dup pair inside one cell keeps
+    exactly the member with the LOWER cosine-to-centroid (the paper's
+    boundary-example preference); isolated vectors survive untouched."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.dedup import (
+        semantic_dedup_frame,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # centroid 0 (first-k seed codebook)
+        (1, [0.0, 1.0, 0.0, 0.0]),   # centroid 1
+        (2, [0.6, 0.8, 0.0, 0.0]),   # cell 1: cos-to-c1 = 0.8
+        (3, [0.59, 0.81, 0.0, 0.0]), # near-dup of 2, cos-to-c1 ~ 0.808
+        (4, [0.0, 0.9, 0.5, 0.0]),   # cell 1, far from 2/3 at tau=0.95
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r
+        for r in semantic_dedup_frame(emb, n_centroids=2, tau=0.95).collect()
+    }
+    assert len(got) == 5
+    # pair (2, 3): cos(2,3) > 0.95; vec 2 has the lower cent_cos -> kept
+    assert got[2]["centroid_id"] == 1 and got[3]["centroid_id"] == 1
+    assert got[2]["cent_cos"] < got[3]["cent_cos"]
+    assert got[2]["kept"] == 1
+    assert got[3]["kept"] == 0
+    # the centroids themselves and the isolated member survive
+    assert got[0]["kept"] == 1 and got[1]["kept"] == 1 and got[4]["kept"] == 1
+
+
 def test_parse_audio_meta_real_wav_header():
     """Handcrafted 16-bit stereo 8 kHz WAV: the RIFF chunk walk recovers
     channels/rate/bits and computes duration from the data-chunk size."""
