@@ -63,6 +63,20 @@ class CorpusConfig:
     # drop repeated fixed-size token passages corpus-wide (C4-style);
     # docs whose every block is dropped leave the corpus
     passage_dedup: bool = False
+    # excise corpus-duplicated stride-1 token spans (alignment-
+    # insensitive Lee-et-al.-style surgery, operators/dedup.py::
+    # span_scrub_frame); fully-scrubbed docs leave the corpus
+    span_scrub: bool = False
+    # SemDeDup cluster-local semantic dedup over the embed stage's
+    # vectors (requires embed=True); semantic_clusters is the paper's k
+    # — it must be far below the doc count (k >= n degenerates to
+    # singleton cells and nothing dedups; web scale runs ~100k), and it
+    # bounds the per-cell GEMM at ~corpus/k vectors
+    semantic_dedup: bool = False
+    semantic_clusters: int = 8
+    # dominance threshold tau — the paper operates at ~0.95 (true
+    # semantic twins); lower values shade into topic-level pruning
+    semantic_tau: float = 0.95
     # drop docs whose self-trained bigram perplexity exceeds this
     max_ppl: float | None = None
     # drop docs whose logistic quality-classifier score is below this
@@ -247,6 +261,19 @@ def run_corpus_pipeline(
             ),
             "doc_id",
         )
+    if cfg.span_scrub:
+        # alignment-insensitive duplicated-span surgery (operators/
+        # dedup.py::span_scrub_frame): text becomes the scrubbed
+        # survivor stream; docs losing every token leave the corpus
+        from ..operators.dedup import span_scrub_frame
+
+        scrubbed = span_scrub_frame(kept.select("doc_id", "text"))
+        kept = kept.drop("text").join(
+            scrubbed.filter(F.col("n_scrubbed") < F.col("n_tokens")).select(
+                "doc_id", F.col("text_scrubbed").alias("text")
+            ),
+            "doc_id",
+        )
     if cfg.max_ppl is not None:
         # CCNet-style fluency gate (operators/text.py::bigram_ppl): the
         # model is self-trained on the already-filtered corpus; a
@@ -288,12 +315,39 @@ def run_corpus_pipeline(
         from ..operators.text import chunk_docs
 
         kept = chunk_docs(kept, block=cfg.chunk_tokens)
+    if cfg.semantic_dedup and not cfg.embed:
+        raise ValueError("semantic_dedup requires embed=True")
     if cfg.embed:
         # Batched inference over the SCRUBBED text (redaction before
         # embedding, the order a privacy-conscious pipeline requires).
         from ..operators.inference import embed_documents
 
         kept = embed_documents(kept)
+    if cfg.semantic_dedup:
+        # SemDeDup over the just-computed vectors (operators/dedup.py::
+        # semantic_dedup_frame): drop every doc dominated by a same-cell
+        # semantic twin; survivors join back by id (semi-join shape —
+        # the wide text/embedding payload never rides the dedup shuffle)
+        from ..operators.dedup import semantic_dedup_frame
+
+        # NULL-embedding docs (token-free text) stay out of the dedup and
+        # pass through — the length gates own degenerate docs, the same
+        # convention as the ppl/quality gates; hence anti-join on the
+        # DOMINATED set rather than semi-join on survivors.
+        sem = semantic_dedup_frame(
+            kept.filter(F.col("embedding").isNotNull()).select(
+                F.col("doc_id").alias("vec_id"), "embedding"
+            ),
+            n_centroids=cfg.semantic_clusters,
+            tau=cfg.semantic_tau,
+        )
+        kept = kept.join(
+            sem.filter(F.col("kept") == 0).select(
+                F.col("vec_id").alias("doc_id")
+            ),
+            "doc_id",
+            "left_anti",
+        )
     kept = kept.withColumn("split", split_col(F.col("doc_id")))
     if cfg.pack_budget:
         kept = _packed(kept, cfg.pack_budget)
@@ -411,6 +465,10 @@ def run_corpus_pipeline(
             "min_ttr": cfg.min_ttr,
             "near_dedup": cfg.near_dedup,
             "passage_dedup": cfg.passage_dedup,
+            "span_scrub": cfg.span_scrub,
+            "semantic_dedup": cfg.semantic_dedup,
+            "semantic_clusters": cfg.semantic_clusters,
+            "semantic_tau": cfg.semantic_tau,
             "max_ppl": cfg.max_ppl,
             "min_quality": cfg.min_quality,
             "scrub": cfg.scrub,
@@ -458,6 +516,32 @@ def main(argv: list[str] | None = None) -> int:
         "--passage-dedup",
         action="store_true",
         help="drop repeated fixed-size token passages corpus-wide (C4-style)",
+    )
+    ap.add_argument(
+        "--span-scrub",
+        action="store_true",
+        help="excise corpus-duplicated stride-1 token spans (alignment-"
+        "insensitive surgery; fully-scrubbed docs leave the corpus)",
+    )
+    ap.add_argument(
+        "--semantic-dedup",
+        action="store_true",
+        help="SemDeDup cluster-local semantic dedup over the embed "
+        "stage's vectors (requires --embed)",
+    )
+    ap.add_argument(
+        "--semantic-clusters",
+        type=int,
+        default=8,
+        help="SemDeDup cluster count k (keep far below the doc count; "
+        "bounds the per-cell rerank at ~corpus/k vectors)",
+    )
+    ap.add_argument(
+        "--semantic-tau",
+        type=float,
+        default=0.95,
+        help="SemDeDup dominance threshold (~0.95 = true semantic twins; "
+        "lower shades into topic-level pruning)",
     )
     ap.add_argument(
         "--max-ppl",
@@ -512,6 +596,10 @@ def main(argv: list[str] | None = None) -> int:
         near_dedup=not args.no_near_dedup,
         cc_algorithm=args.cc_algorithm,
         passage_dedup=args.passage_dedup,
+        span_scrub=args.span_scrub,
+        semantic_dedup=args.semantic_dedup,
+        semantic_clusters=args.semantic_clusters,
+        semantic_tau=args.semantic_tau,
         max_ppl=args.max_ppl,
         min_quality=args.min_quality,
         scrub=not args.no_scrub,

@@ -614,12 +614,21 @@ def semantic_dedup_frame(
 ) -> DataFrame:
     """(vec_id, centroid_id, cent_cos, kept) — kept=0 iff a same-cell
     vector with cosine ≥ tau ranks better ((cent_cos, vec_id) ascending)."""
-    from .similarity import N_CENTROIDS, _codebook, _cos_key_sql
+    from .similarity import N_CENTROIDS, _cos_key_sql, _fold_codebook
 
     k = N_CENTROIDS if n_centroids is None else n_centroids
+    # Seed codebook = the k LOWEST vec_ids (TakeOrdered, no assumption
+    # that ids are dense 0..n — pipeline doc ids can be content hashes);
+    # on the dense-id fixture this is exactly the `vec_id < k` seed the
+    # oracle states.  Production swaps in kmeans_centroids output.
+    cb = _fold_codebook(
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_emb"))
+    )
     key = _cos_key_sql("embedding")
     assigned = (
-        emb.crossJoin(F.broadcast(_codebook(emb, k)))
+        emb.crossJoin(F.broadcast(cb))
         .withColumn("best", F.expr(f"array_min({key})"))
         .select(
             "vec_id",

@@ -78,6 +78,77 @@ def test_corpus_pipeline_end_to_end(spark, corpus_input, tmp_path):
     assert on_disk == manifest
 
 
+def test_corpus_span_scrub_stage_excises_unaligned_boilerplate(spark, tmp_path):
+    """--span-scrub removes a passage repeated at DIFFERENT offsets (which
+    block-aligned passage dedup misses) from every occurrence; a doc left
+    with zero tokens exits the corpus."""
+    boiler = " ".join(f"b{i}" for i in range(10))
+    tail_a = " ".join(f"alpha{i}" for i in range(12))
+    tail_b = " ".join(f"beta{i}" for i in range(12))
+    rows = [
+        (0, boiler + " " + tail_a, "src0"),
+        (1, "pre1 pre2 pre3 " + boiler + " " + tail_b, "src1"),
+        (2, OTHER, "src2"),
+    ]
+    path = tmp_path / "docs.parquet"
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.parquet(str(path))
+    manifest = run_corpus_pipeline(
+        spark,
+        path,
+        tmp_path / "out",
+        CorpusConfig(near_dedup=False, scrub=False, span_scrub=True, min_ttr=0.0),
+    )
+    landed = spark.read.parquet(manifest["output"])
+    texts = {r["doc_id"]: r["text"] for r in landed.collect()}
+    assert "b0" not in texts[0] and texts[0].endswith(tail_a)
+    assert "b0" not in texts[1] and texts[1].startswith("pre1 pre2 pre3")
+    assert texts[2] == OTHER  # untouched
+    assert manifest["config"]["span_scrub"] is True
+
+
+def test_corpus_semantic_dedup_stage_drops_semantic_twin(spark, tmp_path):
+    """--semantic-dedup (over --embed vectors) drops one member of a
+    high-cosine pair that EXACT dedup cannot see (texts differ)."""
+    near = BASE.replace("lazy", "sleepy")  # token overlap ~ all but one
+    rows = [
+        (0, BASE, "src0"),
+        (1, near, "src1"),
+        (2, OTHER, "src2"),
+    ]
+    path = tmp_path / "docs.parquet"
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.parquet(str(path))
+    manifest = run_corpus_pipeline(
+        spark,
+        path,
+        tmp_path / "out",
+        CorpusConfig(
+            near_dedup=False,
+            scrub=False,
+            embed=True,
+            semantic_dedup=True,
+            semantic_clusters=1,  # k << n; k >= n is singleton cells
+        ),
+    )
+    landed = spark.read.parquet(manifest["output"])
+    ids = {r["doc_id"] for r in landed.select("doc_id").collect()}
+    assert 2 in ids  # unrelated doc survives
+    assert len(ids & {0, 1}) == 1  # exactly one of the semantic twins
+    # embed still lands ANN-ready vectors for the survivors
+    assert all(
+        r["embedding"] is not None for r in landed.select("embedding").collect()
+    )
+
+
+def test_corpus_semantic_dedup_requires_embed(spark, corpus_input, tmp_path):
+    with pytest.raises(ValueError, match="embed"):
+        run_corpus_pipeline(
+            spark,
+            corpus_input,
+            tmp_path / "x",
+            CorpusConfig(semantic_dedup=True),
+        )
+
+
 def test_corpus_pipeline_jsonl_in_jsonl_out(spark, tmp_path):
     """JSONL at both ends: explicit-schema read (bare {"text": ...}
     records tolerated, content-addressed ids derived), split-partitioned
