@@ -611,21 +611,36 @@ def semantic_dedup_frame(
     *,
     n_centroids: int | None = None,
     tau: float = SEMDEDUP_TAU,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, centroid_id, cent_cos, kept) — kept=0 iff a same-cell
-    vector with cosine ≥ tau ranks better ((cent_cos, vec_id) ascending)."""
+    vector with cosine ≥ tau ranks better ((cent_cos, vec_id) ascending).
+
+    ``codebook`` (columns ``cluster_id``, ``c_emb``) swaps the seed
+    quantizer for trained centroids — ``kmeans_centroids`` output slots
+    in directly, the same contract as :func:`ivf_topk`."""
     from .similarity import N_CENTROIDS, _cos_key_sql, _fold_codebook
 
-    k = N_CENTROIDS if n_centroids is None else n_centroids
-    # Seed codebook = the k LOWEST vec_ids (TakeOrdered, no assumption
-    # that ids are dense 0..n — pipeline doc ids can be content hashes);
-    # on the dense-id fixture this is exactly the `vec_id < k` seed the
-    # oracle states.  Production swaps in kmeans_centroids output.
-    cb = _fold_codebook(
-        emb.orderBy("vec_id")
-        .limit(k)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_emb"))
-    )
+    if codebook is not None:
+        cb = _fold_codebook(
+            codebook.select(
+                F.col("cluster_id").alias("cid"),
+                F.col("c_emb").alias("cent_emb"),
+            )
+        )
+    else:
+        k = N_CENTROIDS if n_centroids is None else n_centroids
+        # Seed codebook = the k LOWEST vec_ids (TakeOrdered, no
+        # assumption that ids are dense 0..n — pipeline doc ids can be
+        # content hashes); on the dense-id fixture this is exactly the
+        # `vec_id < k` seed the oracle states.
+        cb = _fold_codebook(
+            emb.orderBy("vec_id")
+            .limit(k)
+            .select(
+                F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_emb")
+            )
+        )
     key = _cos_key_sql("embedding")
     assigned = (
         emb.crossJoin(F.broadcast(cb))

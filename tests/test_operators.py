@@ -1051,6 +1051,35 @@ def test_semantic_dedup_keeps_farthest_from_centroid(spark):
     assert got[0]["kept"] == 1 and got[1]["kept"] == 1 and got[4]["kept"] == 1
 
 
+def test_semantic_dedup_accepts_trained_codebook(spark):
+    """kmeans_centroids output slots into semantic_dedup_frame via the
+    same codebook contract as ivf_topk; the near-dup pair still resolves
+    to one survivor under the trained quantizer."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.dedup import (
+        semantic_dedup_frame,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.6, 0.8, 0.0, 0.0]),
+        (3, [0.59, 0.81, 0.0, 0.0]),
+        (4, [0.0, 0.9, 0.5, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = kmeans_centroids(emb, k=2, iterations=2)
+    got = {
+        r["vec_id"]: r
+        for r in semantic_dedup_frame(emb, tau=0.95, codebook=cb).collect()
+    }
+    assert len(got) == 5
+    assert got[2]["centroid_id"] == got[3]["centroid_id"]  # twins share a cell
+    assert got[2]["kept"] + got[3]["kept"] == 1  # exactly one survives
+
+
 def test_parse_audio_meta_real_wav_header():
     """Handcrafted 16-bit stereo 8 kHz WAV: the RIFF chunk walk recovers
     channels/rate/bits and computes duration from the data-chunk size."""
