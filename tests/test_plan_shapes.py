@@ -493,3 +493,28 @@ def test_contamination_overlap_no_expand(spark):
     gram-grain stream (the shape contamination_check engineers around)."""
     plan = _executed_plan(spark, "contamination_overlap")
     assert "Expand" not in plan
+
+
+def test_span_scrub_no_cartesian_single_span_shuffle(spark):
+    """span_scrub's mark-back must stay an equi-join on span_h (AQE may
+    broadcast the dup set when tiny, never nested-loop); the rebuild is
+    in-row — no Python eval anywhere."""
+    plan = _executed_plan(spark, "span_scrub")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_semantic_broadcasts_codebook_one_cell_shuffle(spark):
+    """SemDeDup cell assignment must ride the broadcast codebook in-row
+    (no per-vector assignment join); the ONLY corpus-grain hash exchange
+    is the cell-id shuffle feeding the per-cell GEMM, which must be the
+    Arrow path (FlatMapGroupsInPandas), never row-pickled Python."""
+    exec_plan = _executed_plan(spark, "dedup_semantic").split("== Initial Plan ==")[0]
+    assert "BroadcastExchange" in exec_plan or "BroadcastNestedLoopJoin" in exec_plan
+    assert "FlatMapGroupsInPandas" in exec_plan
+    assert "BatchEvalPython" not in exec_plan
+    # RoundRobin spread (ensure_parallelism) + the TakeOrdered seed are
+    # allowed; corpus-grain hash exchanges must not exceed the one cell
+    # shuffle plus the seed codebook's tiny aggregate
+    assert exec_plan.count("Exchange hashpartitioning") <= 2
