@@ -719,3 +719,97 @@ def test_enriched_rollup_stream_matches_batch(spark, tmp_path):
         .collect()
     )
     assert got == expect and len(got) >= 4
+
+
+def _write_alert_batches(ingest):
+    ingest.mkdir()
+    (ingest / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"user_id": 1, "ts": "2024-03-01T00:00:00", "event_id": 1, "value": 10.0},
+                {"user_id": 1, "ts": "2024-03-01T00:01:00", "event_id": 2, "value": 95.0},
+            ]
+        )
+    )
+    (ingest / "b2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                # still above threshold: NO new row (state remembered)
+                {"user_id": 1, "ts": "2024-03-01T00:02:00", "event_id": 3, "value": 96.0},
+                # recovery: one ALERT -> OK row
+                {"user_id": 1, "ts": "2024-03-01T00:03:00", "event_id": 4, "value": 20.0},
+                # fresh key crossing up in its first observed event
+                {"user_id": 2, "ts": "2024-03-01T00:02:30", "event_id": 5, "value": 99.0},
+            ]
+        )
+    )
+
+
+ALERT_EVENT_SCHEMA = "user_id bigint, ts timestamp, event_id bigint, value double"
+
+EXPECTED_ALERT_TRANSITIONS = {
+    (1, "ALERT", "OK"): 95.0,
+    (1, "OK", "ALERT"): 20.0,
+    (2, "ALERT", "OK"): 99.0,
+}
+
+
+def test_threshold_alert_transitions_span_micro_batches(spark, tmp_path):
+    """Transition-only alerting (applyInPandasWithState path): only level
+    TRANSITIONS are emitted, and the remembered level survives
+    micro-batch boundaries — a still-high reading in batch 2 stays
+    silent, recovery emits exactly one ALERT→OK row."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming.alerts import (
+        threshold_alert_stream_legacy,
+    )
+
+    ingest = tmp_path / "alerts_in"
+    _write_alert_batches(ingest)
+    events = (
+        spark.readStream.schema(ALERT_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(ingest))
+    )
+    run_to_memory(threshold_alert_stream_legacy(events), "alerts_t")
+    rows = {
+        (r["user_id"], r["level"], r["prev_level"]): r["value"]
+        for r in spark.sql("SELECT * FROM alerts_t").collect()
+    }
+    assert rows == EXPECTED_ALERT_TRANSITIONS
+
+
+def test_threshold_alert_new_state_api_matches_legacy(spark, tmp_path):
+    """transformWithStateInPandas twin: same kernel, same output.  The
+    new API's Python state-server protocol needs the protobuf package
+    (not shipped in this container) — import-gated like the PIL path."""
+    pytest.importorskip("google.protobuf")
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming.alerts import (
+        threshold_alert_stream,
+    )
+
+    ingest = tmp_path / "alerts_in_tws"
+    _write_alert_batches(ingest)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        events = (
+            spark.readStream.schema(ALERT_EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(ingest))
+        )
+        run_to_memory(threshold_alert_stream(events), "alerts_tws_t")
+        rows = {
+            (r["user_id"], r["level"], r["prev_level"]): r["value"]
+            for r in spark.sql("SELECT * FROM alerts_tws_t").collect()
+        }
+        assert rows == EXPECTED_ALERT_TRANSITIONS
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
