@@ -157,12 +157,14 @@ def test_corpus_pipeline_jsonl_in_jsonl_out(spark, tmp_path):
 
     src = tmp_path / "docs.jsonl"
     lines = [
-        {"doc_id": 0, "text": BASE, "source": "src0"},
-        {"doc_id": 1, "text": BASE, "source": "src1"},  # exact dup
-        {"text": OTHER},  # bare record: no id/lang/source/n_chars
-        {"doc_id": 4, "text": "tiny"},  # fails min_tokens
+        _json.dumps({"doc_id": 0, "text": BASE, "source": "src0"}),
+        _json.dumps({"doc_id": 1, "text": BASE, "source": "src1"}),  # exact dup
+        _json.dumps({"text": OTHER}),  # bare record: no id/lang/source/n_chars
+        _json.dumps({"doc_id": 4, "text": "tiny"}),  # fails min_tokens
+        '{"doc_id": 5, "text": "unterminated',  # corrupt line: PERMISSIVE
+        # read nulls every field; the filter stage owns the drop
     ]
-    src.write_text("\n".join(_json.dumps(x) for x in lines) + "\n")
+    src.write_text("\n".join(lines) + "\n")
     out = tmp_path / "out_jsonl"
     manifest = run_corpus_pipeline(
         spark,
@@ -173,7 +175,10 @@ def test_corpus_pipeline_jsonl_in_jsonl_out(spark, tmp_path):
         ),
     )
     assert manifest["gate"]["nonempty"] is True
-    assert manifest["stages"]["n_raw"] == 4
+    assert manifest["stages"]["n_raw"] == 5  # corrupt line still scans
+    assert manifest["stages"]["n_filtered"] == 3  # ...but never lands
+    # (both BASE copies + OTHER pass the filter; the null-text corrupt
+    # row and the too-short doc do not)
     assert manifest["stages"]["n_exact_deduped"] == 2  # BASE folded, OTHER
     # landing is split-partitioned JSON text files, not parquet
     part_files = list((out / "corpus").rglob("part-*"))
