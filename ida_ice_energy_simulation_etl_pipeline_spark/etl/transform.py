@@ -40,9 +40,15 @@ def build_dim_building(metadata: DataFrame) -> DataFrame:
 
 
 def build_dim_scenario(metadata: DataFrame) -> DataFrame:
+    """One row per scenario, keeping the description of the FIRST run in
+    sorted run order (= min building_id) — the reference's seen-set walk
+    over sorted zips (transform:45-73) made that choice implicitly; a
+    bare dropDuplicates would leave the survivor partition-order-
+    dependent, which cross-implementation parity (and determinism under
+    repartitioning) forbids."""
     return (
-        metadata.select("scenario_id", "description")
-        .dropDuplicates(["scenario_id"])
+        metadata.groupBy("scenario_id")
+        .agg(F.min_by("description", "building_id").alias("description"))
         .orderBy("scenario_id")
     )
 

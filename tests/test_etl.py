@@ -682,3 +682,68 @@ def test_snapshot_diff_null_swaps_and_schema_evolution(spark, tmp_path):
         ).collect()
     }
     assert got == {1: "changed", 2: "unchanged"}
+
+
+def test_star_schema_matches_reference_implementation(spark, runs_dir, star, tmp_path):
+    """Cross-IMPLEMENTATION parity: execute the reference's own pandas
+    pipeline (imported read-only from /root/reference) on an identical
+    fixture and compare every dim and fact table value-for-value.  This
+    is the strongest parity statement the repo can make about the ETL
+    surface — not "matches an oracle we wrote", but "matches the system
+    being cloned, run live on the same input"."""
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from src.etl.extract import extract_runs as ref_extract_runs
+        from src.etl.transform import transform_all as ref_transform_all
+    finally:
+        sys.path.remove("/root/reference")
+        # drop the reference's 'src' package so it cannot shadow anything
+        for m in [m for m in sys.modules if m == "src" or m.startswith("src.")]:
+            del sys.modules[m]
+
+    # The reference consumes ZIP bundles; same generator params + seed as
+    # the runs_dir fixture give byte-identical input data.
+    zdir = tmp_path / "ref_zips"
+    generate_dataset(
+        zdir, buildings=BUILDINGS, scenarios=SCENARIOS, hours=HOURS,
+        n_zones=N_ZONES, n_ahus=N_AHUS, as_zip=True,
+    )
+    ref_star = ref_transform_all(ref_extract_runs(str(zdir)))
+
+    assert set(ref_star) == set(star)
+    for name in sorted(ref_star):
+        ref_pdf = ref_star[name]
+        ours = star[name].toPandas()
+        assert set(ours.columns) == set(ref_pdf.columns), name
+        key_cols = [
+            c for c in ref_pdf.columns
+            if c.endswith("_key") or c.endswith("_id") or c == "timestamp"
+        ]
+        a = (
+            ours[list(ref_pdf.columns)]
+            .sort_values(key_cols)
+            .reset_index(drop=True)
+        )
+        b = ref_pdf.sort_values(key_cols).reset_index(drop=True)
+        assert len(a) == len(b), name
+        for c in ref_pdf.columns:
+            av, bv = a[c], b[c]
+            if pd.api.types.is_float_dtype(bv):
+                pd.testing.assert_series_equal(
+                    av.astype("float64"), bv.astype("float64"),
+                    check_names=False, rtol=0, atol=1e-9, obj=f"{name}.{c}",
+                )
+            elif pd.api.types.is_datetime64_any_dtype(bv):
+                # same UTC instants; the reference keeps pandas tz-aware
+                # UTC while Spark->pandas yields naive UTC wall clock
+                norm = lambda s: [  # noqa: E731
+                    t.tz_localize(None) if t.tzinfo else t
+                    for t in pd.to_datetime(s)
+                ]
+                assert norm(av) == norm(bv), f"{name}.{c}"
+            else:
+                assert list(av) == list(bv), f"{name}.{c}"
