@@ -237,3 +237,50 @@ def test_header_parsers_survive_truncation(prefix, tail, cut):
     assert img is None or (img[0] >= 0 and img[1] >= 0)
     aud = parse_audio_meta(payload)
     assert aud is None or (aud[0] >= 0 and aud[1] >= 0 and aud[3] >= 0)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=14).map(
+            lambda chars: " ".join(chars)
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@SLOW
+def test_span_scrub_matches_python_model(spark, docs):
+    """span_scrub vs a direct python model over tiny 2-letter-token
+    corpora (worst case for window collisions): every output doc keeps
+    exactly the tokens not covered by a corpus-duplicated window, in
+    order."""
+    from collections import Counter
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.dedup import (
+        span_scrub_frame,
+    )
+
+    span = 3
+    rows = [(i, t, "s") for i, t in enumerate(docs)]
+    toks = {i: t.split(" ") for i, t, _ in rows}
+    windows = Counter()
+    for w in toks.values():
+        if len(w) >= span:
+            for i in range(len(w) - span + 1):
+                windows[" ".join(w[i : i + span])] += 1
+    expected = {}
+    for doc_id, w in toks.items():
+        covered = set()
+        if len(w) >= span:
+            for i in range(len(w) - span + 1):
+                if windows[" ".join(w[i : i + span])] >= 2:
+                    covered.update(range(i, i + span))
+        kept = [t for j, t in enumerate(w) if j not in covered]
+        expected[doc_id] = (len(w), len(w) - len(kept), " ".join(kept))
+
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_scrubbed"], r["text_scrubbed"])
+        for r in span_scrub_frame(df, span=span).collect()
+    }
+    assert got == expected
