@@ -4,8 +4,11 @@ Real at this layer: schema, partitioning, Arrow-batched ``mapInPandas``
 feature extraction, the driver-contract query, and — with no codec
 library at all — image METADATA decode (``parse_image_dims`` reads
 PNG/GIF/BMP/JPEG dimensions+format straight from container headers, the
-curation predicate most multimodal filters actually need).  Still gated
-or stubbed (clearly): PIXEL-level decode/resize (real via PIL when
+curation predicate most multimodal filters actually need) AND baseline
+PNG PIXEL decode/encode (``decode_png_pixels`` / ``encode_png``: deflate
++ scanline unfiltering are pure stdlib, so ``image_pixel_stats`` does
+genuine pixel-level feature extraction in this container).  Still gated
+or stubbed (clearly): non-PNG pixel decode/resize (real via PIL when
 installed; NotImplementedError here), audio decode, and video frame
 extraction (``frame_sample`` is a deterministic fake with the real
 batch shape).
@@ -193,6 +196,185 @@ def parse_image_dims(payload: bytes) -> tuple[int, int, str] | None:
                 return None
             i += 2 + seg_len
     return None
+
+
+# ---------------------------------------------------------------------------
+# Pure-python PNG PIXEL codec — real decode with NO imaging library.
+#
+# PNG is deflate + per-scanline byte filters, both fully expressible
+# with the stdlib (`zlib`, `struct`): this closes the "pixel decode is
+# PIL-gated" gap for the one container a data pipeline can always
+# produce itself.  Supports the baseline profile (8-bit depth, gray /
+# gray+alpha / RGB / RGBA, non-interlaced) and all five scanline
+# filters; anything else returns None rather than guessing.  The
+# unfilter loop is per-scanline python over numpy rows — fine at
+# thumbnail scale (the curation use case); a production pipeline
+# decoding megapixel assets swaps in a codec library via `decoder=`,
+# same as before.
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # colortype -> samples/pixel
+
+
+def decode_png_pixels(payload: bytes) -> "object | None":
+    """Decode a baseline PNG to an (h, w, channels) uint8 numpy array —
+    pure stdlib (zlib + struct), no PIL.  None for non-PNG or an
+    unsupported profile (16-bit, palette, interlaced, truncated)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload or not payload.startswith(_PNG_MAGIC):
+        return None
+    pos, w = len(_PNG_MAGIC), None
+    idat = bytearray()
+    try:
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            if len(data) < length:
+                return None  # truncated
+            if ctype == b"IHDR":
+                w, h, depth, color, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if (
+                    depth != 8
+                    or color not in _PNG_CHANNELS
+                    or comp != 0
+                    or filt != 0
+                    or interlace != 0
+                ):
+                    return None
+                ch = _PNG_CHANNELS[color]
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length  # length + type + data + crc
+        if w is None or not idat:
+            return None
+        raw = zlib.decompress(bytes(idat))
+    except (struct.error, zlib.error):
+        return None
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        return None
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        ftype = raw[y * (stride + 1)]
+        if ftype == 0:  # None
+            cur = row
+        elif ftype == 2:  # Up
+            cur = (row + prev) & 0xFF
+        else:  # Sub / Average / Paeth need the left neighbour: scan
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0  # left
+                b = int(prev[x])  # up
+                if ftype == 1:  # Sub
+                    pred = a
+                elif ftype == 3:  # Average
+                    pred = (a + b) // 2
+                elif ftype == 4:  # Paeth
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                else:
+                    return None
+                cur[x] = (row[x] + pred) & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = out[y]
+    return out.reshape(h, w, ch)
+
+
+def encode_png(pixels: "object") -> bytes:
+    """Encode an (h, w) or (h, w, channels) uint8 array as a baseline
+    PNG (filter 0, one IDAT) — pure stdlib; the fixture-side twin of
+    :func:`decode_png_pixels`."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("channels", LongType(), True),
+        StructField("mean_px", DoubleType(), True),
+        StructField("std_px", DoubleType(), True),
+    ]
+)
+
+
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL pixel-level feature extraction over PNG payloads — decode via
+    the stdlib codec inside Arrow-batched ``mapInPandas``, emit per-item
+    dimensions and channel-pooled mean/std.  Non-PNG or unsupported
+    payloads yield null stats (curation filters treat undecodable as
+    drop-worthy, not as an error)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                px = decode_png_pixels(payload) if payload is not None else None
+                if px is None:
+                    rows.append((item_id, None, None, None, None, None))
+                else:
+                    rows.append(
+                        (
+                            item_id,
+                            px.shape[1],
+                            px.shape[0],
+                            px.shape[2],
+                            round(float(np.mean(px)), 4),
+                            round(float(np.std(px)), 4),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "item_id", "width", "height", "channels",
+                    "mean_px", "std_px",
+                ],
+            )
+
+    return media.mapInPandas(batches, schema=PIXEL_STATS_SCHEMA)
 
 
 def _default_image_decoder() -> Callable[[bytes], tuple[int, int, str] | None]:

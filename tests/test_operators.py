@@ -1589,3 +1589,120 @@ def test_weighted_sample_partitioning_invariant_and_weighted(
     sampled_avg = sum(r[3] for r in base) / len(base)
     corpus_avg = docs.agg(F.avg("n_chars")).collect()[0][0]
     assert sampled_avg > corpus_avg
+
+
+# --------------------------------------------------------------------------
+# Pure-stdlib PNG pixel codec (operators/multimodal.py)
+def test_png_codec_round_trip_all_channel_counts():
+    import numpy as np
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+        parse_image_dims,
+    )
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(5, 7, ch), dtype=np.uint8)
+        blob = encode_png(px)
+        assert parse_image_dims(blob) == (7, 5, "PNG")  # header agrees
+        back = decode_png_pixels(blob)
+        assert back is not None and back.shape == (5, 7, ch)
+        assert (back == px).all()
+
+
+def test_png_decoder_unfilters_sub_up_average_paeth():
+    """Hand-build IDAT scanlines using every PNG filter type and check
+    the unfiltering against a known 3x3 grayscale image."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        decode_png_pixels,
+    )
+
+    target = np.array(
+        [[10, 20, 30], [15, 25, 35], [100, 90, 80]], dtype=np.uint8
+    )
+    # row 0: Sub (delta vs left), row 1: Up (delta vs above), row 2: Paeth
+    r0 = bytes([1, 10, 10, 10])
+    r1 = bytes([2, 5, 5, 5])
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    row2, prev = [4], [15, 25, 35]
+    cur = []
+    for x, v in enumerate([100, 90, 80]):
+        a = cur[x - 1] if x >= 1 else 0
+        b = prev[x]
+        c = prev[x - 1] if x >= 1 else 0
+        row2.append((v - paeth(a, b, c)) & 0xFF)
+        cur.append(v)
+    raw = r0 + r1 + bytes(row2)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png_pixels(blob)
+    assert got is not None and (got.reshape(3, 3) == target).all()
+
+
+def test_png_decoder_rejects_unsupported_profiles():
+    import numpy as np
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    assert decode_png_pixels(b"") is None
+    assert decode_png_pixels(b"\xff\xd8not a png") is None
+    blob = bytearray(encode_png(np.zeros((2, 2), dtype=np.uint8)))
+    blob[24] = 16  # bit depth byte inside IHDR -> unsupported profile
+    assert decode_png_pixels(bytes(blob)) is None
+    assert decode_png_pixels(bytes(encode_png(np.zeros((2, 2), np.uint8)))[:30]) is None
+
+
+def test_image_pixel_stats_decodes_real_pngs_in_spark(spark):
+    """The pixel-stats operator does REAL decode inside mapInPandas:
+    planted constant-color PNGs come back with exact means; a non-PNG
+    payload yields null stats."""
+    import numpy as np
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        encode_png,
+        image_pixel_stats,
+    )
+
+    flat42 = encode_png(np.full((4, 6, 3), 42, dtype=np.uint8))
+    half = np.zeros((2, 2), dtype=np.uint8)
+    half[0] = 200  # mean 100, std 100
+    rows = [
+        (1, "image/png", bytearray(flat42), "s"),
+        (2, "image/png", bytearray(encode_png(half)), "s"),
+        (3, "text/plain", bytearray(b"not an image"), "s"),
+    ]
+    media = spark.createDataFrame(
+        rows, "item_id long, media_type string, payload binary, source string"
+    )
+    got = {r["item_id"]: r for r in image_pixel_stats(media).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (6, 4, 3)
+    assert got[1]["mean_px"] == 42.0 and got[1]["std_px"] == 0.0
+    assert got[2]["mean_px"] == 100.0 and got[2]["std_px"] == 100.0
+    assert got[3]["width"] is None and got[3]["mean_px"] is None
