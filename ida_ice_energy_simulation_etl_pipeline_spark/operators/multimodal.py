@@ -63,13 +63,17 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes) -> object:
-    """Decode an image payload to a PIL.Image when PIL is installed;
-    otherwise NotImplementedError (no imaging library in this container —
-    the payload plumbing is real, the codec is the optional part)."""
+    """Decode an image payload: PIL.Image when PIL is installed; without
+    PIL, baseline PNGs still decode for real via the pure-stdlib codec
+    (returns an (h, w, ch) uint8 numpy array — see decode_png_pixels);
+    only non-PNG pixel decode is gated on the optional dependency."""
     if not HAS_PIL:
+        px = decode_png_pixels(payload)
+        if px is not None:
+            return px
         raise NotImplementedError(
-            "image decode requires PIL (not installed); payload plumbing is "
-            "real, decode is gated on the optional dependency"
+            "non-PNG pixel decode requires PIL (not installed); baseline "
+            "PNG decodes via the stdlib codec, other formats are gated"
         )
     from io import BytesIO
 
@@ -128,12 +132,21 @@ def parse_audio_meta(payload: bytes) -> tuple[int, int, int, float] | None:
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Resize an image payload via PIL when installed; otherwise
-    NotImplementedError (see decode_image)."""
+    """Resize an image payload: PIL when installed; without PIL, a REAL
+    nearest-neighbor resample for baseline PNGs via the stdlib codec
+    (decode → integer index map → re-encode); non-PNG stays gated."""
     if not HAS_PIL:
+        px = decode_png_pixels(payload)
+        if px is not None:
+            import numpy as np
+
+            h, w = px.shape[:2]
+            yi = np.arange(height) * h // height
+            xi = np.arange(width) * w // width
+            return encode_png(px[yi][:, xi])
         raise NotImplementedError(
-            "image resize requires PIL (not installed); payload plumbing is "
-            "real, resize is gated on the optional dependency"
+            "non-PNG resize requires PIL (not installed); baseline PNG "
+            "resamples via the stdlib codec, other formats are gated"
         )
     from io import BytesIO
 

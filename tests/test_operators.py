@@ -354,11 +354,25 @@ def test_multimodal_stubs_are_explicit():
         HAS_PIL,
     )
 
-    if not HAS_PIL:  # this container: codec path is an explicit stub
+    if not HAS_PIL:  # this container: NON-PNG codec path is an explicit
+        # stub (a truncated magic is not a decodable PNG); baseline PNG
+        # decodes + resizes for real via the stdlib codec
+        import numpy as np
+
+        from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+            decode_png_pixels,
+            encode_png,
+        )
+
         with pytest.raises(NotImplementedError):
             decode_image(b"\x89PNG")
         with pytest.raises(NotImplementedError):
             resize_image(b"\x89PNG", 32, 32)
+        px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        assert (decode_image(encode_png(px)).reshape(8, 8) == px).all()
+        small = decode_png_pixels(resize_image(encode_png(px), 4, 4))
+        assert small.shape == (4, 4, 1)
+        assert (small.reshape(4, 4) == px[::2, ::2]).all()  # NN resample
     with pytest.raises(NotImplementedError):
         decode_audio(b"RIFF")
     frames = frame_sample(b"0123456789abcdef", n_frames=4)
