@@ -697,6 +697,7 @@ def _import_reference(*names):
             "extract": importlib.import_module("src.etl.extract"),
             "transform": importlib.import_module("src.etl.transform"),
             "load": importlib.import_module("src.etl.load"),
+            "validate": importlib.import_module("src.etl.validate"),
         }
         out = []
         for n in names:
@@ -860,3 +861,49 @@ def test_views_match_reference_implementation(spark, star, ref_star, tmp_path):
                     assert norm(av) == norm(bv), f"{view}.{c}"
                 else:
                     assert list(av) == list(bv), f"{view}.{c}"
+
+
+# Check-family name map: {reference check key: our check key}.
+_VALIDATE_CHECKMAP = {
+    "schema": "schema",
+    "value_ranges": "ranges",
+    "temporal_coverage": "temporal",
+    "energy_plausibility": "plausibility",
+}
+
+
+def test_validate_verdicts_match_reference_implementation(spark, star, ref_star):
+    """QA-layer cross-implementation parity: the reference's own
+    validate_all (pandas) and ours (Spark) must agree check-for-check —
+    all green on the clean star, and the SAME family flags under an
+    identical planted mutation.  (Our extra 'nulls' family has no
+    reference twin; the reference folds null checks into ranges.)"""
+    (ref_validate_all,) = _import_reference("validate.validate_all")
+
+    ref_clean = ref_validate_all(ref_star)
+    our_clean = validate_all(star)
+    assert ref_clean["is_valid"] and our_clean["is_valid"]
+    for ref_k, our_k in _VALIDATE_CHECKMAP.items():
+        assert ref_clean["checks"][ref_k]["valid"] is True, ref_k
+        assert our_clean["checks"][our_k]["valid"] is True, our_k
+
+    # identical mutation on both sides: impossible zone temperature
+    ref_bad = dict(ref_star)
+    ref_bad["fact_zone_conditions"] = ref_star["fact_zone_conditions"].assign(
+        air_temp_C=99.0
+    )
+    our_bad = dict(star)
+    our_bad["fact_zone_conditions"] = star["fact_zone_conditions"].withColumn(
+        "air_temp_C", F.lit(99.0)
+    )
+    ref_rep = ref_validate_all(ref_bad)
+    our_rep = validate_all(our_bad)
+    assert not ref_rep["is_valid"] and not our_rep["is_valid"]
+    assert ref_rep["checks"]["value_ranges"]["valid"] is False
+    assert our_rep["checks"]["ranges"]["valid"] is False
+    # and the mutation must not bleed into other families on either side
+    for ref_k, our_k in _VALIDATE_CHECKMAP.items():
+        if ref_k == "value_ranges":
+            continue
+        assert ref_rep["checks"][ref_k]["valid"] is True, ref_k
+        assert our_rep["checks"][our_k]["valid"] is True, our_k
