@@ -274,13 +274,26 @@ def run_corpus_pipeline(
             ),
             "doc_id",
         )
+        # Re-dedup on the POST-scrub text: two docs differing only in
+        # (differently-)duplicated spans converge to the same residue —
+        # real duplicates now, invisible to the pre-scrub hash.  Also
+        # refreshes text_hash so the landed no-duplicate gate certifies
+        # the text that actually shipped.  (passage_dedup needs no such
+        # pass: keep-FIRST means a block survives in exactly one doc, so
+        # equal non-empty residues cannot occur.)
+        kept = _exact_deduped(kept.drop("text_hash"))
     if cfg.max_ppl is not None:
         # CCNet-style fluency gate (operators/text.py::bigram_ppl): the
         # model is self-trained on the already-filtered corpus; a
         # production build broadcasts an offline model instead
         from ..operators.text import bigram_ppl
 
-        ppl = bigram_ppl(kept.select("doc_id", "text"))
+        # broadcast_model=False: THIS model is self-trained on the
+        # corpus, so its size grows with the corpus (unlike the
+        # bounded offline model the default broadcast assumes) — let
+        # AQE choose the join, upgrading to broadcast only when the
+        # observed model is actually small.
+        ppl = bigram_ppl(kept.select("doc_id", "text"), broadcast_model=False)
         # LEFT join + null-pass: a doc with < 2 tokens has no bigrams and
         # therefore no ppl row — undefined perplexity passes through (the
         # length gates own short docs), it is not "infinitely bad"
@@ -334,19 +347,27 @@ def run_corpus_pipeline(
         # pass through — the length gates own degenerate docs, the same
         # convention as the ppl/quality gates; hence anti-join on the
         # DOMINATED set rather than semi-join on survivors.
+        #
+        # Row identity: in chunk mode rows are (doc_id, chunk_idx) — the
+        # dedup must run at CHUNK grain (a doc repeating a passage
+        # internally yields two cos-1.0 chunks; dropping ONE is the
+        # point, nuking the whole doc via a doc_id anti-join is not) and
+        # duplicated vec_ids would also corrupt semantic_dedup_frame's
+        # seed codebook and rank tie-break.  xxhash64 over the identity
+        # tuple gives a deterministic 64-bit vec_id either way.
+        id_cols = ["doc_id", "chunk_idx"] if cfg.chunk_tokens else ["doc_id"]
+        vec_id = F.xxhash64(*id_cols)
         sem = semantic_dedup_frame(
             kept.filter(F.col("embedding").isNotNull()).select(
-                F.col("doc_id").alias("vec_id"), "embedding"
+                vec_id.alias("vec_id"), "embedding"
             ),
             n_centroids=cfg.semantic_clusters,
             tau=cfg.semantic_tau,
         )
         kept = kept.join(
-            sem.filter(F.col("kept") == 0).select(
-                F.col("vec_id").alias("doc_id")
-            ),
-            "doc_id",
-            "left_anti",
+            sem.filter(F.col("kept") == 0).select("vec_id"),
+            on=vec_id == F.col("vec_id"),
+            how="left_anti",
         )
     kept = kept.withColumn("split", split_col(F.col("doc_id")))
     if cfg.pack_budget:

@@ -41,14 +41,20 @@ def build_dim_building(metadata: DataFrame) -> DataFrame:
 
 def build_dim_scenario(metadata: DataFrame) -> DataFrame:
     """One row per scenario, keeping the description of the FIRST run in
-    sorted run order (= min building_id) — the reference's seen-set walk
-    over sorted zips (transform:45-73) made that choice implicitly; a
-    bare dropDuplicates would leave the survivor partition-order-
-    dependent, which cross-implementation parity (and determinism under
-    repartitioning) forbids."""
+    sorted run order — the reference's seen-set walk over
+    ``sorted(glob('run_*.zip'))`` (transform:45-73, extract:116) made
+    that choice implicitly; a bare dropDuplicates would leave the
+    survivor partition-order-dependent, which cross-implementation
+    parity (and determinism under repartitioning) forbids.  The order
+    key reconstructs the zip FILENAME, not the bare building_id: for ids
+    where one is a prefix of the other ('B1' vs 'B10'), 'run_B10_…'
+    sorts before 'run_B1_…' and min(building_id) would disagree."""
+    run_name = F.concat(
+        F.lit("run_"), F.col("building_id"), F.lit("_"), F.col("scenario_id")
+    )
     return (
         metadata.groupBy("scenario_id")
-        .agg(F.min_by("description", "building_id").alias("description"))
+        .agg(F.min_by("description", run_name).alias("description"))
         .orderBy("scenario_id")
     )
 

@@ -92,10 +92,18 @@ class ThresholdAlertProcessor(StatefulProcessor):
         self, key, rows, timer_values
     ) -> Iterator[pd.DataFrame]:
         prev = self._last.get()[0] if self._last.exists() else "OK"
-        for pdf in rows:
+        # Concat the key's Arrow chunks BEFORE the (ts, event_id) sort —
+        # chunk-local sorting would classify an out-of-order later chunk
+        # against the wrong running level (sessions.py idiom).  Per-key
+        # per-batch memory, the same bound the sessionizer accepts.
+        chunks = list(rows)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             out, prev = _transition_frame(pdf, prev, self._threshold, key[0])
-            if out is not None:
-                yield out
+        else:
+            out = None
+        if out is not None:
+            yield out
         self._last.update((prev,))
 
     def close(self) -> None:
@@ -135,10 +143,16 @@ def threshold_alert_stream_legacy(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         prev = state.get[0] if state.exists else "OK"
-        for pdf in pdfs:
+        # One global (ts, event_id) sort per key per batch — see the
+        # chunk-concat note in ThresholdAlertProcessor.handleInputRows.
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             out, prev = _transition_frame(pdf, prev, threshold, key[0])
-            if out is not None:
-                yield out
+        else:
+            out = None
+        if out is not None:
+            yield out
         state.update((prev,))
 
     return events.groupBy("user_id").applyInPandasWithState(

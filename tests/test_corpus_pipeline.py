@@ -530,3 +530,76 @@ def test_corpus_pipeline_min_quality_gate_drops_low_score_docs(
         run_corpus_pipeline(
             spark, path, tmp_path / "out2", CorpusConfig(min_quality=1.5)
         )
+
+
+def test_corpus_span_scrub_rededups_converged_residues(spark, tmp_path):
+    """Docs that differ only in (differently-)duplicated spans converge
+    to the same residue after scrubbing — the stage must re-dedup on the
+    post-scrub text so the landed corpus carries no silent text dups."""
+    b1 = " ".join(f"x{i}" for i in range(10))
+    b2 = " ".join(f"y{i}" for i in range(10))
+    residue = "r1 r2"  # shorter than the span width: its windows straddle
+    rows = [
+        (0, residue + " " + b1, "s"),            # residue + dup-span 1
+        (1, residue + " " + b2, "s"),            # residue + dup-span 2
+        (2, " ".join(f"c{i}" for i in range(3)) + " " + b1, "s"),  # b1 elsewhere
+        (3, " ".join(f"d{i}" for i in range(3)) + " " + b2, "s"),  # b2 elsewhere
+    ]
+    path = tmp_path / "docs.parquet"
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.parquet(str(path))
+    manifest = run_corpus_pipeline(
+        spark,
+        path,
+        tmp_path / "out",
+        CorpusConfig(near_dedup=False, scrub=False, span_scrub=True, min_ttr=0.0, min_tokens=1),
+    )
+    landed = spark.read.parquet(manifest["output"])
+    texts = {r["doc_id"]: r["text"] for r in landed.collect()}
+    # docs 0 and 1 both scrub to "r1 r2 <straddle tokens>"? — the windows
+    # fully inside b1/b2 are duplicated, so all 10 span tokens beyond the
+    # straddle region are cut; whatever each residue is, docs 0/1 must
+    # not BOTH land if their residues are equal, and the gate must hold
+    assert manifest["gate"]["no_duplicate_hashes"] is True
+    assert len(set(texts.values())) == len(texts)  # no silent text dups
+    assert not ({0, 1} <= set(texts))  # converged pair collapsed to one
+
+
+def test_corpus_semantic_dedup_chunk_mode_drops_one_chunk_not_the_doc(
+    spark, tmp_path
+):
+    """Chunk mode: identity is (doc_id, chunk_idx) — an internally
+    repeated passage makes two identical chunks, and the semantic stage
+    must drop exactly the dominated CHUNK, never the whole doc."""
+    p = " ".join(f"p{i}" for i in range(24))  # period 24 = 2x stride(16->12)
+    rows = [
+        (0, p + " " + p, "s"),  # 48 tokens: chunk@0 == chunk@24
+        (1, OTHER, "s"),
+    ]
+    path = tmp_path / "docs.parquet"
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.parquet(str(path))
+    manifest = run_corpus_pipeline(
+        spark,
+        path,
+        tmp_path / "out",
+        CorpusConfig(
+            near_dedup=False,
+            scrub=False,
+            min_tokens=1,
+            min_ttr=0.0,
+            chunk_tokens=16,
+            embed=True,
+            semantic_dedup=True,
+            semantic_clusters=1,
+        ),
+    )
+    landed = spark.read.parquet(manifest["output"])
+    chunks = {
+        (r["doc_id"], r["chunk_idx"]): r["text"] for r in landed.collect()
+    }
+    doc0_chunks = {k for k in chunks if k[0] == 0}
+    assert doc0_chunks, "doc 0 must survive chunk-grain dedup"
+    # exactly one of the two identical chunks remains
+    texts0 = [chunks[k] for k in doc0_chunks]
+    assert len(set(texts0)) == len(texts0)
+    # doc 1's chunks untouched
+    assert any(k[0] == 1 for k in chunks)

@@ -684,6 +684,32 @@ def test_snapshot_diff_null_swaps_and_schema_evolution(spark, tmp_path):
     assert got == {1: "changed", 2: "unchanged"}
 
 
+def _assert_columns_match(a, b, label):
+    """Dtype-dispatched column-by-column equality for two row-aligned
+    pandas frames (floats at atol=1e-9, timestamps tz-normalized) —
+    shared by every cross-implementation parity test."""
+    import pandas as pd
+
+    assert len(a) == len(b), label
+    for c in b.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(bv):
+            pd.testing.assert_series_equal(
+                av.astype("float64"), bv.astype("float64"),
+                check_names=False, rtol=0, atol=1e-9, obj=f"{label}.{c}",
+            )
+        elif pd.api.types.is_datetime64_any_dtype(bv):
+            # same UTC instants; the reference keeps pandas tz-aware UTC
+            # while Spark->pandas yields naive UTC wall clock
+            norm = lambda s: [  # noqa: E731
+                t.tz_localize(None) if t.tzinfo else t
+                for t in pd.to_datetime(s)
+            ]
+            assert norm(av) == norm(bv), f"{label}.{c}"
+        else:
+            assert list(av) == list(bv), f"{label}.{c}"
+
+
 def _import_reference(*names):
     """Import symbols from the reference repo read-only, without leaving
     its 'src' package importable afterwards."""
@@ -750,24 +776,7 @@ def test_star_schema_matches_reference_implementation(spark, star, ref_star):
             .reset_index(drop=True)
         )
         b = ref_pdf.sort_values(key_cols).reset_index(drop=True)
-        assert len(a) == len(b), name
-        for c in ref_pdf.columns:
-            av, bv = a[c], b[c]
-            if pd.api.types.is_float_dtype(bv):
-                pd.testing.assert_series_equal(
-                    av.astype("float64"), bv.astype("float64"),
-                    check_names=False, rtol=0, atol=1e-9, obj=f"{name}.{c}",
-                )
-            elif pd.api.types.is_datetime64_any_dtype(bv):
-                # same UTC instants; the reference keeps pandas tz-aware
-                # UTC while Spark->pandas yields naive UTC wall clock
-                norm = lambda s: [  # noqa: E731
-                    t.tz_localize(None) if t.tzinfo else t
-                    for t in pd.to_datetime(s)
-                ]
-                assert norm(av) == norm(bv), f"{name}.{c}"
-            else:
-                assert list(av) == list(bv), f"{name}.{c}"
+        _assert_columns_match(a, b, name)
 
 
 # Shared-semantic column map per view: {reference_name: our_name}.  Our
@@ -844,23 +853,7 @@ def test_views_match_reference_implementation(spark, star, ref_star, tmp_path):
                 .sort_values(keys)
                 .reset_index(drop=True)
             )
-            assert len(a) == len(b), view
-            for c in colmap.values():
-                av, bv = a[c], b[c]
-                if pd.api.types.is_float_dtype(bv):
-                    pd.testing.assert_series_equal(
-                        av.astype("float64"), bv.astype("float64"),
-                        check_names=False, rtol=0, atol=1e-9,
-                        obj=f"{view}.{c}",
-                    )
-                elif pd.api.types.is_datetime64_any_dtype(bv):
-                    norm = lambda s: [  # noqa: E731
-                        t.tz_localize(None) if t.tzinfo else t
-                        for t in pd.to_datetime(s)
-                    ]
-                    assert norm(av) == norm(bv), f"{view}.{c}"
-                else:
-                    assert list(av) == list(bv), f"{view}.{c}"
+            _assert_columns_match(a, b, view)
 
 
 # Check-family name map: {reference check key: our check key}.
@@ -907,3 +900,23 @@ def test_validate_verdicts_match_reference_implementation(spark, star, ref_star)
             continue
         assert ref_rep["checks"][ref_k]["valid"] is True, ref_k
         assert our_rep["checks"][our_k]["valid"] is True, our_k
+
+
+def test_dim_scenario_first_seen_matches_zip_sort_on_prefix_ids(spark):
+    """'run_B10_BASE.zip' sorts before 'run_B1_BASE.zip' ('0' < '_'), so
+    the reference's seen-set walk keeps B10's description; the min_by
+    order key must reconstruct the filename, not compare bare ids."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.etl.transform import (
+        build_dim_scenario,
+    )
+
+    meta = spark.createDataFrame(
+        [
+            ("B1", "BASE", "BASE scenario for B1"),
+            ("B10", "BASE", "BASE scenario for B10"),
+        ],
+        ["building_id", "scenario_id", "description"],
+    )
+    got = build_dim_scenario(meta).collect()
+    assert len(got) == 1
+    assert got[0]["description"] == "BASE scenario for B10"

@@ -813,3 +813,42 @@ def test_threshold_alert_new_state_api_matches_legacy(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_threshold_alert_sorts_across_arrow_chunks(spark, tmp_path):
+    """A key's micro-batch spanning multiple Arrow chunks must be sorted
+    GLOBALLY by (ts, event_id) before classification — chunk-local sort
+    would classify an out-of-order later chunk against the wrong running
+    level and emit spurious transitions."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming.alerts import (
+        threshold_alert_stream_legacy,
+    )
+
+    ingest = tmp_path / "alerts_chunks"
+    ingest.mkdir()
+    # ONE file (one micro-batch), events written ts-DESC so tiny Arrow
+    # chunks deliver later timestamps first
+    rows = [
+        {"user_id": 1, "ts": "2024-03-01T00:04:00", "event_id": 5, "value": 10.0},
+        {"user_id": 1, "ts": "2024-03-01T00:03:00", "event_id": 4, "value": 95.0},
+        {"user_id": 1, "ts": "2024-03-01T00:02:00", "event_id": 3, "value": 97.0},
+        {"user_id": 1, "ts": "2024-03-01T00:01:00", "event_id": 2, "value": 96.0},
+        {"user_id": 1, "ts": "2024-03-01T00:00:00", "event_id": 1, "value": 5.0},
+    ]
+    (ingest / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        events = spark.readStream.schema(ALERT_EVENT_SCHEMA).json(str(ingest))
+        run_to_memory(threshold_alert_stream_legacy(events), "alerts_chunked_t")
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = sorted(
+        (r["event_id"] if False else str(r["ts"]), r["prev_level"], r["level"])
+        for r in spark.sql("SELECT * FROM alerts_chunked_t").collect()
+    )
+    # time order: 5(OK) 96(ALERT) 97 95 10(OK): exactly two transitions
+    assert got == [
+        ("2024-03-01 00:01:00", "OK", "ALERT"),
+        ("2024-03-01 00:04:00", "ALERT", "OK"),
+    ]
