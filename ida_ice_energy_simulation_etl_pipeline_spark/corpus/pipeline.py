@@ -274,14 +274,6 @@ def run_corpus_pipeline(
             ),
             "doc_id",
         )
-        # Re-dedup on the POST-scrub text: two docs differing only in
-        # (differently-)duplicated spans converge to the same residue —
-        # real duplicates now, invisible to the pre-scrub hash.  Also
-        # refreshes text_hash so the landed no-duplicate gate certifies
-        # the text that actually shipped.  (passage_dedup needs no such
-        # pass: keep-FIRST means a block survives in exactly one doc, so
-        # equal non-empty residues cannot occur.)
-        kept = _exact_deduped(kept.drop("text_hash"))
     if cfg.max_ppl is not None:
         # CCNet-style fluency gate (operators/text.py::bigram_ppl): the
         # model is self-trained on the already-filtered corpus; a
@@ -321,6 +313,25 @@ def run_corpus_pipeline(
             .drop("text", "n_email", "n_ip", "n_phone")
             .withColumnRenamed("scrubbed", "text")
         )
+    if cfg.span_scrub or cfg.scrub:
+        # Re-dedup ONCE after the last text-MUTATING stage: span surgery
+        # and PII redaction can both converge distinct docs to identical
+        # text ('contact a@b.com' / 'contact c@d.com' → 'contact
+        # <EMAIL>'), real duplicates the pre-mutation hash cannot see;
+        # the refreshed text_hash also makes the landed no-duplicate
+        # gate certify the text that actually SHIPPED.  (passage_dedup
+        # alone cannot converge docs: keep-FIRST means a block survives
+        # in exactly one doc, so equal non-empty residues cannot occur.)
+        if cfg.span_scrub:
+            # _exact_deduped consumes its input twice (hash aggregate +
+            # survivor join); span_scrub lineage is shuffle-heavy, so
+            # materialize before the dual read (the near-dedup
+            # precedent).  The scrub-only path stays un-checkpointed:
+            # its lineage above the near-dedup checkpoint is map-only,
+            # and re-running a map subtree is cheaper at scale than
+            # landing the corpus again.
+            kept = kept.localCheckpoint(eager=True)
+        kept = _exact_deduped(kept.drop("text_hash"))
     if cfg.chunk_tokens:
         # RAG chunking (operators/text.py::chunk_docs): every metadata
         # column passes through; text becomes the chunk text, so the

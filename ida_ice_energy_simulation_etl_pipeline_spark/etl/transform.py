@@ -22,7 +22,7 @@ Re-expresses the reference's per-run pandas loops
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -31,10 +31,33 @@ from ..functions import dow_monday0, is_weekend
 COP_POWER_THRESHOLD_KW = 1.0
 
 
+def _run_zip_name() -> Column:
+    """The reference walks runs in ``sorted(glob('run_*.zip'))`` order
+    (extract:116) — first-seen choices must use the FULL filename as the
+    order key, '.zip' included: bare ids misorder prefix pairs ('B1' vs
+    'B10': '0' < '_'), and without the extension a reconstructed name
+    that is a strict prefix of another ('-' < '.') misorders too."""
+    return F.concat(
+        F.lit("run_"),
+        F.col("building_id"),
+        F.lit("_"),
+        F.col("scenario_id"),
+        F.lit(".zip"),
+    )
+
+
 def build_dim_building(metadata: DataFrame) -> DataFrame:
+    """One row per building, first-seen in sorted run order (same
+    determinism rule as build_dim_scenario below: dropDuplicates'
+    survivor is partition-order-dependent; the reference's seen-set walk
+    keeps the first zip's metadata)."""
+    first = F.min_by(
+        F.struct("building_name", "location", "floor_area_m2"), _run_zip_name()
+    ).alias("f")
     return (
-        metadata.select("building_id", "building_name", "location", "floor_area_m2")
-        .dropDuplicates(["building_id"])
+        metadata.groupBy("building_id")
+        .agg(first)
+        .select("building_id", "f.building_name", "f.location", "f.floor_area_m2")
         .orderBy("building_id")
     )
 
@@ -49,12 +72,9 @@ def build_dim_scenario(metadata: DataFrame) -> DataFrame:
     key reconstructs the zip FILENAME, not the bare building_id: for ids
     where one is a prefix of the other ('B1' vs 'B10'), 'run_B10_…'
     sorts before 'run_B1_…' and min(building_id) would disagree."""
-    run_name = F.concat(
-        F.lit("run_"), F.col("building_id"), F.lit("_"), F.col("scenario_id")
-    )
     return (
         metadata.groupBy("scenario_id")
-        .agg(F.min_by("description", run_name).alias("description"))
+        .agg(F.min_by("description", _run_zip_name()).alias("description"))
         .orderBy("scenario_id")
     )
 

@@ -49,11 +49,20 @@ ALERT_OUTPUT = (
 )
 
 
-def _transition_frame(pdf: pd.DataFrame, prev: str, threshold: float, key):
-    """Vectorized transition kernel shared by both state APIs: returns
-    (transitions-DataFrame-or-None, new last level)."""
+def _transition_frame(chunks, prev: str, threshold: float, key):
+    """Vectorized transition kernel shared by both state APIs: concat
+    the key's Arrow chunks, ONE global (ts, event_id) sort, classify,
+    return (transitions-DataFrame-or-None, new last level).  The concat
+    happens BEFORE the sort — chunk-local sorting would classify an
+    out-of-order later chunk against the wrong running level
+    (sessions.py idiom).  Per-key per-batch memory, the same bound the
+    sessionizer accepts."""
     import numpy as np
 
+    chunks = list(chunks)
+    if not chunks:
+        return None, prev
+    pdf = pd.concat(chunks, ignore_index=True)
     if pdf.empty:
         return None, prev
     pdf = pdf.sort_values(["ts", "event_id"])
@@ -92,16 +101,7 @@ class ThresholdAlertProcessor(StatefulProcessor):
         self, key, rows, timer_values
     ) -> Iterator[pd.DataFrame]:
         prev = self._last.get()[0] if self._last.exists() else "OK"
-        # Concat the key's Arrow chunks BEFORE the (ts, event_id) sort —
-        # chunk-local sorting would classify an out-of-order later chunk
-        # against the wrong running level (sessions.py idiom).  Per-key
-        # per-batch memory, the same bound the sessionizer accepts.
-        chunks = list(rows)
-        if chunks:
-            pdf = pd.concat(chunks, ignore_index=True)
-            out, prev = _transition_frame(pdf, prev, self._threshold, key[0])
-        else:
-            out = None
+        out, prev = _transition_frame(rows, prev, self._threshold, key[0])
         if out is not None:
             yield out
         self._last.update((prev,))
@@ -143,14 +143,7 @@ def threshold_alert_stream_legacy(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         prev = state.get[0] if state.exists else "OK"
-        # One global (ts, event_id) sort per key per batch — see the
-        # chunk-concat note in ThresholdAlertProcessor.handleInputRows.
-        chunks = list(pdfs)
-        if chunks:
-            pdf = pd.concat(chunks, ignore_index=True)
-            out, prev = _transition_frame(pdf, prev, threshold, key[0])
-        else:
-            out = None
+        out, prev = _transition_frame(pdfs, prev, threshold, key[0])
         if out is not None:
             yield out
         state.update((prev,))

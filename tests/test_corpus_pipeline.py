@@ -603,3 +603,22 @@ def test_corpus_semantic_dedup_chunk_mode_drops_one_chunk_not_the_doc(
     assert len(set(texts0)) == len(texts0)
     # doc 1's chunks untouched
     assert any(k[0] == 1 for k in chunks)
+
+
+def test_corpus_pii_converged_duplicates_collapse(spark, tmp_path):
+    """Two docs identical except for different PII become byte-identical
+    after redaction — the post-mutation re-dedup must collapse them and
+    the landed gate must certify the SHIPPED text's hashes."""
+    t1 = OTHER + " contact someone@example.org for details"
+    t2 = OTHER + " contact other@example.net for details"
+    rows = [(0, t1, "s"), (1, t2, "s"), (2, BASE, "s")]
+    path = tmp_path / "docs.parquet"
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.parquet(str(path))
+    manifest = run_corpus_pipeline(
+        spark, path, tmp_path / "out", CorpusConfig(near_dedup=False)
+    )
+    landed = spark.read.parquet(manifest["output"])
+    texts = [r["text"] for r in landed.collect()]
+    assert len(texts) == 2  # the PII-converged pair collapsed to one
+    assert len(set(texts)) == 2
+    assert manifest["gate"]["no_duplicate_hashes"] is True

@@ -844,7 +844,7 @@ def test_threshold_alert_sorts_across_arrow_chunks(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     got = sorted(
-        (r["event_id"] if False else str(r["ts"]), r["prev_level"], r["level"])
+        (str(r["ts"]), r["prev_level"], r["level"])
         for r in spark.sql("SELECT * FROM alerts_chunked_t").collect()
     )
     # time order: 5(OK) 96(ALERT) 97 95 10(OK): exactly two transitions
