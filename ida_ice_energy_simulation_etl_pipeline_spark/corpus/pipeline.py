@@ -157,12 +157,23 @@ def _filtered(docs: DataFrame, cfg: CorpusConfig) -> DataFrame:
 
 
 def _exact_deduped(docs: DataFrame) -> DataFrame:
-    """Keep the min-doc_id representative per exact content hash — one
-    hash-keyed shuffle, deterministic under any partitioning (unlike
-    dropDuplicates, whose survivor is partition-order-dependent)."""
+    """Keep the min-doc_id representative per exact content hash — ONE
+    read of the input and one hash-keyed shuffle: a row_number window
+    over the hash partition (sort cost bounded by duplicate-group size)
+    replaces the earlier aggregate+join pair, whose dual read of the
+    input re-executed the whole upstream lineage twice when invoked
+    mid-pipeline (the post-mutation re-dedups below).  Deterministic
+    under any partitioning, unlike dropDuplicates whose survivor is
+    partition-order-dependent."""
+    from pyspark.sql.window import Window
+
     hashed = docs.withColumn("text_hash", F.md5(F.col("text").cast("binary")))
-    keeper = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
-    return hashed.join(keeper, ["text_hash", "doc_id"])
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def _near_deduped(docs: DataFrame, cc_algorithm: str = "label_prop") -> DataFrame:
@@ -274,6 +285,13 @@ def run_corpus_pipeline(
             ),
             "doc_id",
         )
+        # Re-dedup IMMEDIATELY (not deferred to the post-scrub pass):
+        # docs differing only in duplicated spans converge to one
+        # residue, and the ppl/quality gates below must train and score
+        # on the DEDUPED corpus — a converged duplicate left in place
+        # would double its own bigram counts and bias the self-trained
+        # fluency model's verdicts.
+        kept = _exact_deduped(kept.drop("text_hash"))
     if cfg.max_ppl is not None:
         # CCNet-style fluency gate (operators/text.py::bigram_ppl): the
         # model is self-trained on the already-filtered corpus; a
@@ -313,24 +331,15 @@ def run_corpus_pipeline(
             .drop("text", "n_email", "n_ip", "n_phone")
             .withColumnRenamed("scrubbed", "text")
         )
-    if cfg.span_scrub or cfg.scrub:
-        # Re-dedup ONCE after the last text-MUTATING stage: span surgery
-        # and PII redaction can both converge distinct docs to identical
+    if cfg.scrub:
+        # PII redaction can ALSO converge distinct docs to identical
         # text ('contact a@b.com' / 'contact c@d.com' → 'contact
-        # <EMAIL>'), real duplicates the pre-mutation hash cannot see;
-        # the refreshed text_hash also makes the landed no-duplicate
-        # gate certify the text that actually SHIPPED.  (passage_dedup
-        # alone cannot converge docs: keep-FIRST means a block survives
-        # in exactly one doc, so equal non-empty residues cannot occur.)
-        if cfg.span_scrub:
-            # _exact_deduped consumes its input twice (hash aggregate +
-            # survivor join); span_scrub lineage is shuffle-heavy, so
-            # materialize before the dual read (the near-dedup
-            # precedent).  The scrub-only path stays un-checkpointed:
-            # its lineage above the near-dedup checkpoint is map-only,
-            # and re-running a map subtree is cheaper at scale than
-            # landing the corpus again.
-            kept = kept.localCheckpoint(eager=True)
+        # <EMAIL>') — re-dedup on the redacted text, which additionally
+        # refreshes text_hash so the landed no-duplicate gate certifies
+        # the text that actually SHIPPED.  (passage_dedup alone cannot
+        # converge docs: keep-FIRST means a block survives in exactly
+        # one doc, so equal non-empty residues cannot occur.  No
+        # checkpoint needed: _exact_deduped is single-read.)
         kept = _exact_deduped(kept.drop("text_hash"))
     if cfg.chunk_tokens:
         # RAG chunking (operators/text.py::chunk_docs): every metadata
