@@ -115,9 +115,12 @@ def load_to_parquet(
     *,
     partition_facts: bool = False,
     sort_within: dict[str, list[str]] | None = None,
+    file_format: str = "parquet",
 ) -> dict[str, str]:
-    """Write every star table as parquet (reference load:15-33).  Returns
-    {table: path}.
+    """Write every star table as parquet (reference load:15-33) — or ORC
+    via ``file_format="orc"``: same layout levers (partitioning,
+    range-clustering, file/stripe-level min-max skipping), both columnar
+    formats are first-class Spark sources.  Returns {table: path}.
 
     ``sort_within`` maps table → clustering columns: the table is
     ``repartitionByRange`` + ``sortWithinPartitions`` on them before
@@ -141,9 +144,13 @@ def load_to_parquet(
         writer = df.write.mode("overwrite")
         if partition_facts and table in PARTITION_COLUMNS:
             writer = writer.partitionBy(*PARTITION_COLUMNS[table])
-        writer.parquet(path)
+        writer.format(file_format).save(path)
         paths[table] = path
 
+    if file_format not in ("parquet", "orc"):
+        raise ValueError(
+            f"file_format must be 'parquet' or 'orc', got {file_format!r}"
+        )
     for table in star:
         _check_identifier(table)
     # The 9 table writes are independent jobs; driver threads let Spark

@@ -920,3 +920,21 @@ def test_dim_scenario_first_seen_matches_zip_sort_on_prefix_ids(spark):
     got = build_dim_scenario(meta).collect()
     assert len(got) == 1
     assert got[0]["description"] == "BASE scenario for B10"
+
+
+def test_orc_star_roundtrip(spark, star, tmp_path):
+    """file_format='orc': same loader, same layout levers, ORC's
+    columnar min-max skipping — every table round-trips value-equal."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.etl.load import (
+        load_to_parquet as load_star,
+    )
+
+    paths = load_star(star, tmp_path / "orc_out", file_format="orc")
+    assert set(paths) == set(star)
+    for table, path in paths.items():
+        back = spark.read.orc(path)
+        assert sorted(map(repr, back.collect())) == sorted(
+            map(repr, star[table].collect())
+        ), table
+    with pytest.raises(ValueError, match="file_format"):
+        load_star(star, tmp_path / "avro_out", file_format="avro")
