@@ -22,10 +22,13 @@ manifest.  The stage-count manifest is computed in ONE conditional-
 aggregate pass over the input (the corpus_funnel recipe) plus one scan
 of the landed output; no per-stage count jobs, no driver-side loops.
 
-Scale notes: the only corpus-wide shuffles are the exact-dedup hash
-aggregate, the LSH band-bucket self-join, and the final partitioned
-write; everything else is map-side.  The validation gate re-reads the
-LANDED parquet (columnar, pruned) rather than re-running lineage.
+Scale notes: the always-on corpus-wide shuffles are the exact-dedup
+hash window, the LSH band-bucket self-join, and the final partitioned
+write; opt-in stages add their own documented exchanges (span surgery:
+span-hash grain + a post-surgery re-dedup; PII scrub: a post-redaction
+re-dedup; SemDeDup: one cell-grain shuffle) — see SCALE.md's corpus
+row.  Everything else is map-side.  The validation gate re-reads the
+LANDED output (columnar, pruned) rather than re-running lineage.
 """
 
 from __future__ import annotations
