@@ -282,10 +282,16 @@ def run_corpus_pipeline(
         from ..operators.dedup import span_scrub_frame
 
         scrubbed = span_scrub_frame(kept.select("doc_id", "text"))
+        # Survivor filter: docs losing EVERY token leave the corpus, but a
+        # zero-token doc (reachable with min_tokens=0) was never scrubbed —
+        # 0 < 0 would silently evict it, so it passes through explicitly,
+        # consistent with the "length gates own degenerate docs" convention
+        # the ppl/quality/semantic stages follow.
         kept = kept.drop("text").join(
-            scrubbed.filter(F.col("n_scrubbed") < F.col("n_tokens")).select(
-                "doc_id", F.col("text_scrubbed").alias("text")
-            ),
+            scrubbed.filter(
+                (F.col("n_tokens") == 0)
+                | (F.col("n_scrubbed") < F.col("n_tokens"))
+            ).select("doc_id", F.col("text_scrubbed").alias("text")),
             "doc_id",
         )
         # Re-dedup IMMEDIATELY (not deferred to the post-scrub pass):
@@ -662,6 +668,201 @@ def main(argv: list[str] | None = None) -> int:
         spark.stop()
     print(json.dumps(manifest, indent=2))
     return 0
+
+
+# --------------------------------------------------------------------------
+# Driver-visible end-to-end composition query: the corpus pipeline's core
+# stage chain (language+quality filter → exact dedup → MinHash-LSH near
+# dedup → PII scrub → deterministic split) as ONE DataFrame, so the
+# COMPOSITION itself earns an independent driver CORRECTNESS row, not
+# just its pieces.  Differences from run_corpus_pipeline, both forced by
+# the oracle contract: no write (the driver compares frames), and PII is
+# PLANTED after dedup (the synthetic fixture has no real PII — planting
+# before dedup would also make every text doc_id-unique and gut the
+# dedup stages; after near-dedup each stage still does real work and the
+# scrub counts are nonzero).  The post-scrub re-dedup is provably a
+# no-op here (exact dedup already removed identical base texts, and the
+# planted suffix redacts to a base-distinct residue), so it is omitted.
+
+
+def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import _planted_pii_col
+    from ..plans.core import ensure_parallelism, load_table
+
+    cfg = CorpusConfig()
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    kept = _near_deduped(
+        _exact_deduped(_filtered(docs.select("doc_id", "text"), cfg))
+    )
+    planted = kept.select("doc_id", _planted_pii_col().alias("text"))
+    s = scrub_pii(planted)
+    return (
+        s.select(
+            split_col(F.col("doc_id")).alias("split"),
+            F.length("scrubbed").alias("len_out"),
+            (F.col("n_email") + F.col("n_ip") + F.col("n_phone")).alias(
+                "n_red"
+            ),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("len_out").cast("long").alias("chars_out"),
+            F.sum("n_red").cast("long").alias("pii_redactions"),
+        )
+    )
+
+
+def _corpus_e2e_sql() -> str:
+    """DuckDB oracle for corpus_pipeline_e2e — the full stage chain
+    restated from the same fragments the per-stage oracles use
+    (lang scores, shingle/minhash/band CTEs, recursive-CTE connected
+    components, staged PII regexes, md5-prefix split)."""
+    from ..operators.dedup import N_BANDS, N_MINHASHES, SHINGLE_N, _band_key_sql
+    from ..operators.text import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+        _lang_score_sql,
+    )
+
+    rows = N_MINHASHES // N_BANDS
+    mh_exprs = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS mh_{i}"
+        for i in range(N_MINHASHES)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, {_band_key_sql(b, rows)} AS band_key FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH RECURSIVE
+pred AS (
+  SELECT doc_id, text,
+         ({_lang_score_sql('en')} >= {_lang_score_sql('de')}
+          AND {_lang_score_sql('en')} >= {_lang_score_sql('fr')}
+          AND {_lang_score_sql('en')} >= {_lang_score_sql('es')}) AS is_en
+  FROM documents
+),
+base AS (
+  SELECT doc_id, text FROM pred
+  WHERE is_en
+    AND len(string_split(text, ' ')) >= {FUNNEL_MIN_TOKENS}
+    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' ')) >= {FUNNEL_MIN_TTR}
+),
+ex AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM base
+  ) WHERE rn = 1
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM ex),
+shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w) - {SHINGLE_N - 2}, 1)),
+                                      i -> array_to_string(w[i:i+{SHINGLE_N - 1}], ' '))) AS sh
+  FROM toks
+),
+sig AS (SELECT doc_id, {mh_exprs} FROM shingled),
+bands AS ({band_union}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+undirected AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM undirected
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN undirected e ON r.dst = e.src
+),
+comp AS (
+  SELECT e.doc_id,
+         least(e.doc_id, coalesce(min(r.dst), e.doc_id)) AS component
+  FROM ex e LEFT JOIN reach r ON r.src = e.doc_id
+  GROUP BY e.doc_id
+),
+kept AS (
+  SELECT e.doc_id, e.text
+  FROM ex e JOIN comp c ON c.doc_id = e.doc_id AND c.component = e.doc_id
+),
+planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' from ' || (doc_id % 256)::VARCHAR
+                      || '.' || ((doc_id * 3) % 256)::VARCHAR
+                      || '.' || ((doc_id * 7) % 256)::VARCHAR
+                      || '.' || (doc_id % 250)::VARCHAR
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                      || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                 ELSE '' END AS text
+  FROM kept
+),
+staged AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM planted
+),
+staged2 AS (
+  SELECT doc_id, text, t1,
+         regexp_replace(t1, '{PII_IPV4_RE}', '<IP>', 'g') AS t2
+  FROM staged
+),
+scrubbed AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_email,
+         len(regexp_extract_all(t1, '{PII_IPV4_RE}')) AS n_ip,
+         len(regexp_extract_all(t2, '{PII_PHONE_RE}')) AS n_phone,
+         regexp_replace(t2, '{PII_PHONE_RE}', '<PHONE>', 'g') AS after_text
+  FROM staged2
+),
+assigned AS (
+  SELECT CASE
+           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) < {int(0.8 * 65536)} THEN 'train'
+           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) < {int(0.9 * 65536)} THEN 'val'
+           ELSE 'test'
+         END AS split,
+         len(after_text) AS len_out,
+         n_email + n_ip + n_phone AS n_red
+  FROM scrubbed
+)
+SELECT split,
+       count(*) AS n_docs,
+       CAST(sum(len_out) AS BIGINT) AS chars_out,
+       CAST(sum(n_red) AS BIGINT) AS pii_redactions
+FROM assigned
+GROUP BY split
+"""
+
+
+def _specs():
+    from ..plans.core import QuerySpec
+
+    return [
+        QuerySpec(
+            "corpus_pipeline_e2e",
+            corpus_pipeline_e2e,
+            _corpus_e2e_sql(),
+            "ext:corpus,composition,dedup,pii,split",
+        )
+    ]
+
+
+SPECS = _specs()
 
 
 if __name__ == "__main__":

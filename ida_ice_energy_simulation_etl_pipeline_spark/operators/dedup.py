@@ -618,7 +618,17 @@ def semantic_dedup_frame(
 
     ``codebook`` (columns ``cluster_id``, ``c_emb``) swaps the seed
     quantizer for trained centroids — ``kmeans_centroids`` output slots
-    in directly, the same contract as :func:`ivf_topk`."""
+    in directly, the same contract as :func:`ivf_topk`.
+
+    Skew caveat: ``cell_kept`` materializes one CELL's embedding matrix
+    on one executor before the chunked GEMM, so the memory bound is the
+    LARGEST cell, and the ~corpus/k cell-size estimate is only as good
+    as the codebook — a degenerate embedding distribution (or the
+    untrained seed quantizer) can funnel most of the corpus into one
+    cell.  Production runs at scale should pass a TRAINED, balanced
+    ``codebook`` (``kmeans_centroids``) and size k so corpus/k rows of
+    embeddings fit one executor; SCALE.md §semantic-dedup records the
+    sizing rule."""
     from .similarity import N_CENTROIDS, _cos_key_sql, _fold_codebook
 
     if codebook is not None:
@@ -1158,7 +1168,6 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL, "ext:dedup"
     ),
-    QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL, "ext:dedup"),
     QuerySpec(
         "dedup_ngram_jaccard",
         dedup_ngram_jaccard,
@@ -1168,22 +1177,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "dedup_embedding", dedup_embedding, _embedding_oracle_sql(), "ext:dedup,ann"
     ),
-]
-
-EXTRA_SPECS: list[QuerySpec] = [
+    # Promoted into the driver window in round 5 — the passage/span/
+    # semantic/incremental flagship paths had only local oracle
+    # verification before (dedup_simhash rotated out with 4 rounds of
+    # green driver rows; still oracle-verified locally).
     QuerySpec("dedup_passages", dedup_passages, DEDUP_PASSAGES_SQL, "ext:dedup"),
-    QuerySpec(
-        "dup_pairs_by_source",
-        dup_pairs_by_source,
-        DUP_PAIRS_BY_SOURCE_SQL,
-        "ext:dedup,diagnostics",
-    ),
-    QuerySpec(
-        "dup_span_stats",
-        dup_span_stats,
-        DUP_SPAN_STATS_SQL,
-        "ext:dedup,spans,diagnostics",
-    ),
     QuerySpec(
         "span_scrub",
         span_scrub,
@@ -1201,5 +1199,21 @@ EXTRA_SPECS: list[QuerySpec] = [
         incremental_dedup,
         INCREMENTAL_DEDUP_SQL,
         "ext:dedup,incremental",
+    ),
+]
+
+EXTRA_SPECS: list[QuerySpec] = [
+    QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL, "ext:dedup"),
+    QuerySpec(
+        "dup_pairs_by_source",
+        dup_pairs_by_source,
+        DUP_PAIRS_BY_SOURCE_SQL,
+        "ext:dedup,diagnostics",
+    ),
+    QuerySpec(
+        "dup_span_stats",
+        dup_span_stats,
+        DUP_SPAN_STATS_SQL,
+        "ext:dedup,spans,diagnostics",
     ),
 ]

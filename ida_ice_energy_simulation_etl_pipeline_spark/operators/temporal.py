@@ -208,6 +208,8 @@ SPECS: list[QuerySpec] = [
         "ext:range-join",
     ),
 ]
+# gap_fill joins the driver window in round 5 (promoted from the extra
+# tier; appended below its definition).
 
 
 # --------------------------------------------------------------------------
@@ -286,6 +288,8 @@ FROM grid g LEFT JOIN hourly h USING (event_type, hour_ts)
 """
 
 
-EXTRA_SPECS: list[QuerySpec] = [
+SPECS += [
     QuerySpec("gap_fill", gap_fill, GAP_FILL_SQL, "ext:gapfill,F3,F4"),
 ]
+
+EXTRA_SPECS: list[QuerySpec] = []

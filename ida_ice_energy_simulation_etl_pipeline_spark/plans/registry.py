@@ -15,6 +15,7 @@ Two tiers:
 
 from __future__ import annotations
 
+from ..corpus import pipeline as _corpus
 from ..operators import dedup as _dedup
 from ..operators import graph as _graph
 from ..operators import linkage as _linkage
@@ -40,6 +41,7 @@ _MODULES = (
     _skew,
     _text,
     _multimodal,
+    _corpus,
 )
 
 _ALL_SPECS: list[QuerySpec] = [
