@@ -269,9 +269,13 @@ def main() -> None:
     # The driver records only the LAST 2000 characters of stdout
     # (BENCH_r0{1,2}.json "tail" fields are exactly 2000 chars; round 3's
     # longer line came back "parsed: null").  The stdout line therefore
-    # stays SLIM — per-query Spark times + the DuckDB total — and the
-    # per-query DuckDB column joins the other diagnostics in the side
-    # file, which is committed each round as BENCH_DETAIL_r{N}.json.
+    # stays SLIM: per-query Spark times, the DuckDB total, and the
+    # per-query DuckDB medians as the COMPACT ``duckdb_q`` array —
+    # values aligned positionally with the ``queries`` dict's key order
+    # (JSON objects preserve insertion order), -1 marking an oracle
+    # error — so the round record itself carries the full comparator,
+    # not just its sum.  Everything else (build/floor decomposition,
+    # spreads) stays in the side file, committed as BENCH_DETAIL_r{N}.json.
     headline = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),
@@ -281,6 +285,10 @@ def main() -> None:
         "max_rel_spread": round(max(spreads.values()), 4),
         "noisy_queries": {n: s for n, s in spreads.items() if s > 0.5},
         "duckdb_total": round(sum(duck_ok), 4),
+        "duckdb_q": [
+            round(duck[n], 3) if isinstance(duck.get(n), float) else -1
+            for n in timings
+        ],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     detail = {
@@ -309,6 +317,9 @@ def main() -> None:
     line = json.dumps(headline)
     if len(line) >= 1900:  # stay inside the 2000-char capture, with margin
         headline.pop("noisy_queries", None)
+        line = json.dumps(headline)
+    if len(line) >= 1900:  # still long (many queries): keep duckdb_total
+        headline.pop("duckdb_q", None)
         line = json.dumps(headline)
     print(line)
 

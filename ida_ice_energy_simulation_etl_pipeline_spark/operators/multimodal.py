@@ -83,13 +83,91 @@ def decode_image(payload: bytes) -> object:
 
 
 def decode_audio(payload: bytes) -> object:
-    """STUB — SAMPLE decode needs soundfile/ffmpeg (not in this
-    container); audio METADATA decode is real — see parse_audio_meta."""
+    """Audio SAMPLE decode: REAL for uncompressed PCM / IEEE-float WAV
+    via the pure-stdlib RIFF walk (returns an (n_frames, n_channels)
+    float64 array in [-1, 1] — see decode_wav_samples); compressed or
+    non-WAV payloads still need a codec library and stay gated."""
+    samples = decode_wav_samples(payload)
+    if samples is not None:
+        return samples
     raise NotImplementedError(
-        "audio sample decode requires an audio library; metadata decode "
-        "(parse_audio_meta) and payload plumbing are real, sample decode "
-        "is intentionally stubbed"
+        "compressed/non-WAV sample decode requires an audio library; "
+        "PCM and IEEE-float WAV decode via the stdlib RIFF walk, other "
+        "formats are gated"
     )
+
+
+def decode_wav_samples(payload: bytes):
+    """REAL PCM sample decode in pure stdlib + numpy.
+
+    Walks the RIFF chunk list (same traversal as parse_audio_meta),
+    then reinterprets the ``data`` chunk: integer PCM (format code 1;
+    8-bit unsigned, 16/32-bit signed little-endian, 24-bit packed) and
+    IEEE float (code 3; f32/f64) both decode to a float64
+    (n_frames, n_channels) array scaled to [-1, 1].  Returns None for
+    anything else (compressed codecs like ADPCM/GSM need a real codec
+    library), so callers can gate cleanly.
+    """
+    import struct
+
+    import numpy as np
+
+    if not payload or len(payload) < 12:
+        return None
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        if cid == b"fmt " and pos + 24 <= len(payload):
+            code, n_ch = struct.unpack("<HH", payload[pos + 8 : pos + 12])
+            bits = struct.unpack("<H", payload[pos + 22 : pos + 24])[0]
+            fmt = (code, n_ch, bits)
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    code, n_ch, bits = fmt
+    if code == 1:  # integer PCM
+        if bits == 8:
+            arr = (
+                np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+            ) / 128.0
+        elif bits == 16:
+            arr = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            raw = np.frombuffer(
+                data[: len(data) // 3 * 3], dtype=np.uint8
+            ).reshape(-1, 3)
+            vals = (
+                raw[:, 0].astype(np.int32)
+                | (raw[:, 1].astype(np.int32) << 8)
+                | (raw[:, 2].astype(np.int32) << 16)
+            )
+            vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+            arr = vals.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            arr = (
+                np.frombuffer(data, dtype="<i4").astype(np.float64)
+                / 2147483648.0
+            )
+        else:
+            return None
+    elif code == 3:  # IEEE float
+        if bits == 32:
+            arr = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            arr = np.frombuffer(data, dtype="<f8")
+        else:
+            return None
+    else:
+        return None
+    n_ch = max(int(n_ch), 1)
+    return arr[: len(arr) // n_ch * n_ch].reshape(-1, n_ch)
 
 
 def parse_audio_meta(payload: bytes) -> tuple[int, int, int, float] | None:
@@ -499,6 +577,63 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
+
+
+AUDIO_SAMPLE_STATS_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType(), False),
+        StructField("source", StringType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("n_channels", LongType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("peak", DoubleType(), True),
+        StructField("zero_cross_rate", DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_sample_stats(media: DataFrame) -> DataFrame:
+    """SAMPLE-level audio statistics — real, dependency-free for PCM /
+    IEEE-float WAV payloads via decode_wav_samples; the curation
+    signals (silence via rms/peak, noisiness via zero-crossing rate)
+    that metadata alone cannot provide.  Same Arrow-batched
+    ``mapInPandas`` shape as the metadata path: the payload column
+    never leaves the executor, undecodable rows yield nulls."""
+    import numpy as np
+
+    def stats(b):
+        arr = decode_wav_samples(b) if b is not None else None
+        if arr is None or arr.size == 0:
+            return None
+        mono = arr.mean(axis=1)
+        zc = (
+            float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+            / max(len(mono) - 1, 1)
+        )
+        return (
+            int(arr.shape[0]),
+            int(arr.shape[1]),
+            float(np.sqrt(np.mean(arr * arr))),
+            float(np.max(np.abs(arr))),
+            zc,
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [stats(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "source": pdf["source"],
+                    "n_frames": [r[0] if r else None for r in rows],
+                    "n_channels": [r[1] if r else None for r in rows],
+                    "rms": [r[2] if r else None for r in rows],
+                    "peak": [r[3] if r else None for r in rows],
+                    "zero_cross_rate": [r[4] if r else None for r in rows],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=AUDIO_SAMPLE_STATS_SCHEMA)
 
 
 IMAGE_FEATURE_SCHEMA = StructType(

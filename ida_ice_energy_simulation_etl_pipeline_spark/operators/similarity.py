@@ -63,10 +63,26 @@ def grouped_topk(
 
 
 # --------------------------------------------------------------------------
-# Brute-force cosine top-k.
+# Brute-force cosine top-k.  Scoring kernel dispatch: brute force scores
+# corpus × n_queries pairs BY CONSTRUCTION — the highest pair volume in
+# the registry at any scale — so it uses the Arrow-batched numpy cosine
+# (measured 2.5× over the JVM higher-order fold at ≥10⁶ pairs, which
+# evaluates interpreted per element).  The bucket-bounded paths below
+# (LSH probe, IVF cell rerank) keep the in-JVM fold: their per-bucket
+# pair volume is bounded by design, and staying inside whole-stage
+# codegen avoids the Python-worker round trip on small batches.
+# Ordering safety: cos feeds only the rank; distinct random vectors
+# differ by far more than accumulation-order ulps, and exact-duplicate
+# vectors agree exactly in both kernels, falling to the neighbor_id
+# tie-break — results are hash-identical (oracle-checked both ways).
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = ensure_parallelism(spark, load_table(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    from ..functions import cosine_similarity_arrow
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(spark, raw)
+    # Query rows from the raw scan: the corpus RoundRobin repartition
+    # must not drag into the 5-row broadcast branch (see ivf_topk).
+    queries = raw.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     candidates = emb.select(
@@ -75,7 +91,9 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         candidates.crossJoin(F.broadcast(queries))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine_similarity("q_emb", "c_emb"))
+        .withColumn(
+            "cos", cosine_similarity_arrow(F.col("q_emb"), F.col("c_emb"))
+        )
     )
     return grouped_topk(
         scored,
@@ -235,6 +253,7 @@ def lsh_topk(
     dim: int = 64,
     n_planes: int = N_HYPERPLANES,
     multiprobe: bool = False,
+    small_side: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k probing the query's bucket (plus exact rerank inside).
 
@@ -253,10 +272,18 @@ def lsh_topk(
     bucketed = emb.withColumn(
         "bucket", lsh_bucket_col(F.col("embedding"), dim, n_planes)
     )
-    queries = bucketed.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("bucket").alias("q_bucket"),
+    # Query rows come from the raw small side when provided (the sketch
+    # is recomputed on those few rows — map-only) so the corpus
+    # repartition never drags into the broadcast branch; see ivf_topk.
+    small = small_side if small_side is not None else emb
+    queries = (
+        small.filter(F.col("vec_id").isin(query_ids))
+        .withColumn("bucket", lsh_bucket_col(F.col("embedding"), dim, n_planes))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("bucket").alias("q_bucket"),
+        )
     )
     if multiprobe:
         flipped = [
@@ -287,8 +314,9 @@ def lsh_topk(
 def similarity_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered Hamming-1 multiprobe LSH ANN (lsh_topk with the recall
     dial ON) — the probing path the bucket-census query only implies."""
-    emb = ensure_parallelism(spark, load_table(spark, sf_dir, "embeddings"))
-    out = lsh_topk(emb, list(range(N_QUERIES)), multiprobe=True)
+    raw = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(spark, raw)
+    out = lsh_topk(emb, list(range(N_QUERIES)), multiprobe=True, small_side=raw)
     return out.select(
         "query_id", "nn_rank", "neighbor_id", F.round("cos", 4).alias("cos_sim")
     )
@@ -352,6 +380,7 @@ def ivf_topk(
     n_centroids: int = N_CENTROIDS,
     nprobe: int = 1,
     codebook: DataFrame | None = None,
+    small_side: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN top-k with a multi-probe recall knob.
 
@@ -368,9 +397,17 @@ def ivf_topk(
     ``codebook`` (columns ``cluster_id``, ``c_emb``) swaps the default
     deterministic seed quantizer for trained centroids — the
     ``kmeans_centroids`` refinement output slots in directly.
+
+    ``small_side`` (same data as ``emb``, typically the raw scan before
+    ``ensure_parallelism``) feeds the dim-scale branches — seed codebook
+    and query rows: deriving those few-row frames from the repartitioned
+    corpus drags the RoundRobin exchange into each tiny branch, two
+    pointless stage waves that are pure floor at fixture scale and
+    wasted work at any scale.
     """
+    small = small_side if small_side is not None else emb
     if codebook is None:
-        cb = _codebook(emb, n_centroids)
+        cb = _codebook(small, n_centroids)
     else:
         cb = _fold_codebook(
             codebook.select(
@@ -385,7 +422,7 @@ def ivf_topk(
         .drop("cbook")
     )
     probe_cells = (
-        emb.filter(F.col("vec_id").isin(query_ids))
+        small.filter(F.col("vec_id").isin(query_ids))
         .crossJoin(F.broadcast(cb))
         .select(
             F.col("vec_id").alias("query_id"),
@@ -420,8 +457,9 @@ def ivf_topk(
 
 
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = ensure_parallelism(spark, load_table(spark, sf_dir, "embeddings"))
-    return ivf_topk(emb, list(range(N_QUERIES)), nprobe=1)
+    raw = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(spark, raw)
+    return ivf_topk(emb, list(range(N_QUERIES)), nprobe=1, small_side=raw)
 
 
 SIMILARITY_IVF_SQL = f"""
@@ -722,6 +760,7 @@ def pq_topk(
     dim: int = EMB_DIM,
     m: int = PQ_M,
     n_codes: int = PQ_K,
+    small_side: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k by PQ asymmetric distance (smaller = closer).
 
@@ -734,7 +773,10 @@ def pq_topk(
     shuffles are the two tiny ``grouped_topk`` windows.
     """
     sub = dim // m
-    cb = _codebook(emb, n_codes)
+    # Dim-scale branches (codebook, query distance tables) come from the
+    # raw small side when provided — same rationale as ivf_topk.
+    small = small_side if small_side is not None else emb
+    cb = _codebook(small, n_codes)
     coded = _pq_coded(emb, dim=dim, m=m, k=n_codes, cb=cb)
     dts = (
         f"transform(sequence(0, {m - 1}), i -> "
@@ -743,7 +785,7 @@ def pq_topk(
         + "))"
     )
     qdist = (
-        emb.filter(F.col("vec_id").isin(query_ids))
+        small.filter(F.col("vec_id").isin(query_ids))
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
         .crossJoin(F.broadcast(cb))
         .select("query_id", F.expr(dts).alias("dts"))
@@ -775,8 +817,9 @@ def pq_topk(
 
 
 def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = ensure_parallelism(spark, load_table(spark, sf_dir, "embeddings"))
-    return pq_topk(emb, list(range(N_QUERIES)))
+    raw = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(spark, raw)
+    return pq_topk(emb, list(range(N_QUERIES)), small_side=raw)
 
 
 def _pq_sql() -> str:
@@ -862,13 +905,17 @@ def _pair_set(df: DataFrame, method: str) -> DataFrame:
 
 
 def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = ensure_parallelism(spark, load_table(spark, sf_dir, "embeddings"))
+    raw = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(spark, raw)
     qids = list(range(N_QUERIES))
     truth = similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
     candidates = (
-        _pair_set(lsh_topk(emb, qids, multiprobe=True), "lsh_multiprobe")
-        .unionAll(_pair_set(ivf_topk(emb, qids), "ivf"))
-        .unionAll(_pair_set(pq_topk(emb, qids), "pq"))
+        _pair_set(
+            lsh_topk(emb, qids, multiprobe=True, small_side=raw),
+            "lsh_multiprobe",
+        )
+        .unionAll(_pair_set(ivf_topk(emb, qids, small_side=raw), "ivf"))
+        .unionAll(_pair_set(pq_topk(emb, qids, small_side=raw), "pq"))
     )
     denom = float(N_QUERIES * TOP_K)
     return (

@@ -1440,33 +1440,41 @@ def bigram_ppl(docs: DataFrame, *, broadcast_model: bool = False) -> DataFrame:
     # algebraically exact for integer counts, and it turns the second
     # corpus-grain aggregate into a model-grain one: the exploded pair
     # stream is scanned twice (c_bg + score join) instead of three times,
-    # and one corpus-grain shuffle disappears from the 100 TB plan.
-    c_ug = c_bg.groupBy("prev").agg(F.sum("c_bg").alias("c_ug"))
+    # and one corpus-grain shuffle disappears from the 100 TB plan.  The
+    # sum rides a prev-partitioned WINDOW over c_bg (group size = the
+    # prev token's distinct-successor count, bounded by vocabulary) —
+    # one model-grain exchange instead of the aggregate + equi-join pair
+    # the earlier formulation paid.
+    from pyspark.sql import Window
+
+    w_prev = Window.partitionBy("prev")
+    with_ug = c_bg.withColumn("c_ug", F.sum("c_bg").over(w_prev))
     # Vocabulary at MODEL grain: inside a ≥2-token doc every token is the
-    # `prev` or `cur` of some bigram, so distinct(prev) ∪ distinct(cur)
-    # over the already-aggregated c_bg covers all of them — the only
-    # tokens it misses live in single-token docs, recovered by a cheap
+    # `prev` or `cur` of some bigram, so the distinct tokens of the
+    # exploded (prev, cur) pairs of c_bg cover all of them — the only
+    # tokens missed live in single-token docs, recovered by a cheap
     # map-only filter.  The old corpus-grain countDistinct over the
     # exploded token stream (a second full-width token shuffle) is gone;
-    # what remains shuffles model-grain rows plus a near-empty residue.
+    # c_bg appears ONCE (explode, not a two-branch union that would
+    # re-derive the aggregate), so what shuffles is model-grain rows
+    # plus a near-empty residue.
     singles = (
         docs.select(word_tokens(F.col("text")).alias("w"))
         .filter(F.size("w") == 1)
         .select(F.element_at("w", 1).alias("tok"))
     )
     vocab = (
-        c_bg.select(F.col("prev").alias("tok"))
-        .unionAll(c_bg.select(F.col("cur").alias("tok")))
+        c_bg.select(F.explode(F.array("prev", "cur")).alias("tok"))
         .unionAll(singles)
         .agg(F.countDistinct("tok").alias("v"))
     )
     nll = -F.log(
         (F.col("c_bg") + F.lit(1.0)) / (F.col("c_ug") + F.col("v"))
     )
-    # Assemble the model FIRST (bigram ⋈ unigram counts — model-grain, far
-    # below corpus-grain), so the corpus-grain pair stream pays ONE score
-    # join instead of two.
-    model = c_bg.join(c_ug, ["prev"]).crossJoin(F.broadcast(vocab))
+    # Assemble the model FIRST (bigram counts + windowed unigram sums —
+    # model-grain, far below corpus-grain), so the corpus-grain pair
+    # stream pays ONE score join instead of two.
+    model = with_ug.crossJoin(F.broadcast(vocab))
     if broadcast_model:
         model = F.broadcast(model)
     scored = pairs.join(model, ["prev", "cur"]).select(

@@ -551,27 +551,42 @@ def _funnel_steps(
 
 
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE aggregate over the left-joined per-user step frames, then a
+    # 3-row explode into the report shape.  The previous form unioned
+    # three single-row aggregates, each cross-joined with the step-1
+    # base count — v's subtree appeared ~6× in the logical plan (p
+    # embeds c embeds v; base embeds v again) and the union ran three
+    # aggregate jobs.  Here each step frame appears once, the counts
+    # ride one job, and the explode is constant-size driver-side math.
     v, c, p = _funnel_steps(spark, sf_dir)
-    base = v.agg(F.count(F.lit(1)).alias("n0"))
-
-    def step_row(df: DataFrame, no: int, name: str) -> DataFrame:
-        return (
-            df.agg(F.count(F.lit(1)).alias("n_users"))
-            .crossJoin(F.broadcast(base))
-            .select(
+    counts = (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.count("t2").alias("n2"),
+            F.count("t3").alias("n3"),
+        )
+    )
+    steps = F.array(
+        *[
+            F.struct(
                 F.lit(no).alias("step_no"),
                 F.lit(name).alias("step"),
-                F.col("n_users"),
-                F.round(F.col("n_users").cast("double") / F.col("n0"), 4).alias(
-                    "conversion"
-                ),
+                F.col(f"n{no}").alias("n_users"),
             )
-        )
-
-    return (
-        step_row(v, 1, "view")
-        .unionByName(step_row(c, 2, "click"))
-        .unionByName(step_row(p, 3, "purchase"))
+            for no, name in ((1, "view"), (2, "click"), (3, "purchase"))
+        ]
+    )
+    return counts.select(
+        F.explode(steps).alias("s"), F.col("n1").alias("n0")
+    ).select(
+        "s.step_no",
+        "s.step",
+        "s.n_users",
+        F.round(F.col("s.n_users").cast("double") / F.col("n0"), 4).alias(
+            "conversion"
+        ),
     )
 
 

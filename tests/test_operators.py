@@ -1720,3 +1720,115 @@ def test_image_pixel_stats_decodes_real_pngs_in_spark(spark):
     assert got[1]["mean_px"] == 42.0 and got[1]["std_px"] == 0.0
     assert got[2]["mean_px"] == 100.0 and got[2]["std_px"] == 100.0
     assert got[3]["width"] is None and got[3]["mean_px"] is None
+
+
+def _pcm16_wav(n_ch, rate, frames):
+    """WAV with REAL 16-bit PCM sample content: frames is a list of
+    per-frame tuples of floats in [-1, 1]."""
+    import struct
+
+    data = b"".join(
+        struct.pack("<h", max(-32768, min(32767, int(round(v * 32767)))))
+        for fr in frames
+        for v in fr
+    )
+    byte_rate = rate * n_ch * 2
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, byte_rate, n_ch * 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_decode_wav_samples_real_pcm_content():
+    """The pure-stdlib PCM decoder recovers the actual sample values
+    (16-bit signed round-trip to ~1/32767), keeps channel structure,
+    handles 8-bit unsigned offset binary and IEEE float32, and returns
+    None for compressed formats instead of fabricating samples."""
+    import struct
+
+    import numpy as np
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        decode_wav_samples,
+    )
+
+    frames = [(0.5, -0.5), (0.0, 1.0), (-1.0, 0.25)]
+    arr = decode_wav_samples(_pcm16_wav(2, 8000, frames))
+    assert arr.shape == (3, 2)
+    assert np.allclose(arr, np.array(frames), atol=1.5 / 32767)
+
+    # 8-bit unsigned: 128 is zero, 255 ~ +1, 0 = -1
+    data8 = bytes([128, 255, 0])
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    wav8 = (
+        b"RIFF" + struct.pack("<I", 36 + len(data8)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8
+        + b"data" + struct.pack("<I", len(data8)) + data8
+    )
+    arr8 = decode_wav_samples(wav8)
+    assert arr8.shape == (3, 1)
+    assert abs(arr8[0, 0]) < 1e-9 and arr8[2, 0] == -1.0
+
+    # IEEE float32 (format code 3) decodes bit-exactly
+    f32 = struct.pack("<3f", 0.25, -0.75, 1.0)
+    fmtf = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    wavf = (
+        b"RIFF" + struct.pack("<I", 36 + len(f32)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmtf)) + fmtf
+        + b"data" + struct.pack("<I", len(f32)) + f32
+    )
+    assert np.allclose(
+        decode_wav_samples(wavf).ravel(), [0.25, -0.75, 1.0]
+    )
+
+    # ADPCM (format code 0x11) is NOT decodable without a codec
+    fmt_adpcm = struct.pack("<HHIIHH", 0x11, 1, 8000, 4550, 256, 4)
+    wav_adpcm = (
+        b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_adpcm)) + fmt_adpcm
+        + b"data" + struct.pack("<I", 4) + b"\x00\x01\x02\x03"
+    )
+    assert decode_wav_samples(wav_adpcm) is None
+    assert decode_wav_samples(b"not audio") is None
+
+
+def test_decode_audio_returns_samples_for_pcm_and_gates_others():
+    import pytest
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        decode_audio,
+    )
+
+    arr = decode_audio(_pcm16_wav(1, 8000, [(0.5,), (-0.5,)]))
+    assert arr.shape == (2, 1)
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04 not a wav")
+
+
+def test_extract_audio_sample_stats_end_to_end(spark):
+    """Sample-level stats (rms / peak / zero-crossing) computed from
+    REAL decoded PCM through the Arrow mapInPandas path; undecodable
+    rows yield nulls instead of poisoning the batch."""
+    import math
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        extract_audio_sample_stats,
+    )
+
+    # mono square wave +0.5/-0.5: rms 0.5, peak 0.5, every step crosses
+    frames = [(0.5,), (-0.5,), (0.5,), (-0.5,)]
+    media = spark.createDataFrame(
+        [
+            (1, "audio/wav", bytearray(_pcm16_wav(1, 8000, frames)), "s"),
+            (2, "audio/mp3", bytearray(b"ID3\x04junk"), "s"),
+        ],
+        "item_id long, media_type string, payload binary, source string",
+    )
+    got = {r["item_id"]: r for r in extract_audio_sample_stats(media).collect()}
+    assert got[1]["n_frames"] == 4 and got[1]["n_channels"] == 1
+    assert math.isclose(got[1]["rms"], 0.5, rel_tol=1e-3)
+    assert math.isclose(got[1]["peak"], 0.5, rel_tol=1e-3)
+    assert got[1]["zero_cross_rate"] == 1.0
+    assert got[2]["n_frames"] is None and got[2]["rms"] is None
