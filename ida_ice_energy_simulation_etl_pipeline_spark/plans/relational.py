@@ -1001,20 +1001,26 @@ SPECS: list[QuerySpec] = [
 # Oracle-verified locally (test_oracle_parity) but outside the driver's
 # 50-query window: each overlaps a driver query's operator coverage.
 # --------------------------------------------------------------------------
-# One-pass table profiler (ANALYZE-style column statistics).
+# Table profiler (ANALYZE-style column statistics).
 #
 # The stats a cost-based optimizer (and a data engineer eyeballing a new
-# 100 TB drop) needs — per-column null count, distinct count, min, max —
-# computed for every measure column in ONE scan.  Shape: the columns are
-# MELTED in-row to (column_name, value) and aggregated at
-# (column_name, value) grain first, then per column — exact distinct
-# counts WITHOUT the Expand that N countDistinct aggregates inject into
-# a single global aggregate (the classic distinct-via-double-groupBy),
-# and both shuffles shrink map-side (level 1 collapses to the distinct
-# values each partition holds).  Measured at sf0.1: 1.53s → 0.82s vs the
-# Expand formulation.  At extreme ndv the level-1 grain approaches the
-# table; approx_count_distinct (HLL, one level) is the knob there — the
-# approx_distinct_users sketch query covers that path.
+# 100 TB drop) needs — per-column null count, distinct count, min, max.
+# Shape history, all measured at sf0.1: a single global aggregate with N
+# countDistinct compiles to an Expand that multiplies the stream N-fold
+# (1.53s); melting to (col_idx, value) grain and double-grouping avoids
+# the Expand (0.87s) but still pushes |rows|×|cols| narrow rows through
+# the value-grain shuffle; the current form — one PRUNED-scan global
+# aggregate per column, unioned (the oracle's own shape) — partial-
+# aggregates map-side and reads the same total bytes as the single
+# melted scan because each branch's parquet scan prunes to its one
+# column (0.73s, pinned by test_table_profile_pruned_scans).  The cost
+# every exact form shares is the near-unique column's partial-distinct
+# shuffle (583k of 600k l_extendedprice values are distinct at sf0.1);
+# the 100 TB path swaps countDistinct for approx_count_distinct's
+# mergeable HLL sketch — the approx_distinct_users query covers that
+# recipe — keeping this exact variant as the oracle-matched reference.
+# The (col_idx, value) melt below remains the shared entry point of the
+# histogram and MCV queries, whose semantics genuinely need value grain.
 PROFILE_COLUMNS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
@@ -1045,38 +1051,43 @@ def _profile_col_name() -> Column:
 
 
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One global aggregate per column, unioned — the oracle's own shape.
+    # This replaced the earlier melt-then-group form: melting to
+    # (col_idx, value) grain pushed |rows|×|columns| narrow rows through
+    # the value-grain shuffle, while per-branch global aggregates
+    # partial-aggregate map-side and each branch's scan prunes to its
+    # ONE column, so total bytes read match the single melted scan
+    # (measured at sf0.1: 0.73s vs 0.87s, identical results).  The cost
+    # both forms share — and the reason exact ndv can't go faster — is
+    # the near-unique column's partial-distinct shuffle (583k of 600k
+    # l_extendedprice values are distinct); the scale path swaps
+    # countDistinct for approx_count_distinct's mergeable HLL sketch
+    # (no distinct-value shuffle) at a documented tolerance, keeping
+    # this exact variant as the oracle-matched reference.  Global
+    # aggregates always emit one row, so the "one stats row per column
+    # even on an EMPTY table" contract holds with no seed join.
     li = load_table(spark, sf_dir, "lineitem")
-    level1 = _melted_profile(li).groupBy("col_idx", "value").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    name = _profile_col_name()
-    per_col = level1.groupBy("col_idx").agg(
-        F.sum("cnt").alias("n_rows"),
-        F.coalesce(
-            F.sum(F.when(F.col("value").isNull(), F.col("cnt"))), F.lit(0)
-        ).alias("n_nulls"),
-        F.count(F.when(F.col("value").isNotNull(), 1)).alias("n_distinct"),
-        F.round(F.min("value"), 4).alias("min_value"),
-        F.round(F.max("value"), 4).alias("max_value"),
-    )
-    # seed frame keeps the contract "one stats row per declared column"
-    # on an EMPTY table (where the grouped aggregate yields zero rows;
-    # the oracle's UNION of global aggregates always yields one per
-    # column) — tiny driver-free range, broadcast by size
-    seed = spark.range(len(PROFILE_COLUMNS)).select(
-        F.col("id").cast("int").alias("col_idx")
-    )
-    return (
-        seed.join(per_col, "col_idx", "left")
-        .select(
-            name.alias("column_name"),
-            F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
-            F.coalesce("n_nulls", F.lit(0)).alias("n_nulls"),
-            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+    out = None
+    for c in PROFILE_COLUMNS:
+        branch = li.agg(
+            F.lit(c).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.sum(F.when(F.col(c).isNull(), 1)), F.lit(0))
+            .cast("long")
+            .alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.round(F.min(c), 4).alias("min_value"),
+            F.round(F.max(c), 4).alias("max_value"),
+        ).select(
+            "column_name",
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
             "min_value",
             "max_value",
         )
-    )
+        out = branch if out is None else out.unionAll(branch)
+    return out
 
 
 def _table_profile_sql() -> str:

@@ -393,11 +393,22 @@ def test_tfidf_rides_one_docid_exchange(spark):
     assert "BroadcastExchange" in plan
 
 
-def test_table_profile_single_scan(spark):
-    # every column's null/ndv/min/max stats ride ONE scan of lineitem —
-    # a per-column pass would multiply 100 TB reads by the column count
+def test_table_profile_pruned_scans(spark):
+    # one pruned scan per profiled column, each reading ONLY its column
+    # (total bytes = one full-width scan): an unpruned branch would
+    # multiply 100 TB reads by the column count
+    import re
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans.relational import (
+        PROFILE_COLUMNS,
+    )
+
     plan = _executed_plan(spark, "table_profile").split("== Initial Plan ==")[0]
-    assert plan.count("FileScan parquet") == 1
+    assert plan.count("FileScan parquet") == len(PROFILE_COLUMNS)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(schemas) == len(PROFILE_COLUMNS)
+    for s in schemas:
+        assert s.count(":") == 1, f"unpruned profile scan: {s}"
 
 
 def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):
