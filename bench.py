@@ -125,9 +125,19 @@ def _summarize(samples: dict[str, list[float]]) -> tuple[dict, dict]:
 
 
 def _duckdb_timings(sf_dir: str, threads: int) -> dict[str, float | str]:
-    """Median wall time of each headline query's DuckDB oracle on the same
-    data.  Per-query failures (and a missing duckdb module) degrade to
-    "error:..." markers — the Spark column still prints."""
+    """BEST (minimum) wall time of each headline query's DuckDB oracle on
+    the same data, over the interleaved passes.  Min, not median, and
+    deliberately so: the DuckDB phase runs right after ``spark.stop()``,
+    and transient OS churn from the JVM teardown (page-cache eviction,
+    memory release) occasionally poisons a majority of one heavy query's
+    samples — a median then inflates the DuckDB column (observed:
+    ``similarity_pq`` 3.95 s median vs a stable 0.6 s isolated).  Taking
+    DuckDB's best case is the CONSERVATIVE comparator: noise can only
+    shrink the denominator and make the Spark/DuckDB ratio look worse,
+    never better, so the self-graded number cannot be flattered by a
+    contended box.  A settle barrier (gc + sleep) also runs before the
+    first sample.  Per-query failures (and a missing duckdb module)
+    degrade to "error:..." markers — the Spark column still prints."""
     try:
         import duckdb
 
@@ -141,7 +151,8 @@ def _duckdb_timings(sf_dir: str, threads: int) -> dict[str, float | str]:
     except Exception as exc:  # pragma: no cover - environment-dependent
         return {name: f"error:{type(exc).__name__}" for name in HEADLINE}
     # Interleaved passes (see main): a load spike lands on ONE sample of
-    # many queries, not every sample of one query, so the median holds.
+    # many queries, not every sample of one query — and min-aggregation
+    # (docstring above) rejects it even when it spans a whole pass.
     samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for rep in range(REPEATS + 1):  # pass 0 = warmup (page cache, plan cache)
@@ -156,7 +167,7 @@ def _duckdb_timings(sf_dir: str, threads: int) -> dict[str, float | str]:
             except Exception as exc:
                 errors[name] = f"error:{type(exc).__name__}"
     con.close()
-    timings, _ = _summarize(samples)
+    timings = {n: round(min(ts), 4) for n, ts in samples.items()}
     return {**timings, **errors}
 
 
@@ -258,9 +269,25 @@ def main() -> None:
                 )
             except Exception:
                 floors[name] = None
+    # Tear the JVM down COMPLETELY before the DuckDB pass: spark.stop()
+    # alone leaves the py4j gateway JVM alive, and its resident heap
+    # (tens of GB after a full bench) starves the memory-heavy oracles —
+    # observed: similarity_pq at 3.6-4.5 s beside the live JVM vs a
+    # stable 0.6 s isolated.  Kill the gateway process and wait, then a
+    # short settle for the OS to reclaim.
+    gateway = spark.sparkContext._gateway
     spark.stop()
+    try:
+        gateway.shutdown()
+        gateway.proc.kill()
+        gateway.proc.wait()
+    except Exception:
+        pass  # already gone, or a cluster deploy where the JVM is remote
+    import gc
+    import time as _time
 
-    # DuckDB self-grading pass AFTER the Spark JVM releases its heap.
+    gc.collect()
+    _time.sleep(2.0)
     n_threads = int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)
     duck = _duckdb_timings(sf_dir, n_threads)
     duck_ok = [v for v in duck.values() if isinstance(v, float)]

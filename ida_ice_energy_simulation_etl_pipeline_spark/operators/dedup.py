@@ -1081,10 +1081,13 @@ INCR_INDEX_MOD = 10
 INCR_INDEX_KEEP = 8
 
 
-def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
-    is_idx = (F.col("doc_id") % INCR_INDEX_MOD) < INCR_INDEX_KEEP
-    idx, batch = docs.filter(is_idx), docs.filter(~is_idx)
+def incremental_flags(batch: DataFrame, idx: DataFrame) -> DataFrame:
+    """Per-doc (doc_id, exact_dup, n_near_index, is_new) flags for a
+    ``batch`` of (doc_id, text) rows probed against an ``idx`` corpus —
+    the reusable core of :func:`incremental_dedup`, shared with the
+    streaming stream-static probe (streaming/corpus.py).  Flags depend
+    only on (doc, index), never on other batch docs, so per-micro-batch
+    probing is exactly equivalent to one big batch probe."""
     idx_hashes = (
         idx.select(F.md5(F.col("text").cast("binary")).alias("text_hash"))
         .distinct()
@@ -1099,8 +1102,8 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.coalesce("hit", F.lit(0)).cast("long").alias("exact_dup")
         )
     )
-    bb = banded_signatures(batch).alias("b")
-    ib = banded_signatures(idx).alias("i")
+    bb = banded_signatures(batch.select("doc_id", "text")).alias("b")
+    ib = banded_signatures(idx.select("doc_id", "text")).alias("i")
     near = (
         bb.join(
             ib,
@@ -1124,6 +1127,12 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    is_idx = (F.col("doc_id") % INCR_INDEX_MOD) < INCR_INDEX_KEEP
+    return incremental_flags(docs.filter(~is_idx), docs.filter(is_idx))
 
 
 INCREMENTAL_DEDUP_SQL = f"""

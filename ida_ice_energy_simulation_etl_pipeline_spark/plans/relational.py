@@ -1342,3 +1342,51 @@ EXTRA_SPECS: list[QuerySpec] = [
         "ext:grouping-sets",
     ),
 ]
+
+
+def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table_profile's 100 TB shape made concrete: identical per-column
+    pruned-scan union branches, but ndv comes from
+    ``approx_count_distinct``'s mergeable HLL sketch (relative error
+    ~``rsd``) — the partial-distinct shuffle that dominates the exact
+    form (a near-unique column ships ~its whole width) collapses to one
+    fixed-size sketch per partition, so the aggregate's shuffle volume
+    is O(branches × partitions), independent of ndv.  Exact
+    count/nulls/min/max are unchanged; only the ndv column is
+    approximate, which is why this variant is rows-only while
+    ``table_profile`` stays the oracle-matched reference."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = None
+    for c in PROFILE_COLUMNS:
+        branch = li.agg(
+            F.lit(c).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.sum(F.when(F.col(c).isNull(), 1)), F.lit(0))
+            .cast("long")
+            .alias("n_nulls"),
+            F.approx_count_distinct(c, rsd=0.02).alias("approx_ndv"),
+            F.round(F.min(c), 4).alias("min_value"),
+            F.round(F.max(c), 4).alias("max_value"),
+        ).select(
+            "column_name",
+            "n_rows",
+            "n_nulls",
+            "approx_ndv",
+            "min_value",
+            "max_value",
+        )
+        out = branch if out is None else out.unionAll(branch)
+    return out
+
+
+# rows-only by design: the HLL estimate has no exact cross-engine twin
+# (same rationale as approx_distinct_users); the error bound is pinned
+# locally by test_table_profile_approx_within_hll_tolerance.
+EXTRA_SPECS += [
+    QuerySpec(
+        "table_profile_approx",
+        table_profile_approx,
+        None,
+        "ext:stats,analyze,sketch",
+    ),
+]

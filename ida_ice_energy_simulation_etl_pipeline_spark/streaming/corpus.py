@@ -78,3 +78,46 @@ def corpus_ingest_stream(
             .withColumnRenamed("scrubbed", "text")
         )
     return kept.withColumn("split", split_col(F.col("doc_id")))
+
+
+def run_incremental_dedup_stream(
+    stream_docs: DataFrame,
+    index_docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous incremental dedup: each micro-batch of incoming docs
+    probes a STATIC indexed corpus — the streaming twin of
+    ``operators/dedup.py::incremental_dedup``, run through
+    ``foreachBatch`` so every micro-batch executes the SAME
+    oracle-verified probe plan (``incremental_flags``: content-hash
+    left join on the index's distinct-hash table + asymmetric LSH band
+    join, batch-bounded work).  foreachBatch rather than a stream-side
+    aggregation because the near layer's per-doc countDistinct over
+    index hits is a distinct aggregate, which Structured Streaming
+    forbids — and per-micro-batch probing is exactly equivalent anyway:
+    flags depend only on (doc, index), never on other stream docs.
+    Exactly-once: the flags land through the staged-rename
+    ``idempotent_batch_writer`` (streaming/sink.py), so a replayed
+    epoch is skipped, never double-appended.
+
+    Returns the started StreamingQuery (availableNow trigger — drains
+    what exists, then stops; production swaps a processing-time
+    trigger).
+    """
+    from ..operators.dedup import incremental_flags
+    from .sink import idempotent_batch_writer
+
+    write = idempotent_batch_writer(out_dir)
+
+    def _probe(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write(incremental_flags(batch_df, index_docs), epoch_id)
+
+    return (
+        stream_docs.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1832,3 +1832,28 @@ def test_extract_audio_sample_stats_end_to_end(spark):
     assert math.isclose(got[1]["peak"], 0.5, rel_tol=1e-3)
     assert got[1]["zero_cross_rate"] == 1.0
     assert got[2]["n_frames"] is None and got[2]["rms"] is None
+
+
+def test_table_profile_approx_within_hll_tolerance(spark):
+    """The sketch-ndv profile variant agrees with the exact profile on
+    every exact column and lands approx_ndv within the HLL rsd bound
+    (rsd=0.02 -> assert 10 sigma = 20%) on every profiled column."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans.relational import (
+        table_profile,
+        table_profile_approx,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["column_name"]: r for r in table_profile(spark, sf).collect()}
+    approx = {
+        r["column_name"]: r for r in table_profile_approx(spark, sf).collect()
+    }
+    assert set(exact) == set(approx)
+    for c, e in exact.items():
+        a = approx[c]
+        assert (a["n_rows"], a["n_nulls"]) == (e["n_rows"], e["n_nulls"])
+        assert a["min_value"] == e["min_value"]
+        assert a["max_value"] == e["max_value"]
+        assert abs(a["approx_ndv"] - e["n_distinct"]) <= max(
+            0.2 * e["n_distinct"], 2
+        )

@@ -852,3 +852,72 @@ def test_threshold_alert_sorts_across_arrow_chunks(spark, tmp_path):
         ("2024-03-01 00:01:00", "OK", "ALERT"),
         ("2024-03-01 00:04:00", "ALERT", "OK"),
     ]
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
+    """Stream-static incremental dedup: two micro-batches of incoming
+    docs probed per-epoch against a static index produce EXACTLY the
+    flags the batch probe computes over the union — per-doc flags
+    depend only on (doc, index), so micro-batching is loss-free."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.dedup import (
+        incremental_flags,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming.corpus import (
+        DOC_STREAM_SCHEMA,
+        run_incremental_dedup_stream,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old oak "
+        "tree while children play by the river bank every afternoon"
+    )
+    other = (
+        "a completely different second document about engines and "
+        "shuffles with plenty of distinct tokens to clear the bar"
+    )
+    index_rows = [(100, base, "idx"), (101, other, "idx")]
+    index = spark.createDataFrame(
+        index_rows, "doc_id long, text string, source string"
+    )
+    incoming = [
+        {"doc_id": 1, "text": base, "source": "s1",            # exact dup
+         "ingest_ts": "2024-03-01T00:00:00"},
+        {"doc_id": 2, "text": base + " extra tail words here", # near dup
+         "source": "s1", "ingest_ts": "2024-03-01T00:01:00"},
+        {"doc_id": 3, "text": "totally novel content with many unique "
+         "tokens nothing shares any shingle with this document at all "
+         "zebra quartz fjord", "source": "s2",
+         "ingest_ts": "2024-03-01T00:02:00"},
+    ]
+    ingest = tmp_path / "incr_in"
+    ingest.mkdir()
+    (ingest / "b1.json").write_text(json.dumps(incoming[0]))
+    (ingest / "b2.json").write_text(
+        "\n".join(json.dumps(r) for r in incoming[1:])
+    )
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(ingest))
+    )
+    out = tmp_path / "incr_out"
+    q = run_incremental_dedup_stream(
+        stream, index, str(out), str(tmp_path / "incr_ckpt")
+    )
+    q.awaitTermination()
+
+    got = {
+        r["doc_id"]: (r["exact_dup"], r["n_near_index"], r["is_new"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    batch_in = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in incoming], "doc_id long, text string"
+    )
+    want = {
+        r["doc_id"]: (r["exact_dup"], r["n_near_index"], r["is_new"])
+        for r in incremental_flags(batch_in, index).collect()
+    }
+    assert got == want
+    assert got[1][0] == 1 and got[1][2] == 0   # exact dup of index
+    assert got[2][1] >= 1 and got[2][2] == 0   # near dup via LSH bands
+    assert got[3] == (0, 0, 1)                 # genuinely new
