@@ -331,30 +331,41 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("eval_df") <= CONTAMINATION_EVAL_DF_CAP)
         .select("gram_h", F.lit(1).alias("hit"))
     )
-    grams_outer = F.explode_outer(
-        word_shingles(word_tokens(F.col("text")), CONTAMINATION_NGRAM)
-    ).alias("gram")
-    # null-safe hash: explode_outer emits a null gram for gram-less docs,
-    # and xxhash64(NULL) would fold to the seed constant — a real (if
-    # astronomically unlikely) collision target — so keep it null and let
-    # the equi-join never match it.
-    train = (
-        docs.filter(F.col("source") != "src0")
-        .select("doc_id", "source", grams_outer)
-        .select(
-            "doc_id",
-            "source",
-            F.when(F.col("gram").isNotNull(), F.xxhash64("gram")).alias("gram_h"),
+    # Contaminated docs via broadcast SEMI join + doc-grain distinct —
+    # the oracle's own shape, and the scale-correct one: only MATCHED
+    # gram rows reach the distinct's shuffle, where the earlier
+    # left-join + per-doc max(hit) aggregate shuffled the ENTIRE
+    # exploded gram stream at (doc, gram) grain just to decide one bit
+    # per doc.  Honest fixture-scale measurement: the synthetic corpus
+    # is ~50% contaminated (126 of 250 docs per source), so the match
+    # stream here is NOT small and this form benches ~10% slower at
+    # sf0.1 (median 0.74 s vs 0.67 s, results identical) — kept anyway
+    # because real eval-contamination is rare (per-mille, not half),
+    # making match-grain ≪ gram-grain the moment the fixture stops
+    # being adversarial; the old form's full-gram shuffle has no such
+    # regime where it wins.  The explode_outer null-gram dance is gone
+    # too (doc totals come from the doc-grain frame directly).
+    train = docs.filter(F.col("source") != "src0")
+    train_grams = train.select("doc_id", "source", grams).select(
+        "doc_id", "source", F.xxhash64("gram").alias("gram_h")
+    )
+    contaminated = (
+        train_grams.join(
+            F.broadcast(eval_grams.select("gram_h")), "gram_h", "semi"
         )
+        .select("doc_id", "source")
+        .distinct()
     )
-    per_doc = (
-        train.join(F.broadcast(eval_grams), "gram_h", "left")
-        .groupBy("doc_id", "source")
-        .agg(F.max(F.coalesce("hit", F.lit(0))).alias("hit"))
+    n_contam = contaminated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
     )
-    return per_doc.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("hit").cast("long").alias("n_contaminated"),
+    counts = train.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return counts.join(n_contam, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_contaminated", F.lit(0)).cast("long").alias(
+            "n_contaminated"
+        ),
     )
 
 

@@ -305,18 +305,23 @@ def test_jaccard_single_scan_and_merge_self_join(spark):
     assert final.count("ReusedExchange") >= 2
 
 
-def test_contamination_two_scans_broadcast_join(spark):
-    """Contamination check: exactly two scans of documents (eval + train —
-    no separate totals scan), the eval gram set joins as the BROADCAST
-    side, and the train gram stream reaches no exchange un-aggregated
-    (the per-doc partial agg collapses it map-side first)."""
+def test_contamination_semi_join_doc_grain_shuffle(spark):
+    """Contamination check: the eval gram set joins as the BROADCAST
+    side of a SEMI join (only matched gram rows survive it), the
+    contaminated-doc distinct shuffles at DOC grain (never the raw
+    gram stream), and the third scan — doc totals — is pruned to the
+    source column alone, so its bytes are negligible."""
+    import re
+
     df = ALL_QUERIES["contamination_check"].fn(spark, SF)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
-    assert final.count("Scan parquet") == 2, final.count("Scan parquet")
-    assert "BroadcastHashJoin" in final
+    assert final.count("Scan parquet") == 3, final.count("Scan parquet")
+    assert "BroadcastHashJoin" in final and "LeftSemi" in final
     assert "hashpartitioning(doc_id" in final  # doc-level, not gram-level
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", final)
+    assert any(s == "source:string" for s in schemas), schemas
 
 
 def test_ensure_parallelism_fanout_capped_by_shuffle_partitions(spark):
