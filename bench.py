@@ -124,7 +124,9 @@ def _summarize(samples: dict[str, list[float]]) -> tuple[dict, dict]:
     return timings, spreads
 
 
-def _duckdb_timings(sf_dir: str, threads: int) -> dict[str, float | str]:
+def _duckdb_timings(
+    sf_dir: str, threads: int
+) -> tuple[dict[str, float | str], dict[str, float]]:
     """BEST (minimum) wall time of each headline query's DuckDB oracle on
     the same data, over the interleaved passes.  Min, not median, and
     deliberately so: the DuckDB phase runs right after ``spark.stop()``,
@@ -137,7 +139,10 @@ def _duckdb_timings(sf_dir: str, threads: int) -> dict[str, float | str]:
     never better, so the self-graded number cannot be flattered by a
     contended box.  A settle barrier (gc + sleep) also runs before the
     first sample.  Per-query failures (and a missing duckdb module)
-    degrade to "error:..." markers — the Spark column still prints."""
+    degrade to "error:..." markers — the Spark column still prints.
+    Returns (min_timings, median_timings): the median column goes to
+    the detail side file so the asymmetric aggregation choice (Spark
+    median vs DuckDB min) is fully auditable from the round record."""
     try:
         import duckdb
 
@@ -149,7 +154,10 @@ def _duckdb_timings(sf_dir: str, threads: int) -> dict[str, float | str]:
                 f"read_parquet('{sf_dir}/{t}.parquet')"
             )
     except Exception as exc:  # pragma: no cover - environment-dependent
-        return {name: f"error:{type(exc).__name__}" for name in HEADLINE}
+        return (
+            {name: f"error:{type(exc).__name__}" for name in HEADLINE},
+            {},
+        )
     # Interleaved passes (see main): a load spike lands on ONE sample of
     # many queries, not every sample of one query — and min-aggregation
     # (docstring above) rejects it even when it spans a whole pass.
@@ -168,7 +176,10 @@ def _duckdb_timings(sf_dir: str, threads: int) -> dict[str, float | str]:
                 errors[name] = f"error:{type(exc).__name__}"
     con.close()
     timings = {n: round(min(ts), 4) for n, ts in samples.items()}
-    return {**timings, **errors}
+    medians = {
+        n: round(statistics.median(ts), 4) for n, ts in samples.items()
+    }
+    return {**timings, **errors}, medians
 
 
 def explain(names: list[str]) -> None:
@@ -289,7 +300,7 @@ def main() -> None:
     gc.collect()
     _time.sleep(2.0)
     n_threads = int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)
-    duck = _duckdb_timings(sf_dir, n_threads)
+    duck, duck_medians = _duckdb_timings(sf_dir, n_threads)
     duck_ok = [v for v in duck.values() if isinstance(v, float)]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -324,6 +335,7 @@ def main() -> None:
         "floor_sec": floors,
         "rel_spread": spreads,
         "duckdb_queries": duck,
+        "duckdb_queries_median": duck_medians,
         "notes": {
             "text_quality": (
                 "applies to rounds 1-2 only (noted 2026-08-14): since r3 "
