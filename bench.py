@@ -308,7 +308,9 @@ def main() -> None:
     # (BENCH_r0{1,2}.json "tail" fields are exactly 2000 chars; round 3's
     # longer line came back "parsed: null").  The stdout line therefore
     # stays SLIM: per-query Spark times, the DuckDB total, and the
-    # per-query DuckDB medians as the COMPACT ``duckdb_q`` array —
+    # per-query DuckDB MIN (best-case) timings as the COMPACT
+    # ``duckdb_q`` array (the conservative aggregation — medians ride
+    # BENCH_DETAIL's ``duckdb_queries_median``) —
     # values aligned positionally with the ``queries`` dict's key order
     # (JSON objects preserve insertion order), -1 marking an oracle
     # error — so the round record itself carries the full comparator,

@@ -132,13 +132,23 @@ def decode_wav_samples(payload: bytes):
     if fmt is None or data is None:
         return None
     code, n_ch, bits = fmt
+    # A truncated payload can leave the data chunk shorter than a whole
+    # number of samples; np.frombuffer refuses partial elements, so every
+    # branch clips to an element-size multiple (the 24-bit packed path
+    # already did) — malformed tails drop the final partial sample rather
+    # than raising mid-stage.
     if code == 1:  # integer PCM
         if bits == 8:
             arr = (
                 np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
             ) / 128.0
         elif bits == 16:
-            arr = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+            arr = (
+                np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(
+                    np.float64
+                )
+                / 32768.0
+            )
         elif bits == 24:
             raw = np.frombuffer(
                 data[: len(data) // 3 * 3], dtype=np.uint8
@@ -152,16 +162,20 @@ def decode_wav_samples(payload: bytes):
             arr = vals.astype(np.float64) / float(1 << 23)
         elif bits == 32:
             arr = (
-                np.frombuffer(data, dtype="<i4").astype(np.float64)
+                np.frombuffer(data[: len(data) // 4 * 4], dtype="<i4").astype(
+                    np.float64
+                )
                 / 2147483648.0
             )
         else:
             return None
     elif code == 3:  # IEEE float
         if bits == 32:
-            arr = np.frombuffer(data, dtype="<f4").astype(np.float64)
+            arr = np.frombuffer(data[: len(data) // 4 * 4], dtype="<f4").astype(
+                np.float64
+            )
         elif bits == 64:
-            arr = np.frombuffer(data, dtype="<f8")
+            arr = np.frombuffer(data[: len(data) // 8 * 8], dtype="<f8")
         else:
             return None
     else:
@@ -602,7 +616,13 @@ def extract_audio_sample_stats(media: DataFrame) -> DataFrame:
     import numpy as np
 
     def stats(b):
-        arr = decode_wav_samples(b) if b is not None else None
+        # Documented contract: undecodable rows yield nulls.  The decoder
+        # clips malformed tails itself, but a defensive except keeps any
+        # future pathological payload from failing the whole Spark stage.
+        try:
+            arr = decode_wav_samples(b) if b is not None else None
+        except Exception:
+            return None
         if arr is None or arr.size == 0:
             return None
         mono = arr.mean(axis=1)

@@ -1794,6 +1794,48 @@ def test_decode_wav_samples_real_pcm_content():
     assert decode_wav_samples(b"not audio") is None
 
 
+def test_decode_wav_samples_truncated_data_chunk_drops_partial_sample():
+    """A truncated payload whose data chunk is not a multiple of the
+    sample width decodes the whole samples and drops the partial tail —
+    it must not raise (a single malformed row would otherwise fail the
+    whole Spark stage instead of degrading as documented)."""
+    import numpy as np
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        decode_wav_samples,
+    )
+
+    frames = [(0.5,), (-0.5,), (0.25,)]
+    wav = _pcm16_wav(1, 8000, frames)
+    # Chop one byte off the 16-bit data chunk: 5 whole samples' worth of
+    # bytes becomes 2 whole + 1 partial.  (Header size field now
+    # overstates the chunk, as a genuinely truncated file's would.)
+    truncated = wav[:-1]
+    arr = decode_wav_samples(truncated)
+    assert arr.shape == (2, 1)
+    assert np.allclose(arr.ravel(), [0.5, -0.5], atol=1.5 / 32767)
+
+
+def test_audio_sample_stats_tolerates_truncated_wav(spark):
+    """extract_audio_sample_stats degrades malformed payloads to usable
+    rows (truncated tail dropped) instead of failing the stage."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        extract_audio_sample_stats,
+    )
+
+    wav = _pcm16_wav(1, 8000, [(0.5,), (-0.5,), (0.25,)])
+    rows = [
+        (1, "audio/wav", bytearray(wav[:-1]), "s"),  # truncated 16-bit
+        (2, "text/plain", bytearray(b"junk"), "s"),
+    ]
+    media = spark.createDataFrame(
+        rows, "item_id long, media_type string, payload binary, source string"
+    )
+    got = {r["item_id"]: r for r in extract_audio_sample_stats(media).collect()}
+    assert got[1]["n_frames"] == 2 and got[1]["peak"] is not None
+    assert got[2]["n_frames"] is None and got[2]["rms"] is None
+
+
 def test_decode_audio_returns_samples_for_pcm_and_gates_others():
     import pytest
 
