@@ -36,9 +36,20 @@ PARTITION_COLUMNS: dict[str, list[str]] = {
 # re-stated as Spark SQL over the star schema).
 VIEW_DDL: dict[str, str] = {
     # J5 — zone comfort joined to outdoor conditions (reference :83-103).
+    # Full column parity with the reference view, including the time
+    # breakdown and building convenience columns a dashboard query
+    # would select (year/month/day/hour/is_weekend, building_name,
+    # location, relhum_pct) under the reference's own names.
     "vw_zone_with_weather": """
         SELECT t.timestamp,
+               t.year,
+               t.month,
+               t.day,
+               t.hour,
+               t.is_weekend,
                b.building_id,
+               b.building_name,
+               b.location,
                z.zone_id,
                z.zone_name,
                f.scenario_id,
@@ -47,7 +58,8 @@ VIEW_DDL: dict[str, str] = {
                f.air_temp_C - f.setpoint_C AS temp_deviation,
                f.co2_ppm,
                f.rh_pct,
-               w.drybulb_C AS outdoor_temp_C,
+               w.drybulb_C,
+               w.relhum_pct,
                w.ghi_W_m2
         FROM fact_zone_conditions f
         JOIN dim_time t      ON f.time_key = t.time_key
@@ -56,10 +68,18 @@ VIEW_DDL: dict[str, str] = {
         JOIN fact_weather w  ON w.time_key = f.time_key
                             AND w.building_id = b.building_id
     """,
-    # J6 — the flagship 5-way join: HVAC × meters × weather (reference :106-138).
+    # J6 — the flagship 5-way join: HVAC × meters × weather (reference
+    # :106-138), same full-column parity (electric_kwh, outdoor_rh_pct
+    # and the time/building convenience columns use the reference names).
     "vw_hvac_with_meters": """
         SELECT t.timestamp,
+               t.year,
+               t.month,
+               t.day,
+               t.hour,
+               t.is_weekend,
                b.building_id,
+               b.building_name,
                a.ahu_id,
                h.scenario_id,
                h.supply_temp_C,
@@ -68,10 +88,11 @@ VIEW_DDL: dict[str, str] = {
                h.cooling_kw,
                h.heating_kw,
                h.cop_proxy,
-               m.electric_kwh AS meter_electric_kwh,
+               m.electric_kwh,
                m.heating_kwh  AS meter_heating_kwh,
                m.cooling_kwh  AS meter_cooling_kwh,
-               w.drybulb_C    AS outdoor_temp_C
+               w.drybulb_C    AS outdoor_temp_C,
+               w.relhum_pct   AS outdoor_rh_pct
         FROM fact_hvac h
         JOIN dim_time t      ON h.time_key = t.time_key
         JOIN dim_ahu a       ON h.ahu_key = a.ahu_key
@@ -82,19 +103,21 @@ VIEW_DDL: dict[str, str] = {
         JOIN fact_weather w  ON w.time_key = h.time_key
                             AND w.building_id = b.building_id
     """,
-    # J7/A1 — per-building/scenario energy rollup (reference :141-163).
+    # J7/A1 — per-building/scenario energy rollup (reference :141-163),
+    # column names matching the reference view exactly (num_hours,
+    # scenario_description, avg_*_kw) so ported queries run unchanged.
     "vw_energy_summary": """
         SELECT b.building_id,
                b.building_name,
                s.scenario_id,
-               s.description,
-               COUNT(DISTINCT t.time_key)  AS n_hours,
+               s.description               AS scenario_description,
+               COUNT(DISTINCT t.time_key)  AS num_hours,
                SUM(m.electric_kwh)         AS total_electric_kwh,
                SUM(m.heating_kwh)          AS total_heating_kwh,
                SUM(m.cooling_kwh)          AS total_cooling_kwh,
-               AVG(m.electric_kwh)         AS avg_electric_kwh,
-               AVG(m.heating_kwh)          AS avg_heating_kwh,
-               AVG(m.cooling_kwh)          AS avg_cooling_kwh
+               AVG(m.electric_kwh)         AS avg_electric_kw,
+               AVG(m.heating_kwh)          AS avg_heating_kw,
+               AVG(m.cooling_kwh)          AS avg_cooling_kw
         FROM fact_meters m
         JOIN dim_building b ON m.building_id = b.building_id
         JOIN dim_scenario s ON m.scenario_id = s.scenario_id

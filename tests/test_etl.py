@@ -199,18 +199,19 @@ def test_views_and_query(spark, star):
     register_temp_views(spark, star)
     zw = query(spark, "SELECT * FROM vw_zone_with_weather")
     assert zw.count() == N_RUNS * HOURS * N_ZONES
-    assert "temp_deviation" in zw.columns and "outdoor_temp_C" in zw.columns
+    assert "temp_deviation" in zw.columns and "drybulb_C" in zw.columns
+    assert "is_weekend" in zw.columns and "building_name" in zw.columns
 
     hm = query(spark, "SELECT * FROM vw_hvac_with_meters")
     assert hm.count() == N_RUNS * HOURS * N_AHUS
-    assert "meter_electric_kwh" in hm.columns
+    assert "electric_kwh" in hm.columns and "outdoor_rh_pct" in hm.columns
 
     es = query(
         spark,
         "SELECT * FROM vw_energy_summary ORDER BY building_id, scenario_id",
     ).collect()
     assert len(es) == N_RUNS
-    assert all(r["n_hours"] == HOURS for r in es)
+    assert all(r["num_hours"] == HOURS for r in es)
     assert all(r["total_electric_kwh"] > 0 for r in es)
 
     # README-style analysis queries run through the same entry point
@@ -779,50 +780,16 @@ def test_star_schema_matches_reference_implementation(spark, star, ref_star):
         _assert_columns_match(a, b, name)
 
 
-# Shared-semantic column map per view: {reference_name: our_name}.  Our
-# view DDL deliberately projects a working subset of the reference's
-# columns (COVERAGE.md J5-J7); parity is asserted on every column BOTH
-# implementations expose.
-_VIEW_COLMAP = {
-    "vw_zone_with_weather": {
-        "timestamp": "timestamp", "building_id": "building_id",
-        "zone_id": "zone_id", "zone_name": "zone_name",
-        "scenario_id": "scenario_id", "air_temp_C": "air_temp_C",
-        "setpoint_C": "setpoint_C", "temp_deviation": "temp_deviation",
-        "co2_ppm": "co2_ppm", "rh_pct": "rh_pct",
-        "drybulb_C": "outdoor_temp_C", "ghi_W_m2": "ghi_W_m2",
-    },
-    "vw_hvac_with_meters": {
-        "timestamp": "timestamp", "building_id": "building_id",
-        "ahu_id": "ahu_id", "scenario_id": "scenario_id",
-        "supply_temp_C": "supply_temp_C", "return_temp_C": "return_temp_C",
-        "power_kw": "power_kw", "cooling_kw": "cooling_kw",
-        "heating_kw": "heating_kw", "cop_proxy": "cop_proxy",
-        "electric_kwh": "meter_electric_kwh",
-        "meter_heating_kwh": "meter_heating_kwh",
-        "meter_cooling_kwh": "meter_cooling_kwh",
-        "outdoor_temp_C": "outdoor_temp_C",
-    },
-    "vw_energy_summary": {
-        "building_id": "building_id", "building_name": "building_name",
-        "scenario_id": "scenario_id", "scenario_description": "description",
-        "num_hours": "n_hours",
-        "total_electric_kwh": "total_electric_kwh",
-        "total_heating_kwh": "total_heating_kwh",
-        "total_cooling_kwh": "total_cooling_kwh",
-        "avg_electric_kw": "avg_electric_kwh",
-        "avg_heating_kw": "avg_heating_kwh",
-        "avg_cooling_kw": "avg_cooling_kwh",
-    },
-}
+_VIEWS = ["vw_zone_with_weather", "vw_hvac_with_meters", "vw_energy_summary"]
 
 
 def test_views_match_reference_implementation(spark, star, ref_star, tmp_path):
     """View-layer cross-implementation parity (J5-J7): load the
     reference's star into DuckDB with the reference's OWN load_to_duckdb
     + create_views, query each view, and compare against our Spark views
-    over our star — every column both implementations expose,
-    value-for-value."""
+    over our star — FULL column-set parity (every column the reference
+    view exposes must exist under the same name in ours), value-for-value
+    on every reference column."""
     import duckdb
     import pandas as pd
 
@@ -832,27 +799,19 @@ def test_views_match_reference_implementation(spark, star, ref_star, tmp_path):
 
     register_temp_views(spark, star)
     with duckdb.connect(str(db)) as con:
-        for view, colmap in _VIEW_COLMAP.items():
+        for view in _VIEWS:
             ref_pdf = con.execute(f"SELECT * FROM {view}").fetchdf()
             ours = spark.sql(f"SELECT * FROM {view}").toPandas()
-            missing = set(colmap.values()) - set(ours.columns)
-            assert not missing, f"{view}: {missing}"
+            missing = set(ref_pdf.columns) - set(ours.columns)
+            assert not missing, (
+                f"{view}: reference columns missing from our view: {missing}"
+            )
+            cols = list(ref_pdf.columns)
             keys = [
-                ours_c
-                for ref_c, ours_c in colmap.items()
-                if ours_c.endswith("_id") or ours_c == "timestamp"
+                c for c in cols if c.endswith("_id") or c == "timestamp"
             ]
-            a = (
-                ours[list(colmap.values())]
-                .sort_values(keys)
-                .reset_index(drop=True)
-            )
-            b = (
-                ref_pdf[list(colmap.keys())]
-                .rename(columns=colmap)
-                .sort_values(keys)
-                .reset_index(drop=True)
-            )
+            a = ours[cols].sort_values(keys).reset_index(drop=True)
+            b = ref_pdf.sort_values(keys).reset_index(drop=True)
             _assert_columns_match(a, b, view)
 
 
