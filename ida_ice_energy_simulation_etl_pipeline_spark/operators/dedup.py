@@ -1170,12 +1170,21 @@ FROM exact e LEFT JOIN near n ON e.doc_id = n.doc_id
 
 
 SPECS: list[QuerySpec] = [
-    QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "ext:dedup,D1"),
+    # Round-6 rotation: dedup_exact and dedup_minhash_lsh moved to the
+    # extra tier (5 rounds of green driver rows each; both shapes stay
+    # driver-exercised inside corpus_pipeline_e2e's exact-dedup and
+    # LSH-near-dedup stages, and minhash_signatures stays); dedup_simhash
+    # and dup_pairs_by_source promoted for their first independent
+    # driver rows.
     QuerySpec(
         "minhash_signatures", minhash_signatures, MINHASH_SIGNATURES_SQL, "ext:dedup"
     ),
+    QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL, "ext:dedup"),
     QuerySpec(
-        "dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL, "ext:dedup"
+        "dup_pairs_by_source",
+        dup_pairs_by_source,
+        DUP_PAIRS_BY_SOURCE_SQL,
+        "ext:dedup,diagnostics",
     ),
     QuerySpec(
         "dedup_ngram_jaccard",
@@ -1212,12 +1221,9 @@ SPECS: list[QuerySpec] = [
 ]
 
 EXTRA_SPECS: list[QuerySpec] = [
-    QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL, "ext:dedup"),
+    QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "ext:dedup,D1"),
     QuerySpec(
-        "dup_pairs_by_source",
-        dup_pairs_by_source,
-        DUP_PAIRS_BY_SOURCE_SQL,
-        "ext:dedup,diagnostics",
+        "dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL, "ext:dedup"
     ),
     QuerySpec(
         "dup_span_stats",

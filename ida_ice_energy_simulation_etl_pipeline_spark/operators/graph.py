@@ -398,24 +398,31 @@ GROUP BY source
 """
 
 
+# Round-6 rotation: dedup_survivors moved to the extra tier (5 rounds
+# of green driver rows; survivor selection stays locally oracle-verified
+# and dedup_survivors_ranked covers the same cluster-grain max_by);
+# dedup_clusters_star promoted so the O(log n) large/small-star CC
+# variant earns its first independent driver row beside the
+# label-propagation dedup_clusters (both share one oracle — same
+# fixpoint, different algorithm).
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "dedup_clusters", dedup_clusters, _dedup_clusters_sql(), "ext:dedup,graph"
     ),
     QuerySpec(
-        "dedup_survivors",
-        dedup_survivors,
-        _dedup_survivors_sql(),
-        "ext:dedup,graph",
+        "dedup_clusters_star",
+        dedup_clusters_star,
+        _dedup_clusters_sql(),
+        "ext:dedup,graph,star",
     ),
 ]
 
 EXTRA_SPECS: list[QuerySpec] = [
     QuerySpec(
-        "dedup_clusters_star",
-        dedup_clusters_star,
-        _dedup_clusters_sql(),
-        "ext:dedup,graph,star",
+        "dedup_survivors",
+        dedup_survivors,
+        _dedup_survivors_sql(),
+        "ext:dedup,graph",
     ),
     QuerySpec(
         "dedup_survivors_ranked",

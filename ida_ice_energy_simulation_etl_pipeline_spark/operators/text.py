@@ -1779,6 +1779,24 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "lm_perplexity", lm_perplexity, LM_PERPLEXITY_SQL, "ext:text,quality,lm"
     ),
+    # Round-6 rotation (judge-prescribed): first driver rows for the
+    # overlap-profile contamination report, A-ES weighted sampling and
+    # the packed-sequence emit path.
+    QuerySpec(
+        "contamination_overlap",
+        contamination_overlap,
+        CONTAMINATION_OVERLAP_SQL,
+        "ext:contamination,overlap",
+    ),
+    QuerySpec(
+        "weighted_sample",
+        weighted_sample,
+        WEIGHTED_SAMPLE_SQL,
+        "ext:sampling,weighted",
+    ),
+    QuerySpec(
+        "seq_pack_emit", seq_pack_emit, SEQ_PACK_EMIT_SQL, "ext:packing,emit"
+    ),
 ]
 
 # The standalone halves of the merged driver queries — still
@@ -1792,18 +1810,6 @@ EXTRA_SPECS: list[QuerySpec] = [
         STRATIFIED_SAMPLE_SQL,
         "ext:sampling",
     ),
-    QuerySpec(
-        "weighted_sample",
-        weighted_sample,
-        WEIGHTED_SAMPLE_SQL,
-        "ext:sampling,weighted",
-    ),
-    QuerySpec(
-        "contamination_overlap",
-        contamination_overlap,
-        CONTAMINATION_OVERLAP_SQL,
-        "ext:contamination,overlap",
-    ),
     QuerySpec("doc_fingerprint", doc_fingerprint, DOC_FINGERPRINT_SQL, "ext:text"),
     QuerySpec(
         "text_fingerprint",
@@ -1816,9 +1822,6 @@ EXTRA_SPECS: list[QuerySpec] = [
         "repetition_stats", repetition_stats, REPETITION_STATS_SQL, "ext:text,quality"
     ),
     QuerySpec("data_mix", data_mix, DATA_MIX_SQL, "ext:mixing,sampling"),
-    QuerySpec(
-        "seq_pack_emit", seq_pack_emit, SEQ_PACK_EMIT_SQL, "ext:packing,emit"
-    ),
     QuerySpec("doc_chunks", doc_chunks, DOC_CHUNKS_SQL, "ext:text,rag,chunking"),
     QuerySpec(
         "bpe_merge_candidates",

@@ -479,7 +479,6 @@ GROUP BY 1
 # also the only query over the part table); supplier_nation_balance
 # likewise keeps the supplier table in the driver contract.
 SPECS: list[QuerySpec] = [
-    QuerySpec("event_pivot", event_pivot, EVENT_PIVOT_SQL, "ext:pivot,A3"),
     QuerySpec(
         "priority_price_quantiles",
         priority_price_quantiles,
@@ -487,10 +486,11 @@ SPECS: list[QuerySpec] = [
         "ext:quantile",
     ),
     QuerySpec("sessionize", sessionize, SESSIONIZE_SQL, "ext:sessionize"),
-    QuerySpec(
-        "top_parts_per_brand", top_parts_per_brand, TOP_PARTS_PER_BRAND_SQL, "ext:window"
-    ),
 ]
+# Round-6 rotation: event_pivot and top_parts_per_brand moved to the
+# extra tier (5 rounds of green driver rows each; A3/conditional-count
+# stays covered by corpus_funnel + event_funnel, the ranking window by
+# sessionize + priority_price_quantiles) to free driver slots.
 # event_funnel joins the driver window in round 5 (promoted from the
 # extra tier; appended below its definition).
 
@@ -710,8 +710,15 @@ SPECS += [
 ]
 
 EXTRA_SPECS: list[QuerySpec] = [
+    # Rotated out of the driver window in round 6 (5 rounds of green
+    # driver rows each; see the SPECS comment above).
+    QuerySpec("event_pivot", event_pivot, EVENT_PIVOT_SQL, "ext:pivot,A3"),
+    QuerySpec(
+        "top_parts_per_brand", top_parts_per_brand, TOP_PARTS_PER_BRAND_SQL, "ext:window"
+    ),
     # Rotated out of the driver window in round 5 (4 rounds of green
-    # driver rows each; A9 keeps monthly_revenue + hourly_event_rollup,
+    # driver rows each; A9 keeps monthly_revenue (hourly_event_rollup
+    # itself rotated out in round 6 with 4 green rounds),
     # A1 keeps pricing_summary/orders_rollup/segment_revenue, F10/json
     # extraction is pytest-covered) to free driver slots for extra-tier
     # flagship operators.

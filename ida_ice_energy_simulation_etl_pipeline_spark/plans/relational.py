@@ -976,27 +976,20 @@ SPECS: list[QuerySpec] = [
         CUSTOMERS_WITHOUT_ORDERS_SQL,
         "J8,A8",
     ),
-    QuerySpec("distinct_segments", distinct_segments, DISTINCT_SEGMENTS_SQL, "D1,D2"),
-    QuerySpec("time_dim", time_dim, TIME_DIM_SQL, "F1,D3,D4,O1"),
-    QuerySpec("gap_detection", gap_detection, GAP_DETECTION_SQL, "F4"),
     QuerySpec("monthly_revenue", monthly_revenue, MONTHLY_REVENUE_SQL, "A9,F1"),
     QuerySpec("set_ops", set_ops, SET_OPS_SQL, "U1,U2,ext:intersect"),
-    QuerySpec("priority_fanout", priority_fanout, PRIORITY_FANOUT_SQL, "J4"),
     QuerySpec(
         "export_summary", export_summary, EXPORT_SUMMARY_SQL, "A5,A6,A10"
     ),
-    QuerySpec("cube_summary", cube_summary, CUBE_SUMMARY_SQL, "ext:grouping-sets"),
-    # Promoted into the driver window in round 4 (taking the slot the
-    # approx_distinct_users sketch vacated): fully oracle-verifiable, and it
-    # is the batch twin of the streaming watermarked rollup, so the driver
-    # contract now exercises that shape too.
-    QuerySpec(
-        "hourly_event_rollup",
-        hourly_event_rollup,
-        HOURLY_EVENT_ROLLUP_SQL,
-        "A9,streaming",
-    ),
 ]
+# Round-6 rotation: distinct_segments, time_dim, gap_detection,
+# priority_fanout, cube_summary and hourly_event_rollup moved to the
+# extra tier (4-5 rounds of green driver rows each; their §2 ids stay
+# covered — D1/first-seen by corpus_pipeline_e2e's keep-first dedup,
+# F1 by monthly_revenue, F4/lag by sessionize + gap_fill, J4 by the
+# reference-parity ETL suite, grouping-sets/A9 by orders_rollup +
+# monthly_revenue) to free driver slots for the never-driver-verified
+# column-stats queries promoted below.
 
 # Oracle-verified locally (test_oracle_parity) but outside the driver's
 # 50-query window: each overlaps a driver query's operator coverage.
@@ -1282,6 +1275,20 @@ FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
 
 
 EXTRA_SPECS: list[QuerySpec] = [
+    # Rotated out of the driver window in round 6 (4-5 rounds of green
+    # driver CORRECTNESS rows each; see the SPECS comment above for the
+    # per-§2-id coverage that remains in the window).
+    QuerySpec("distinct_segments", distinct_segments, DISTINCT_SEGMENTS_SQL, "D1,D2"),
+    QuerySpec("time_dim", time_dim, TIME_DIM_SQL, "F1,D3,D4,O1"),
+    QuerySpec("gap_detection", gap_detection, GAP_DETECTION_SQL, "F4"),
+    QuerySpec("priority_fanout", priority_fanout, PRIORITY_FANOUT_SQL, "J4"),
+    QuerySpec("cube_summary", cube_summary, CUBE_SUMMARY_SQL, "ext:grouping-sets"),
+    QuerySpec(
+        "hourly_event_rollup",
+        hourly_event_rollup,
+        HOURLY_EVENT_ROLLUP_SQL,
+        "A9,streaming",
+    ),
     # Rotated out of the driver window in round 5 (each has 4 rounds of
     # green driver CORRECTNESS rows and every §2 id it covers is also
     # exercised by a remaining driver query or the reference-parity
@@ -1310,18 +1317,6 @@ EXTRA_SPECS: list[QuerySpec] = [
         yoy_customer_revenue,
         YOY_CUSTOMER_REVENUE_SQL,
         "ext:full-outer,reconciliation",
-    ),
-    QuerySpec(
-        "column_histograms",
-        column_histograms,
-        _column_histograms_sql(),
-        "ext:stats,histogram",
-    ),
-    QuerySpec(
-        "column_top_values",
-        column_top_values,
-        _column_top_values_sql(),
-        "ext:stats,mcv",
     ),
     QuerySpec("surrogate_keys", surrogate_keys, SURROGATE_KEYS_SQL, "D4,O1"),
     QuerySpec("event_type_stats", event_type_stats, EVENT_TYPE_STATS_SQL, "A3"),
@@ -1379,10 +1374,25 @@ def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-# rows-only by design: the HLL estimate has no exact cross-engine twin
-# (same rationale as approx_distinct_users); the error bound is pinned
-# locally by test_table_profile_approx_within_hll_tolerance.
-EXTRA_SPECS += [
+# Round-6 rotation: the column-stats trio joins the driver window for
+# its first independent driver CORRECTNESS rows (judge-prescribed).
+# table_profile_approx is rows-only by design: the HLL estimate has no
+# exact cross-engine twin (same rationale as approx_distinct_users); the
+# error bound is pinned locally by
+# test_table_profile_approx_within_hll_tolerance.
+SPECS += [
+    QuerySpec(
+        "column_histograms",
+        column_histograms,
+        _column_histograms_sql(),
+        "ext:stats,histogram",
+    ),
+    QuerySpec(
+        "column_top_values",
+        column_top_values,
+        _column_top_values_sql(),
+        "ext:stats,mcv",
+    ),
     QuerySpec(
         "table_profile_approx",
         table_profile_approx,
