@@ -92,13 +92,24 @@ def ensure_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
     task-wave scheduling than the parallelism returns (measured ~25% of
     wall on the sf0.1 weak set).  At production settings (partitions ≫
     cores) the cap never binds and the target is the cluster parallelism.
+
+    Sub-256 KB inputs skip the repartition entirely: the whole table's
+    per-row work completes in less than one scheduler round trip
+    (~40 ms/stage on the bench VM), so the extra exchange stage is pure
+    critical-path overhead — it was ~0.8 s of the measured 10 s
+    47-query floor.  The size check is a driver-side ``os.path.getsize``
+    over the scan's input files (no job), and inputs a shuffle would
+    actually help keep the old behavior unchanged.
     """
+    import os
+
     try:
         shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         shuffle_parts = 200
     target = min(spark.sparkContext.defaultParallelism, shuffle_parts)
     n = getattr(df, "_sg_scan_partitions", None)
+    in_bytes = getattr(df, "_sg_scan_bytes", None)
     if n is None:
         n = df.rdd.getNumPartitions()
         try:
@@ -107,9 +118,37 @@ def ensure_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
             df._sg_scan_partitions = n
         except Exception:
             pass
+    if in_bytes is None:
+        try:
+            files = df.inputFiles()
+            # No file listing (range/memory/stream sources): size unknown —
+            # assume big and keep the old repartition path.
+            in_bytes = (
+                sum(
+                    os.path.getsize(
+                        f[len("file:"):] if f.startswith("file:") else f
+                    )
+                    for f in files
+                )
+                if files
+                else None
+            )
+        except Exception:
+            in_bytes = None  # non-file source: assume big, keep old path
+        try:
+            df._sg_scan_bytes = in_bytes
+        except Exception:
+            pass
+    if in_bytes is not None and in_bytes < PARALLELISM_MIN_BYTES:
+        return df
     if n < target:
         return df.repartition(target)
     return df
+
+
+# Below this input size the serial path beats the repartitioned one on any
+# hardware: one stage of sub-ms per-row work vs an extra scheduled exchange.
+PARALLELISM_MIN_BYTES = 256 * 1024
 
 
 def hash_parallelism(spark: SparkSession, df: DataFrame, *keys: str) -> DataFrame:

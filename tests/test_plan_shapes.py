@@ -44,6 +44,23 @@ def test_region_revenue_broadcasts_all_dims(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_region_revenue_partial_agg_before_shuffle(spark):
+    """The lineitem→order-grain pre-aggregate must fire MAP-SIDE: a
+    partial_sum below the orderkey exchange means only one pre-combined
+    row per (partition, orderkey) crosses the wire — at 100 TB that is
+    the difference between shuffling lineitem and shuffling orders."""
+    plan = _executed_plan(spark, "region_revenue").split("== Initial Plan ==")[0]
+    # the lineitem partial is the one over l_extendedprice (the final
+    # r_name/n_name agg has its own partial_sum(order_rev) higher up)
+    partial = plan.find("partial_sum((l_extendedprice")
+    exchange = plan.find("Exchange hashpartitioning(l_orderkey")
+    assert partial != -1, "order-grain partial aggregate missing"
+    assert exchange != -1, "order-grain exchange missing"
+    # the executed-plan string prints top-down: the exchange node appears
+    # ABOVE (before) its child partial aggregate
+    assert exchange < partial, "partial aggregate is not below the exchange"
+
+
 def test_quality_scan_is_single_pass(spark):
     # AQE's toString prints Final + Initial sections; count scans in Final
     plan = _executed_plan(spark, "quality_scan").split("== Initial Plan ==")[0]
@@ -348,6 +365,41 @@ def test_ensure_parallelism_fanout_capped_by_shuffle_partitions(spark):
         assert ensure_parallelism(spark, df3) is df3
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+def test_ensure_parallelism_skips_tiny_file_inputs(spark, tmp_path):
+    """Sub-256 KB file-backed inputs skip the round-robin spread — the
+    whole table's work fits in one sub-ms task, so the extra exchange
+    stage is pure critical-path floor; larger inputs keep the spread."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans.core import (
+        PARALLELISM_MIN_BYTES,
+        ensure_parallelism,
+    )
+
+    tiny_path = str(tmp_path / "tiny.parquet")
+    spark.range(100).coalesce(1).write.parquet(tiny_path)
+    tiny = spark.read.parquet(tiny_path).coalesce(1)
+    assert ensure_parallelism(spark, tiny) is tiny
+
+    big_path = str(tmp_path / "big.parquet")
+    # incompressible payload so the file comfortably clears the threshold
+    spark.range(60000).selectExpr(
+        "id", "sha2(cast(id as string), 256) as a", "sha2(cast(id+1 as string), 256) as b"
+    ).coalesce(1).write.parquet(big_path)
+    big = spark.read.parquet(big_path).coalesce(1)
+    import os
+
+    assert (
+        sum(
+            os.path.getsize(os.path.join(big_path, f))
+            for f in os.listdir(big_path)
+        )
+        >= PARALLELISM_MIN_BYTES
+    ), "fixture must exceed the skip threshold for the second assertion"
+    assert (
+        ensure_parallelism(spark, big).rdd.getNumPartitions()
+        > big.rdd.getNumPartitions()
+    )
 
 
 def test_lsh_band_self_join_is_merge_with_reused_exchange(spark):
