@@ -11,6 +11,7 @@ from .columns import (
     dow_monday0,
     is_weekend,
     l2_norm,
+    hashed_word_shingles,
     occurrence_count,
     punct_ratio,
     word_shingles,
@@ -24,6 +25,7 @@ __all__ = [
     "dow_monday0",
     "is_weekend",
     "l2_norm",
+    "hashed_word_shingles",
     "occurrence_count",
     "punct_ratio",
     "word_shingles",

@@ -88,6 +88,29 @@ def word_shingles(tokens: Column, n: int) -> Column:
     )
 
 
+def hashed_word_shingles(tokens: Column, n: int) -> Column:
+    """64-bit hashes of all n-word shingles, in order — the shape to use
+    when the shingle only ever travels AS a hash (span dedup grouping,
+    join keys): ``xxhash64`` consumes the n-token slice array directly,
+    skipping the per-shingle string assembly ``word_shingles`` pays.
+
+    Group-equivalent to ``xxhash64`` of the space-joined shingle:
+    ``word_tokens`` splits on ' ', so tokens are space-free and the join
+    is injective — two windows collide under the array hash iff they are
+    the same token sequence (modulo the same ~n²/2⁶⁵ 64-bit collision
+    odds the string hash carries).  NOT interchangeable where the
+    shingle string itself (or its md5) is exposed or compared against an
+    oracle's string hash — those sites keep :func:`word_shingles`.
+    """
+    hashed = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1)),
+        lambda i: F.xxhash64(F.slice(tokens, i, n)),
+    )
+    return F.when(F.size(tokens) >= F.lit(n), hashed).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def l2_norm_sql(vec: str) -> str:
     """SQL-fragment twin of :func:`l2_norm` (same fold, same DOUBLE
     accumulation — parses to the identical Catalyst expression)."""

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import word_shingles, word_tokens
+from ..functions import hashed_word_shingles, word_shingles, word_tokens
 from ..plans.core import QuerySpec, ensure_parallelism, hash_parallelism, load_table
 
 N_MINHASHES = 8
@@ -856,13 +856,14 @@ SPAN_TOKENS = 8
 def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
     toks = word_tokens(F.col("text"))
-    # word_shingles centralizes the stride-1 window enumeration (and its
-    # fewer-than-n-tokens guard); spans ride as 64-bit hashes
+    # hashed_word_shingles centralizes the stride-1 window enumeration
+    # (and its fewer-than-n-tokens guard); spans ride as 64-bit hashes of
+    # the token-slice arrays — the span string is never materialized
+    # (measured -21% at sf0.1 vs hashing the joined string; same groups,
+    # see the helper's docstring)
     spans = docs.select(
         "source",
-        F.explode(
-            F.transform(word_shingles(toks, SPAN_TOKENS), lambda sp: F.xxhash64(sp))
-        ).alias("span_h"),
+        F.explode(hashed_word_shingles(toks, SPAN_TOKENS)).alias("span_h"),
     )
     counts = spans.groupBy("span_h").agg(
         F.count(F.lit(1)).alias("n_occ"),
@@ -946,11 +947,9 @@ def span_scrub_frame(
     toks = docs.select("doc_id", word_tokens(F.col("text")).alias("w"))
     spans = toks.select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                word_shingles(F.col("w"), span), lambda sp: F.xxhash64(sp)
-            )
-        ).alias("pos", "span_h"),
+        F.posexplode(hashed_word_shingles(F.col("w"), span)).alias(
+            "pos", "span_h"
+        ),
     )
     dup = (
         spans.groupBy("span_h")
