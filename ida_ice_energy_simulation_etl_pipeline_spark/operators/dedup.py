@@ -605,6 +605,12 @@ WHERE round(list_cosine_similarity(ea.emb, eb.emb), 4) >= {EMB_COS_THRESHOLD}
 # expressible as a self-join oracle.
 SEMDEDUP_TAU = EMB_COS_THRESHOLD
 
+# Runtime ceiling on one cell's row count (the guard below).  2M rows of
+# dim-32 float64 is a ~0.5 GB normalized matrix plus the chunked GEMM's
+# working set — comfortably inside one executor at the SCALE.md sizing;
+# a cell beyond it means the codebook, not the data, is the problem.
+SEMDEDUP_MAX_CELL_ROWS = 2_000_000
+
 
 def semantic_dedup_frame(
     emb: DataFrame,
@@ -612,6 +618,7 @@ def semantic_dedup_frame(
     n_centroids: int | None = None,
     tau: float = SEMDEDUP_TAU,
     codebook: DataFrame | None = None,
+    max_cell_rows: int | None = SEMDEDUP_MAX_CELL_ROWS,
 ) -> DataFrame:
     """(vec_id, centroid_id, cent_cos, kept) — kept=0 iff a same-cell
     vector with cosine ≥ tau ranks better ((cent_cos, vec_id) ascending).
@@ -628,7 +635,16 @@ def semantic_dedup_frame(
     cell.  Production runs at scale should pass a TRAINED, balanced
     ``codebook`` (``kmeans_centroids``) and size k so corpus/k rows of
     embeddings fit one executor; SCALE.md §semantic-dedup records the
-    sizing rule."""
+    sizing rule.
+
+    ``max_cell_rows`` is that caveat's runtime teeth: a cell whose row
+    count exceeds it fails FAST with an actionable error — checked on
+    the arrived group's length before the float64 matrix (the big
+    allocation) materializes, so a degenerate codebook surfaces as a
+    clear message naming the oversized cell instead of an opaque
+    executor OOM mid-GEMM.  Zero extra jobs (no census pass — the
+    group is already co-located when the check runs).  ``None``
+    disables."""
     from .similarity import N_CENTROIDS, _cos_key_sql, _fold_codebook
 
     if codebook is not None:
@@ -667,6 +683,14 @@ def semantic_dedup_frame(
         import numpy as np
         import pandas as pd
 
+        if max_cell_rows is not None and len(pdf) > max_cell_rows:
+            raise ValueError(
+                f"semantic-dedup cell {int(pdf['centroid_id'].iloc[0])} "
+                f"holds {len(pdf)} vectors > max_cell_rows={max_cell_rows}: "
+                "the codebook is funneling the corpus into one cell — pass "
+                "a trained codebook (kmeans_centroids) or raise "
+                "n_centroids (SCALE.md, semantic-dedup sizing)"
+            )
         ids = pdf["vec_id"].to_numpy()
         ccos = pdf["cent_cos"].to_numpy()
         m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)

@@ -1094,6 +1094,31 @@ def test_semantic_dedup_accepts_trained_codebook(spark):
     assert got[2]["kept"] + got[3]["kept"] == 1  # exactly one survives
 
 
+def test_semantic_dedup_cell_size_guard_fires(spark):
+    """An oversized cell fails FAST with the actionable codebook message
+    (the SCALE.md skew caveat's runtime teeth), and the same degenerate
+    input succeeds with the guard disabled — proving the guard, not the
+    data, raised."""
+    import pytest
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.dedup import (
+        semantic_dedup_frame,
+    )
+
+    # n_centroids=1 funnels every vector into one cell — the degenerate
+    # codebook the guard exists for.
+    rows = [(i, [1.0, float(i), 0.0, 0.0]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="max_cell_rows=4"):
+        semantic_dedup_frame(
+            emb, n_centroids=1, tau=0.99, max_cell_rows=4
+        ).collect()
+    got = semantic_dedup_frame(
+        emb, n_centroids=1, tau=0.99, max_cell_rows=None
+    ).collect()
+    assert len(got) == 6
+
+
 def test_parse_audio_meta_real_wav_header():
     """Handcrafted 16-bit stereo 8 kHz WAV: the RIFF chunk walk recovers
     channels/rate/bits and computes duration from the data-chunk size."""
