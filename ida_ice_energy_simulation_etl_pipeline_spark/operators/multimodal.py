@@ -7,11 +7,15 @@ PNG/GIF/BMP/JPEG dimensions+format straight from container headers, the
 curation predicate most multimodal filters actually need) AND baseline
 PNG PIXEL decode/encode (``decode_png_pixels`` / ``encode_png``: deflate
 + scanline unfiltering are pure stdlib, so ``image_pixel_stats`` does
-genuine pixel-level feature extraction in this container).  Still gated
+genuine pixel-level feature extraction in this container) AND audio /
+video container METADATA + PCM samples (``parse_audio_meta`` /
+``decode_wav_samples`` for WAV, ``parse_video_meta`` for AVI — the same
+RIFF chunk walk, recursive for AVI's nested LIST headers).  Still gated
 or stubbed (clearly): non-PNG pixel decode/resize (real via PIL when
-installed; NotImplementedError here), audio decode, and video frame
-extraction (``frame_sample`` is a deterministic fake with the real
-batch shape).
+installed; NotImplementedError here), compressed/non-WAV audio sample
+decode, and video FRAME decode (``frame_sample`` is a deterministic
+fake with the real batch shape; every real video codec needs a decoder
+library).
 
 At 100 TB the payload column dominates IO: feature extraction is map-only
 (no shuffle), and `spark.sql.files.maxPartitionBytes` bounds the Arrow
@@ -221,6 +225,70 @@ def parse_audio_meta(payload: bytes) -> tuple[int, int, int, float] | None:
     n_ch, rate, bits, byte_rate = fmt
     duration = data_size / byte_rate if byte_rate else 0.0
     return n_ch, rate, bits, duration
+
+
+def parse_video_meta(payload: bytes) -> tuple[int, int, int, float, float] | None:
+    """REAL video container metadata in pure stdlib — the AVI flavor of
+    the same RIFF chunk walk the WAV parsers use, generalized to recurse
+    into LIST chunks (AVI nests its headers: RIFF 'AVI ' → LIST 'hdrl'
+    → 'avih').  The main AVI header carries everything a curation filter
+    needs without touching a codec: returns (width, height, n_frames,
+    fps, duration_s), or None for a non-AVI payload.  FRAME decode still
+    needs a codec library and stays gated (decode_video below);
+    resolution/duration/fps filtering does not.
+    """
+    import struct
+
+    if not payload or len(payload) < 12:
+        return None
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            cid = payload[pos : pos + 4]
+            size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+            body_lo = pos + 8
+            body_hi = min(body_lo + size, hi)
+            if cid == b"LIST":
+                # LIST body = 4-byte list type, then sub-chunks
+                found = walk(body_lo + 4, body_hi)
+                if found is not None:
+                    return found
+            elif cid == b"avih" and body_hi - body_lo >= 40:
+                (
+                    us_per_frame,
+                    _max_bps,
+                    _padding,
+                    _flags,
+                    n_frames,
+                    _initial,
+                    _streams,
+                    _bufsize,
+                    width,
+                    height,
+                ) = struct.unpack("<10I", payload[body_lo : body_lo + 40])
+                fps = 1e6 / us_per_frame if us_per_frame else 0.0
+                duration = n_frames * us_per_frame / 1e6
+                return int(width), int(height), int(n_frames), fps, duration
+            pos += 8 + size + (size % 2)  # chunks are word-aligned
+        return None
+
+    return walk(12, len(payload))
+
+
+def decode_video(payload: bytes) -> object:
+    """Video FRAME decode: gated — every in-the-wild video codec needs a
+    real decoder library.  Container METADATA (resolution, frame count,
+    fps, duration) is real and dependency-free for AVI via
+    parse_video_meta; ``frame_sample`` is the byte-level stand-in that
+    keeps the fan-out plumbing testable."""
+    raise NotImplementedError(
+        "video frame decode requires a codec library; AVI container "
+        "metadata decodes via parse_video_meta, frame sampling is "
+        "stubbed by frame_sample"
+    )
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
@@ -591,6 +659,46 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
+
+
+VIDEO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType(), False),
+        StructField("source", StringType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("fps", DoubleType(), True),
+        StructField("duration_s", DoubleType(), True),
+    ]
+)
+
+
+def extract_video_features(media: DataFrame) -> DataFrame:
+    """Video metadata extraction through the same Arrow-batched
+    ``mapInPandas`` path as the audio twin — real (dependency-free) for
+    AVI payloads via the recursive RIFF chunk walk; non-AVI rows yield
+    null features."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [
+                parse_video_meta(b) if b is not None else None
+                for b in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "source": pdf["source"],
+                    "width": [m[0] if m else None for m in metas],
+                    "height": [m[1] if m else None for m in metas],
+                    "n_frames": [m[2] if m else None for m in metas],
+                    "fps": [m[3] if m else None for m in metas],
+                    "duration_s": [m[4] if m else None for m in metas],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=VIDEO_FEATURE_SCHEMA)
 
 
 AUDIO_SAMPLE_STATS_SCHEMA = StructType(

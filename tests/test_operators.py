@@ -1156,6 +1156,85 @@ def test_extract_audio_features_end_to_end(spark):
     assert rows[2]["n_channels"] is None and rows[2]["duration_s"] is None
 
 
+def _avi(
+    width: int, height: int, n_frames: int, us_per_frame: int
+) -> bytes:
+    """Minimal spec-shaped AVI: RIFF 'AVI ' → LIST 'hdrl' → avih(56) +
+    a LIST 'movi' stub — enough structure that the parser must actually
+    recurse into the nested LIST to find the main header."""
+    import struct
+
+    avih_body = struct.pack(
+        "<14I",
+        us_per_frame,
+        1_000_000,  # max bytes/sec
+        0,  # padding granularity
+        0x10,  # flags (HASINDEX)
+        n_frames,
+        0,  # initial frames
+        1,  # streams
+        65536,  # suggested buffer
+        width,
+        height,
+        0,
+        0,
+        0,
+        0,  # reserved
+    )
+    avih = b"avih" + struct.pack("<I", len(avih_body)) + avih_body
+    hdrl_body = b"hdrl" + avih
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    movi_body = b"movi"
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def test_parse_video_meta_real_avi_header():
+    """Handcrafted 640x480 25fps AVI: the recursive RIFF walk finds the
+    avih header inside the nested hdrl LIST; non-AVI and truncated
+    payloads degrade to None instead of raising."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        parse_video_meta,
+    )
+
+    got = parse_video_meta(_avi(640, 480, 250, 40_000))
+    assert got == (640, 480, 250, 25.0, 10.0)
+    assert parse_video_meta(b"RIFF\x00\x00\x00\x00WAVE") is None  # a WAV
+    assert parse_video_meta(b"\x00\x00\x00\x18ftypmp42") is None  # MP4
+    assert parse_video_meta(b"") is None
+    # truncated mid-header: the avih body is clipped below 40 bytes
+    whole = _avi(640, 480, 250, 40_000)
+    assert parse_video_meta(whole[:40]) is None
+    # zero us_per_frame must not divide by zero
+    assert parse_video_meta(_avi(10, 10, 5, 0))[3] == 0.0
+
+
+def test_extract_video_features_end_to_end(spark):
+    """AVI metadata extraction runs through mapInPandas with no codec:
+    real AVI rows get resolution/fps/duration, junk rows get nulls."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        extract_video_features,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "video/avi", _avi(1920, 1080, 300, 33_333), "s1"),
+            (2, "video/mp4", b"\x00\x00\x00\x18ftypmp42junk", "s1"),
+            (3, "video/avi", None, "s2"),
+        ],
+        "item_id long, media_type string, payload binary, source string",
+    )
+    rows = {r["item_id"]: r for r in extract_video_features(media).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["n_frames"]) == (
+        1920,
+        1080,
+        300,
+    )
+    assert abs(rows[1]["fps"] - 30.00030) < 1e-3
+    assert rows[2]["width"] is None and rows[3]["duration_s"] is None
+
+
 def test_parse_image_dims_edge_variants():
     """Round-4 review regressions: JPEG fill bytes before markers, OS/2
     core-header BMPs, and compressed-WAV duration via the byte-rate
