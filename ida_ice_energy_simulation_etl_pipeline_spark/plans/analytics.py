@@ -233,6 +233,57 @@ GROUP BY user_id, session_id
 
 
 # --------------------------------------------------------------------------
+# Threshold-transition alerting — the BATCH twin of the streaming
+# monitor (streaming/alerts.py threshold_alert_stream): per key, classify
+# each event against the threshold and keep only the rows where the level
+# CHANGES (OK→ALERT crossing up, ALERT→OK on recovery), with the key's
+# level history starting at 'OK'.  Same semantics the stateful-streaming
+# processor maintains with one remembered level per key; in batch the
+# remembered level is simply lag(level) over the (ts, event_id) order the
+# streaming kernel sorts by.  One key-grain exchange for the window —
+# identical to the one exchange transformWithState always pays.
+def alert_transitions_frame(events: DataFrame, threshold: float) -> DataFrame:
+    """Transition rows of (user_id, ts, event_id, value) — the relational
+    statement of streaming/alerts.py's per-key state machine (the
+    stream==batch parity test holds the two to the same output)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    level = F.when(F.col("value") > threshold, "ALERT").otherwise("OK")
+    leveled = events.select(
+        "user_id",
+        "ts",
+        "value",
+        level.alias("level"),
+        F.lag(level, 1, "OK").over(w).alias("prev_level"),
+    )
+    return leveled.filter(F.col("level") != F.col("prev_level"))
+
+
+def alert_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.alerts import ALERT_THRESHOLD
+
+    events = load_table(spark, sf_dir, "events")
+    return alert_transitions_frame(events, ALERT_THRESHOLD)
+
+
+def _alert_transitions_sql() -> str:
+    from ..streaming.alerts import ALERT_THRESHOLD
+
+    return f"""
+WITH leveled AS (
+  SELECT user_id, ts, value,
+         CASE WHEN value > {ALERT_THRESHOLD} THEN 'ALERT' ELSE 'OK' END AS level,
+         coalesce(lag(CASE WHEN value > {ALERT_THRESHOLD} THEN 'ALERT' ELSE 'OK' END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  'OK') AS prev_level
+  FROM events
+)
+SELECT user_id, ts, value, level, prev_level
+FROM leveled
+WHERE level <> prev_level
+"""
+
+
+# --------------------------------------------------------------------------
 # Hierarchical rollup: region → nation subtotals + grand total.
 def customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
@@ -485,12 +536,22 @@ SPECS: list[QuerySpec] = [
         PRIORITY_PRICE_QUANTILES_SQL,
         "ext:quantile",
     ),
-    QuerySpec("sessionize", sessionize, SESSIONIZE_SQL, "ext:sessionize"),
+    QuerySpec(
+        "alert_transitions",
+        alert_transitions,
+        _alert_transitions_sql(),
+        "ext:streaming-twin,alerts",
+    ),
 ]
 # Round-6 rotation: event_pivot and top_parts_per_brand moved to the
 # extra tier (5 rounds of green driver rows each; A3/conditional-count
 # stays covered by corpus_funnel + event_funnel, the ranking window by
 # sessionize + priority_price_quantiles) to free driver slots.
+# alert_transitions joins the driver window in round 6: the batch twin
+# of streaming/alerts.py earns the streaming semantics an independent
+# driver CORRECTNESS row.  Its slot comes from sessionize (5 rounds of
+# green driver rows, demoted below); the per-key ordered-window surface
+# stays driver-covered by alert_transitions itself + error_click_window.
 # event_funnel joins the driver window in round 5 (promoted from the
 # extra tier; appended below its definition).
 
@@ -713,6 +774,7 @@ EXTRA_SPECS: list[QuerySpec] = [
     # Rotated out of the driver window in round 6 (5 rounds of green
     # driver rows each; see the SPECS comment above).
     QuerySpec("event_pivot", event_pivot, EVENT_PIVOT_SQL, "ext:pivot,A3"),
+    QuerySpec("sessionize", sessionize, SESSIONIZE_SQL, "ext:sessionize"),
     QuerySpec(
         "top_parts_per_brand", top_parts_per_brand, TOP_PARTS_PER_BRAND_SQL, "ext:window"
     ),

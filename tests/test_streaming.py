@@ -780,6 +780,40 @@ def test_threshold_alert_transitions_span_micro_batches(spark, tmp_path):
     assert rows == EXPECTED_ALERT_TRANSITIONS
 
 
+def test_alert_transitions_batch_twin_matches_stream(spark, tmp_path):
+    """The registry query alert_transitions (plans/analytics.py) states
+    the SAME semantics relationally: the streaming run over micro-batched
+    files and the batch lag-window over the union of those files emit
+    identical transition sets — the stream==batch parity that earns the
+    streaming operator its driver CORRECTNESS row."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans.analytics import (
+        alert_transitions_frame,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming.alerts import (
+        ALERT_THRESHOLD,
+        threshold_alert_stream_legacy,
+    )
+
+    ingest = tmp_path / "alerts_in_twin"
+    _write_alert_batches(ingest)
+    events = (
+        spark.readStream.schema(ALERT_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(ingest))
+    )
+    run_to_memory(threshold_alert_stream_legacy(events), "alerts_twin_t")
+    streamed = sorted(
+        (r["user_id"], r["ts"], r["value"], r["level"], r["prev_level"])
+        for r in spark.sql("SELECT * FROM alerts_twin_t").collect()
+    )
+    batch = spark.read.schema(ALERT_EVENT_SCHEMA).json(str(ingest))
+    batched = sorted(
+        (r["user_id"], r["ts"], r["value"], r["level"], r["prev_level"])
+        for r in alert_transitions_frame(batch, ALERT_THRESHOLD).collect()
+    )
+    assert streamed == batched and len(batched) == 3
+
+
 def test_threshold_alert_new_state_api_matches_legacy(spark, tmp_path):
     """transformWithStateInPandas twin: same kernel, same output.  The
     new API's Python state-server protocol needs the protobuf package
