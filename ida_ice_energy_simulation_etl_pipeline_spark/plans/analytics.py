@@ -284,6 +284,81 @@ WHERE level <> prev_level
 
 
 # --------------------------------------------------------------------------
+# Streaming-upsert MERGE algebra — the batch twin of
+# streaming/sink.py::stream_upsert_rollup.  The streaming pattern: an
+# update-mode windowed rollup re-emits a window whenever late data
+# revises it, and ``merge_upsert_parquet`` REPLACES that window's row in
+# the serving table.  This query states one merge step relationally:
+# events tagged late (event_id % LATE_MOD == 0) are absent from the
+# phase-1 serving table; the revision frame is the full rollup restricted
+# to the hours a late event touches; the merged state is
+# revision ∪ (base anti-join revision on the window key).  The
+# convergence guarantee — merged state == the plain batch rollup — is
+# exactly stream_upsert_rollup's correctness claim, asserted by the
+# parity test in tests/test_streaming.py.  Scale shape: two hour-grain
+# rollups (the two stream phases), then dim-grain joins on the window
+# key — the serving-table side of the merge never shuffles at event
+# grain.
+UPSERT_LATE_MOD = 7
+
+
+def merge_upsert_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    agg = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    ]
+    is_late = F.col("event_id") % UPSERT_LATE_MOD == 0
+    base = (
+        events.filter(~is_late)
+        .groupBy(hour.alias("window_start"), "event_type")
+        .agg(*agg)
+    )
+    late_hours = (
+        events.filter(is_late).select(hour.alias("window_start")).distinct()
+    )
+    revision = (
+        events.groupBy(hour.alias("window_start"), "event_type")
+        .agg(*agg)
+        .join(late_hours, "window_start")
+    )
+    kept = base.join(
+        revision.select("window_start").distinct(),
+        "window_start",
+        "left_anti",
+    )
+    return revision.unionByName(kept)
+
+
+MERGE_UPSERT_ROLLUP_SQL = f"""
+WITH base AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*) AS n_events, round(sum(value), 2) AS sum_value
+  FROM events WHERE event_id % {UPSERT_LATE_MOD} <> 0
+  GROUP BY 1, 2
+),
+late_hours AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS window_start
+  FROM events WHERE event_id % {UPSERT_LATE_MOD} = 0
+),
+revision AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*) AS n_events, round(sum(value), 2) AS sum_value
+  FROM events
+  GROUP BY 1, 2
+),
+rev_kept AS (
+  SELECT r.* FROM revision r JOIN late_hours USING (window_start)
+)
+SELECT * FROM rev_kept
+UNION ALL
+SELECT b.* FROM base b
+WHERE b.window_start NOT IN (SELECT window_start FROM rev_kept)
+"""
+
+
+# --------------------------------------------------------------------------
 # Hierarchical rollup: region → nation subtotals + grand total.
 def customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
@@ -775,6 +850,14 @@ EXTRA_SPECS: list[QuerySpec] = [
     # driver rows each; see the SPECS comment above).
     QuerySpec("event_pivot", event_pivot, EVENT_PIVOT_SQL, "ext:pivot,A3"),
     QuerySpec("sessionize", sessionize, SESSIONIZE_SQL, "ext:sessionize"),
+    # Round 6: the MERGE-upsert streaming sink's algebra, oracle-backed
+    # (stream==batch convergence asserted in tests/test_streaming.py).
+    QuerySpec(
+        "merge_upsert_rollup",
+        merge_upsert_rollup,
+        MERGE_UPSERT_ROLLUP_SQL,
+        "ext:streaming-twin,upsert",
+    ),
     QuerySpec(
         "top_parts_per_brand", top_parts_per_brand, TOP_PARTS_PER_BRAND_SQL, "ext:window"
     ),

@@ -467,6 +467,23 @@ def test_streaming_upsert_rollup_converges_with_late_data(spark, tmp_path):
     assert spark.read.parquet(str(table)).count() == 2
 
 
+def test_merge_upsert_rollup_converges_to_batch(spark, sf_dir):
+    """The registry query merge_upsert_rollup (plans/analytics.py) states
+    one MERGE step of stream_upsert_rollup relationally; its correctness
+    claim is the streaming sink's: the merged serving state equals the
+    plain batch rollup of ALL events, late ones included."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans.analytics import (
+        merge_upsert_rollup,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans.relational import (
+        hourly_event_rollup,
+    )
+
+    merged = sorted(map(tuple, merge_upsert_rollup(spark, sf_dir).collect()))
+    batch = sorted(map(tuple, hourly_event_rollup(spark, sf_dir).collect()))
+    assert merged == batch and len(batch) > 0
+
+
 def test_funnel_stream_matches_batch(spark, tmp_path, sf_dir):
     """Replay the events fixture through the stateful streaming funnel
     and assert the per-step user counts EXACTLY match the batch
