@@ -128,7 +128,10 @@ def _duckdb_timings(
     sf_dir: str, threads: int
 ) -> tuple[dict[str, float | str], dict[str, float]]:
     """BEST (minimum) wall time of each headline query's DuckDB oracle on
-    the same data, over the interleaved passes.  Min, not median, and
+    the same data, over the interleaved passes, materializing to Arrow
+    (``.arrow()`` — DuckDB's fastest fetch, mirroring the Spark side's
+    Arrow ``toPandas``; see the materialization note in main).
+    Min, not median, and
     deliberately so: the DuckDB phase runs right after ``spark.stop()``,
     and transient OS churn from the JVM teardown (page-cache eviction,
     memory release) occasionally poisons a majority of one heavy query's
@@ -169,7 +172,7 @@ def _duckdb_timings(
             if not sql or name in errors:
                 continue
             try:
-                t = _timed(lambda: con.execute(sql).fetchall())
+                t = _timed(lambda: con.execute(sql).arrow())
                 if rep > 0:
                     samples.setdefault(name, []).append(t)
             except Exception as exc:
@@ -228,7 +231,7 @@ def main() -> None:
 
     # Untimed warmup pass: JIT + codegen compile + OS page cache.
     for name in HEADLINE:
-        ALL_QUERIES[name].fn(spark, sf_dir).collect()
+        ALL_QUERIES[name].fn(spark, sf_dir).toPandas()
 
     # REPEATS full passes, INTERLEAVED (pass 1 runs every query, then pass
     # 2, ...): back-to-back samples of one query share any transient load
@@ -236,13 +239,23 @@ def main() -> None:
     # round-robin decorrelates the samples and the median rejects it.
     #
     # Each sample is split into plan-BUILD time (fn(): DataFrame
-    # construction + eager per-op analysis) and the collect.  "queries"
-    # stays build+execute for cross-round comparability; "build_sec"
-    # exposes the fixed compile component, which DOMINATES several
-    # sub-2s fixture-scale entries (measured: re-collecting an
+    # construction + eager per-op analysis) and the materialize.
+    # "queries" stays build+execute for cross-round comparability;
+    # "build_sec" exposes the fixed compile component, which DOMINATES
+    # several sub-2s fixture-scale entries (measured: re-collecting an
     # already-built text_quality DataFrame takes 0.09s where the
     # rebuilt query takes ~1.1s — the delta is Catalyst work that a
     # real deployment pays once per query shape, then amortizes).
+    #
+    # Result materialization is ARROW-COLUMNAR on BOTH engines (r6):
+    # Spark ``toPandas()`` (spark.sql.execution.arrow enabled
+    # session-wide) beside DuckDB ``.arrow()`` below — the symmetric
+    # modern contract, and each engine's own fastest fetch (measured
+    # at sf0.1: DuckDB sessionize fetchall 0.065 s vs .arrow() 0.027 s,
+    # never slower elsewhere; Spark sessionize collect 0.47 s vs
+    # toPandas 0.26 s).  The old row-tuple pair (collect()/fetchall())
+    # benchmarked each engine's legacy row-pickle path instead of its
+    # columnar one.
     samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
     build_samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
     for _ in range(REPEATS):
@@ -250,7 +263,7 @@ def main() -> None:
             t0 = time.perf_counter()
             df = ALL_QUERIES[name].fn(spark, sf_dir)
             t1 = time.perf_counter()
-            df.collect()
+            df.toPandas()
             t2 = time.perf_counter()
             build_samples[name].append(t1 - t0)
             samples[name].append(t2 - t0)
@@ -270,10 +283,10 @@ def main() -> None:
         for name in HEADLINE:
             try:
                 fn = ALL_QUERIES[name].fn
-                fn(spark, floor_dir).collect()  # warm this shape at this sf
+                fn(spark, floor_dir).toPandas()  # warm this shape at this sf
                 floors[name] = round(
                     min(
-                        _timed(lambda: fn(spark, floor_dir).collect())
+                        _timed(lambda: fn(spark, floor_dir).toPandas())
                         for _ in range(2)
                     ),
                     4,
