@@ -101,6 +101,23 @@ def decode_audio(payload: bytes) -> object:
     )
 
 
+def _riff_chunks(payload: bytes, lo: int, hi: int):
+    """Yield ``(chunk_id, body_lo, body_hi)`` over one RIFF chunk list —
+    the ONE place the word-alignment and bounds rules live, shared by the
+    WAV parsers and the AVI walk (robustness fixes land once).  Bodies
+    are clipped to ``hi`` so a truncated payload yields short bodies
+    instead of out-of-range slices."""
+    import struct
+
+    pos = lo
+    while pos + 8 <= hi:
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body_lo = pos + 8
+        yield cid, body_lo, min(body_lo + size, hi)
+        pos = body_lo + size + (size % 2)  # chunks are word-aligned
+
+
 def decode_wav_samples(payload: bytes):
     """REAL PCM sample decode in pure stdlib + numpy.
 
@@ -120,19 +137,15 @@ def decode_wav_samples(payload: bytes):
         return None
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
-    pos = 12
     fmt = None
     data = None
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
-        if cid == b"fmt " and pos + 24 <= len(payload):
-            code, n_ch = struct.unpack("<HH", payload[pos + 8 : pos + 12])
-            bits = struct.unpack("<H", payload[pos + 22 : pos + 24])[0]
+    for cid, lo, hi in _riff_chunks(payload, 12, len(payload)):
+        if cid == b"fmt " and hi - lo >= 16:
+            code, n_ch = struct.unpack("<HH", payload[lo : lo + 4])
+            bits = struct.unpack("<H", payload[lo + 14 : lo + 16])[0]
             fmt = (code, n_ch, bits)
         elif cid == b"data":
-            data = payload[pos + 8 : pos + 8 + size]
-        pos += 8 + size + (size % 2)  # chunks are word-aligned
+            data = payload[lo:hi]
     if fmt is None or data is None:
         return None
     code, n_ch, bits = fmt
@@ -201,25 +214,25 @@ def parse_audio_meta(payload: bytes) -> tuple[int, int, int, float] | None:
         return None
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
-    pos = 12
     fmt = None
     data_size = None
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
-        if cid == b"fmt " and pos + 24 <= len(payload):
+    for cid, lo, hi in _riff_chunks(payload, 12, len(payload)):
+        if cid == b"fmt " and hi - lo >= 16:
             # avg-bytes-per-sec comes from the header, NOT derived as
             # n_ch*rate*bits/8 — compressed WAVs (ADPCM bits=4, GSM
             # bits=0) have sub-byte sample rates and a derived figure
             # would misreport duration by 2-13x.
             _, n_ch, rate, byte_rate = struct.unpack(
-                "<HHII", payload[pos + 8 : pos + 20]
+                "<HHII", payload[lo : lo + 12]
             )
-            bits = struct.unpack("<H", payload[pos + 22 : pos + 24])[0]
+            bits = struct.unpack("<H", payload[lo + 14 : lo + 16])[0]
             fmt = (n_ch, rate, bits, byte_rate)
         elif cid == b"data":
-            data_size = size
-        pos += 8 + size + (size % 2)  # chunks are word-aligned
+            # declared size, not the clipped body: duration reports the
+            # header's intent even when the payload is truncated
+            data_size = struct.unpack(
+                "<I", payload[lo - 4 : lo]
+            )[0]
     if fmt is None or data_size is None:
         return None
     n_ch, rate, bits, byte_rate = fmt
@@ -238,24 +251,26 @@ def parse_video_meta(payload: bytes) -> tuple[int, int, int, float, float] | Non
     resolution/duration/fps filtering does not.
     """
     import struct
+    from collections import deque
 
     if not payload or len(payload) < 12:
         return None
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         return None
 
-    def walk(lo: int, hi: int):
-        pos = lo
-        while pos + 8 <= hi:
-            cid = payload[pos : pos + 4]
-            size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
-            body_lo = pos + 8
-            body_hi = min(body_lo + size, hi)
-            if cid == b"LIST":
+    # Iterative breadth-first walk over nested LIST chunks (explicit
+    # queue, NOT recursion: a corrupt/adversarial payload can nest LISTs
+    # thousands deep, which a recursive walk turns into RecursionError
+    # mid-Spark-stage).  Total work is linear in chunk count; the avih
+    # main header of a well-formed AVI is unique, so traversal order
+    # doesn't change the result.
+    ranges = deque([(12, len(payload))])
+    while ranges:
+        lo, hi = ranges.popleft()
+        for cid, body_lo, body_hi in _riff_chunks(payload, lo, hi):
+            if cid == b"LIST" and body_hi - body_lo >= 4:
                 # LIST body = 4-byte list type, then sub-chunks
-                found = walk(body_lo + 4, body_hi)
-                if found is not None:
-                    return found
+                ranges.append((body_lo + 4, body_hi))
             elif cid == b"avih" and body_hi - body_lo >= 40:
                 (
                     us_per_frame,
@@ -272,10 +287,7 @@ def parse_video_meta(payload: bytes) -> tuple[int, int, int, float, float] | Non
                 fps = 1e6 / us_per_frame if us_per_frame else 0.0
                 duration = n_frames * us_per_frame / 1e6
                 return int(width), int(height), int(n_frames), fps, duration
-            pos += 8 + size + (size % 2)  # chunks are word-aligned
-        return None
-
-    return walk(12, len(payload))
+    return None
 
 
 def decode_video(payload: bytes) -> object:
@@ -680,12 +692,17 @@ def extract_video_features(media: DataFrame) -> DataFrame:
     AVI payloads via the recursive RIFF chunk walk; non-AVI rows yield
     null features."""
 
+    def safe_meta(b):
+        # a malformed payload degrades to a null row, never a failed
+        # stage (the extract_audio_sample_stats contract)
+        try:
+            return parse_video_meta(b) if b is not None else None
+        except Exception:
+            return None
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            metas = [
-                parse_video_meta(b) if b is not None else None
-                for b in pdf["payload"]
-            ]
+            metas = [safe_meta(b) for b in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "item_id": pdf["item_id"],

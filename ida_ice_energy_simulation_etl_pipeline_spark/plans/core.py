@@ -109,7 +109,6 @@ def ensure_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
         shuffle_parts = 200
     target = min(spark.sparkContext.defaultParallelism, shuffle_parts)
     n = getattr(df, "_sg_scan_partitions", None)
-    in_bytes = getattr(df, "_sg_scan_bytes", None)
     if n is None:
         n = df.rdd.getNumPartitions()
         try:
@@ -118,6 +117,14 @@ def ensure_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
             df._sg_scan_partitions = n
         except Exception:
             pass
+    if n >= target:
+        # already parallel enough — return before the size probe: a
+        # production table with many input files never pays the
+        # inputFiles() listing round trip here
+        return df
+    # -1 = "probed, size unknown" (non-file source): distinct from the
+    # never-probed None so the failed probe isn't re-paid per call.
+    in_bytes = getattr(df, "_sg_scan_bytes", None)
     if in_bytes is None:
         try:
             files = df.inputFiles()
@@ -131,19 +138,17 @@ def ensure_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
                     for f in files
                 )
                 if files
-                else None
+                else -1
             )
         except Exception:
-            in_bytes = None  # non-file source: assume big, keep old path
+            in_bytes = -1  # non-file source: assume big, keep old path
         try:
             df._sg_scan_bytes = in_bytes
         except Exception:
             pass
-    if in_bytes is not None and in_bytes < PARALLELISM_MIN_BYTES:
+    if 0 <= in_bytes < PARALLELISM_MIN_BYTES:
         return df
-    if n < target:
-        return df.repartition(target)
-    return df
+    return df.repartition(target)
 
 
 # Below this input size the serial path beats the repartitioned one on any

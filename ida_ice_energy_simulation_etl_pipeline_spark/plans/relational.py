@@ -986,7 +986,8 @@ SPECS: list[QuerySpec] = [
 # priority_fanout, cube_summary and hourly_event_rollup moved to the
 # extra tier (4-5 rounds of green driver rows each; their §2 ids stay
 # covered — D1/first-seen by corpus_pipeline_e2e's keep-first dedup,
-# F1 by monthly_revenue, F4/lag by sessionize + gap_fill, J4 by the
+# F1 by monthly_revenue, F4/lag by alert_transitions + gap_fill
+# (sessionize itself rotated out later in round 6), J4 by the
 # reference-parity ETL suite, grouping-sets/A9 by orders_rollup +
 # monthly_revenue) to free driver slots for the never-driver-verified
 # column-stats queries promoted below.

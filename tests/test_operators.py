@@ -1210,6 +1210,33 @@ def test_parse_video_meta_real_avi_header():
     assert parse_video_meta(_avi(10, 10, 5, 0))[3] == 0.0
 
 
+def test_parse_video_meta_deeply_nested_lists_no_recursion():
+    """Adversarial payload: thousands of nested LIST chunks inside a
+    valid RIFF AVI header — the iterative walk returns None (or a
+    found header) instead of RecursionError killing a Spark task."""
+    import struct
+
+    inner = b""
+    for _ in range(5000):
+        body = b"xxxx" + inner  # 4-byte list type + previous level
+        inner = b"LIST" + struct.pack("<I", len(body)) + body
+    bomb = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        parse_video_meta,
+    )
+
+    assert parse_video_meta(bomb) is None
+    # the same nesting with an avih at the bottom still parses
+    avih_payload = _avi(320, 240, 10, 100_000)
+    hdr = avih_payload[12:]  # hdrl LIST + movi LIST
+    nested = hdr
+    for _ in range(2000):
+        body = b"xxxx" + nested
+        nested = b"LIST" + struct.pack("<I", len(body)) + body
+    deep = b"RIFF" + struct.pack("<I", len(nested) + 4) + b"AVI " + nested
+    assert parse_video_meta(deep) == (320, 240, 10, 10.0, 1.0)
+
+
 def test_extract_video_features_end_to_end(spark):
     """AVI metadata extraction runs through mapInPandas with no codec:
     real AVI rows get resolution/fps/duration, junk rows get nulls."""
