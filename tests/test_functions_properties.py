@@ -240,6 +240,45 @@ def test_header_parsers_survive_truncation(prefix, tail, cut):
 
 
 @given(
+    prefix=st.sampled_from(
+        [b"RIFF\xff\xff\x00\x00AVI ", b"RIFF\x20\x00\x00\x00AVI ", b""]
+    ),
+    tail=st.binary(max_size=64),
+)
+@SLOW
+def test_parse_video_meta_total_over_arbitrary_bytes(prefix, tail):
+    """parse_video_meta is a total function: arbitrary bytes behind a
+    valid (or absent) AVI magic parse to None or a sane tuple — never an
+    exception (the iterative LIST walk bounds adversarial nesting)."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        parse_video_meta,
+    )
+
+    out = parse_video_meta(prefix + tail)
+    assert out is None or (
+        len(out) == 5 and out[0] >= 0 and out[1] >= 0 and out[4] >= 0
+    )
+
+
+@given(
+    prefix=st.sampled_from([b"RIFF\x40\x00\x00\x00WAVE", b""]),
+    tail=st.binary(max_size=96),
+)
+@SLOW
+def test_decode_wav_samples_total_over_arbitrary_bytes(prefix, tail):
+    """decode_wav_samples never raises on malformed bytes: every branch
+    clips to element-size multiples, so the worst outcome is None or an
+    empty/short sample array (the extract_audio_sample_stats
+    degrade-to-nulls contract depends on this)."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        decode_wav_samples,
+    )
+
+    out = decode_wav_samples(prefix + tail)
+    assert out is None or out.ndim == 2
+
+
+@given(
     docs=st.lists(
         st.lists(st.sampled_from("ab"), min_size=0, max_size=14).map(
             lambda chars: " ".join(chars)
