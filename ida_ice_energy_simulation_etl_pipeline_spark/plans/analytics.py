@@ -367,9 +367,15 @@ def customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = customer.join(
         F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
     ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-    return joined.rollup("r_name", "n_name").agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    # Rollup over partials (the orders_rollup/cube_summary recipe): the
+    # Expand multiplies ~|region|·|nation| partial rows, not customers.
+    base = joined.groupBy("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("c_acctbal").alias("_s"),
+    )
+    return base.rollup("r_name", "n_name").agg(
+        F.sum("_n").alias("n_customers"),
+        F.round(F.sum("_s"), 2).alias("total_acctbal"),
     )
 
 

@@ -855,12 +855,21 @@ GROUP BY 1, 2
 def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     y = F.year("o_orderdate").alias("order_year")
+    # Rollup over PARTIALS (the cube_summary recipe below): count/sum are
+    # algebraic, so the finest-grain aggregate collapses the fact stream
+    # first and the 3-way Expand multiplies only |years|·|priorities|
+    # partial rows — at 100 TB the rollup's exchange carries grains, not
+    # the corpus.
+    base = orders.groupBy(y, F.col("o_orderpriority")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("o_totalprice").alias("_s"),
+    )
     return (
-        orders.rollup(y, F.col("o_orderpriority"))
+        base.rollup("order_year", "o_orderpriority")
         .agg(
             F.grouping_id().cast("long").alias("gid"),
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.sum("_n").alias("n_orders"),
+            F.round(F.sum("_s"), 2).alias("total_price"),
         )
         .select("order_year", "o_orderpriority", "gid", "n_orders", "total_price")
     )
