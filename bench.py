@@ -283,8 +283,12 @@ def main() -> None:
     if os.path.isdir(floor_dir):
         tracker = spark.sparkContext.statusTracker()
 
-        def _n_jobs() -> int:
-            return len(tracker.getJobIdsForGroup(None) or [])
+        def _latest_job_id() -> int:
+            # max id, not len(): the status store evicts old entries
+            # (spark.ui.retainedJobs), so a length can DECREASE across a
+            # run; job ids are monotonic, so the id delta is exact.
+            ids = tracker.getJobIdsForGroup(None) or []
+            return max(ids) if ids else -1
 
         for name in HEADLINE:
             try:
@@ -294,9 +298,9 @@ def main() -> None:
                 # floor signal (wall-clock floors below drift ±25% with
                 # box contention; the job count is a property of the
                 # plan).  Judge-auditable across rounds.
-                j0 = _n_jobs()
+                j0 = _latest_job_id()
                 fn(spark, floor_dir).toPandas()
-                floor_jobs[name] = _n_jobs() - j0
+                floor_jobs[name] = _latest_job_id() - j0
                 floors[name] = round(
                     min(
                         _timed(lambda: fn(spark, floor_dir).toPandas())
