@@ -5,9 +5,10 @@ feature extraction, the driver-contract query, and — with no codec
 library at all — image METADATA decode (``parse_image_dims`` reads
 PNG/GIF/BMP/JPEG dimensions+format straight from container headers, the
 curation predicate most multimodal filters actually need) AND baseline
-PNG PIXEL decode/encode (``decode_png_pixels`` / ``encode_png``: deflate
-+ scanline unfiltering are pure stdlib, so ``image_pixel_stats`` does
-genuine pixel-level feature extraction in this container) AND audio /
+PNG + first-frame GIF PIXEL decode (``decode_png_pixels`` /
+``encode_png`` / ``decode_gif_pixels``: deflate + scanline unfiltering
+and GIF's LZW are pure stdlib, so ``image_pixel_stats`` does genuine
+pixel-level feature extraction in this container) AND audio /
 video container METADATA + PCM samples (``parse_audio_meta`` /
 ``decode_wav_samples`` for WAV, ``parse_video_meta`` for AVI — the same
 RIFF chunk walk, recursive for AVI's nested LIST headers).  Still gated
@@ -512,6 +513,156 @@ def encode_png(pixels: "object") -> bytes:
     )
 
 
+# ---------------------------------------------------------------------------
+# Pure-python GIF PIXEL codec — the second format with real pixel decode
+# and no imaging library.  GIF is LZW over palette indices; the variable-
+# width LSB-first code stream is fully expressible with ints and a list-
+# backed string table.  Decodes the FIRST frame (the curation use case —
+# animated GIFs' later frames are deltas), honors local palettes and
+# interlacing; anything malformed returns None rather than guessing.
+def _gif_lzw_decode(data: bytes, min_code: int) -> bytes | None:
+    """GIF-variant LZW: variable code width (min_code+1 .. 12 bits),
+    LSB-first packing, CLEAR resets the table, missing EOI tolerated
+    (common in the wild — decode ends at stream end)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            del table[eoi + 1 :]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                return None  # first code after clear must be a literal
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            return None
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+# Interlaced GIFs store rows in four passes; stream row i lands on
+# display row _gif_row_order(h)[i].
+def _gif_row_order(h: int) -> list[int]:
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
+def decode_gif_pixels(payload: bytes) -> "object | None":
+    """Decode a GIF's first frame to an (h, w, 3) uint8 RGB numpy array —
+    pure stdlib (the LZW decoder above), no PIL.  None for non-GIF or a
+    malformed/truncated stream.  Transparency is ignored (the stats use
+    case pools channels; a curation filter needing alpha uses PIL)."""
+    import struct
+
+    import numpy as np
+
+    if not payload or len(payload) < 13:
+        return None
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        _sw, _sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 ** ((packed & 0x07) + 1)
+            raw = payload[pos : pos + 3 * n]
+            if len(raw) < 3 * n:
+                return None
+            gct = np.frombuffer(raw, dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        while pos < len(payload):
+            block = payload[pos]
+            if block == 0x21:  # extension: label byte + data sub-blocks
+                pos += 2
+                while pos < len(payload) and payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if block != 0x2C:  # trailer (0x3B) or junk before any image
+                return None
+            _l, _t, w, h, ipacked = struct.unpack(
+                "<HHHHB", payload[pos + 1 : pos + 10]
+            )
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:  # local color table overrides
+                n = 2 ** ((ipacked & 0x07) + 1)
+                raw = payload[pos : pos + 3 * n]
+                if len(raw) < 3 * n:
+                    return None
+                pal = np.frombuffer(raw, dtype=np.uint8).reshape(n, 3)
+                pos += 3 * n
+            if pal is None or w == 0 or h == 0 or pos >= len(payload):
+                return None
+            min_code = payload[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                return None
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw_decode(bytes(data), min_code)
+            if idx is None or len(idx) < w * h:
+                return None
+            a = np.frombuffer(idx[: w * h], dtype=np.uint8).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: reorder stream rows
+                out = np.empty_like(a)
+                out[_gif_row_order(h)] = a
+                a = out
+            if int(a.max()) >= len(pal):
+                return None
+            return pal[a]
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
+def decode_image_pixels(payload: bytes) -> "object | None":
+    """Dependency-free pixel decode for the formats the stdlib can fully
+    express: baseline PNG (deflate + scanline filters) and first-frame
+    GIF (LZW + palette).  JPEG's DCT entropy coding genuinely needs a
+    codec library and stays the PIL-gated remainder."""
+    px = decode_png_pixels(payload)
+    if px is None:
+        px = decode_gif_pixels(payload)
+    return px
+
+
 PIXEL_STATS_SCHEMA = StructType(
     [
         StructField("item_id", LongType(), False),
@@ -525,11 +676,11 @@ PIXEL_STATS_SCHEMA = StructType(
 
 
 def image_pixel_stats(media: DataFrame) -> DataFrame:
-    """REAL pixel-level feature extraction over PNG payloads — decode via
-    the stdlib codec inside Arrow-batched ``mapInPandas``, emit per-item
-    dimensions and channel-pooled mean/std.  Non-PNG or unsupported
-    payloads yield null stats (curation filters treat undecodable as
-    drop-worthy, not as an error)."""
+    """REAL pixel-level feature extraction over PNG and GIF payloads —
+    decode via the stdlib codecs inside Arrow-batched ``mapInPandas``,
+    emit per-item dimensions and channel-pooled mean/std.  Other or
+    unsupported payloads yield null stats (curation filters treat
+    undecodable as drop-worthy, not as an error)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -537,7 +688,7 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
-                px = decode_png_pixels(payload) if payload is not None else None
+                px = decode_image_pixels(payload) if payload is not None else None
                 if px is None:
                     rows.append((item_id, None, None, None, None, None))
                 else:

@@ -279,6 +279,22 @@ def test_decode_wav_samples_total_over_arbitrary_bytes(prefix, tail):
 
 
 @given(
+    prefix=st.sampled_from([b"GIF89a", b"GIF87a", b""]),
+    tail=st.binary(max_size=96),
+)
+@SLOW
+def test_decode_gif_pixels_total_over_arbitrary_bytes(prefix, tail):
+    """decode_gif_pixels never raises on malformed bytes — None or a
+    decoded (h, w, 3) frame, whatever the LZW stream claims."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        decode_gif_pixels,
+    )
+
+    out = decode_gif_pixels(prefix + tail)
+    assert out is None or (out.ndim == 3 and out.shape[2] == 3)
+
+
+@given(
     docs=st.lists(
         st.lists(st.sampled_from("ab"), min_size=0, max_size=14).map(
             lambda chars: " ".join(chars)

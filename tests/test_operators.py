@@ -1737,6 +1737,132 @@ def test_weighted_sample_partitioning_invariant_and_weighted(
 
 
 # --------------------------------------------------------------------------
+# Pure-stdlib GIF pixel codec (operators/multimodal.py) — the test-side
+# LZW ENCODER here is an independent implementation, so encoder and
+# decoder can't share a bug.
+def _gif_lzw_encode(indices: bytes, min_code: int) -> bytes:
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    seq = b""
+    for b in indices:
+        nxt = seq + bytes([b])
+        if nxt in table:
+            seq = nxt
+            continue
+        emit(table[seq])
+        table[nxt] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            # decoder widens when ITS next slot reaches 2^width; the
+            # encoder mirrors that one step later (its table is one
+            # entry ahead at emit time)
+            width += 1
+        seq = bytes([b])
+    emit(table[seq])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_file(
+    indices, palette, w: int, h: int, *, interlace: bool = False,
+    min_code: int = 2,
+) -> bytes:
+    import struct
+
+    gct_bits = 1
+    while (1 << (gct_bits + 1)) < len(palette):
+        gct_bits += 1
+    n = 1 << (gct_bits + 1)
+    pal = bytes(
+        palette[i][c] if i < len(palette) else 0
+        for i in range(n)
+        for c in range(3)
+    )
+    lzw = _gif_lzw_encode(bytes(indices), min_code)
+    blocks = b""
+    for i in range(0, len(lzw), 255):
+        part = lzw[i : i + 255]
+        blocks += bytes([len(part)]) + part
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | gct_bits, 0, 0)
+        + pal
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE extension (skipped)
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+        + bytes([min_code])
+        + blocks
+        + b"\x00\x3b"
+    )
+
+
+def test_gif_decoder_matches_independent_encoder():
+    import numpy as np
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        decode_gif_pixels,
+        decode_image_pixels,
+    )
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    rng = np.random.default_rng(11)
+    idx = rng.integers(0, 4, size=(6, 5), dtype=np.uint8)
+    blob = _gif_file(idx.ravel().tolist(), palette, 5, 6)
+    got = decode_gif_pixels(blob)
+    assert got is not None and got.shape == (6, 5, 3)
+    expect = np.array(palette, dtype=np.uint8)[idx]
+    assert (got == expect).all()
+    # the dispatcher routes GIF too, and junk stays None
+    assert (decode_image_pixels(blob) == expect).all()
+    assert decode_gif_pixels(b"GIF89a\x00") is None
+    assert decode_gif_pixels(blob[:20]) is None
+
+
+def test_gif_decoder_interlaced_and_long_streams():
+    """Interlaced row reordering, and an indices stream long enough to
+    force LZW code-width growth past the initial width."""
+    import numpy as np
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        decode_gif_pixels,
+    )
+
+    palette = [(i, i, i) for i in range(8)]
+    rng = np.random.default_rng(13)
+    idx = rng.integers(0, 8, size=(16, 13), dtype=np.uint8)
+    expect = np.array(palette, dtype=np.uint8)[idx]
+    h = 16
+    pass_order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    for interlace in (False, True):
+        rows = idx[pass_order] if interlace else idx  # stream row order
+        blob = _gif_file(
+            rows.ravel().tolist(), palette, 13, 16,
+            interlace=interlace, min_code=3,
+        )
+        got = decode_gif_pixels(blob)
+        assert got is not None and (got == expect).all(), interlace
+
+
 # Pure-stdlib PNG pixel codec (operators/multimodal.py)
 def test_png_codec_round_trip_all_channel_counts():
     import numpy as np
