@@ -174,7 +174,14 @@ def cosine_similarity_sql(a: str, b: str) -> str:
         f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
-    return f"({dot} / ({l2_norm_sql(a)} * {l2_norm_sql(b)}))"
+    # try_divide + NaN-coalesce: a zero divisor means one vector is
+    # all-zero, which forces dot = 0, so the pre-ANSI result was always
+    # 0/0 = NaN — reproduce that under ANSI (where a bare `/` throws
+    # DIVIDE_BY_ZERO) so downstream nanvl() pinning keeps working.
+    return (
+        f"coalesce(try_divide({dot}, "
+        f"({l2_norm_sql(a)} * {l2_norm_sql(b)})), CAST('NaN' AS DOUBLE))"
+    )
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
@@ -192,7 +199,12 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
         F.lit(0.0).cast("double"),
         lambda acc, x: acc + x,
     )
-    return dot / (l2_norm(a) * l2_norm(b))
+    # same ANSI-safe shape as the SQL twin above: zero norm ⇒ dot = 0 ⇒
+    # pre-ANSI NaN, reproduced via try_divide + coalesce.
+    return F.coalesce(
+        F.try_divide(dot, l2_norm(a) * l2_norm(b)),
+        F.lit(float("nan")).cast("double"),
+    )
 
 
 def occurrence_count(text: Column, needle: str) -> Column:

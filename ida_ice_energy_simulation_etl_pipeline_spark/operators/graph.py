@@ -96,8 +96,9 @@ def connected_components_star(
     Same input contract as :func:`connected_components`; returns
     ``(labels, rounds)`` so callers can observe convergence behavior.
     Per round: two keyed shuffles (neighborhood min + emit), a
-    localCheckpoint to truncate lineage, and one (count, hash-sum)
-    aggregate action for the stability check.
+    localCheckpoint to truncate lineage, and one (count, xor-digest)
+    aggregate action for the stability check (ANSI-safe: bit_xor of
+    per-edge xxhash64 cannot overflow, unlike a sum).
     """
     e = (
         edges.select("src", "dst")
@@ -111,9 +112,15 @@ def connected_components_star(
     )
 
     def _stats(df: DataFrame) -> tuple:
+        # (count, bit-XOR of per-edge xxhash64) — the publish.py content-hash
+        # pattern.  XOR never overflows, so the digest is ANSI-safe (summing
+        # uniform 64-bit hashes overflows LongType almost immediately, which
+        # is an ARITHMETIC_OVERFLOW under spark.sql.ansi.enabled=true); the
+        # edge set is distinct, so xor-cancellation needs a changed round to
+        # reproduce the exact edge multiset — and the count bounds that.
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("src", "dst")).alias("h"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
         ).collect()[0]
         return (row["n"], row["h"])
 

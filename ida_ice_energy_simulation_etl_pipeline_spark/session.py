@@ -53,7 +53,13 @@ def build_conf(
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
         # Timestamps: keep parquet int96-free round-trips exact.
         "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
-        "spark.sql.ansi.enabled": "false",
+        # ANSI mode ON — Spark 4's default and what any unpinned session
+        # (e.g. the verification driver's) runs with.  Pinning it off in
+        # round 1 let a LongType overflow in a convergence digest wrap
+        # silently here while throwing ARITHMETIC_OVERFLOW in the driver
+        # (CORRECTNESS_r06 dedup_clusters_star); local must match the
+        # strictest session our queries will meet.
+        "spark.sql.ansi.enabled": "true",
         # No UI in this headless context: skips event-log bookkeeping and
         # the jetty server — measurable per-job overhead on short queries.
         "spark.ui.enabled": "false",
