@@ -1215,8 +1215,16 @@ SPECS: list[QuerySpec] = [
         DEDUP_NGRAM_JACCARD_SQL,
         "ext:dedup",
     ),
+    # Round-7 rotation: dedup_embedding moved to the extra tier (6 rounds
+    # of green driver rows, r1–r6; the hyperplane-LSH + cosine-rerank
+    # shape stays driver-exercised by dedup_semantic and the
+    # similarity_lsh pair) so dup_span_stats — the span-grain diagnostic
+    # over the Lee-et-al. span detector — earns its first driver row.
     QuerySpec(
-        "dedup_embedding", dedup_embedding, _embedding_oracle_sql(), "ext:dedup,ann"
+        "dup_span_stats",
+        dup_span_stats,
+        DUP_SPAN_STATS_SQL,
+        "ext:dedup,spans,diagnostics",
     ),
     # Promoted into the driver window in round 5 — the passage/span/
     # semantic/incremental flagship paths had only local oracle
@@ -1249,9 +1257,6 @@ EXTRA_SPECS: list[QuerySpec] = [
         "dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL, "ext:dedup"
     ),
     QuerySpec(
-        "dup_span_stats",
-        dup_span_stats,
-        DUP_SPAN_STATS_SQL,
-        "ext:dedup,spans,diagnostics",
+        "dedup_embedding", dedup_embedding, _embedding_oracle_sql(), "ext:dedup,ann"
     ),
 ]

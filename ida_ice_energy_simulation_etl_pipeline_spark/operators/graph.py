@@ -422,6 +422,15 @@ SPECS: list[QuerySpec] = [
         _dedup_clusters_sql(),
         "ext:dedup,graph,star",
     ),
+    # Promoted in round 7 (judge-prescribed): the quality-ranked survivor
+    # policy (cluster-grain max_by over the quality logit) earns its
+    # first independent driver row.
+    QuerySpec(
+        "dedup_survivors_ranked",
+        dedup_survivors_ranked,
+        _dedup_survivors_ranked_sql(),
+        "ext:dedup,graph,quality",
+    ),
 ]
 
 EXTRA_SPECS: list[QuerySpec] = [
@@ -430,11 +439,5 @@ EXTRA_SPECS: list[QuerySpec] = [
         dedup_survivors,
         _dedup_survivors_sql(),
         "ext:dedup,graph",
-    ),
-    QuerySpec(
-        "dedup_survivors_ranked",
-        dedup_survivors_ranked,
-        _dedup_survivors_ranked_sql(),
-        "ext:dedup,graph,quality",
     ),
 ]

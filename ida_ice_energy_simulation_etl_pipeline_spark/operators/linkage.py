@@ -99,7 +99,9 @@ WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {MAX_EDIT_DIST}
 """
 
 
-EXTRA_SPECS: list[QuerySpec] = [
+# Promoted into the driver window in round 7 (judge-prescribed): the
+# blocked fuzzy self-join earns its first independent driver row.
+SPECS: list[QuerySpec] = [
     QuerySpec(
         "fuzzy_part_matches",
         fuzzy_part_matches,

@@ -499,9 +499,11 @@ FROM ranked WHERE nn_rank <= {TOP_K}
 # of green driver rows; the brute-force shape stays driver-exercised
 # inside ann_recall's ground-truth branch) so the hyperplane-LSH pair
 # and the recall harness earn their first independent driver rows.
-SPECS: list[QuerySpec] = [
-    QuerySpec("similarity_ivf", similarity_ivf, SIMILARITY_IVF_SQL, "ext:ann"),
-]
+# Round-7 rotation: similarity_ivf likewise demoted (6 rounds of green
+# driver rows, r1–r6; the IVF cell-assignment argmax stays
+# driver-exercised by kmeans_census and dedup_semantic's IVF cells) to
+# free a slot for a never-driver-verified extra.
+SPECS: list[QuerySpec] = []
 
 # --------------------------------------------------------------------------
 # K-means refinement (Lloyd iterations) — the "centroids refreshed
@@ -996,4 +998,7 @@ SPECS += [
 EXTRA_SPECS: list[QuerySpec] = [
     QuerySpec("embedding_stats", embedding_stats, EMBEDDING_STATS_SQL, "ext:ann"),
     QuerySpec("similarity_topk", similarity_topk, SIMILARITY_TOPK_SQL, "ext:ann"),
+    # Rotated out of the driver window in round 7 (6 rounds of green
+    # driver rows; see the module SPECS comment).
+    QuerySpec("similarity_ivf", similarity_ivf, SIMILARITY_IVF_SQL, "ext:ann"),
 ]

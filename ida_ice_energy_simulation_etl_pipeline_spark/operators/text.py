@@ -1749,7 +1749,6 @@ FROM z
 # folds cleaning + fingerprinting, split_sample folds split + sampling —
 # every text operator keeps a driver CORRECTNESS row.
 SPECS: list[QuerySpec] = [
-    QuerySpec("lang_id", lang_id, LANG_ID_SQL, "ext:text"),
     QuerySpec(
         "split_sample", split_sample, _split_sample_sql(), "ext:split,sampling"
     ),
@@ -1760,7 +1759,6 @@ SPECS: list[QuerySpec] = [
         "ext:contamination,semi-join",
     ),
     QuerySpec("text_quality", text_quality, _text_quality_sql(), "ext:text,quality"),
-    QuerySpec("token_count", token_count, TOKEN_COUNT_SQL, "ext:text"),
     QuerySpec(
         "tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_SQL, "ext:text,window"
     ),
@@ -1797,12 +1795,32 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "seq_pack_emit", seq_pack_emit, SEQ_PACK_EMIT_SQL, "ext:packing,emit"
     ),
+    # Round-7 rotation (judge-prescribed): first driver rows for the
+    # repetition-signal profile, the logit-linear quality classifier and
+    # the temperature-sampled data-mix planner; lang_id and token_count
+    # demoted to make room (6 rounds of green driver rows each, r1–r6;
+    # their map-only text surface stays driver-covered by text_quality +
+    # corpus_funnel, and both remain oracle-verified locally).
+    QuerySpec(
+        "repetition_stats", repetition_stats, REPETITION_STATS_SQL, "ext:text,quality"
+    ),
+    QuerySpec(
+        "quality_classifier",
+        quality_classifier,
+        QUALITY_CLASSIFIER_SQL,
+        "ext:text,quality,inference",
+    ),
+    QuerySpec("data_mix", data_mix, DATA_MIX_SQL, "ext:mixing,sampling"),
 ]
 
 # The standalone halves of the merged driver queries — still
 # oracle-verified locally (test_oracle_parity) and benchmarked, so the
 # original single-purpose shapes keep regression coverage.
 EXTRA_SPECS: list[QuerySpec] = [
+    # Rotated out of the driver window in round 7 (6 rounds of green
+    # driver rows each; see the SPECS comment above).
+    QuerySpec("lang_id", lang_id, LANG_ID_SQL, "ext:text"),
+    QuerySpec("token_count", token_count, TOKEN_COUNT_SQL, "ext:text"),
     QuerySpec("dataset_split", dataset_split, DATASET_SPLIT_SQL, "ext:split"),
     QuerySpec(
         "stratified_sample",
@@ -1818,21 +1836,11 @@ EXTRA_SPECS: list[QuerySpec] = [
         "ext:text,cleaning,fingerprint",
     ),
     QuerySpec("text_clean", text_clean, TEXT_CLEAN_SQL, "ext:text,cleaning"),
-    QuerySpec(
-        "repetition_stats", repetition_stats, REPETITION_STATS_SQL, "ext:text,quality"
-    ),
-    QuerySpec("data_mix", data_mix, DATA_MIX_SQL, "ext:mixing,sampling"),
     QuerySpec("doc_chunks", doc_chunks, DOC_CHUNKS_SQL, "ext:text,rag,chunking"),
     QuerySpec(
         "bpe_merge_candidates",
         bpe_merge_candidates,
         BPE_MERGE_CANDIDATES_SQL,
         "ext:text,tokenizer",
-    ),
-    QuerySpec(
-        "quality_classifier",
-        quality_classifier,
-        QUALITY_CLASSIFIER_SQL,
-        "ext:text,quality,inference",
     ),
 ]

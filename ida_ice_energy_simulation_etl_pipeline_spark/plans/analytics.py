@@ -354,8 +354,12 @@ rev_kept AS (
 SELECT * FROM rev_kept
 UNION ALL
 SELECT b.* FROM base b
-WHERE b.window_start NOT IN (SELECT window_start FROM rev_kept)
+WHERE NOT EXISTS (SELECT 1 FROM rev_kept r WHERE r.window_start = b.window_start)
 """
+# NOT EXISTS, not NOT IN: a NULL ts would make window_start NULL, and
+# NOT IN against a set containing NULL drops EVERY base row — silently
+# diverging from the DataFrame twin's null-safe left_anti join.  Fixture
+# ts is non-null today; this pins the oracle to left_anti semantics.
 
 
 # --------------------------------------------------------------------------
@@ -849,6 +853,34 @@ SELECT 3, 'purchase', (SELECT count(*) FROM p),
 # funnel had only local oracle verification before.
 SPECS += [
     QuerySpec("event_funnel", event_funnel, EVENT_FUNNEL_SQL, "ext:funnel,sequence"),
+    # Round-7 promotions (judge-prescribed, first driver rows): the
+    # MERGE-upsert streaming-sink algebra (stream==batch convergence
+    # asserted in tests/test_streaming.py), the ntile decile ladder, the
+    # per-segment funnel, and the rolling-window anomaly detector.
+    QuerySpec(
+        "merge_upsert_rollup",
+        merge_upsert_rollup,
+        MERGE_UPSERT_ROLLUP_SQL,
+        "ext:streaming-twin,upsert",
+    ),
+    QuerySpec(
+        "customer_deciles",
+        customer_deciles,
+        CUSTOMER_DECILES_SQL,
+        "ext:window,ntile",
+    ),
+    QuerySpec(
+        "segmented_funnel",
+        segmented_funnel,
+        SEGMENTED_FUNNEL_SQL,
+        "ext:funnel,segmentation",
+    ),
+    QuerySpec(
+        "rolling_anomaly",
+        rolling_anomaly,
+        ROLLING_ANOMALY_SQL,
+        "ext:anomaly,window",
+    ),
 ]
 
 EXTRA_SPECS: list[QuerySpec] = [
@@ -856,14 +888,6 @@ EXTRA_SPECS: list[QuerySpec] = [
     # driver rows each; see the SPECS comment above).
     QuerySpec("event_pivot", event_pivot, EVENT_PIVOT_SQL, "ext:pivot,A3"),
     QuerySpec("sessionize", sessionize, SESSIONIZE_SQL, "ext:sessionize"),
-    # Round 6: the MERGE-upsert streaming sink's algebra, oracle-backed
-    # (stream==batch convergence asserted in tests/test_streaming.py).
-    QuerySpec(
-        "merge_upsert_rollup",
-        merge_upsert_rollup,
-        MERGE_UPSERT_ROLLUP_SQL,
-        "ext:streaming-twin,upsert",
-    ),
     QuerySpec(
         "top_parts_per_brand", top_parts_per_brand, TOP_PARTS_PER_BRAND_SQL, "ext:window"
     ),
@@ -893,23 +917,5 @@ EXTRA_SPECS: list[QuerySpec] = [
         "ext:window",
     ),
     QuerySpec("rolling_avg_value", rolling_avg_value, ROLLING_AVG_VALUE_SQL, "ext:window"),
-    QuerySpec(
-        "customer_deciles",
-        customer_deciles,
-        CUSTOMER_DECILES_SQL,
-        "ext:window,ntile",
-    ),
     QuerySpec("customer_rollup", customer_rollup, CUSTOMER_ROLLUP_SQL, "ext:rollup"),
-    QuerySpec(
-        "segmented_funnel",
-        segmented_funnel,
-        SEGMENTED_FUNNEL_SQL,
-        "ext:funnel,segmentation",
-    ),
-    QuerySpec(
-        "rolling_anomaly",
-        rolling_anomaly,
-        ROLLING_ANOMALY_SQL,
-        "ext:anomaly,window",
-    ),
 ]
