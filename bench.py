@@ -249,13 +249,18 @@ def main() -> None:
     #
     # Result materialization is ARROW-COLUMNAR on BOTH engines (r6):
     # Spark ``toPandas()`` (spark.sql.execution.arrow enabled
-    # session-wide) beside DuckDB ``.arrow()`` below — the symmetric
-    # modern contract, and each engine's own fastest fetch (measured
-    # at sf0.1: DuckDB sessionize fetchall 0.065 s vs .arrow() 0.027 s,
-    # never slower elsewhere; Spark sessionize collect 0.47 s vs
-    # toPandas 0.26 s).  The old row-tuple pair (collect()/fetchall())
-    # benchmarked each engine's legacy row-pickle path instead of its
-    # columnar one.
+    # session-wide) beside DuckDB ``.arrow()`` below — each engine's
+    # own fastest fetch (measured at sf0.1: DuckDB sessionize fetchall
+    # 0.065 s vs .arrow() 0.027 s, never slower elsewhere; Spark
+    # sessionize collect 0.47 s vs toPandas 0.26 s).  The old row-tuple
+    # pair (collect()/fetchall()) benchmarked each engine's legacy
+    # row-pickle path instead of its columnar one.  The residual
+    # asymmetry is DELIBERATE and conservative for our claims: DuckDB
+    # stops at an Arrow table while Spark's toPandas() additionally
+    # pays the Arrow→pandas conversion, so the Spark column can only be
+    # OVERSTATED relative to a strictly symmetric contract (Spark has
+    # no faster public full-materialization than toPandas — the
+    # Arrow-batch collector is a private API).
     samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
     build_samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
     for _ in range(REPEATS):

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -202,12 +203,24 @@ def decode_wav_samples(payload: bytes):
     return arr[: len(arr) // n_ch * n_ch].reshape(-1, n_ch)
 
 
-def parse_audio_meta(payload: bytes) -> tuple[int, int, int, float] | None:
+def parse_audio_meta(
+    payload: bytes,
+) -> tuple[int, int, int, float, bool] | None:
     """REAL audio metadata decode in pure Python — WAV/RIFF container
     headers carry everything a curation filter needs: returns
-    (n_channels, sample_rate, bits_per_sample, duration_s) by walking
-    the RIFF chunk list (fmt → data), or None for a non-WAV payload.
-    Sample decode still needs a codec; duration/rate filtering does not.
+    (n_channels, sample_rate, bits_per_sample, duration_s, truncated)
+    by walking the RIFF chunk list (fmt → data), or None for a non-WAV
+    payload.  Sample decode still needs a codec; duration/rate filtering
+    does not.
+
+    ``duration_s`` reports the header's DECLARED data size (a derived
+    n_ch*rate*bits/8 figure would misreport compressed WAVs — ADPCM
+    bits=4, GSM bits=0 — by 2-13x), so a corrupt payload with an
+    inflated size field (up to 0xFFFFFFFF) can claim an arbitrarily
+    large duration; ``truncated`` flags exactly that case (declared data
+    bytes > bytes actually present), letting curation filters tell
+    header intent from actual content instead of being fooled by
+    malformed payloads.
     """
     import struct
 
@@ -217,28 +230,25 @@ def parse_audio_meta(payload: bytes) -> tuple[int, int, int, float] | None:
         return None
     fmt = None
     data_size = None
+    data_present = 0
     for cid, lo, hi in _riff_chunks(payload, 12, len(payload)):
         if cid == b"fmt " and hi - lo >= 16:
-            # avg-bytes-per-sec comes from the header, NOT derived as
-            # n_ch*rate*bits/8 — compressed WAVs (ADPCM bits=4, GSM
-            # bits=0) have sub-byte sample rates and a derived figure
-            # would misreport duration by 2-13x.
             _, n_ch, rate, byte_rate = struct.unpack(
                 "<HHII", payload[lo : lo + 12]
             )
             bits = struct.unpack("<H", payload[lo + 14 : lo + 16])[0]
             fmt = (n_ch, rate, bits, byte_rate)
         elif cid == b"data":
-            # declared size, not the clipped body: duration reports the
-            # header's intent even when the payload is truncated
+            # declared size (header intent) + clipped body actually present
             data_size = struct.unpack(
                 "<I", payload[lo - 4 : lo]
             )[0]
+            data_present = hi - lo
     if fmt is None or data_size is None:
         return None
     n_ch, rate, bits, byte_rate = fmt
     duration = data_size / byte_rate if byte_rate else 0.0
-    return n_ch, rate, bits, duration
+    return n_ch, rate, bits, duration, data_size > data_present
 
 
 def parse_video_meta(payload: bytes) -> tuple[int, int, int, float, float] | None:
@@ -795,6 +805,7 @@ AUDIO_FEATURE_SCHEMA = StructType(
         StructField("sample_rate", LongType(), True),
         StructField("bits_per_sample", LongType(), True),
         StructField("duration_s", DoubleType(), True),
+        StructField("truncated", BooleanType(), True),
     ]
 )
 
@@ -818,6 +829,7 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                     "sample_rate": [m[1] if m else None for m in metas],
                     "bits_per_sample": [m[2] if m else None for m in metas],
                     "duration_s": [m[3] if m else None for m in metas],
+                    "truncated": [m[4] if m else None for m in metas],
                 }
             )
 

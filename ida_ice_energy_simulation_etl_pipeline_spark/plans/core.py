@@ -77,6 +77,11 @@ def _read_parquet_nanosafe(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# Below this input size the serial path beats the repartitioned one on any
+# hardware: one stage of sub-ms per-row work vs an extra scheduled exchange.
+PARALLELISM_MIN_BYTES = 256 * 1024
+
+
 def ensure_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Spread CPU-heavy per-row work across all cores.
 
@@ -127,13 +132,18 @@ def ensure_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
     in_bytes = getattr(df, "_sg_scan_bytes", None)
     if in_bytes is None:
         try:
+            from urllib.parse import unquote, urlparse
+
             files = df.inputFiles()
             # No file listing (range/memory/stream sources): size unknown —
-            # assume big and keep the old repartition path.
+            # assume big and keep the old repartition path.  inputFiles()
+            # returns percent-encoded file: URIs — unquote(urlparse().path)
+            # so paths with encoded characters don't fail getsize and
+            # silently take the repartition path.
             in_bytes = (
                 sum(
                     os.path.getsize(
-                        f[len("file:"):] if f.startswith("file:") else f
+                        unquote(urlparse(f).path) if f.startswith("file:") else f
                     )
                     for f in files
                 )
@@ -149,11 +159,6 @@ def ensure_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
     if 0 <= in_bytes < PARALLELISM_MIN_BYTES:
         return df
     return df.repartition(target)
-
-
-# Below this input size the serial path beats the repartitioned one on any
-# hardware: one stage of sub-ms per-row work vs an extra scheduled exchange.
-PARALLELISM_MIN_BYTES = 256 * 1024
 
 
 def hash_parallelism(spark: SparkSession, df: DataFrame, *keys: str) -> DataFrame:

@@ -1128,7 +1128,13 @@ def test_parse_audio_meta_real_wav_header():
         parse_audio_meta,
     )
 
-    assert parse_audio_meta(_wav(2, 8000, 16, 0.5)) == (2, 8000, 16, 0.5)
+    assert parse_audio_meta(_wav(2, 8000, 16, 0.5)) == (2, 8000, 16, 0.5, False)
+    # inflated size field (truncated/corrupt body): duration still reports
+    # the header's intent, but the truncated flag exposes the mismatch so
+    # duration-based curation filters can't be fooled by a forged header
+    full = _wav(2, 8000, 16, 0.5)
+    cut = full[: len(full) - 100]
+    assert parse_audio_meta(cut) == (2, 8000, 16, 0.5, True)
     assert parse_audio_meta(b"ID3\x04 not a wav") is None
     assert parse_audio_meta(b"RIFF\x00\x00\x00\x00AVI ") is None  # not WAVE
     assert parse_audio_meta(b"") is None
@@ -1152,8 +1158,9 @@ def test_extract_audio_features_end_to_end(spark):
     )
     rows = {r["item_id"]: r for r in extract_audio_features(media).collect()}
     assert (rows[1]["n_channels"], rows[1]["sample_rate"]) == (1, 16000)
-    assert rows[1]["duration_s"] == 2.0
+    assert rows[1]["duration_s"] == 2.0 and rows[1]["truncated"] is False
     assert rows[2]["n_channels"] is None and rows[2]["duration_s"] is None
+    assert rows[2]["truncated"] is None
 
 
 def _avi(
@@ -1295,7 +1302,7 @@ def test_parse_image_dims_edge_variants():
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", len(data)) + data
     )
-    assert parse_audio_meta(wav) == (1, 8000, 4, 2.0)
+    assert parse_audio_meta(wav) == (1, 8000, 4, 2.0, False)
 
 
 def test_embed_documents_null_for_token_free_text(spark):

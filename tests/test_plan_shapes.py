@@ -401,6 +401,16 @@ def test_ensure_parallelism_skips_tiny_file_inputs(spark, tmp_path):
         > big.rdd.getNumPartitions()
     )
 
+    # inputFiles() percent-encodes file: URIs — a path with a space must
+    # still resolve for getsize, or the skip silently never fires for it.
+    enc_path = str(tmp_path / "dir with space" / "tiny.parquet")
+    spark.range(100).coalesce(1).write.parquet(enc_path)
+    enc = spark.read.parquet(enc_path).coalesce(1)
+    assert any("%20" in f for f in enc.inputFiles()), (
+        "fixture must exercise a percent-encoded URI"
+    )
+    assert ensure_parallelism(spark, enc) is enc
+
 
 def test_lsh_band_self_join_is_merge_with_reused_exchange(spark):
     """The MinHash-LSH band self-join must read ONE reused exchange twice
