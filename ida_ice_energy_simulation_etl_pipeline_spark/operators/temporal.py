@@ -235,6 +235,13 @@ def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
     ).agg(F.round(F.sum("value"), 2).alias("hourly_value"))
+    # NOTE (r7 floor audit): folding this global span and the distinct
+    # event_type list into one grouped (event_type, min, max) pass was
+    # tried and REVERTED — chaining the tiny global-span aggregate onto
+    # the grouped result adds an AQE query stage instead of removing one
+    # (measured floor jobs 6 → 7 at sf0.001; hashes identical).  The two
+    # small branches below each collapse map-side to ≤|event_type| rows,
+    # so neither is a data-volume problem at any scale.
     span = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("h0"),
         F.date_trunc("hour", F.max("ts")).alias("h1"),

@@ -356,16 +356,19 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .distinct()
     )
-    n_contam = contaminated.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_contaminated")
+    # Union-tag + ONE conditional aggregate (r7): every train doc rides
+    # as a flag-0 row and every contaminated doc as a flag-1 row, so the
+    # per-source report needs one source-grain exchange — the earlier
+    # two aggregates + left join shape ran the same arithmetic in three
+    # scheduled stages (floor jobs 7 → 5, same hashes).  Sources with
+    # zero hits keep their row via the flag-0 branch, so the coalesce
+    # disappears too.
+    flags = train.select("source", F.lit(1).alias("flag")).unionByName(
+        contaminated.select("source", F.lit(2).alias("flag"))
     )
-    counts = train.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    return counts.join(n_contam, "source", "left").select(
-        "source",
-        "n_docs",
-        F.coalesce("n_contaminated", F.lit(0)).cast("long").alias(
-            "n_contaminated"
-        ),
+    return flags.groupBy("source").agg(
+        F.count(F.when(F.col("flag") == 1, 1)).alias("n_docs"),
+        F.count(F.when(F.col("flag") == 2, 1)).alias("n_contaminated"),
     )
 
 

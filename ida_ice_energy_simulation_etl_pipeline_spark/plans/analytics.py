@@ -657,62 +657,78 @@ FUNNEL_STEPS = ["view", "click", "purchase"]
 FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000  # next step must land within 24 h
 
 
-def _funnel_steps(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """The per-user step frames (v, c, p) shared by the global and
+def _funnel_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user (user_id, t1, t2, t3) step times shared by the global and
     segmented funnel reports — first view, first in-window click after
-    it, first in-window purchase after that."""
+    it, first in-window purchase after that; each tN is NULL when the
+    user never reached step N.  Only users with a view (t1) survive.
+
+    Shape (r7 rewrite): ONE user_id exchange feeds a chain of three
+    unordered window minimums — t2's predicate references t1 (itself a
+    window result) and t3's references t2, and chained selects over the
+    SAME partitioning add window operators, not exchanges — then the
+    per-user collapse is a groupBy that reuses the very same
+    partitioning.  The previous form derived three step frames (one
+    aggregate each) and re-joined ev against each (two user-grain joins);
+    all clusterings came from the one exchange even then, but AQE
+    materialized every intermediate aggregate/join as its own query
+    stage — 8 scheduled stages where this plan runs 3 (measured at
+    sf0.001: floor jobs 8 → 3; same hashes).  Per-user window state is
+    bounded by that user's event count — the sessionize constraint
+    class, fine at 100 TB.
+    """
+    from pyspark.sql import Window
+
     from .core import hash_parallelism
 
     ev = hash_parallelism(
         spark, load_table(spark, sf_dir, "events"), "user_id"
     ).select("user_id", "event_type", epoch_us("ts").alias("ts_us"))
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t1"))
+    w = Window.partitionBy("user_id")
+    t1 = ev.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w),
     )
-    c = (
-        ev.join(v, "user_id")
-        .filter(
-            (F.col("event_type") == "click")
-            & (F.col("ts_us") > F.col("t1"))
-            & (F.col("ts_us") <= F.col("t1") + FUNNEL_WINDOW_US)
+    t2 = t1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts_us") > F.col("t1"))
+                & (F.col("ts_us") <= F.col("t1") + FUNNEL_WINDOW_US),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    t3 = t2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts_us") > F.col("t2"))
+                & (F.col("ts_us") <= F.col("t2") + FUNNEL_WINDOW_US),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    return (
+        t3.groupBy("user_id")
+        .agg(
+            F.max("t1").alias("t1"),
+            F.max("t2").alias("t2"),
+            F.max("t3").alias("t3"),
         )
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t2"))
+        .filter(F.col("t1").isNotNull())
     )
-    p = (
-        ev.join(c, "user_id")
-        .filter(
-            (F.col("event_type") == "purchase")
-            & (F.col("ts_us") > F.col("t2"))
-            & (F.col("ts_us") <= F.col("t2") + FUNNEL_WINDOW_US)
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t3"))
-    )
-    return v, c, p
 
 
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ONE aggregate over the left-joined per-user step frames, then a
-    # 3-row explode into the report shape.  The previous form unioned
-    # three single-row aggregates, each cross-joined with the step-1
-    # base count — v's subtree appeared ~6× in the logical plan (p
-    # embeds c embeds v; base embeds v again) and the union ran three
-    # aggregate jobs.  Here each step frame appears once, the counts
-    # ride one job, and the explode is constant-size driver-side math.
-    v, c, p = _funnel_steps(spark, sf_dir)
-    counts = (
-        v.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .agg(
-            F.count(F.lit(1)).alias("n1"),
-            F.count("t2").alias("n2"),
-            F.count("t3").alias("n3"),
-        )
+    # ONE aggregate over the per-user step times, then a 3-row explode
+    # into the report shape (constant-size driver-side math).
+    counts = _funnel_times(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
     )
     steps = F.array(
         *[
@@ -742,18 +758,16 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BI follow-up question "which segment converts" is one extra broadcast
 # join + a segment-grain rollup over the same step frames.
 def segmented_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v, c, p = _funnel_steps(spark, sf_dir)
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    clicked = F.coalesce("clicked", F.lit(0))
-    purchased = F.coalesce("purchased", F.lit(0))
+    clicked = F.when(F.col("t2").isNotNull(), 1).otherwise(0)
+    purchased = F.when(F.col("t3").isNotNull(), 1).otherwise(0)
     # LEFT join + UNKNOWN bucket: a viewer with no dim row (anonymous /
     # late-arriving customer) must not silently vanish — the segment
     # counts always sum back to event_funnel's step-1 total.
     users = (
-        v.join(c.select("user_id", F.lit(1).alias("clicked")), "user_id", "left")
-        .join(p.select("user_id", F.lit(1).alias("purchased")), "user_id", "left")
+        _funnel_times(spark, sf_dir)
         .join(F.broadcast(cust), "user_id", "left")
         .withColumn(
             "c_mktsegment", F.coalesce("c_mktsegment", F.lit("UNKNOWN"))
