@@ -11,7 +11,9 @@ and GIF's LZW are pure stdlib, so ``image_pixel_stats`` does genuine
 pixel-level feature extraction in this container) AND audio /
 video container METADATA + PCM samples (``parse_audio_meta`` /
 ``decode_wav_samples`` for WAV, ``parse_video_meta`` for AVI — the same
-RIFF chunk walk, recursive for AVI's nested LIST headers).  Still gated
+RIFF chunk walk, iterative over AVI's nested LIST headers — and for
+MP4/ISO-BMFF, a length-prefixed box walk over moov → mvhd/trak that
+recovers resolution/frame-count/fps/duration).  Still gated
 or stubbed (clearly): non-PNG pixel decode/resize (real via PIL when
 installed; NotImplementedError here), compressed/non-WAV audio sample
 decode, and video FRAME decode (``frame_sample`` is a deterministic
@@ -252,29 +254,35 @@ def parse_audio_meta(
 
 
 def parse_video_meta(payload: bytes) -> tuple[int, int, int, float, float] | None:
-    """REAL video container metadata in pure stdlib — the AVI flavor of
-    the same RIFF chunk walk the WAV parsers use, generalized to recurse
-    into LIST chunks (AVI nests its headers: RIFF 'AVI ' → LIST 'hdrl'
-    → 'avih').  The main AVI header carries everything a curation filter
-    needs without touching a codec: returns (width, height, n_frames,
-    fps, duration_s), or None for a non-AVI payload.  FRAME decode still
-    needs a codec library and stays gated (decode_video below);
-    resolution/duration/fps filtering does not.
+    """REAL video container metadata in pure stdlib for the two dominant
+    corpus containers: AVI (the RIFF chunk walk the WAV parsers use,
+    generalized to nested LIST chunks) and MP4/ISO-BMFF (a length-prefixed
+    box walk over moov → mvhd/trak).  Either header set carries
+    everything a curation filter needs without touching a codec: returns
+    (width, height, n_frames, fps, duration_s), or None for an
+    unrecognized payload.  FRAME decode still needs a codec library and
+    stays gated (decode_video below); resolution/duration/fps filtering
+    does not.
     """
+    if not payload or len(payload) < 12:
+        return None
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return _parse_avi_meta(payload)
+    if payload[4:8] == b"ftyp":
+        return _parse_mp4_meta(payload)
+    return None
+
+
+def _parse_avi_meta(payload: bytes) -> tuple[int, int, int, float, float] | None:
+    """AVI branch: iterative breadth-first walk over nested LIST chunks
+    (explicit queue, NOT recursion: a corrupt/adversarial payload can
+    nest LISTs thousands deep, which a recursive walk turns into
+    RecursionError mid-Spark-stage).  Total work is linear in chunk
+    count; the avih main header of a well-formed AVI is unique, so
+    traversal order doesn't change the result."""
     import struct
     from collections import deque
 
-    if not payload or len(payload) < 12:
-        return None
-    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
-        return None
-
-    # Iterative breadth-first walk over nested LIST chunks (explicit
-    # queue, NOT recursion: a corrupt/adversarial payload can nest LISTs
-    # thousands deep, which a recursive walk turns into RecursionError
-    # mid-Spark-stage).  Total work is linear in chunk count; the avih
-    # main header of a well-formed AVI is unique, so traversal order
-    # doesn't change the result.
     ranges = deque([(12, len(payload))])
     while ranges:
         lo, hi = ranges.popleft()
@@ -301,16 +309,119 @@ def parse_video_meta(payload: bytes) -> tuple[int, int, int, float, float] | Non
     return None
 
 
+def _mp4_boxes(payload: bytes, lo: int, hi: int):
+    """Yield ``(box_type, body_lo, body_hi)`` over one ISO-BMFF box list —
+    the MP4 twin of :func:`_riff_chunks` and, like it, the ONE place the
+    size/bounds rules live: big-endian 32-bit sizes, size==1 → 64-bit
+    largesize header, size==0 → box extends to the end of the range;
+    undersized or range-overrunning sizes clip to ``hi`` and stop, so a
+    corrupt payload yields short bodies instead of slices out of range or
+    an infinite loop."""
+    pos = lo
+    while pos + 8 <= hi:
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        btype = payload[pos + 4 : pos + 8]
+        body_lo = pos + 8
+        header = 8
+        if size == 1:
+            if pos + 16 > hi:
+                return
+            size = int.from_bytes(payload[pos + 8 : pos + 16], "big")
+            body_lo = pos + 16
+            header = 16
+        elif size == 0:
+            size = hi - pos
+        if size < header or pos + size > hi:
+            # corrupt/truncated size field: clip the body and stop —
+            # nothing after an unparseable length can be trusted
+            yield btype, body_lo, hi
+            return
+        yield btype, body_lo, pos + size
+        pos += size
+
+
+def _parse_mp4_meta(payload: bytes) -> tuple[int, int, int, float, float] | None:
+    """MP4/ISO-BMFF branch: movie grid from ``moov → mvhd`` (timescale +
+    duration), first video track from ``moov → trak`` subtrees — handler
+    ``vide`` (``mdia → hdlr``), 16.16-fixed resolution (``tkhd``, version
+    0/1 layouts), sample count (``stbl → stsz``).  fps derives as
+    n_frames / movie duration — the honest curation figure without
+    decoding per-sample timing (stts).  Same iterative explicit-queue
+    discipline as the AVI walk."""
+    from collections import deque
+
+    timescale = None
+    duration_ticks = None
+    traks: list[tuple[int, int]] = []
+    for btype, lo, hi in _mp4_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for b2, l2, h2 in _mp4_boxes(payload, lo, hi):
+            if b2 == b"mvhd" and h2 - l2 >= 20:
+                ver = payload[l2]
+                if ver == 1 and h2 - l2 >= 32:
+                    timescale = int.from_bytes(payload[l2 + 20 : l2 + 24], "big")
+                    duration_ticks = int.from_bytes(
+                        payload[l2 + 24 : l2 + 32], "big"
+                    )
+                else:
+                    timescale = int.from_bytes(payload[l2 + 12 : l2 + 16], "big")
+                    duration_ticks = int.from_bytes(
+                        payload[l2 + 16 : l2 + 20], "big"
+                    )
+            elif b2 == b"trak":
+                traks.append((l2, h2))
+    if timescale is None or not traks:
+        return None
+    duration = duration_ticks / timescale if timescale else 0.0
+    for lo, hi in traks:
+        handler = None
+        width = height = None
+        n_samples = None
+        q = deque([(lo, hi)])
+        while q:
+            l2, h2 = q.popleft()
+            for bt, bl, bh in _mp4_boxes(payload, l2, h2):
+                if bt in (b"mdia", b"minf", b"stbl"):
+                    q.append((bl, bh))
+                elif bt == b"tkhd":
+                    ver = payload[bl] if bh > bl else 0
+                    # v0 body: ver/flags 4 + times/id/reserved/duration 20
+                    # + reserved 8 + layer/alt/vol/pad 8 + matrix 36 = 76;
+                    # v1 carries 64-bit times/duration → 88
+                    off = 88 if ver == 1 else 76
+                    if bh - bl >= off + 8:
+                        width = (
+                            int.from_bytes(payload[bl + off : bl + off + 4], "big")
+                            / 65536.0
+                        )
+                        height = (
+                            int.from_bytes(
+                                payload[bl + off + 4 : bl + off + 8], "big"
+                            )
+                            / 65536.0
+                        )
+                elif bt == b"hdlr" and bh - bl >= 12:
+                    handler = payload[bl + 8 : bl + 12]
+                elif bt == b"stsz" and bh - bl >= 12:
+                    n_samples = int.from_bytes(payload[bl + 8 : bl + 12], "big")
+        if handler == b"vide" and width is not None:
+            n_frames = int(n_samples or 0)
+            fps = n_frames / duration if duration > 0 else 0.0
+            return int(width), int(height), n_frames, fps, duration
+    return None
+
+
 def decode_video(payload: bytes) -> object:
     """Video FRAME decode: gated — every in-the-wild video codec needs a
     real decoder library.  Container METADATA (resolution, frame count,
-    fps, duration) is real and dependency-free for AVI via
-    parse_video_meta; ``frame_sample`` is the byte-level stand-in that
-    keeps the fan-out plumbing testable."""
+    fps, duration) is real and dependency-free for AVI and MP4/ISO-BMFF
+    via parse_video_meta; ``frame_sample`` is the byte-level stand-in
+    that keeps the fan-out plumbing testable."""
     raise NotImplementedError(
-        "video frame decode requires a codec library; AVI container "
-        "metadata decodes via parse_video_meta, frame sampling is "
-        "stubbed by frame_sample"
+        "video frame decode requires a codec library; AVI and MP4 "
+        "container metadata decodes via parse_video_meta, frame "
+        "sampling is stubbed by frame_sample"
     )
 
 

@@ -147,6 +147,22 @@ def test_session_conf_local_vs_cluster():
     ] == "2000"
 
 
+def test_session_runs_ansi_on_everywhere():
+    """ANSI mode must be ON in every session shape — the verification
+    driver runs Spark 4's ANSI-on default, and a local ANSI-off pin let a
+    LongType overflow wrap silently here while throwing
+    ARITHMETIC_OVERFLOW there (CORRECTNESS_r06 dedup_clusters_star).
+    Local sessions must match the strictest session the queries meet."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.session import build_conf
+
+    for master in ("local[32]", None, "yarn"):
+        assert build_conf(master)["spark.sql.ansi.enabled"] == "true", master
+
+
+def test_live_session_is_ansi_on(spark):
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+
+
 def test_bench_full_headline_fits_capture_window():
     """The FULL headline set must produce a stdout line under the
     driver's 2000-char tail capture even with worst-case float widths."""

@@ -241,15 +241,23 @@ def test_header_parsers_survive_truncation(prefix, tail, cut):
 
 @given(
     prefix=st.sampled_from(
-        [b"RIFF\xff\xff\x00\x00AVI ", b"RIFF\x20\x00\x00\x00AVI ", b""]
+        [
+            b"RIFF\xff\xff\x00\x00AVI ",
+            b"RIFF\x20\x00\x00\x00AVI ",
+            b"\x00\x00\x00\x18ftypmp42",  # MP4: valid ftyp header
+            b"\x00\x00\x00\x01ftyp",  # MP4: largesize header, no size
+            b"\x00\x00\x00\x00ftyp",  # MP4: to-EOF size
+            b"",
+        ]
     ),
     tail=st.binary(max_size=64),
 )
 @SLOW
 def test_parse_video_meta_total_over_arbitrary_bytes(prefix, tail):
     """parse_video_meta is a total function: arbitrary bytes behind a
-    valid (or absent) AVI magic parse to None or a sane tuple — never an
-    exception (the iterative LIST walk bounds adversarial nesting)."""
+    valid (or absent) AVI/MP4 magic parse to None or a sane tuple —
+    never an exception (the iterative LIST/box walks bound adversarial
+    nesting and clip corrupt size fields)."""
     from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
         parse_video_meta,
     )

@@ -1208,13 +1208,107 @@ def test_parse_video_meta_real_avi_header():
     got = parse_video_meta(_avi(640, 480, 250, 40_000))
     assert got == (640, 480, 250, 25.0, 10.0)
     assert parse_video_meta(b"RIFF\x00\x00\x00\x00WAVE") is None  # a WAV
-    assert parse_video_meta(b"\x00\x00\x00\x18ftypmp42") is None  # MP4
+    # bare ftyp with no moov: recognized as MP4 but carries no metadata
+    assert parse_video_meta(b"\x00\x00\x00\x18ftypmp42") is None
     assert parse_video_meta(b"") is None
     # truncated mid-header: the avih body is clipped below 40 bytes
     whole = _avi(640, 480, 250, 40_000)
     assert parse_video_meta(whole[:40]) is None
     # zero us_per_frame must not divide by zero
     assert parse_video_meta(_avi(10, 10, 5, 0))[3] == 0.0
+
+
+def _box(btype: bytes, body: bytes, largesize: bool = False) -> bytes:
+    """One ISO-BMFF box; largesize=True uses the size==1 64-bit header."""
+    import struct
+
+    if largesize:
+        return struct.pack(">I", 1) + btype + struct.pack(">Q", 16 + len(body)) + body
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _mp4(
+    width: int,
+    height: int,
+    n_frames: int,
+    timescale: int,
+    duration_ticks: int,
+    *,
+    v1: bool = False,
+    handler: bytes = b"vide",
+    large_moov: bool = False,
+) -> bytes:
+    """Minimal spec-shaped MP4: ftyp + moov(mvhd + trak(tkhd +
+    mdia(hdlr + minf(stbl(stsz))))) — enough nesting that the parser
+    must walk the real container tree and associate the hdlr/tkhd/stsz
+    of ONE trak.  v1 switches mvhd/tkhd to the 64-bit-time layouts."""
+    import struct
+
+    if v1:
+        mvhd = b"\x01\x00\x00\x00" + b"\x00" * 16 + struct.pack(
+            ">IQ", timescale, duration_ticks
+        )
+        tkhd = (
+            b"\x01\x00\x00\x00"
+            + b"\x00" * 32  # ctime8 mtime8 trackid4 reserved4 duration8
+            + b"\x00" * 16  # reserved8 + layer/alt/vol/pad
+            + b"\x00" * 36  # matrix
+            + struct.pack(">II", width << 16, height << 16)
+        )
+    else:
+        mvhd = b"\x00" * 12 + struct.pack(">II", timescale, duration_ticks)
+        tkhd = (
+            b"\x00" * 4
+            + b"\x00" * 20  # ctime mtime trackid reserved duration
+            + b"\x00" * 16  # reserved8 + layer/alt/vol/pad
+            + b"\x00" * 36  # matrix
+            + struct.pack(">II", width << 16, height << 16)
+        )
+    hdlr = b"\x00" * 8 + handler + b"\x00" * 12
+    stsz = b"\x00" * 8 + struct.pack(">I", n_frames)
+    stbl = _box("stbl".encode(), _box(b"stsz", stsz))
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", _box(b"hdlr", hdlr) + minf)
+    trak = _box(b"trak", _box(b"tkhd", tkhd) + mdia)
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + trak, largesize=large_moov)
+    return _box(b"ftyp", b"mp42\x00\x00\x00\x00mp42isom") + moov
+
+
+def test_parse_video_meta_real_mp4_header():
+    """Handcrafted 1280x720 MP4 (v0 and v1 box layouts, plus a 64-bit
+    largesize moov): the ISO-BMFF box walk recovers resolution from
+    tkhd's 16.16 fixed point, frame count from stsz, and duration from
+    mvhd; audio-only tracks and corrupt size fields degrade to None."""
+    import struct
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        parse_video_meta,
+    )
+
+    # 300 frames over 12 s (timescale 1000) = 25 fps
+    assert parse_video_meta(_mp4(1280, 720, 300, 1000, 12_000)) == (
+        1280, 720, 300, 25.0, 12.0,
+    )
+    assert parse_video_meta(_mp4(640, 360, 48, 600, 1200, v1=True)) == (
+        640, 360, 48, 24.0, 2.0,
+    )
+    assert parse_video_meta(
+        _mp4(320, 240, 10, 1000, 5000, large_moov=True)
+    ) == (320, 240, 10, 2.0, 5.0)
+    # audio-only MP4: no vide track → None
+    assert parse_video_meta(_mp4(0, 0, 99, 1000, 5000, handler=b"soun")) is None
+    # zero movie duration: fps pins to 0.0 instead of dividing by zero
+    assert parse_video_meta(_mp4(320, 240, 10, 1000, 0))[3] == 0.0
+    # truncated mid-moov: short bodies, no exception
+    whole = _mp4(1280, 720, 300, 1000, 12_000)
+    for cut in (10, 40, len(whole) // 2, len(whole) - 3):
+        got = parse_video_meta(whole[:cut])
+        assert got is None or got[0] >= 0
+    # adversarial size fields: size<8 (loop guard) and size=0 (to-EOF)
+    junk = _box(b"ftyp", b"mp42") + struct.pack(">I", 3) + b"moov"
+    assert parse_video_meta(junk) is None
+    eof_box = _box(b"ftyp", b"mp42") + struct.pack(">I", 0) + b"free"
+    assert parse_video_meta(eof_box) is None
 
 
 def test_parse_video_meta_deeply_nested_lists_no_recursion():
@@ -1245,8 +1339,9 @@ def test_parse_video_meta_deeply_nested_lists_no_recursion():
 
 
 def test_extract_video_features_end_to_end(spark):
-    """AVI metadata extraction runs through mapInPandas with no codec:
-    real AVI rows get resolution/fps/duration, junk rows get nulls."""
+    """AVI + MP4 metadata extraction runs through mapInPandas with no
+    codec: real container rows get resolution/fps/duration, junk rows
+    (headerless MP4 fragments included) get nulls."""
     from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
         extract_video_features,
     )
@@ -1256,6 +1351,7 @@ def test_extract_video_features_end_to_end(spark):
             (1, "video/avi", _avi(1920, 1080, 300, 33_333), "s1"),
             (2, "video/mp4", b"\x00\x00\x00\x18ftypmp42junk", "s1"),
             (3, "video/avi", None, "s2"),
+            (4, "video/mp4", _mp4(1280, 720, 240, 1000, 8000), "s2"),
         ],
         "item_id long, media_type string, payload binary, source string",
     )
@@ -1267,6 +1363,12 @@ def test_extract_video_features_end_to_end(spark):
     )
     assert abs(rows[1]["fps"] - 30.00030) < 1e-3
     assert rows[2]["width"] is None and rows[3]["duration_s"] is None
+    assert (rows[4]["width"], rows[4]["height"], rows[4]["n_frames"]) == (
+        1280,
+        720,
+        240,
+    )
+    assert rows[4]["fps"] == 30.0 and rows[4]["duration_s"] == 8.0
 
 
 def test_parse_image_dims_edge_variants():
