@@ -160,6 +160,40 @@ def test_sessionize_single_exchange(spark):
     assert plan.count("Window") == 2
 
 
+def test_event_funnel_single_user_exchange(spark):
+    # the r7 window-chain funnel: all three step minimums AND the
+    # per-user collapse ride ONE user_id exchange (chained selects over
+    # the same partitioning add Window operators, not exchanges); the
+    # only other keyed exchange is the final single-row aggregate's.
+    # A re-join or per-step aggregate would show up as extra exchanges —
+    # the shape this pin exists to reject (8 scheduled stages pre-r7).
+    plan = _executed_plan(spark, "event_funnel").split("== Initial Plan ==")[0]
+    assert plan.count("Window") == 3
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_segmented_funnel_one_exchange_plus_broadcast_dim(spark):
+    # same step frame as event_funnel + ONE broadcast dim join + the
+    # segment rollup: exactly two keyed exchanges (user_id chain +
+    # segment aggregate), customer joined by broadcast only
+    plan = _executed_plan(spark, "segmented_funnel").split("== Initial Plan ==")[0]
+    assert plan.count("Window") == 3
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_contamination_check_union_tag_single_report_aggregate(spark):
+    # the r7 union-tag report: after the broadcast SEMI join + doc-grain
+    # distinct, the per-source census is ONE conditional aggregate over
+    # the tagged union — no join may reappear after the distinct
+    plan = _executed_plan(spark, "contamination_check").split("== Initial Plan ==")[0]
+    assert plan.count("BroadcastHashJoin") == 1  # the semi join only
+    assert plan.count("SortMergeJoin") == 0
+    assert "Union" in plan
+
+
 def test_seq_packing_window_is_sharded(spark):
     # the running-sum window must partition by source — a global
     # (unpartitioned) window would funnel the corpus through one task
