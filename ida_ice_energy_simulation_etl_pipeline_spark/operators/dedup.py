@@ -1199,9 +1199,10 @@ SPECS: list[QuerySpec] = [
     # LSH-near-dedup stages, and minhash_signatures stays); dedup_simhash
     # and dup_pairs_by_source promoted for their first independent
     # driver rows.
-    QuerySpec(
-        "minhash_signatures", minhash_signatures, MINHASH_SIGNATURES_SQL, "ext:dedup"
-    ),
+    # Round-7 second wave: minhash_signatures demoted (6 rounds of green
+    # driver rows, r1–r6; the signature derivation stays driver-exercised
+    # inside corpus_pipeline_e2e's LSH near-dedup stage) to free a slot
+    # for a never-driver-verified extra.
     QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL, "ext:dedup"),
     QuerySpec(
         "dup_pairs_by_source",
@@ -1252,6 +1253,9 @@ SPECS: list[QuerySpec] = [
 ]
 
 EXTRA_SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "minhash_signatures", minhash_signatures, MINHASH_SIGNATURES_SQL, "ext:dedup"
+    ),
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "ext:dedup,D1"),
     QuerySpec(
         "dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL, "ext:dedup"

@@ -413,9 +413,10 @@ GROUP BY source
 # label-propagation dedup_clusters (both share one oracle — same
 # fixpoint, different algorithm).
 SPECS: list[QuerySpec] = [
-    QuerySpec(
-        "dedup_clusters", dedup_clusters, _dedup_clusters_sql(), "ext:dedup,graph"
-    ),
+    # Round-7 second wave: dedup_clusters demoted (6 rounds of green
+    # driver rows, r1–r6; label-propagation CC stays driver-exercised by
+    # dedup_survivors_ranked, which runs connected_components on the same
+    # pair graph, and the star variant keeps its own driver row below).
     QuerySpec(
         "dedup_clusters_star",
         dedup_clusters_star,
@@ -434,6 +435,9 @@ SPECS: list[QuerySpec] = [
 ]
 
 EXTRA_SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "dedup_clusters", dedup_clusters, _dedup_clusters_sql(), "ext:dedup,graph"
+    ),
     QuerySpec(
         "dedup_survivors",
         dedup_survivors,

@@ -1223,18 +1223,12 @@ FROM feats JOIN frames USING (source)
 """
 
 
-# Driver-facing tier (see plans/relational.py note on the 50-query window).
+# Driver-facing tier (see plans/relational.py note on the 50-query
+# window).  Round-7 second rotation wave: the composed multimodal_pipeline
+# (6 rounds of green driver rows, r1–r6) swaps places with its two
+# standalone halves, which earn their first driver rows — the pipeline's
+# join-of-halves stays oracle-verified on every local run.
 SPECS: list[QuerySpec] = [
-    QuerySpec(
-        "multimodal_pipeline",
-        multimodal_pipeline,
-        MULTIMODAL_PIPELINE_SQL,
-        "ext:multimodal",
-    ),
-]
-
-# The standalone halves, still oracle-verified locally.
-EXTRA_SPECS: list[QuerySpec] = [
     QuerySpec(
         "multimodal_features",
         multimodal_features,
@@ -1245,6 +1239,15 @@ EXTRA_SPECS: list[QuerySpec] = [
         "multimodal_frames",
         multimodal_frames,
         MULTIMODAL_FRAMES_SQL,
+        "ext:multimodal",
+    ),
+]
+
+EXTRA_SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "multimodal_pipeline",
+        multimodal_pipeline,
+        MULTIMODAL_PIPELINE_SQL,
         "ext:multimodal",
     ),
 ]

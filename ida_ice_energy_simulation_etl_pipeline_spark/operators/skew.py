@@ -128,7 +128,9 @@ GROUP BY event_type
 """
 
 
-EXTRA_SPECS: list[QuerySpec] = [
+# Promoted into the driver window in round 7 (second wave): the salted
+# two-phase aggregate earns its first independent driver row.
+SPECS: list[QuerySpec] = [
     QuerySpec(
         "skew_resilient_rollup",
         skew_resilient_rollup,

@@ -1753,30 +1753,20 @@ FROM z
 # every text operator keeps a driver CORRECTNESS row.
 SPECS: list[QuerySpec] = [
     QuerySpec(
-        "split_sample", split_sample, _split_sample_sql(), "ext:split,sampling"
-    ),
-    QuerySpec(
-        "contamination_check",
-        contamination_check,
-        CONTAMINATION_CHECK_SQL,
-        "ext:contamination,semi-join",
-    ),
-    QuerySpec("text_quality", text_quality, _text_quality_sql(), "ext:text,quality"),
-    QuerySpec(
         "tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_SQL, "ext:text,window"
     ),
-    QuerySpec("seq_packing", seq_packing, SEQ_PACKING_SQL, "ext:packing,window"),
-    QuerySpec(
-        "corpus_funnel",
-        corpus_funnel,
-        _corpus_funnel_sql(),
-        "ext:text,funnel,composition",
-    ),
-    # Promoted into the driver window in round 5 — the PII-scrub and
-    # perplexity flagship paths had only local oracle verification
-    # before (text_fingerprint rotated out with 4 rounds of green
-    # driver rows; still oracle-verified locally).
-    QuerySpec("pii_scrub", pii_scrub, PII_SCRUB_SQL, "ext:text,pii"),
+    # Round-7 second rotation wave: split_sample, contamination_check,
+    # text_quality, seq_packing, corpus_funnel and pii_scrub demoted
+    # (split_sample/text_quality/seq_packing carry SIX rounds of green
+    # driver rows, r1–r6; the r5 promotions carry two) — their operators
+    # keep driver rows via the standalone halves promoted below
+    # (dataset_split + stratified_sample for split/sampling, text_clean +
+    # doc_fingerprint for cleaning/fingerprinting) and via r6–r7 siblings
+    # (contamination_overlap, seq_pack_emit, repetition_stats,
+    # quality_classifier; PII scrub + the funnel census run driver-side
+    # inside corpus_pipeline_e2e).  This clears the never-driver-verified
+    # extra backlog to one (approx_distinct_users, rows-only by design —
+    # see plans/analytics.py for why it stays out of the window).
     QuerySpec(
         "lm_perplexity", lm_perplexity, LM_PERPLEXITY_SQL, "ext:text,quality,lm"
     ),
@@ -1814,6 +1804,24 @@ SPECS: list[QuerySpec] = [
         "ext:text,quality,inference",
     ),
     QuerySpec("data_mix", data_mix, DATA_MIX_SQL, "ext:mixing,sampling"),
+    # Round-7 second wave promotions (first driver rows; slots from the
+    # demotions listed in the SPECS comment above).
+    QuerySpec("dataset_split", dataset_split, DATASET_SPLIT_SQL, "ext:split"),
+    QuerySpec(
+        "stratified_sample",
+        stratified_sample,
+        STRATIFIED_SAMPLE_SQL,
+        "ext:sampling",
+    ),
+    QuerySpec("doc_fingerprint", doc_fingerprint, DOC_FINGERPRINT_SQL, "ext:text"),
+    QuerySpec("text_clean", text_clean, TEXT_CLEAN_SQL, "ext:text,cleaning"),
+    QuerySpec("doc_chunks", doc_chunks, DOC_CHUNKS_SQL, "ext:text,rag,chunking"),
+    QuerySpec(
+        "bpe_merge_candidates",
+        bpe_merge_candidates,
+        BPE_MERGE_CANDIDATES_SQL,
+        "ext:text,tokenizer",
+    ),
 ]
 
 # The standalone halves of the merged driver queries — still
@@ -1824,26 +1832,30 @@ EXTRA_SPECS: list[QuerySpec] = [
     # driver rows each; see the SPECS comment above).
     QuerySpec("lang_id", lang_id, LANG_ID_SQL, "ext:text"),
     QuerySpec("token_count", token_count, TOKEN_COUNT_SQL, "ext:text"),
-    QuerySpec("dataset_split", dataset_split, DATASET_SPLIT_SQL, "ext:split"),
+    # Round-7 second wave demotions (green driver rows r1–r6 or r5–r6;
+    # operator coverage retained per the SPECS comment above).
     QuerySpec(
-        "stratified_sample",
-        stratified_sample,
-        STRATIFIED_SAMPLE_SQL,
-        "ext:sampling",
+        "split_sample", split_sample, _split_sample_sql(), "ext:split,sampling"
     ),
-    QuerySpec("doc_fingerprint", doc_fingerprint, DOC_FINGERPRINT_SQL, "ext:text"),
+    QuerySpec(
+        "contamination_check",
+        contamination_check,
+        CONTAMINATION_CHECK_SQL,
+        "ext:contamination,semi-join",
+    ),
+    QuerySpec("text_quality", text_quality, _text_quality_sql(), "ext:text,quality"),
+    QuerySpec("seq_packing", seq_packing, SEQ_PACKING_SQL, "ext:packing,window"),
+    QuerySpec(
+        "corpus_funnel",
+        corpus_funnel,
+        _corpus_funnel_sql(),
+        "ext:text,funnel,composition",
+    ),
+    QuerySpec("pii_scrub", pii_scrub, PII_SCRUB_SQL, "ext:text,pii"),
     QuerySpec(
         "text_fingerprint",
         text_fingerprint,
         TEXT_FINGERPRINT_SQL,
         "ext:text,cleaning,fingerprint",
-    ),
-    QuerySpec("text_clean", text_clean, TEXT_CLEAN_SQL, "ext:text,cleaning"),
-    QuerySpec("doc_chunks", doc_chunks, DOC_CHUNKS_SQL, "ext:text,rag,chunking"),
-    QuerySpec(
-        "bpe_merge_candidates",
-        bpe_merge_candidates,
-        BPE_MERGE_CANDIDATES_SQL,
-        "ext:text,tokenizer",
     ),
 ]
