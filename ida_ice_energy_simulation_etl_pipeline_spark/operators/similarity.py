@@ -126,6 +126,111 @@ SELECT query_id, nn_rank, neighbor_id FROM ranked WHERE nn_rank <= {TOP_K}
 
 
 # --------------------------------------------------------------------------
+# kNN label-accuracy harness — the SEMANTIC-quality eval that complements
+# ann_recall's index-recall: leave-one-out k-nearest-neighbor majority
+# vote over the embeddings' ``label`` column, reported per true label.
+# High accuracy ⇒ the embedding space clusters its labels ⇒ downstream
+# curation ops that trust it (SemDeDup cells, embedding near-dup,
+# quality-by-neighborhood) are operating on signal, not noise — the
+# standard sanity gate before letting an embedding column drive corpus
+# decisions.  Shape: the brute-force Arrow-cosine scorer + two-phase
+# grouped_topk (the similarity_topk plan — queries broadcast, corpus
+# scanned once), then integer vote counts and a max_by argmax (ties →
+# smallest label, matching the oracle's row_number ORDER BY cnt DESC,
+# label).  At 100 TB the scorer swaps for a bucketed candidate generator
+# (the LSH/IVF paths above) exactly as ann_recall documents — the vote
+# and rollup stages are candidate-source-agnostic.
+KNN_EVAL_QUERIES = 100  # vec_id < 100: the leave-one-out eval sample
+KNN_K = 10
+
+
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import cosine_similarity_arrow
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(spark, raw)
+    # query rows from the raw scan (see ivf_topk: keeps the corpus
+    # RoundRobin exchange out of the broadcast branch)
+    queries = raw.filter(F.col("vec_id") < KNN_EVAL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").cast("long").alias("q_label"),
+    )
+    candidates = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").cast("long").alias("n_label"),
+    )
+    scored = (
+        candidates.crossJoin(F.broadcast(queries))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos", cosine_similarity_arrow(F.col("q_emb"), F.col("c_emb"))
+        )
+    )
+    topk = grouped_topk(
+        scored,
+        ["query_id"],
+        [F.col("cos").desc(), F.col("neighbor_id")],
+        KNN_K,
+        "nn_rank",
+    ).select("query_id", "q_label", "n_label")
+    votes = topk.groupBy("query_id", "q_label", "n_label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    pred = votes.groupBy("query_id", "q_label").agg(
+        F.expr("max_by(n_label, struct(cnt, -n_label))").alias("pred_label")
+    )
+    correct = F.when(F.col("pred_label") == F.col("q_label"), 1).otherwise(0)
+    return pred.groupBy(F.col("q_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(correct).cast("long").alias("n_correct"),
+        F.round(F.sum(correct) / F.count(F.lit(1)), 4).alias("accuracy"),
+    )
+
+
+KNN_LABEL_ACCURACY_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb,
+         CAST(label AS BIGINT) AS q_label
+  FROM embeddings WHERE vec_id < {KNN_EVAL_QUERIES}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS c_emb,
+         CAST(label AS BIGINT) AS n_label
+  FROM embeddings
+),
+ranked AS (
+  SELECT query_id, q_label, n_label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(q_emb, c_emb) DESC,
+                                     neighbor_id) AS nn_rank
+  FROM q CROSS JOIN c
+  WHERE query_id <> neighbor_id
+),
+votes AS (
+  SELECT query_id, q_label, n_label, count(*) AS cnt
+  FROM ranked WHERE nn_rank <= {KNN_K}
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT query_id, q_label, n_label AS pred_label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cnt DESC, n_label) AS rk
+  FROM votes
+)
+SELECT q_label AS label,
+       count(*) AS n_queries,
+       CAST(sum(CASE WHEN pred_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct,
+       round(sum(CASE WHEN pred_label = q_label THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS accuracy
+FROM pred WHERE rk = 1
+GROUP BY q_label
+"""
+
+
+# --------------------------------------------------------------------------
 # Per-label embedding statistics (norm / leading-component profile).
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_parallelism(spark, load_table(spark, sf_dir, "embeddings"))
@@ -1001,4 +1106,12 @@ EXTRA_SPECS: list[QuerySpec] = [
     # Rotated out of the driver window in round 7 (6 rounds of green
     # driver rows; see the module SPECS comment).
     QuerySpec("similarity_ivf", similarity_ivf, SIMILARITY_IVF_SQL, "ext:ann"),
+    # New in round 7: the semantic-quality eval twin of ann_recall —
+    # leave-one-out kNN label accuracy (r8 driver-promotion candidate).
+    QuerySpec(
+        "knn_label_accuracy",
+        knn_label_accuracy,
+        KNN_LABEL_ACCURACY_SQL,
+        "ext:ann,evaluation,labels",
+    ),
 ]

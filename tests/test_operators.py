@@ -182,6 +182,37 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert r2 >= r1, f"nprobe dial not monotone: {r1:.2f} → {r2:.2f}"
 
 
+def test_knn_label_accuracy_on_separable_clusters(spark, tmp_path):
+    """Planted-structure check for the kNN label-accuracy harness: two
+    tight, well-separated clusters labeled 0/1 must score accuracy 1.0
+    per label; the per-label query counts must cover the eval sample.
+    (Oracle parity pins cross-engine values; this pins the SEMANTICS —
+    a harness that ignored the vote or the true label could still
+    hash-match a broken oracle twin.)"""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.similarity import (
+        KNN_EVAL_QUERIES,
+        knn_label_accuracy,
+    )
+
+    rows = []
+    for i in range(120):
+        lab = i % 2
+        base = [10.0, 0.0, 0.0] if lab == 0 else [0.0, 10.0, 0.0]
+        jit = [(i % 7) * 0.01, (i % 5) * 0.01, (i % 3) * 0.01]
+        rows.append((i, [b + j for b, j in zip(base, jit)], lab))
+    path = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(path)
+    got = {
+        r["label"]: r
+        for r in knn_label_accuracy(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {0, 1}
+    assert all(r["accuracy"] == 1.0 for r in got.values())
+    assert sum(r["n_queries"] for r in got.values()) == min(120, KNN_EVAL_QUERIES)
+
+
 def test_lsh_topk_recall_on_planted_clusters(spark):
     """Recall bound for the hyperplane-LSH path in its applicable regime
     (clustered data — single-bucket probing on uniformly random vectors
