@@ -1238,6 +1238,93 @@ def _planted_pii_col() -> Column:
     return F.concat(F.col("text"), email, ip, phone)
 
 
+# --------------------------------------------------------------------------
+# Encoding-health scan — the C4/CCNet garbage-encoding gate that runs
+# BEFORE the linguistic quality filters: a crawl shard whose decoder
+# mangled bytes shows up as U+FFFD replacement characters, stray C0
+# control bytes, or an implausible non-ASCII ratio, and no amount of
+# stopword scoring can rescue text that was destroyed at decode time.
+# Distinct from text_quality (length/punct/stopword/repetition — all
+# assume the characters themselves are trustworthy).  Map-only column
+# math (contains + regexp_count + regexp strip), ONE source-grain
+# conditional-aggregate pass; the corpus ascii_ratio divides two exact
+# long sums once at report grain (an avg of per-doc ratios is a
+# continuous rational that can land ON a rounding boundary — the
+# gap_fill determinism rule).  Like pii_scrub, the registry query
+# PLANTS deterministic damage (mojibake every 7th doc, a BEL control
+# byte every 11th, benign accented text every 5th) so the oracle
+# verifies nonzero counts instead of an all-clean corpus.
+ENC_CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+
+
+def encoding_health(docs: DataFrame) -> DataFrame:
+    """Per-source encoding-health report over a (source, text) frame:
+    docs containing U+FFFD, docs containing C0 control bytes (tab/LF/CR
+    excluded), and the corpus-level ascii_ratio from exact char sums."""
+    ascii_len = F.length(F.regexp_replace(F.col("text"), "[^\\x00-\\x7F]", ""))
+    return (
+        docs.select(
+            "source",
+            F.when(F.col("text").contains("�"), 1).otherwise(0).alias("moji"),
+            F.when(F.regexp_count(F.col("text"), F.lit(ENC_CTRL_RE)) > 0, 1)
+            .otherwise(0)
+            .alias("ctrl"),
+            ascii_len.alias("n_ascii"),
+            F.length("text").alias("n_chars"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("moji").cast("long").alias("mojibake_docs"),
+            F.sum("ctrl").cast("long").alias("ctrl_docs"),
+            F.round(F.sum("n_ascii") / F.sum("n_chars"), 4).alias("ascii_ratio"),
+        )
+    )
+
+
+def _planted_encoding_col() -> Column:
+    did = F.col("doc_id")
+    moji = F.when(did % 7 == 0, F.lit(" bad�byte")).otherwise("")
+    ctrl = F.when(did % 11 == 0, F.lit(" x\x07y")).otherwise("")
+    accent = F.when(did % 5 == 0, F.lit(" café naïve")).otherwise("")
+    return F.concat(F.col("text"), moji, ctrl, accent)
+
+
+def encoding_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    planted = docs.select(
+        "source", _planted_encoding_col().alias("text")
+    )
+    return encoding_health(planted)
+
+
+ENCODING_SCAN_SQL = """
+WITH planted AS (
+  SELECT source,
+         text
+         || CASE WHEN doc_id % 7 = 0 THEN ' bad' || chr(65533) || 'byte'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' x' || chr(7) || 'y'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' caf' || chr(233) || ' na'
+                      || chr(239) || 've'
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END)
+            AS BIGINT) AS mojibake_docs,
+       CAST(sum(CASE WHEN regexp_matches(text,
+                          '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS ctrl_docs,
+       round(sum(length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')))
+             * 1.0 / sum(length(text)), 4) AS ascii_ratio
+FROM planted
+GROUP BY source
+"""
+
+
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
     planted = docs.select("doc_id", "source", _planted_pii_col().alias("text"))
@@ -1857,5 +1944,13 @@ EXTRA_SPECS: list[QuerySpec] = [
         text_fingerprint,
         TEXT_FINGERPRINT_SQL,
         "ext:text,cleaning,fingerprint",
+    ),
+    # New in round 7: the decode-time garbage gate (r8 promotion
+    # candidate alongside knn_label_accuracy).
+    QuerySpec(
+        "encoding_scan",
+        encoding_scan,
+        ENCODING_SCAN_SQL,
+        "ext:text,quality,encoding",
     ),
 ]

@@ -182,6 +182,33 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert r2 >= r1, f"nprobe dial not monotone: {r1:.2f} → {r2:.2f}"
 
 
+def test_encoding_health_flags_planted_damage(spark):
+    """The encoding gate must flag exactly the damaged docs: U+FFFD rows,
+    control-byte rows (tab/LF/CR exempt), and an ascii_ratio that drops
+    only when non-ASCII text is present."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        encoding_health,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("s1", "clean ascii text"),
+            ("s1", "moji � here"),
+            ("s1", "ctrl \x07 byte"),
+            ("s1", "tabs\tand\nnewlines are fine"),
+            ("s2", "café naïve"),  # valid non-ASCII, not damage
+        ],
+        ["source", "text"],
+    )
+    got = {r["source"]: r for r in encoding_health(docs).collect()}
+    assert got["s1"]["mojibake_docs"] == 1
+    assert got["s1"]["ctrl_docs"] == 1
+    # s1 is 64 chars of which only the U+FFFD is non-ASCII
+    assert got["s1"]["ascii_ratio"] == round(63 / 64, 4)
+    assert got["s2"]["mojibake_docs"] == 0 and got["s2"]["ctrl_docs"] == 0
+    assert got["s2"]["ascii_ratio"] < 1.0
+
+
 def test_knn_label_accuracy_on_separable_clusters(spark, tmp_path):
     """Planted-structure check for the kNN label-accuracy harness: two
     tight, well-separated clusters labeled 0/1 must score accuracy 1.0
