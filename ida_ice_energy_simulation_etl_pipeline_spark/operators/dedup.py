@@ -177,6 +177,101 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(docs)
 
 
+# --------------------------------------------------------------------------
+# Near-dup pair-graph transitivity audit — the LSH THRESHOLD-TUNING
+# diagnostic: similarity is not transitive, so a candidate graph with
+# many OPEN wedges (A~B, B~C, but not A~C) warns that connected-component
+# clustering will chain unrelated docs through middlemen (the classic
+# over-merging failure); a mostly-closed graph says clusters are tight
+# and CC labels are trustworthy.  Global clustering coefficient =
+# closed wedges / all wedges (each triangle closes 3 wedges — the
+# standard definition).  Shape: the pair set is localCheckpointed once
+# (the connected_components edge-set pattern — it is referenced by both
+# wedge-join sides AND the closure probe, and the MinHash derivation
+# must not re-run per reference); the wedge join keys on the shared
+# center vertex, so fan-out is bounded by max vertex degree — dup-group
+# size, never corpus size; closure is a SEMI join on the canonical pair;
+# the three single-row aggregates meet in 1×1 crossJoins.
+def dedup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    pairs = (
+        lsh_candidate_pairs(docs)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    return pair_graph_transitivity(pairs)
+
+
+def pair_graph_transitivity(pairs: DataFrame) -> DataFrame:
+    """Wedge/triangle census of a canonical (doc_a < doc_b) pair frame —
+    see dedup_transitivity for the contract and plan shape."""
+    sym = pairs.select(
+        F.col("doc_a").alias("c"), F.col("doc_b").alias("leaf")
+    ).union(pairs.select(F.col("doc_b").alias("c"), F.col("doc_a").alias("leaf")))
+    wedges = (
+        sym.alias("s1")
+        .join(
+            sym.alias("s2"),
+            (F.col("s1.c") == F.col("s2.c"))
+            & (F.col("s1.leaf") < F.col("s2.leaf")),
+        )
+        .select(F.col("s1.leaf").alias("u_id"), F.col("s2.leaf").alias("w_id"))
+    )
+    closed = wedges.join(
+        pairs,
+        (F.col("doc_a") == F.col("u_id")) & (F.col("doc_b") == F.col("w_id")),
+        "semi",
+    )
+    e = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    nw = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
+    nc = closed.agg(F.count(F.lit(1)).alias("n_closed_wedges"))
+    return (
+        e.crossJoin(nw)
+        .crossJoin(nc)
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_closed_wedges",
+            (F.col("n_wedges") - F.col("n_closed_wedges")).alias("n_open_wedges"),
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(F.col("n_closed_wedges") / F.col("n_wedges"), 4),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("transitivity"),
+        )
+    )
+
+
+def _dedup_transitivity_sql() -> str:
+    return f"""
+WITH lsh AS ({DEDUP_MINHASH_LSH_SQL}),
+pairs AS (SELECT doc_a, doc_b FROM lsh),
+sym AS (
+  SELECT doc_a AS c, doc_b AS leaf FROM pairs
+  UNION ALL
+  SELECT doc_b AS c, doc_a AS leaf FROM pairs
+),
+wedges AS (
+  SELECT s1.leaf AS u_id, s2.leaf AS w_id
+  FROM sym s1 JOIN sym s2 ON s1.c = s2.c AND s1.leaf < s2.leaf
+),
+closed AS (
+  SELECT w.u_id, w.w_id
+  FROM wedges w SEMI JOIN pairs p ON p.doc_a = w.u_id AND p.doc_b = w.w_id
+)
+SELECT (SELECT count(*) FROM pairs)  AS n_edges,
+       (SELECT count(*) FROM wedges) AS n_wedges,
+       (SELECT count(*) FROM closed) AS n_closed_wedges,
+       (SELECT count(*) FROM wedges) - (SELECT count(*) FROM closed)
+           AS n_open_wedges,
+       CASE WHEN (SELECT count(*) FROM wedges) > 0
+            THEN round((SELECT count(*) FROM closed) * 1.0
+                       / (SELECT count(*) FROM wedges), 4)
+            ELSE 1.0 END AS transitivity
+"""
+
+
 def _band_key_sql(b: int, rows: int) -> str:
     parts = " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows))
     return f"md5({parts})"
@@ -1262,5 +1357,13 @@ EXTRA_SPECS: list[QuerySpec] = [
     ),
     QuerySpec(
         "dedup_embedding", dedup_embedding, _embedding_oracle_sql(), "ext:dedup,ann"
+    ),
+    # New in round 7: the pair-graph transitivity audit (r8 promotion
+    # candidate).
+    QuerySpec(
+        "dedup_transitivity",
+        dedup_transitivity,
+        _dedup_transitivity_sql(),
+        "ext:dedup,graph,diagnostics",
     ),
 ]

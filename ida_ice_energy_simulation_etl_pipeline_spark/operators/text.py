@@ -128,6 +128,46 @@ FROM pred
 
 
 # --------------------------------------------------------------------------
+# Language-ID confusion matrix — the ACCEPTANCE report for the classifier
+# above: per (true lang, predicted lang) cell counts plus the row
+# fraction (per-true-language recall on the diagonal).  A curation
+# pipeline reads this before trusting lang_id to route documents — a
+# classifier that collapses es→fr is visible here and invisible in
+# lang_id's per-doc stream.  Shape: the doc-grain prediction is map-only
+# (lang_id above), so the matrix is ONE (lang, predicted) aggregate; the
+# row fraction rides a lang-partitioned window over the ≤|langs|² cell
+# frame — no second corpus pass, no join.
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cells = (
+        lang_id(spark, sf_dir)
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4).alias("row_frac"),
+    )
+
+
+LANG_CONFUSION_SQL = f"""
+WITH pred AS ({LANG_ID_SQL}),
+cells AS (
+  SELECT lang, predicted_lang, count(*) AS n_docs
+  FROM pred GROUP BY 1, 2
+)
+SELECT lang, predicted_lang, n_docs,
+       round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY lang), 4)
+           AS row_frac
+FROM cells
+"""
+
+
+# --------------------------------------------------------------------------
 # Quality scoring: length / stopword / lexical-diversity signals PLUS the
 # repetition family (Gopher/RefinedWeb-style top-token and duplicate-2gram
 # fractions — see repetition_stats below), all computed in ONE per-doc
@@ -1945,12 +1985,19 @@ EXTRA_SPECS: list[QuerySpec] = [
         TEXT_FINGERPRINT_SQL,
         "ext:text,cleaning,fingerprint",
     ),
-    # New in round 7: the decode-time garbage gate (r8 promotion
-    # candidate alongside knn_label_accuracy).
+    # New in round 7: the decode-time garbage gate and the language-ID
+    # acceptance matrix (r8 promotion candidates alongside
+    # knn_label_accuracy).
     QuerySpec(
         "encoding_scan",
         encoding_scan,
         ENCODING_SCAN_SQL,
         "ext:text,quality,encoding",
+    ),
+    QuerySpec(
+        "lang_confusion",
+        lang_confusion,
+        LANG_CONFUSION_SQL,
+        "ext:text,evaluation",
     ),
 ]

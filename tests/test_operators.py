@@ -182,6 +182,33 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert r2 >= r1, f"nprobe dial not monotone: {r1:.2f} → {r2:.2f}"
 
 
+def test_pair_graph_transitivity_on_planted_shapes(spark):
+    """Exact wedge census on known graphs: a 3-path is one open wedge
+    (transitivity 0), a triangle is three closed wedges (1.0), and the
+    two together mix to 3/4."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.dedup import (
+        pair_graph_transitivity,
+    )
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        return pair_graph_transitivity(df).collect()[0]
+
+    path = run([(1, 2), (2, 3)])
+    assert (path["n_edges"], path["n_wedges"], path["n_closed_wedges"]) == (2, 1, 0)
+    assert path["transitivity"] == 0.0
+    tri = run([(1, 2), (2, 3), (1, 3)])
+    assert (tri["n_wedges"], tri["n_closed_wedges"]) == (3, 3)
+    assert tri["transitivity"] == 1.0
+    mixed = run([(1, 2), (2, 3), (1, 3), (3, 4)])
+    # triangle's 3 closed wedges + open wedges through vertex 3 (2-3-4,
+    # 1-3-4): 5 wedges, 3 closed
+    assert (mixed["n_wedges"], mixed["n_closed_wedges"]) == (5, 3)
+    assert mixed["transitivity"] == 0.6
+    empty = run([])
+    assert empty["n_wedges"] == 0 and empty["transitivity"] == 1.0
+
+
 def test_encoding_health_flags_planted_damage(spark):
     """The encoding gate must flag exactly the damaged docs: U+FFFD rows,
     control-byte rows (tab/LF/CR exempt), and an ascii_ratio that drops
