@@ -178,6 +178,103 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# MinHash ↔ exact-Jaccard calibration — the ESTIMATOR-quality harness
+# behind the band/row parameter choice: for every LSH candidate pair,
+# the fraction of agreeing minhash positions is an unbiased estimate of
+# the true shingle-set Jaccard, and this report buckets candidates by
+# matched-position count (an INTEGER 0..H — the estimator's exact
+# support) against the measured exact Jaccard of the same pairs.  A
+# pipeline reads the curve before trusting a band threshold: estimator
+# bias at the decision boundary means the LSH parameters — not the
+# dedup logic — decide what gets merged.  Shape: per-doc minhash array
+# + distinct shingle set are map-only; both ride the candidate-pair
+# join at PAIR grain (bounded by dup-group fan-out, the inverted-index
+# volume class — they never ride a corpus-grain shuffle); the report is
+# one ≤(H+1)-group aggregate whose exact_jaccard divides two exact
+# integer sums once (no avg-of-ratios rounding hazard).
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    per_doc = with_minhash_signature(docs).select(
+        "doc_id",
+        F.array(*[F.col(f"mh_{i}") for i in range(N_MINHASHES)]).alias("mh"),
+        _shingle_set(F.col("text")).alias("sh"),
+    )
+    pairs = (
+        lsh_candidate_pairs(docs)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    enriched = (
+        pairs.join(
+            per_doc.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("mh").alias("mh_a"),
+                F.col("sh").alias("sh_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            per_doc.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("mh").alias("mh_b"),
+                F.col("sh").alias("sh_b"),
+            ),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    scored = enriched.select(
+        F.aggregate(
+            F.zip_with(
+                "mh_a", "mh_b", lambda x, y: F.when(x == y, 1).otherwise(0)
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("matched_minhashes"),
+        inter.alias("n_inter"),
+        (F.size("sh_a") + F.size("sh_b") - inter).alias("n_union"),
+    )
+    return (
+        scored.groupBy(F.col("matched_minhashes").cast("long").alias("matched_minhashes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.first("matched_minhashes") / F.lit(N_MINHASHES), 4
+            ).alias("est_jaccard"),
+            F.round(F.sum("n_inter") / F.sum("n_union"), 4).alias(
+                "exact_jaccard"
+            ),
+        )
+    )
+
+
+def _minhash_calibration_sql() -> str:
+    matched = " + ".join(
+        f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(N_MINHASHES)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sigs AS (SELECT doc_id, sh, {', '.join(_minhash_sql_exprs())} FROM sh),
+pairs AS (SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_LSH_SQL})),
+scored AS (
+  SELECT ({matched}) AS matched_minhashes,
+         len(list_intersect(a.sh, b.sh)) AS n_inter,
+         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS n_union
+  FROM pairs p
+  JOIN sigs a ON a.doc_id = p.doc_a
+  JOIN sigs b ON b.doc_id = p.doc_b
+)
+SELECT CAST(matched_minhashes AS BIGINT) AS matched_minhashes,
+       count(*) AS n_pairs,
+       round(matched_minhashes / {N_MINHASHES}.0, 4) AS est_jaccard,
+       round(sum(n_inter) * 1.0 / sum(n_union), 4) AS exact_jaccard
+FROM scored
+GROUP BY matched_minhashes
+"""
+
+
+# --------------------------------------------------------------------------
 # Near-dup pair-graph transitivity audit — the LSH THRESHOLD-TUNING
 # diagnostic: similarity is not transitive, so a candidate graph with
 # many OPEN wedges (A~B, B~C, but not A~C) warns that connected-component
@@ -1358,12 +1455,18 @@ EXTRA_SPECS: list[QuerySpec] = [
     QuerySpec(
         "dedup_embedding", dedup_embedding, _embedding_oracle_sql(), "ext:dedup,ann"
     ),
-    # New in round 7: the pair-graph transitivity audit (r8 promotion
-    # candidate).
+    # New in round 7: the pair-graph transitivity audit and the
+    # MinHash↔Jaccard estimator calibration (r8 promotion candidates).
     QuerySpec(
         "dedup_transitivity",
         dedup_transitivity,
         _dedup_transitivity_sql(),
         "ext:dedup,graph,diagnostics",
+    ),
+    QuerySpec(
+        "minhash_calibration",
+        minhash_calibration,
+        _minhash_calibration_sql(),
+        "ext:dedup,evaluation",
     ),
 ]
