@@ -840,6 +840,51 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Packing-efficiency report — the ACCEPTANCE metrics for the greedy
+# cumulative packer above: per source, how full the packs are
+# (fill_rate = total tokens / packs×budget — the fraction of the token
+# budget the training job actually trains on) and how often a straddling
+# document overflows its pack (overflow packs get truncated or re-split
+# downstream, so their count is the packer's quality bill).  One
+# pack-grain rollup on top of seq_packing's frame; the fill_rate divides
+# two exact long sums once at report grain.
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packs = seq_packing(spark, sf_dir)
+    return packs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("chunk_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("chunk_tokens")
+            / (F.count(F.lit(1)) * F.lit(PACK_BUDGET_TOKENS)),
+            4,
+        ).alias("fill_rate"),
+        F.sum(
+            F.when(F.col("chunk_tokens") > PACK_BUDGET_TOKENS, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_overflow_packs"),
+        F.max("chunk_tokens").alias("max_pack_tokens"),
+    )
+
+
+PACKING_EFFICIENCY_SQL = f"""
+WITH packs AS ({SEQ_PACKING_SQL})
+SELECT source,
+       count(*) AS n_packs,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(chunk_tokens) AS BIGINT) AS total_tokens,
+       round(sum(chunk_tokens) * 1.0
+             / (count(*) * {PACK_BUDGET_TOKENS}), 4) AS fill_rate,
+       CAST(sum(CASE WHEN chunk_tokens > {PACK_BUDGET_TOKENS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overflow_packs,
+       CAST(max(chunk_tokens) AS BIGINT) AS max_pack_tokens
+FROM packs
+GROUP BY source
+"""
+
+
 def seq_pack_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATERIALIZE the packed training sequences — the string each chunk
     actually feeds to a trainer, not just its stats.  Same per-shard
@@ -1999,5 +2044,11 @@ EXTRA_SPECS: list[QuerySpec] = [
         lang_confusion,
         LANG_CONFUSION_SQL,
         "ext:text,evaluation",
+    ),
+    QuerySpec(
+        "packing_efficiency",
+        packing_efficiency,
+        PACKING_EFFICIENCY_SQL,
+        "ext:packing,evaluation",
     ),
 ]
