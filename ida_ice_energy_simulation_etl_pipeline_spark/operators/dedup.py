@@ -1402,11 +1402,23 @@ SPECS: list[QuerySpec] = [
         DUP_PAIRS_BY_SOURCE_SQL,
         "ext:dedup,diagnostics",
     ),
+    # Round-8 rotation: dedup_ngram_jaccard moved to the extra tier
+    # (SEVEN rounds of green driver rows, r1–r7; the inverted-index
+    # verify shape stays driver-exercised by corpus_pipeline_e2e's LSH
+    # stage and gains an sf0.1 oracle lane this round).  Its slot plus
+    # one relational slot go to the never-driver-verified round-7
+    # diagnostics promoted below.
     QuerySpec(
-        "dedup_ngram_jaccard",
-        dedup_ngram_jaccard,
-        DEDUP_NGRAM_JACCARD_SQL,
-        "ext:dedup",
+        "dedup_transitivity",
+        dedup_transitivity,
+        _dedup_transitivity_sql(),
+        "ext:dedup,graph,diagnostics",
+    ),
+    QuerySpec(
+        "minhash_calibration",
+        minhash_calibration,
+        _minhash_calibration_sql(),
+        "ext:dedup,evaluation",
     ),
     # Round-7 rotation: dedup_embedding moved to the extra tier (6 rounds
     # of green driver rows, r1–r6; the hyperplane-LSH + cosine-rerank
@@ -1455,18 +1467,12 @@ EXTRA_SPECS: list[QuerySpec] = [
     QuerySpec(
         "dedup_embedding", dedup_embedding, _embedding_oracle_sql(), "ext:dedup,ann"
     ),
-    # New in round 7: the pair-graph transitivity audit and the
-    # MinHash↔Jaccard estimator calibration (r8 promotion candidates).
+    # Rotated out of the driver window in round 8 (7 rounds of green
+    # driver rows; see the SPECS comment above).
     QuerySpec(
-        "dedup_transitivity",
-        dedup_transitivity,
-        _dedup_transitivity_sql(),
-        "ext:dedup,graph,diagnostics",
-    ),
-    QuerySpec(
-        "minhash_calibration",
-        minhash_calibration,
-        _minhash_calibration_sql(),
-        "ext:dedup,evaluation",
+        "dedup_ngram_jaccard",
+        dedup_ngram_jaccard,
+        DEDUP_NGRAM_JACCARD_SQL,
+        "ext:dedup",
     ),
 ]

@@ -1098,6 +1098,16 @@ SPECS += [
         _ann_recall_sql(),
         "ext:ann,evaluation",
     ),
+    # Round-8 rotation (judge-prescribed): first driver row for the
+    # leave-one-out kNN label-accuracy acceptance harness (new in round
+    # 7, oracle-verified locally since; slot from the seven-round-green
+    # demotions listed in plans/relational.py).
+    QuerySpec(
+        "knn_label_accuracy",
+        knn_label_accuracy,
+        KNN_LABEL_ACCURACY_SQL,
+        "ext:ann,evaluation,labels",
+    ),
 ]
 
 EXTRA_SPECS: list[QuerySpec] = [
@@ -1106,12 +1116,4 @@ EXTRA_SPECS: list[QuerySpec] = [
     # Rotated out of the driver window in round 7 (6 rounds of green
     # driver rows; see the module SPECS comment).
     QuerySpec("similarity_ivf", similarity_ivf, SIMILARITY_IVF_SQL, "ext:ann"),
-    # New in round 7: the semantic-quality eval twin of ann_recall —
-    # leave-one-out kNN label accuracy (r8 driver-promotion candidate).
-    QuerySpec(
-        "knn_label_accuracy",
-        knn_label_accuracy,
-        KNN_LABEL_ACCURACY_SQL,
-        "ext:ann,evaluation,labels",
-    ),
 ]

@@ -197,17 +197,12 @@ GROUP BY 1, 2
 """
 
 
-SPECS: list[QuerySpec] = [
-    QuerySpec(
-        "asof_last_error", asof_last_error, ASOF_LAST_ERROR_SQL, "ext:asof-join"
-    ),
-    QuerySpec(
-        "error_click_window",
-        error_click_window,
-        ERROR_CLICK_WINDOW_SQL,
-        "ext:range-join",
-    ),
-]
+# Round-8 rotation: asof_last_error (SEVEN rounds of green driver rows,
+# r1–r7) and error_click_window (six green rounds) moved to the extra
+# tier — the as-of and range-join shapes stay oracle-verified locally
+# every run — to free slots for the judge-prescribed never-driver-
+# verified round-7 components (see plans/relational.py).
+SPECS: list[QuerySpec] = []
 # gap_fill joins the driver window in round 5 (promoted from the extra
 # tier; appended below its definition).
 
@@ -299,4 +294,16 @@ SPECS += [
     QuerySpec("gap_fill", gap_fill, GAP_FILL_SQL, "ext:gapfill,F3,F4"),
 ]
 
-EXTRA_SPECS: list[QuerySpec] = []
+EXTRA_SPECS: list[QuerySpec] = [
+    # Rotated out of the driver window in round 8 (see the SPECS comment
+    # above).
+    QuerySpec(
+        "asof_last_error", asof_last_error, ASOF_LAST_ERROR_SQL, "ext:asof-join"
+    ),
+    QuerySpec(
+        "error_click_window",
+        error_click_window,
+        ERROR_CLICK_WINDOW_SQL,
+        "ext:range-join",
+    ),
+]

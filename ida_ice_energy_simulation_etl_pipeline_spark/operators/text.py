@@ -1994,6 +1994,29 @@ SPECS: list[QuerySpec] = [
         BPE_MERGE_CANDIDATES_SQL,
         "ext:text,tokenizer",
     ),
+    # Round-8 rotation (judge-prescribed): first driver rows for the
+    # decode-time garbage gate, the language-ID acceptance matrix and the
+    # packer acceptance report (all new in round 7, oracle-verified
+    # locally at sf0.001+sf0.01 since; slots from the seven-round-green
+    # demotions listed in plans/relational.py).
+    QuerySpec(
+        "encoding_scan",
+        encoding_scan,
+        ENCODING_SCAN_SQL,
+        "ext:text,quality,encoding",
+    ),
+    QuerySpec(
+        "lang_confusion",
+        lang_confusion,
+        LANG_CONFUSION_SQL,
+        "ext:text,evaluation",
+    ),
+    QuerySpec(
+        "packing_efficiency",
+        packing_efficiency,
+        PACKING_EFFICIENCY_SQL,
+        "ext:packing,evaluation",
+    ),
 ]
 
 # The standalone halves of the merged driver queries — still
@@ -2029,26 +2052,5 @@ EXTRA_SPECS: list[QuerySpec] = [
         text_fingerprint,
         TEXT_FINGERPRINT_SQL,
         "ext:text,cleaning,fingerprint",
-    ),
-    # New in round 7: the decode-time garbage gate and the language-ID
-    # acceptance matrix (r8 promotion candidates alongside
-    # knn_label_accuracy).
-    QuerySpec(
-        "encoding_scan",
-        encoding_scan,
-        ENCODING_SCAN_SQL,
-        "ext:text,quality,encoding",
-    ),
-    QuerySpec(
-        "lang_confusion",
-        lang_confusion,
-        LANG_CONFUSION_SQL,
-        "ext:text,evaluation",
-    ),
-    QuerySpec(
-        "packing_efficiency",
-        packing_efficiency,
-        PACKING_EFFICIENCY_SQL,
-        "ext:packing,evaluation",
     ),
 ]

