@@ -96,9 +96,11 @@ def connected_components_star(
     Same input contract as :func:`connected_components`; returns
     ``(labels, rounds)`` so callers can observe convergence behavior.
     Per round: two keyed shuffles (neighborhood min + emit), a
-    localCheckpoint to truncate lineage, and one (count, xor-digest)
-    aggregate action for the stability check (ANSI-safe: bit_xor of
-    per-edge xxhash64 cannot overflow, unlike a sum).
+    localCheckpoint to truncate lineage, and one (count, double
+    xor-digest) aggregate action for the stability check (ANSI-safe:
+    bit_xor of per-edge xxhash64 cannot overflow, unlike a sum; two
+    independent hash families make a false fixpoint need simultaneous
+    XOR cancellation in both).
     """
     e = (
         edges.select("src", "dst")
@@ -118,11 +120,17 @@ def connected_components_star(
         # is an ARITHMETIC_OVERFLOW under spark.sql.ansi.enabled=true); the
         # edge set is distinct, so xor-cancellation needs a changed round to
         # reproduce the exact edge multiset — and the count bounds that.
+        # A second independent digest (reversed column order hashes to an
+        # unrelated 64-bit value per edge) rides the same aggregate pass
+        # for free and squashes the residual paired-substitution
+        # collision: a false fixpoint now needs XOR cancellation in two
+        # independent hash families simultaneously at equal cardinality.
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+            F.bit_xor(F.xxhash64("dst", "src")).alias("h2"),
         ).collect()[0]
-        return (row["n"], row["h"])
+        return (row["n"], row["h"], row["h2"])
 
     prev = _stats(e)
     rounds = 0

@@ -359,11 +359,17 @@ def _parse_mp4_meta(payload: bytes) -> tuple[int, int, int, float, float] | None
         for b2, l2, h2 in _mp4_boxes(payload, lo, hi):
             if b2 == b"mvhd" and h2 - l2 >= 20:
                 ver = payload[l2]
-                if ver == 1 and h2 - l2 >= 32:
-                    timescale = int.from_bytes(payload[l2 + 20 : l2 + 24], "big")
-                    duration_ticks = int.from_bytes(
-                        payload[l2 + 24 : l2 + 32], "big"
-                    )
+                if ver == 1:
+                    # a v1 box shorter than its 32-byte minimum is
+                    # truncated/corrupt — reading it with v0 offsets
+                    # would report mid-ctime bytes as duration, so skip
+                    if h2 - l2 >= 32:
+                        timescale = int.from_bytes(
+                            payload[l2 + 20 : l2 + 24], "big"
+                        )
+                        duration_ticks = int.from_bytes(
+                            payload[l2 + 24 : l2 + 32], "big"
+                        )
                 else:
                     timescale = int.from_bytes(payload[l2 + 12 : l2 + 16], "big")
                     duration_ticks = int.from_bytes(

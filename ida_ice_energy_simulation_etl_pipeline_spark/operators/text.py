@@ -397,7 +397,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # Union-tag + ONE conditional aggregate (r7): every train doc rides
-    # as a flag-0 row and every contaminated doc as a flag-1 row, so the
+    # as a flag-1 row and every contaminated doc as a flag-2 row, so the
     # per-source report needs one source-grain exchange — the earlier
     # two aggregates + left join shape ran the same arithmetic in three
     # scheduled stages (floor jobs 7 → 5, same hashes).  Sources with

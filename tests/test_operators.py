@@ -1389,6 +1389,21 @@ def test_parse_video_meta_real_mp4_header():
     for cut in (10, 40, len(whole) // 2, len(whole) - 3):
         got = parse_video_meta(whole[:cut])
         assert got is None or got[0] >= 0
+    # truncated v1 mvhd (body 20-31 bytes): must be skipped, not read
+    # with v0 offsets — v0 offsets would land on mid-ctime bytes and
+    # report garbage duration.  Build a moov whose mvhd box is a v1
+    # header clipped to 24 body bytes around an otherwise-valid trak.
+    ok = _mp4(1280, 720, 300, 1000, 12_000, v1=True)
+    clipped_mvhd = _box(b"mvhd", (b"\x01\x00\x00\x00" + b"\x00" * 20))
+    trak_start = ok.index(b"trak") - 4
+    moov_end = ok.index(b"moov") + 4 + (
+        int.from_bytes(ok[ok.index(b"moov") - 4 : ok.index(b"moov")], "big") - 8
+    )
+    trak = ok[trak_start:moov_end]
+    bad = _box(b"ftyp", b"mp42\x00\x00\x00\x00mp42isom") + _box(
+        b"moov", clipped_mvhd + trak
+    )
+    assert parse_video_meta(bad) is None
     # adversarial size fields: size<8 (loop guard) and size=0 (to-EOF)
     junk = _box(b"ftyp", b"mp42") + struct.pack(">I", 3) + b"moov"
     assert parse_video_meta(junk) is None
