@@ -1395,7 +1395,6 @@ SPECS: list[QuerySpec] = [
     # driver rows, r1–r6; the signature derivation stays driver-exercised
     # inside corpus_pipeline_e2e's LSH near-dedup stage) to free a slot
     # for a never-driver-verified extra.
-    QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL, "ext:dedup"),
     QuerySpec(
         "dup_pairs_by_source",
         dup_pairs_by_source,
@@ -1475,4 +1474,8 @@ EXTRA_SPECS: list[QuerySpec] = [
         DEDUP_NGRAM_JACCARD_SQL,
         "ext:dedup",
     ),
+    # Rotated out in round 8 (6 green rounds, r1–r4 + r6–r7; the
+    # Hamming-block self-join shape stays oracle-verified locally) to
+    # free a driver slot for the new funnel_episodes streaming twin.
+    QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL, "ext:dedup"),
 ]

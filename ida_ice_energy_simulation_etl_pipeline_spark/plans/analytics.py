@@ -855,6 +855,131 @@ SELECT 3, 'purchase', (SELECT count(*) FROM p),
 """
 
 
+# --------------------------------------------------------------------------
+# Funnel EPISODES — the batch twin of streaming/funnel.py's emission
+# semantics.  The streaming state machine emits one row per funnel
+# EPISODE: the first view anchors an episode, the funnel finalizes at
+# anchor + 2W, and the next view AFTER that horizon starts a new episode
+# (the ≥2W-resumption rule).  event_funnel's global-first-view report is
+# the min_by(t_view) collapse of these rows; this query surfaces the
+# episode grain itself so the streaming-specific semantics carry a
+# value-hash driver row.
+#
+# Shape: ONE user-grain exchange (groupBy user_id collecting the three
+# sorted per-type timestamp arrays), then everything is in-row: the
+# greedy anchor chain is a higher-order aggregate fold over the sorted
+# view array (anchor_{i+1} = first view > anchor_i + 2W — inherently
+# sequential per user, so the fold runs where the data already is,
+# JVM-side, no extra shuffle and no Python), episodes explode from the
+# anchor array, and each episode's first in-window click/purchase is an
+# array_min over a filtered array.  Per-user state is bounded by that
+# user's event count — the same constraint class as sessionize and the
+# streaming machine's own buffer; nothing scales with the corpus.
+def funnel_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_us("ts").alias("ts_us")
+    )
+    per_type = lambda t: F.sort_array(  # noqa: E731
+        F.collect_list(
+            F.when(F.col("event_type") == t, F.col("ts_us"))
+        )
+    )
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            per_type("view").alias("views"),
+            per_type("click").alias("clicks"),
+            per_type("purchase").alias("purchases"),
+        )
+        .filter(F.size("views") > 0)
+    )
+    anchors = F.aggregate(
+        "views",
+        F.expr("CAST(array() AS array<bigint>)"),
+        lambda acc, v: F.when(
+            (F.size(acc) == 0)
+            | (v > F.element_at(acc, -1) + F.lit(2 * FUNNEL_WINDOW_US)),
+            F.concat(acc, F.array(v)),
+        ).otherwise(acc),
+    )
+    eps = per_user.select(
+        "user_id",
+        "clicks",
+        "purchases",
+        F.posexplode(anchors).alias("ep0", "a"),
+    )
+    in_window = lambda arr, lo: F.array_min(  # noqa: E731
+        F.filter(
+            arr,
+            lambda x: (x > lo) & (x <= lo + F.lit(FUNNEL_WINDOW_US)),
+        )
+    )
+    stepped = eps.withColumn(
+        "t2", in_window(F.col("clicks"), F.col("a"))
+    ).withColumn("t3", in_window(F.col("purchases"), F.col("t2")))
+    return stepped.select(
+        "user_id",
+        (F.col("ep0") + 1).cast("long").alias("episode_no"),
+        F.timestamp_micros("a").alias("t_view"),
+        F.timestamp_micros("t2").alias("t_click"),
+        F.timestamp_micros("t3").alias("t_purchase"),
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .otherwise(1)
+        .cast("long")
+        .alias("step"),
+    )
+
+
+FUNNEL_EPISODES_SQL = f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+),
+anchors(user_id, a) AS (
+  SELECT user_id, min(t) FROM ev WHERE event_type = 'view' GROUP BY user_id
+  UNION ALL
+  SELECT DISTINCT v.user_id, v.t
+  FROM anchors an
+  JOIN ev v
+    ON v.user_id = an.user_id AND v.event_type = 'view'
+   AND v.t > an.a + {2 * FUNNEL_WINDOW_US}
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ev v2
+    WHERE v2.user_id = v.user_id AND v2.event_type = 'view'
+      AND v2.t > an.a + {2 * FUNNEL_WINDOW_US} AND v2.t < v.t
+  )
+),
+ep AS (
+  SELECT user_id, a,
+         row_number() OVER (PARTITION BY user_id ORDER BY a) AS episode_no
+  FROM anchors
+),
+e2 AS (
+  SELECT ep.*,
+         (SELECT min(t) FROM ev c
+          WHERE c.user_id = ep.user_id AND c.event_type = 'click'
+            AND c.t > ep.a AND c.t <= ep.a + {FUNNEL_WINDOW_US}) AS t2
+  FROM ep
+),
+e3 AS (
+  SELECT e2.*,
+         (SELECT min(t) FROM ev p
+          WHERE p.user_id = e2.user_id AND p.event_type = 'purchase'
+            AND p.t > e2.t2 AND p.t <= e2.t2 + {FUNNEL_WINDOW_US}) AS t3
+  FROM e2
+)
+SELECT user_id,
+       CAST(episode_no AS BIGINT) AS episode_no,
+       make_timestamp(a) AS t_view,
+       make_timestamp(t2) AS t_click,
+       make_timestamp(t3) AS t_purchase,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                 WHEN t2 IS NOT NULL THEN 2
+                 ELSE 1 END AS BIGINT) AS step
+FROM e3
+"""
+
+
 # Oracle-verified locally, outside the driver window (operator overlap:
 # ranking window ↔ top_parts_per_brand, rollup ↔ orders/multires rollups).
 # approx_distinct_users lives here BY DESIGN: a sketch can never hash-match
@@ -892,6 +1017,16 @@ SPECS += [
         rolling_anomaly,
         ROLLING_ANOMALY_SQL,
         "ext:anomaly,window",
+    ),
+    # New in round 8 (judge-prescribed): the episode-grain batch twin of
+    # the streaming funnel's ≥2W-resumption emission semantics — the
+    # streaming-specific behavior earns its own value-hash driver row
+    # (slot from dedup_simhash's round-8 demotion in operators/dedup.py).
+    QuerySpec(
+        "funnel_episodes",
+        funnel_episodes,
+        FUNNEL_EPISODES_SQL,
+        "ext:funnel,streaming-twin,episodes",
     ),
 ]
 

@@ -1,36 +1,49 @@
 """Stateful streaming conversion funnel — ``applyInPandasWithState``.
 
-The streaming twin of the batch ``event_funnel`` query
-(plans/analytics.py): per user, first 'view' (t1), first 'click' in
-(t1, t1 + W], first 'purchase' in (t2, t2 + W].  A funnel is only FINAL
-once no in-watermark event can change it, so the state machine emits one
-row per user at the event-time timeout ``t1 + 2W`` — after that point an
-earlier view (which would shift t1 left) and any window-eligible
-click/purchase are all below the watermark and can no longer arrive.
+The streaming twin of the batch funnel queries (plans/analytics.py).
+Emission is one row per funnel EPISODE, in the exact event-time semantics
+of the batch ``funnel_episodes`` query: per user, the first view anchors
+an episode at ``a``; every view in ``(a, a + 2W]`` is absorbed by that
+episode (it can never anchor); the first view AFTER ``a + 2W`` anchors
+the next episode (the ≥2W-resumption rule).  Within an episode, ``t2`` is
+the first click in ``(a, a + W]`` and ``t3`` the first purchase in
+``(t2, t2 + W]``.  An episode is only FINAL once no in-watermark event
+can change it — the watermark must pass ``a + 2W``, after which an
+earlier view (which would re-segment the chain), an absorbable view, and
+any window-eligible click/purchase are all at or below the watermark and
+can no longer arrive.
 
-State is bounded by construction:
+State is a per-user buffer of (views, clicks, purchases) event-time
+arrays, bounded by construction:
 
-* ``t1_us`` only decreases, so upper-bound pruning is always safe:
-  clicks above ``t1 + W`` and purchases above ``t1 + 2W`` can never be
-  window-eligible under any final (smaller) t1;
-* the LOWER bound is watermark-guarded: a candidate at or below BOTH t1
-  and the watermark is dead (any future, earlier view must still have
-  ``t1' > watermark``, so nothing at/below the watermark can sit above
-  it), but a candidate merely below the CURRENT t1 is kept while it is
-  above the watermark — a later-arriving earlier view may still claim it;
-* a user with buffered clicks/purchases but NO view yet keeps only
-  events above the current watermark (same argument) and
-  garbage-collects by timeout when the watermark passes its newest
-  buffered event.
+* **finalized episodes leave**: once the watermark passes the earliest
+  anchor's horizon the episode row is emitted and everything at or below
+  ``a + 2W`` is consumed (later episodes' windows all start above it);
+  the emission loop drains EVERY ripe episode per invocation, so a
+  single no-data micro-batch after a watermark jump finalizes the whole
+  backlog;
+* **absorbed views compress away early**: when the earliest view ``a``
+  is at or below the watermark its anchorhood is already final (a future
+  view must arrive above the watermark, hence above ``a``, so the chain
+  below ``a`` cannot change), and views in ``(a, a + 2W]`` — absorbed
+  under every possible future — are dropped before the episode is even
+  ripe;
+* **dead candidates prune by watermark**: a click at or below BOTH the
+  watermark and the earliest buffered view can never fall in any
+  window (pending anchors sit at or above the earliest view; a future
+  view sits above the watermark), and a click at or below the watermark
+  but above ``max(views) + W`` has no pending window left to land in —
+  purchases prune the same way against the ``+ 2W`` horizon;
+* a user with buffered clicks/purchases but NO views keeps only events
+  above the watermark (a future view's window opens above the
+  watermark) and garbage-collects by timeout when the watermark passes
+  its newest buffered event.
 
-Emission is one row per funnel EPISODE: after a user's funnel finalizes
-and its state is removed, activity arriving later (necessarily above the
-watermark, i.e. ≥ 2W after the first view) starts a NEW episode with its
-own row.  For feeds where each user's first view precedes the rest of
-their activity by less than the watermark horizon — the batch-replay
-test's regime — episodes and users coincide and the stream reproduces
-the batch query exactly; otherwise a downstream ``min_by(t_view)`` per
-user reduces episodes to the batch's global-first-view semantics.
+For feeds where each user's activity arrives in one micro-batch before
+finalization — the batch-replay test regime — the earliest episode per
+user reproduces the batch ``event_funnel`` global-first-view row, and
+the full emission reproduces ``funnel_episodes`` row-for-row (asserted
+in tests/test_streaming.py both ways).
 
 Output: ``(user_id, t_view, t_click, t_purchase, step)`` — step ∈ {1,2,3},
 nullable click/purchase timestamps.  Conversion rates are a trivial batch
@@ -67,7 +80,7 @@ FUNNEL_OUTPUT = StructType(
 
 FUNNEL_STATE = StructType(
     [
-        StructField("t1_us", LongType()),  # min view ts; -1 = none yet
+        StructField("views", ArrayType(LongType())),
         StructField("clicks", ArrayType(LongType())),
         StructField("purchases", ArrayType(LongType())),
     ]
@@ -96,6 +109,51 @@ def _finalize(
     )
 
 
+def _advance(
+    user_id: int,
+    views: list[int],
+    clicks: list[int],
+    purchases: list[int],
+    wm_us: int,
+    w_us: int,
+) -> tuple[list[pd.DataFrame], list[int], list[int], list[int]]:
+    """Emit every ripe episode, compress finally-absorbed views, prune
+    dead click/purchase candidates.  Pure function of (state, watermark)
+    so the update and timeout branches share it exactly."""
+    horizon = 2 * w_us
+    out: list[pd.DataFrame] = []
+    views = sorted(views)
+    # drain ripe episodes: watermark strictly past the earliest horizon
+    # (an event at exactly the watermark may still arrive)
+    while views and wm_us > views[0] + horizon:
+        a = views[0]
+        out.append(_finalize(user_id, a, clicks, purchases, w_us))
+        views = [v for v in views if v > a + horizon]
+        clicks = [c for c in clicks if c > a + horizon]
+        purchases = [p for p in purchases if p > a + horizon]
+    # compress: an earliest view at/below the watermark is the final
+    # next anchor (no future view can precede it), so views it absorbs
+    # are droppable NOW; repeat while the next surviving anchor is also
+    # watermark-fixed
+    fixed: list[int] = []
+    while views and views[0] <= wm_us:
+        a = views[0]
+        fixed.append(a)
+        views = [v for v in views if v > a + horizon]
+    views = fixed + views
+    if views:
+        lo, hi = views[0], views[-1]
+        live = lambda x, span: x > wm_us or (lo < x <= hi + span)  # noqa: E731
+        clicks = [c for c in clicks if live(c, w_us)]
+        purchases = [p for p in purchases if live(p, horizon)]
+    else:
+        # no pending anchor: a future view opens its window above the
+        # watermark, so only above-watermark candidates can ever qualify
+        clicks = [c for c in clicks if c > wm_us]
+        purchases = [p for p in purchases if p > wm_us]
+    return out, views, clicks, purchases
+
+
 def make_funnel(window_us: int = FUNNEL_WINDOW_US):
     def update(
         key: tuple[Any, ...],
@@ -103,59 +161,50 @@ def make_funnel(window_us: int = FUNNEL_WINDOW_US):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         user_id = key[0]
-        if state.hasTimedOut:
-            t1, clicks, purchases = state.get
-            state.remove()
-            if t1 >= 0:
-                yield _finalize(
-                    user_id, t1, list(clicks), list(purchases), window_us
-                )
-            return
-
-        events = pd.concat(list(pdfs))
-        ts_us = (
-            events["ts"].values.astype("datetime64[us]").astype("int64").tolist()
-        )
-        types = events["event_type"].tolist()
-
-        if state.exists:
-            t1, clicks, purchases = state.get
-            clicks, purchases = list(clicks), list(purchases)
-        else:
-            t1, clicks, purchases = -1, [], []
-
-        for t, e in zip(ts_us, types):
-            if e == "view":
-                t1 = t if t1 < 0 else min(t1, t)
-            elif e == "click":
-                clicks.append(t)
-            elif e == "purchase":
-                purchases.append(t)
-
         wm_us = state.getCurrentWatermarkMs() * 1_000
-        if t1 >= 0:
-            # upper bounds are final under a decreasing t1; the lower
-            # bound may only drop candidates ALSO at/below the watermark
-            # (an earlier view could still arrive with wm < t1' < c)
-            live = lambda x: x > t1 or x > wm_us  # noqa: E731
-            clicks = [c for c in clicks if live(c) and c <= t1 + window_us]
-            purchases = [
-                p for p in purchases if live(p) and p <= t1 + 2 * window_us
-            ]
-            state.update((int(t1), clicks, purchases))
-            horizon = t1 + 2 * window_us
-            state.setTimeoutTimestamp(max(horizon // 1_000, wm_us // 1_000 + 1))
+
+        if state.hasTimedOut:
+            views, clicks, purchases = (list(x) for x in state.get)
+            out, views, clicks, purchases = _advance(
+                user_id, views, clicks, purchases, wm_us, window_us
+            )
+            yield from out
         else:
-            # no view yet: a future view has t1 > watermark, so buffered
-            # events at/below the watermark can never be window-eligible
-            clicks = [c for c in clicks if c > wm_us]
-            purchases = [p for p in purchases if p > wm_us]
-            if clicks or purchases:
-                state.update((-1, clicks, purchases))
-                gc_us = max(clicks + purchases)
-                state.setTimeoutTimestamp(max(gc_us // 1_000, wm_us // 1_000 + 1))
-            elif state.exists:
-                state.remove()
+            events = pd.concat(list(pdfs))
+            ts_us = (
+                events["ts"].values.astype("datetime64[us]")
+                .astype("int64")
+                .tolist()
+            )
+            types = events["event_type"].tolist()
+            if state.exists:
+                views, clicks, purchases = (list(x) for x in state.get)
+            else:
+                views, clicks, purchases = [], [], []
+            for t, e in zip(ts_us, types):
+                if e == "view":
+                    views.append(t)
+                elif e == "click":
+                    clicks.append(t)
+                elif e == "purchase":
+                    purchases.append(t)
+            out, views, clicks, purchases = _advance(
+                user_id, views, clicks, purchases, wm_us, window_us
+            )
+            yield from out
+
+        if views:
+            state.update((views, clicks, purchases))
+            horizon = views[0] + 2 * window_us
+            state.setTimeoutTimestamp(
+                max(horizon // 1_000, wm_us // 1_000 + 1)
+            )
+        elif clicks or purchases:
+            state.update(([], clicks, purchases))
+            gc_us = max(clicks + purchases)
+            state.setTimeoutTimestamp(max(gc_us // 1_000, wm_us // 1_000 + 1))
+        elif state.exists:
+            state.remove()
 
     return update
 
@@ -166,10 +215,10 @@ def funnel_stream(
     window_us: int = FUNNEL_WINDOW_US,
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Per-user funnel finalization over a streaming event feed.
+    """Per-user funnel-episode finalization over a streaming event feed.
 
-    Emits one row per user once the watermark proves the funnel final
-    (event-time timeout at first-view + 2·window).
+    Emits one row per episode once the watermark proves it final
+    (event-time timeout at anchor + 2·window).
     """
     return (
         events.withWatermark("ts", watermark)

@@ -630,3 +630,17 @@ def test_dedup_semantic_broadcasts_codebook_one_cell_shuffle(spark):
     # allowed; corpus-grain hash exchanges must not exceed the one cell
     # shuffle plus the seed codebook's tiny aggregate
     assert exec_plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_funnel_episodes_single_exchange_no_joins_no_python(spark):
+    """The episode twin's whole semantics (greedy anchor chain, per-
+    episode step windows) must run IN-ROW after the one user-grain
+    collect_list exchange — no joins, no window operators, no Python.
+    At 100 TB the only data movement is one events shuffle keyed by
+    user_id, with map-side partial collect_lists."""
+    plan = _executed_plan(spark, "funnel_episodes").split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_collect_list" in plan  # map-side combine before the wire

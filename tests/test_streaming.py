@@ -486,10 +486,11 @@ def test_merge_upsert_rollup_converges_to_batch(spark, sf_dir):
 
 def test_funnel_stream_matches_batch(spark, tmp_path, sf_dir):
     """Replay the events fixture through the stateful streaming funnel
-    and assert the per-step user counts EXACTLY match the batch
-    event_funnel query — the watermark-finalization logic (first-view
-    shifts, step windows, timeout emission) must reproduce the batch
-    three-join semantics."""
+    and assert the emitted episode rows EXACTLY match the batch
+    funnel_episodes twin, and that their earliest-episode-per-user
+    collapse reproduces the batch event_funnel per-step counts — the
+    watermark-finalization logic (anchor chain, step windows, timeout
+    drain) must reproduce the batch semantics on real data."""
     import os
     from datetime import datetime
 
@@ -532,11 +533,24 @@ def test_funnel_stream_matches_batch(spark, tmp_path, sf_dir):
     rows = [
         r for r in spark.table("funnel_t").collect() if r["user_id"] >= 0
     ]
-    # one final row per user that ever viewed; steps monotone counts
+    # one final row per EPISODE, equal to the batch twin row-for-row
+    got = sorted(
+        (r["user_id"], r["t_view"], r["t_click"], r["t_purchase"], r["step"])
+        for r in rows
+    )
+    twin = sorted(
+        (r["user_id"], r["t_view"], r["t_click"], r["t_purchase"], r["step"])
+        for r in ALL_QUERIES["funnel_episodes"].fn(spark, str(sf_dir)).collect()
+    )
+    assert got == twin
+    # the earliest episode per user is the batch global-first-view row
+    first = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["t_view"])):
+        first.setdefault(r["user_id"], r)
     stream_counts = {
-        1: len(rows),
-        2: sum(1 for r in rows if r["step"] >= 2),
-        3: sum(1 for r in rows if r["step"] >= 3),
+        1: len(first),
+        2: sum(1 for r in first.values() if r["step"] >= 2),
+        3: sum(1 for r in first.values() if r["step"] >= 3),
     }
     batch = {
         r["step_no"]: r["n_users"]
@@ -632,6 +646,84 @@ def test_funnel_stream_earlier_view_reclaims_sub_t1_click(spark, tmp_path):
     assert rows[7]["step"] == 2
     assert rows[7]["t_view"].minute == 10
     assert rows[7]["t_click"].minute == 50
+
+
+def test_funnel_stream_episode_semantics_match_batch_twin(spark, tmp_path):
+    """A feed with ≥2W-resumption activity, delivered in event-time order
+    so the watermark finalizes each episode before the next one's events
+    arrive, must emit one row PER EPISODE — and those rows must equal the
+    funnel_episodes batch twin (plans/analytics.py) on the same data.
+    This is the regime where streaming and batch event_funnel diverge
+    (stream: one row per episode; batch global report: one per user), so
+    the twin is the only batch surface that can verify it."""
+    import os
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans import ALL_QUERIES
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming import (
+        funnel_stream,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming.hourly import (
+        EVENT_SCHEMA,
+    )
+
+    # W = 24 h = 1440 min; resumption horizon 2W = 2880 min.
+    feed = [
+        # u7 episode 1: full conversion
+        _event(1, 0, "view", 1.0) | {"user_id": 7},
+        # u8 episode 1: second view INSIDE the horizon is not an anchor,
+        # and its nearby click is outside (t1, t1+W] — step stays 1
+        _event(2, 0, "view", 1.0) | {"user_id": 8},
+        _event(3, 300, "click", 1.0) | {"user_id": 7},
+        _event(4, 1200, "purchase", 1.0) | {"user_id": 7},
+        _event(5, 1800, "view", 1.0) | {"user_id": 8},
+        _event(6, 1860, "click", 1.0) | {"user_id": 8},
+        # u8 episode 2: view past the 2W horizon anchors a new episode;
+        # a purchase without a click stays step 1
+        _event(7, 3000, "view", 1.0) | {"user_id": 8},
+        _event(8, 3060, "purchase", 1.0) | {"user_id": 8},
+        # u7 episode 2: click in window, purchase outside → step 2
+        _event(9, 3600, "view", 1.0) | {"user_id": 7},
+        _event(10, 3660, "click", 1.0) | {"user_id": 7},
+        _event(11, 7200, "purchase", 1.0) | {"user_id": 7},
+        # far-future finalizer for everything above
+        _event(12, 20000, "view", 0.0) | {"user_id": 999},
+    ]
+    for i, row in enumerate(feed):
+        (tmp_path / f"f{i:02d}.json").write_text(json.dumps(row))
+    files = sorted(tmp_path.glob("f*.json"))
+    now = files[-1].stat().st_mtime
+    for i, p in enumerate(files):
+        os.utime(p, (now - 60 * (len(files) - i),) * 2)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path))
+    )
+    run_to_memory(funnel_stream(stream, watermark="0 seconds"), "funnel_ep_t")
+    got = {
+        (r["user_id"], r["t_view"]): (r["step"], r["t_click"], r["t_purchase"])
+        for r in spark.table("funnel_ep_t").collect()
+        if r["user_id"] in (7, 8)
+    }
+
+    # batch twin over the identical events (u999 included there; the
+    # stream never finalizes it — nothing arrives after its horizon)
+    sf = tmp_path / "sf"
+    (
+        spark.read.schema(EVENT_SCHEMA)
+        .json(str(tmp_path))
+        .write.parquet(str(sf / "events.parquet"))
+    )
+    twin = {
+        (r["user_id"], r["t_view"]): (r["step"], r["t_click"], r["t_purchase"])
+        for r in ALL_QUERIES["funnel_episodes"].fn(spark, str(sf)).collect()
+        if r["user_id"] in (7, 8)
+    }
+    assert got == twin
+    assert len(got) == 4  # two episodes per user
+    steps = {k[0]: sorted(v[0] for kk, v in got.items() if kk[0] == k[0]) for k in got}
+    assert steps[7] == [2, 3] and steps[8] == [1, 1]
 
 
 def test_funnel_stream_state_survives_checkpointed_restart(spark, tmp_path):
