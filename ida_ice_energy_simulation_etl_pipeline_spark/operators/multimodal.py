@@ -5,20 +5,24 @@ feature extraction, the driver-contract query, and — with no codec
 library at all — image METADATA decode (``parse_image_dims`` reads
 PNG/GIF/BMP/JPEG dimensions+format straight from container headers, the
 curation predicate most multimodal filters actually need) AND baseline
-PNG + first-frame GIF PIXEL decode (``decode_png_pixels`` /
-``encode_png`` / ``decode_gif_pixels``: deflate + scanline unfiltering
-and GIF's LZW are pure stdlib, so ``image_pixel_stats`` does genuine
-pixel-level feature extraction in this container) AND audio /
+PNG + first-frame GIF + baseline-Huffman JPEG PIXEL decode
+(``decode_png_pixels`` / ``encode_png`` / ``decode_gif_pixels`` /
+``decode_jpeg_pixels`` / ``encode_jpeg``: deflate + scanline
+unfiltering, GIF's LZW, and JPEG's Huffman + IDCT are pure
+stdlib+numpy, so ``image_pixel_stats`` does genuine pixel-level feature
+extraction over the three highest-volume corpus formats in this
+container) AND audio /
 video container METADATA + PCM samples (``parse_audio_meta`` /
 ``decode_wav_samples`` for WAV, ``parse_video_meta`` for AVI — the same
 RIFF chunk walk, iterative over AVI's nested LIST headers — and for
 MP4/ISO-BMFF, a length-prefixed box walk over moov → mvhd/trak that
 recovers resolution/frame-count/fps/duration).  Still gated
 or stubbed (clearly): non-PNG pixel decode/resize (real via PIL when
-installed; NotImplementedError here), compressed/non-WAV audio sample
-decode, and video FRAME decode (``frame_sample`` is a deterministic
-fake with the real batch shape; every real video codec needs a decoder
-library).
+installed; NotImplementedError here — for JPEG only the non-baseline
+profiles: progressive, arithmetic, 12-bit), compressed/non-WAV audio
+sample decode, and video FRAME decode (``frame_sample`` is a
+deterministic fake with the real batch shape; every real video codec
+needs a decoder library).
 
 At 100 TB the payload column dominates IO: feature extraction is map-only
 (no shuffle), and `spark.sql.files.maxPartitionBytes` bounds the Arrow
@@ -72,16 +76,19 @@ FEATURE_SCHEMA = StructType(
 
 def decode_image(payload: bytes) -> object:
     """Decode an image payload: PIL.Image when PIL is installed; without
-    PIL, baseline PNGs still decode for real via the pure-stdlib codec
-    (returns an (h, w, ch) uint8 numpy array — see decode_png_pixels);
-    only non-PNG pixel decode is gated on the optional dependency."""
+    PIL, baseline PNG, first-frame GIF and baseline-Huffman JPEG still
+    decode for real via the pure-stdlib codecs (returns an (h, w, ch)
+    uint8 numpy array — see decode_image_pixels); only the remaining
+    profiles (progressive/arithmetic JPEG, 16-bit/palette PNG, WebP,
+    TIFF, ...) are gated on the optional dependency."""
     if not HAS_PIL:
-        px = decode_png_pixels(payload)
+        px = decode_image_pixels(payload)
         if px is not None:
             return px
         raise NotImplementedError(
-            "non-PNG pixel decode requires PIL (not installed); baseline "
-            "PNG decodes via the stdlib codec, other formats are gated"
+            "pixel decode beyond baseline PNG/GIF/JPEG requires PIL (not "
+            "installed); those three decode via the stdlib codecs, other "
+            "formats and non-baseline profiles are gated"
         )
     from io import BytesIO
 
@@ -779,14 +786,583 @@ def decode_gif_pixels(payload: bytes) -> "object | None":
     return None
 
 
+# ---------------------------------------------------------------------------
+# Pure-python baseline JPEG PIXEL codec — the third format with real
+# pixel decode and no imaging library, and the highest-volume one a
+# real curation corpus meets.  Baseline DCT (SOF0) and extended
+# sequential (SOF1) Huffman streams decode fully: DQT/DHT/DRI/SOS
+# parsing, byte-unstuffing, restart-interval segmentation, per-MCU
+# Huffman block decode, dequant + inverse zigzag, matrix IDCT, chroma
+# upsampling and JFIF YCbCr→RGB.  Progressive (SOF2), arithmetic-coded,
+# lossless, hierarchical and 12-bit streams return None — those profiles
+# stay behind the PIL gate (decode_image), exactly like non-baseline
+# PNG profiles.  The bit-serial Huffman walk is Python-speed: fine for
+# the Arrow-batched stats lane at fixture scale; a production cluster
+# swaps in a codec library via the same decode_image seam.
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_dct_basis() -> "object":
+    """Orthonormal 8×8 DCT-II basis A: forward F = A f Aᵀ, inverse
+    f = Aᵀ F A — one matrix shared by encoder and decoder."""
+    import numpy as np
+
+    x = np.arange(8)
+    a = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    a[0] /= np.sqrt(2.0)
+    return a
+
+
+def _huff_decode_table(counts: list[int], symbols: bytes) -> dict:
+    """Canonical JPEG Huffman table → {(n_bits, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for n_bits in range(1, 17):
+        for _ in range(counts[n_bits - 1]):
+            table[(n_bits, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over an UNSTUFFED entropy segment."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            if self.pos >= len(self.data):
+                raise IndexError("bit stream exhausted")
+            v = (v << 1) | ((self.data[self.pos] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for n_bits in range(1, 17):
+            code = (code << 1) | self.read(1)
+            sym = table.get((n_bits, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg_pixels(payload: bytes) -> "object | None":
+    """Decode a baseline/extended-sequential Huffman JPEG to an
+    (h, w, channels) uint8 numpy array — grayscale → 1 channel, YCbCr →
+    3-channel RGB.  Pure stdlib + numpy; None for non-JPEG, non-baseline
+    profiles (progressive, arithmetic, 12-bit, CMYK) or a malformed/
+    truncated stream."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, "object"] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) → decode table
+    frame = None  # (h, w, comps) where comps = [(cid, hs, vs, tq)]
+    restart = 0
+    pos = 2
+    try:
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if marker == 0xD9:  # EOI before any scan
+                return None
+            (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+            body = payload[pos + 4 : pos + 2 + seglen]
+            if len(body) != seglen - 2:
+                return None  # truncated segment
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 15
+                    n = 128 if pq else 64
+                    raw = body[i + 1 : i + 1 + n]
+                    if len(raw) < n:
+                        return None
+                    vals = (
+                        np.frombuffer(raw, dtype=">u2").astype(np.int32)
+                        if pq
+                        else np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
+                    )
+                    tbl = np.zeros(64, dtype=np.int32)
+                    tbl[_JPEG_ZIGZAG] = vals
+                    qt[tq] = tbl.reshape(8, 8)
+                    i += 1 + n
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i + 17 <= len(body):
+                    tc, th = body[i] >> 4, body[i] & 15
+                    counts = list(body[i + 1 : i + 17])
+                    n = sum(counts)
+                    syms = body[i + 17 : i + 17 + n]
+                    if len(syms) < n:
+                        return None
+                    huff[(tc, th)] = _huff_decode_table(counts, syms)
+                    i += 17 + n
+            elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+                prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+                if prec != 8 or nc not in (1, 3) or not h or not w:
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                    comps.append((cid, hv >> 4, hv & 15, tq))
+                frame = (h, w, comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive / arithmetic / lossless gates
+            elif marker == 0xDD:  # DRI
+                (restart,) = struct.unpack(">H", body[:2])
+            elif marker == 0xDA:  # SOS → entropy-coded data follows
+                if frame is None:
+                    return None
+                ns = body[0]
+                scan = []  # (comp_idx, dc_table, ac_table)
+                for s in range(ns):
+                    cs, tables = body[1 + 2 * s], body[2 + 2 * s]
+                    idx = next(
+                        (i for i, c in enumerate(frame[2]) if c[0] == cs),
+                        None,
+                    )
+                    if idx is None:
+                        return None
+                    scan.append((idx, tables >> 4, tables & 15))
+                if len(scan) != len(frame[2]):
+                    return None  # multi-scan file: not baseline
+                data_lo = pos + 2 + seglen
+                return _jpeg_decode_scan(
+                    payload, data_lo, frame, scan, qt, huff, restart
+                )
+            pos += 2 + seglen
+    except (struct.error, IndexError, ValueError):
+        return None
+    return None
+
+
+def _jpeg_decode_scan(
+    payload: bytes,
+    lo: int,
+    frame: tuple,
+    scan: list,
+    qt: dict,
+    huff: dict,
+    restart: int,
+) -> "object | None":
+    import numpy as np
+
+    h, w, comps = frame
+    if len(comps) == 1:
+        # a single-component scan is non-interleaved: one block per MCU
+        # regardless of declared sampling factors
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    try:
+        # find the end of the entropy stream, splitting on restarts and
+        # un-stuffing FF00 as we go
+        segments: list[bytes] = []
+        cur = bytearray()
+        pos = lo
+        while pos < len(payload):
+            b = payload[pos]
+            if b != 0xFF:
+                cur.append(b)
+                pos += 1
+                continue
+            nxt = payload[pos + 1] if pos + 1 < len(payload) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                pos += 2
+            else:
+                break  # real marker (EOI or next header)
+        segments.append(bytes(cur))
+
+        max_h = max(c[1] for c in comps)
+        max_v = max(c[2] for c in comps)
+        if not max_h or not max_v:
+            return None
+        mcus_x = -(-w // (8 * max_h))
+        mcus_y = -(-h // (8 * max_v))
+        planes = [
+            np.zeros((mcus_y * c[2] * 8, mcus_x * c[1] * 8), dtype=np.float64)
+            for c in comps
+        ]
+        basis = _jpeg_dct_basis()
+        dc_pred = [0] * len(comps)
+        seg_i = 0
+        bits = _JpegBits(segments[0])
+        for mcu in range(mcus_x * mcus_y):
+            if restart and mcu and mcu % restart == 0:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    return None
+                bits = _JpegBits(segments[seg_i])
+                dc_pred = [0] * len(comps)
+            my, mx = divmod(mcu, mcus_x)
+            for ci, tdc, tac in scan:
+                _cid, hs, vs, tq = comps[ci]
+                if tq not in qt or (0, tdc) not in huff or (1, tac) not in huff:
+                    return None
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = np.zeros(64, dtype=np.int32)
+                        t = bits.huff(huff[(0, tdc)])
+                        dc_pred[ci] += _jpeg_extend(bits.read(t), t)
+                        zz[0] = dc_pred[ci]
+                        k = 1
+                        while k < 64:
+                            sym = bits.huff(huff[(1, tac)])
+                            run, size = sym >> 4, sym & 15
+                            if size == 0:
+                                if run != 15:
+                                    break  # EOB
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                return None
+                            zz[k] = _jpeg_extend(bits.read(size), size)
+                            k += 1
+                        block = np.zeros(64, dtype=np.int32)
+                        block[_JPEG_ZIGZAG] = zz
+                        coef = block.reshape(8, 8) * qt[tq]
+                        px = basis.T @ coef @ basis + 128.0
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+        out = []
+        for ci, (_cid, hs, vs, _tq) in enumerate(comps):
+            p = planes[ci]
+            if hs != max_h or vs != max_v:
+                p = np.repeat(
+                    np.repeat(p, max_v // vs, axis=0), max_h // hs, axis=1
+                )
+            out.append(p[:h, :w])
+        if len(out) == 1:
+            gray = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+            return gray[:, :, None]
+        y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+        rgb = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=2,
+        )
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    except (IndexError, ValueError, ZeroDivisionError):
+        return None
+
+
+# Annex-K example tables (JPEG spec, public): quantization +
+# Huffman specs the encoder writes into DQT/DHT.  The decoder never
+# assumes them — it reads whatever tables the file carries — so a
+# table typo could only mis-encode, and the round-trip test would
+# catch it against the independent decode path.
+_JPEG_STD_LUM_QT = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_STD_CHR_QT = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+_JPEG_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                list(range(12)))
+_JPEG_DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                list(range(12)))
+_JPEG_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_JPEG_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_encode_table(counts: list[int], symbols: list[int]) -> dict:
+    """Canonical JPEG Huffman table → {symbol: (code, n_bits)}."""
+    table, code, k = {}, 0, 0
+    for n_bits in range(1, 17):
+        for _ in range(counts[n_bits - 1]):
+            table[symbols[k]] = (code, n_bits)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with FF byte-stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, n_bits: int) -> None:
+        for i in range(n_bits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.write(1, 1)  # pad with 1-bits per the spec
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """Value → (category, category-bit pattern) for DC/AC coding."""
+    t, a = 0, abs(v)
+    while a:
+        t += 1
+        a >>= 1
+    return t, (v if v >= 0 else v + (1 << t) - 1)
+
+
+def encode_jpeg(
+    pixels: "object",
+    quality: int = 90,
+    *,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w) / (h, w, 1) grayscale or (h, w, 3) RGB uint8
+    array as a baseline JFIF JPEG — pure stdlib + numpy; the
+    fixture-side twin of :func:`decode_jpeg_pixels` (Annex-K tables,
+    IJG quality scaling, optional 4:2:0 subsampling and restart
+    intervals so every decoder branch has an independent producer)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    if ch not in (1, 3):
+        raise ValueError("encode_jpeg supports 1 or 3 channels")
+    scale = 5000 // max(quality, 1) if quality < 50 else 200 - 2 * min(quality, 100)
+    mk_qt = lambda base: np.clip(  # noqa: E731
+        (np.array(base, dtype=np.int64) * scale + 50) // 100, 1, 255
+    ).astype(np.int32)
+    qts = [mk_qt(_JPEG_STD_LUM_QT)] + ([mk_qt(_JPEG_STD_CHR_QT)] if ch == 3 else [])
+
+    if ch == 3:
+        rgb = px.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        planes = [px[:, :, 0].astype(np.float64)]
+    sampling = [(2, 2), (1, 1), (1, 1)] if (ch == 3 and subsample) else [(1, 1)] * ch
+    if ch == 3 and subsample:
+        for i in (1, 2):
+            p = planes[i]
+            ph, pw = p.shape
+            p = np.pad(p, ((0, ph % 2), (0, pw % 2)), mode="edge")
+            planes[i] = (
+                p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
+            )
+
+    max_h = max(s[0] for s in sampling)
+    max_v = max(s[1] for s in sampling)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    padded = []
+    for i, p in enumerate(planes):
+        th = mcus_y * sampling[i][1] * 8
+        tw = mcus_x * sampling[i][0] * 8
+        padded.append(
+            np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        )
+
+    basis = _jpeg_dct_basis()
+    dc_tabs = [_huff_encode_table(*_JPEG_DC_LUM)]
+    ac_tabs = [_huff_encode_table(*_JPEG_AC_LUM)]
+    if ch == 3:
+        dc_tabs.append(_huff_encode_table(*_JPEG_DC_CHR))
+        ac_tabs.append(_huff_encode_table(*_JPEG_AC_CHR))
+    tsel = [0, 1, 1][:ch]
+
+    chunks: list[bytes] = []
+    wr = _JpegBitWriter()
+    dc_pred = [0] * ch
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            wr.flush()
+            chunks.append(bytes(wr.out))
+            chunks.append(bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)]))
+            wr = _JpegBitWriter()
+            dc_pred = [0] * ch
+        my, mx = divmod(mcu, mcus_x)
+        for ci in range(ch):
+            hs, vs = sampling[ci]
+            t = tsel[ci]
+            for by in range(vs):
+                for bx in range(hs):
+                    y0 = (my * vs + by) * 8
+                    x0 = (mx * hs + bx) * 8
+                    block = padded[ci][y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                    coef = basis @ block @ basis.T
+                    q = np.round(coef / _zz_to_block(qts[t]))
+                    zz = q.astype(np.int64).reshape(64)[_JPEG_ZIGZAG]
+                    diff = int(zz[0]) - dc_pred[ci]
+                    dc_pred[ci] = int(zz[0])
+                    cat, bits_v = _jpeg_magnitude(diff)
+                    code, n = dc_tabs[t][cat]
+                    wr.write(code, n)
+                    if cat:
+                        wr.write(bits_v, cat)
+                    run = 0
+                    last_nz = max(
+                        (k for k in range(1, 64) if zz[k]), default=0
+                    )
+                    for k in range(1, last_nz + 1):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, n = ac_tabs[t][0xF0]
+                            wr.write(code, n)
+                            run -= 16
+                        cat, bits_v = _jpeg_magnitude(v)
+                        code, n = ac_tabs[t][(run << 4) | cat]
+                        wr.write(code, n)
+                        wr.write(bits_v, cat)
+                        run = 0
+                    if last_nz < 63:
+                        code, n = ac_tabs[t][0x00]
+                        wr.write(code, n)
+    wr.flush()
+    chunks.append(bytes(wr.out))
+    entropy = b"".join(chunks)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in enumerate(qts):
+        out += seg(0xDB, bytes([tq]) + bytes(int(v) for v in q))
+    nf = bytes([8]) + struct.pack(">HH", h, w) + bytes([ch])
+    for ci in range(ch):
+        hs, vs = sampling[ci]
+        nf += bytes([ci + 1, (hs << 4) | vs, tsel[ci]])
+    out += seg(0xC0, nf)
+    specs = [(0, 0, _JPEG_DC_LUM), (1, 0, _JPEG_AC_LUM)]
+    if ch == 3:
+        specs += [(0, 1, _JPEG_DC_CHR), (1, 1, _JPEG_AC_CHR)]
+    for tc, th, (counts, syms) in specs:
+        out += seg(
+            0xC4, bytes([(tc << 4) | th]) + bytes(counts) + bytes(syms)
+        )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ch])
+    for ci in range(ch):
+        sos += bytes([ci + 1, (tsel[ci] << 4) | tsel[ci]])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _zz_to_block(qt_zigzag: "object") -> "object":
+    """64-entry zigzag-ordered quant values → natural-order 8×8 block."""
+    import numpy as np
+
+    blk = np.zeros(64, dtype=np.int32)
+    blk[_JPEG_ZIGZAG] = np.asarray(qt_zigzag, dtype=np.int32)
+    return blk.reshape(8, 8)
+
+
 def decode_image_pixels(payload: bytes) -> "object | None":
     """Dependency-free pixel decode for the formats the stdlib can fully
-    express: baseline PNG (deflate + scanline filters) and first-frame
-    GIF (LZW + palette).  JPEG's DCT entropy coding genuinely needs a
-    codec library and stays the PIL-gated remainder."""
+    express: baseline PNG (deflate + scanline filters), first-frame GIF
+    (LZW + palette) and baseline-Huffman JPEG (DQT/DHT walk + IDCT).
+    Progressive/arithmetic JPEG and the other non-baseline profiles stay
+    the PIL-gated remainder."""
     px = decode_png_pixels(payload)
     if px is None:
         px = decode_gif_pixels(payload)
+    if px is None:
+        px = decode_jpeg_pixels(payload)
     return px
 
 

@@ -2188,6 +2188,136 @@ def test_image_pixel_stats_decodes_real_pngs_in_spark(spark):
     assert got[3]["width"] is None and got[3]["mean_px"] is None
 
 
+def test_jpeg_huffman_and_dct_match_spec_vectors():
+    """The canonical-code constructor and the DCT basis are the two
+    pieces the encoder and decoder SHARE, so a mistake there would
+    round-trip cleanly and only fail on external files — pin them to
+    independently-known spec facts instead."""
+    import numpy as np
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        _JPEG_DC_LUM,
+        _JPEG_ZIGZAG,
+        _huff_decode_table,
+        _huff_encode_table,
+        _jpeg_dct_basis,
+    )
+
+    # Annex-K DC-luminance canonical codes (JPEG spec, Table K.3):
+    # category 0 → '00', 1..5 → 3-bit '010'..'110', 6 → '1110',
+    # 7 → '11110', ..., 11 → '111111110'
+    enc = _huff_encode_table(*_JPEG_DC_LUM)
+    assert enc[0] == (0b00, 2)
+    assert enc[1] == (0b010, 3) and enc[5] == (0b110, 3)
+    assert enc[6] == (0b1110, 4)
+    assert enc[11] == (0b111111110, 9)
+    dec = _huff_decode_table(_JPEG_DC_LUM[0], bytes(_JPEG_DC_LUM[1]))
+    assert all(dec[(n, c)] == s for s, (c, n) in enc.items())
+    # zigzag: spec-defined walk starts 0,1,8,16,9,2 and ends ...,55,62,63
+    assert _JPEG_ZIGZAG[:6] == [0, 1, 8, 16, 9, 2]
+    assert _JPEG_ZIGZAG[-3:] == [55, 62, 63]
+    assert sorted(_JPEG_ZIGZAG) == list(range(64))
+    # DCT basis: orthonormal, and a flat block has ONLY a DC coefficient
+    a = _jpeg_dct_basis()
+    assert np.allclose(a @ a.T, np.eye(8), atol=1e-12)
+    coef = a @ np.full((8, 8), 1.0) @ a.T
+    assert np.isclose(coef[0, 0], 8.0) and np.allclose(coef.reshape(-1)[1:], 0.0)
+
+
+def test_jpeg_roundtrip_gray_and_rgb():
+    """encode_jpeg → decode_jpeg_pixels across quality, subsampling and
+    restart-interval variants: dimensions exact, pixel error bounded by
+    the quantization (flat images reconstruct exactly)."""
+    import numpy as np
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    flat = np.full((16, 24), 130, dtype=np.uint8)
+    got = decode_jpeg_pixels(encode_jpeg(flat, quality=90))
+    assert got.shape == (16, 24, 1)
+    assert int(np.abs(got[:, :, 0].astype(int) - 130).max()) == 0
+
+    h, w = 24, 33  # non-multiple-of-8/16 edges exercise the padding
+    y, x = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [(x * 7) % 256, (y * 11) % 256, ((x + y) * 5) % 256], axis=2
+    ).astype(np.uint8)
+    for q, sub, ri, tol in [
+        (95, False, 0, 1.5),
+        (75, True, 0, 6.0),
+        (90, False, 2, 2.0),
+        (85, True, 3, 6.0),
+    ]:
+        dec = decode_jpeg_pixels(
+            encode_jpeg(rgb, quality=q, subsample=sub, restart_interval=ri)
+        )
+        assert dec is not None and dec.shape == (h, w, 3)
+        assert float(np.abs(dec.astype(int) - rgb.astype(int)).mean()) < tol
+
+
+def test_jpeg_decoder_gates_and_truncation():
+    """Non-baseline profiles return None instead of garbage; every
+    truncation point degrades to None, never an exception."""
+    import numpy as np
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    blob = encode_jpeg(px, quality=90)
+    assert decode_jpeg_pixels(blob) is not None
+    # progressive gate: flip SOF0 (FFC0) to SOF2 (FFC2)
+    prog = blob.replace(b"\xff\xc0", b"\xff\xc2")
+    assert decode_jpeg_pixels(prog) is None
+    # arithmetic gate (SOF9)
+    assert decode_jpeg_pixels(blob.replace(b"\xff\xc0", b"\xff\xc9")) is None
+    # 12-bit precision gate: SOF precision byte is right after the length
+    i = blob.index(b"\xff\xc0")
+    twelve = blob[: i + 4] + bytes([12]) + blob[i + 5 :]
+    assert decode_jpeg_pixels(twelve) is None
+    # junk and truncation sweep
+    assert decode_jpeg_pixels(b"") is None
+    assert decode_jpeg_pixels(b"\xff\xd8") is None
+    assert decode_jpeg_pixels(b"GIF89a_not_jpeg") is None
+    for cut in range(2, len(blob), 7):
+        got = decode_jpeg_pixels(blob[:cut])
+        assert got is None or got.shape == (8, 8, 1)
+
+
+def test_image_pixel_stats_decodes_real_jpegs_in_spark(spark):
+    """The pixel-stats lane decodes planted JPEGs for real inside
+    mapInPandas, alongside PNGs — flat payloads come back with exact
+    means (quantization preserves a constant block exactly)."""
+    import numpy as np
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        encode_jpeg,
+        image_pixel_stats,
+    )
+
+    flat = encode_jpeg(np.full((8, 16, 3), 200, dtype=np.uint8), quality=90)
+    gray = encode_jpeg(np.full((5, 7), 64, dtype=np.uint8), quality=90)
+    rows = [
+        (1, "image/jpeg", bytearray(flat), "s"),
+        (2, "image/jpeg", bytearray(gray), "s"),
+        (3, "image/jpeg", bytearray(flat[:40]), "s"),  # truncated → nulls
+    ]
+    media = spark.createDataFrame(
+        rows, "item_id long, media_type string, payload binary, source string"
+    )
+    got = {r["item_id"]: r for r in image_pixel_stats(media).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (16, 8, 3)
+    assert got[1]["mean_px"] == 200.0 and got[1]["std_px"] == 0.0
+    assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (7, 5, 1)
+    assert got[2]["mean_px"] == 64.0
+    assert got[3]["width"] is None and got[3]["mean_px"] is None
+
+
 def _pcm16_wav(n_ch, rate, frames):
     """WAV with REAL 16-bit PCM sample content: frames is a list of
     per-frame tuples of floats in [-1, 1]."""
