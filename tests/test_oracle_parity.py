@@ -114,11 +114,15 @@ ROWS_ONLY_SPECS = [s for s in ALL_QUERIES.values() if s.oracle is None]
 
 @pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)
 def test_oracle_parity(spark, ddb, spec):
-    sdf = spec.fn(spark, SF_DIR)
+    _assert_parity(spark, ddb, spec, SF_DIR)
+
+
+def _assert_parity(spark, con, spec, sf_dir):
+    sdf = spec.fn(spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
 
-    res = ddb.execute(spec.oracle)
+    res = con.execute(spec.oracle)
     dcols = [d[0] for d in res.description]
     drows = [tuple(r) for r in res.fetchall()]
 
@@ -130,7 +134,7 @@ def test_oracle_parity(spark, ddb, spec):
     # so a DuckDB HUGEINT (uncast sum) vs Spark BIGINT hash-mismatches even
     # when every value is equal.  fetchall() hides that (both arrive as
     # Python int), so compare the Arrow schema explicitly.
-    arrow_schema = ddb.execute(spec.oracle).arrow().schema
+    arrow_schema = con.execute(spec.oracle).arrow().schema
     d_types = {f.name: _canon_arrow_type(f.type) for f in arrow_schema}
     s_types = {f.name: _canon_spark_type(f.dataType.simpleString()) for f in sdf.schema}
     type_drift = {
@@ -151,6 +155,40 @@ def test_oracle_parity(spark, ddb, spec):
         if not all(_values_equal(x, y) for x, y in zip(a, b))
     ]
     assert not mismatches, f"{spec.name}: first mismatches {mismatches[:3]}"
+
+
+# Shuffle-heavy text queries re-verified at sf0.1 — one order of magnitude
+# more data than the driver's sf0.01 catches grain bugs that hash-matching
+# can miss at toy scale (a span/shingle/pack boundary that never occurs in
+# 600 documents occurs thousands of times in 60k).  Runtime-budgeted: the
+# four queries cost ~35 s total on this box; opt out for quick local loops
+# with SPARK_GRAFT_SKIP_SF01=1.
+SF01_DIR = os.environ.get("PARITY_SF01_DIR", "/root/testdata/sf0.1")
+SF01_QUERIES = [
+    "span_scrub",
+    "dedup_ngram_jaccard",
+    "corpus_pipeline_e2e",
+    "seq_pack_emit",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb_sf01():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF01_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SF01_QUERIES)
+def test_oracle_parity_sf01(spark, ddb_sf01, name):
+    if os.environ.get("SPARK_GRAFT_SKIP_SF01"):
+        pytest.skip("sf0.1 parity lane disabled via SPARK_GRAFT_SKIP_SF01")
+    _assert_parity(spark, ddb_sf01, ALL_QUERIES[name], SF01_DIR)
 
 
 def test_type_drift_detector_fires_on_uncast_sum(ddb):
