@@ -977,13 +977,30 @@ FROM asg a LEFT JOIN dominated d ON a.vec_id = d.vec_id
 PASSAGE_BLOCK_TOKENS = 8
 
 
-def passage_dedup(docs: DataFrame, block: int = PASSAGE_BLOCK_TOKENS) -> DataFrame:
+def passage_dedup(
+    docs: DataFrame,
+    block: int = PASSAGE_BLOCK_TOKENS,
+    *,
+    rehydrate: bool = False,
+) -> DataFrame:
     """Corpus-wide keep-first dedup of ``block``-token passages.
 
     Returns one row per input document: ``doc_id``, ``n_blocks`` (blocks
     in), ``n_kept`` (blocks surviving), ``text_dedup`` (the re-assembled
     surviving text, '' when everything was dropped).
-    """
+
+    ``rehydrate`` is the wide-text escape hatch (the span_scrub
+    pattern): candidates cross the keep-first shuffle as (doc_id, pos,
+    64-bit hash) only and the text joins back per doc, so corpus text
+    bytes cross ONE exchange instead of two — at the cost of one more
+    narrow exchange and a map-side re-tokenize.  Measured r8 at sf0.1:
+    default 0.50 s / 4 jobs, rehydrate 0.65 s / 5 jobs, identical
+    results — per-stage overhead dominates at bench scale, so the
+    text-carrying form stays the default; flip this on when block text
+    is wide enough that shuffle bytes dominate (the 2× text-byte cut is
+    scale-invariant, the extra-stage cost is not)."""
+    if rehydrate:
+        return _passage_dedup_rehydrate(docs, block)
     toks = F.split(F.col("text"), " ")
     n_blocks = F.ceil(F.size(toks) / F.lit(block)).cast("int")
     blocks = docs.select(
@@ -1013,6 +1030,45 @@ def passage_dedup(docs: DataFrame, block: int = PASSAGE_BLOCK_TOKENS) -> DataFra
                     F.collect_list(F.when(is_first, F.struct("pos", "block")))
                 ),
                 lambda s: s["block"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+
+
+def _passage_dedup_rehydrate(docs: DataFrame, block: int) -> DataFrame:
+    """Hash-ride + join-back form of :func:`passage_dedup` — same
+    results, one text-carrying exchange instead of two (see the
+    ``rehydrate`` docstring for the measured trade)."""
+    toks = F.split(F.col("text"), " ")
+    n_blocks = F.ceil(F.size(toks) / F.lit(block)).cast("int")
+    hashes = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.xxhash64(
+            F.array_join(F.slice(toks, i * block + 1, block), " ")
+        ),
+    )
+    cand = docs.select("doc_id", F.posexplode(hashes).alias("pos", "block_h"))
+    # unordered window min: same keep-first choice as the ordered
+    # row_number without sorting on (doc_id, pos) inside each partition
+    first = F.min(F.struct("doc_id", "pos")).over(Window.partitionBy("block_h"))
+    kept = cand.withColumn("first", first).filter(
+        (F.col("first.doc_id") == F.col("doc_id"))
+        & (F.col("first.pos") == F.col("pos"))
+    )
+    kept_per_doc = kept.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("kept_pos")
+    )
+    out = docs.join(kept_per_doc, "doc_id", "left")
+    kp = F.coalesce(F.col("kept_pos"), F.expr("CAST(array() AS array<int>)"))
+    return out.select(
+        "doc_id",
+        n_blocks.alias("n_blocks"),
+        F.size(kp).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                kp,
+                lambda p: F.array_join(F.slice(toks, p * block + 1, block), " "),
             ),
             " ",
         ).alias("text_dedup"),

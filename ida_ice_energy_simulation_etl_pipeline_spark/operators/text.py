@@ -723,6 +723,15 @@ GROUP BY source
 # through an extra corpus-grain exchange just to enable ReuseExchange.
 # The corpus size N enters via a broadcast one-row aggregate computed on
 # the RAW scan (parquet footer count), not a driver-side collect.
+# Measured r8: folding dfreq into a single tf evaluation via a
+# token-partitioned count window is ~6% faster at sf0.1 (0.56 vs 0.60 s
+# median, same 6 floor jobs — one fewer aggregate evaluation) but swaps
+# the vocab-grain df shuffle + broadcast for TWO corpus-grain exchanges
+# of the full (doc, token) tf relation (token-grain for the df window,
+# doc-grain again for the rank window) — the broadcast_dfreq=False
+# shape.  Shuffle bytes scale with the corpus while the saved recompute
+# is map-side CPU, so the fold inverts at 100×; the current shape
+# stands (SCALE.md §9 r8).
 TFIDF_TOP_K = 3
 
 

@@ -1564,6 +1564,35 @@ def test_passage_dedup_preserves_intra_doc_block_order(spark):
     assert out[1]["n_kept"] == 0
 
 
+def test_passage_dedup_rehydrate_variant_identical(spark):
+    """The hash-ride + join-back escape hatch must produce byte-identical
+    results to the default text-carrying plan — on the crafted corner
+    cases above AND the sf0.001 fixture (5k-block scale exercises real
+    shuffle partitioning on both paths)."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.dedup import (
+        passage_dedup,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans.core import (
+        load_table,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        (0, boiler + " " + " ".join(f"a{i}" for i in range(8))),
+        (1, boiler),
+        (2, ""),
+    ]
+    crafted = spark.createDataFrame(rows, ["doc_id", "text"])
+    fixture = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for docs, block in [(crafted, 8), (fixture, None)]:
+        kwargs = {} if block is None else {"block": block}
+        a = sorted(map(tuple, passage_dedup(docs, **kwargs).collect()))
+        b = sorted(
+            map(tuple, passage_dedup(docs, rehydrate=True, **kwargs).collect())
+        )
+        assert a == b
+
+
 def test_lm_perplexity_ranks_gibberish_above_fluent(spark, tmp_path):
     from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
         lm_perplexity,
