@@ -34,13 +34,11 @@ def test_queries_and_oracles_align():
     # every oracle key must name a query; non-oracle queries are the
     # declared rows-only set
     assert set(o) <= set(q)
-    # r6: table_profile_approx joined the driver window (judge-prescribed
-    # rotation) and is rows-only BY DESIGN — its HLL ndv estimate has no
-    # exact cross-engine twin; the error bound is pinned locally by
-    # test_table_profile_approx_within_hll_tolerance.  Every other driver
-    # query stays oracle-backed.
+    # r8: the rows-only-by-design table_profile_approx left the driver
+    # window (judge-prescribed rotation) so EVERY driver slot is
+    # hash-verifiable — the driver window must stay 100% oracle-backed.
     rows_only = set(q) - set(o)
-    assert rows_only == {"table_profile_approx"}
+    assert rows_only == set()
     assert all(callable(fn) for fn in q.values())
     assert all(isinstance(sql, str) and sql.strip() for sql in o.values())
 
