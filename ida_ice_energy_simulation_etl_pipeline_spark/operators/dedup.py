@@ -1292,6 +1292,174 @@ FROM kept
 
 
 # --------------------------------------------------------------------------
+# Per-source boilerplate scrubbing — the CCNet/RefinedWeb cleaning step
+# span_scrub does NOT cover.
+#
+# span_scrub removes text duplicated anywhere in the corpus (≥ min_occ
+# OCCURRENCES, any document).  Boilerplate is a different phenomenon:
+# navigation headers, footers, and cookie banners repeat across a large
+# FRACTION of one site's pages while being rare corpus-wide, and the
+# published pipelines (CCNet's per-shard paragraph-frequency filter,
+# RefinedWeb/C4's site-level line dedup) therefore gate on per-domain
+# DOCUMENT frequency, not global occurrence count.  Grain here is the
+# stride-1 w-token window (the fixture has no newlines, so token windows
+# stand in for lines): a window is boilerplate within a source when it
+# appears in ≥ min_docs distinct documents of that source AND in
+# ≥ min_frac_pct % of the source's documents; every covered token is
+# scrubbed, survivors re-join (same conservative edge over-trim as
+# span_scrub).
+#
+# Shape: window hashes are map-enumerated in-row; ONE
+# (source, window)-grain shuffle computes document frequency (Spark
+# rewrites the count-distinct as a two-level aggregate with map-side
+# partials); the 20-row per-source doc-count joins in as a broadcast;
+# the surviving boilerplate set is corpus-dependent and unbounded, so
+# marking is an equi-join on (source, window) that AQE upgrades to
+# broadcast only when it turns out tiny.  Marked start positions travel
+# through the per-doc collect and coverage resolves IN-ROW, exactly the
+# span_scrub discipline.  The registry query PLANTS a deterministic
+# source-specific footer on 3/4 of each source's docs (pii_scrub's
+# planting pattern) so the oracle verifies real scrubbing rather than an
+# all-clean corpus.
+BOILER_TOKENS = 4
+BOILER_MIN_DOCS = 3
+BOILER_MIN_FRAC_PCT = 50
+
+
+def boilerplate_scrub_frame(
+    docs: DataFrame,
+    *,
+    span: int = BOILER_TOKENS,
+    min_docs: int = BOILER_MIN_DOCS,
+    min_frac_pct: int = BOILER_MIN_FRAC_PCT,
+) -> DataFrame:
+    """(doc_id, source, n_tokens, n_scrubbed, text_clean) — every token
+    covered by a per-source boilerplate window removed.
+
+    The frequency gate is integer arithmetic (df·100 ≥ pct·n_docs), never
+    a float division, so the cross-engine decision cannot sit on a
+    rounding boundary."""
+    toks = docs.select("doc_id", "source", word_tokens(F.col("text")).alias("w"))
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.posexplode(hashed_word_shingles(F.col("w"), span)).alias("pos", "g"),
+    )
+    ndocs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = grams.groupBy("source", "g").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    boiler = (
+        dfreq.join(F.broadcast(ndocs), "source")
+        .filter(
+            (F.col("df") >= min_docs)
+            & (F.col("df") * 100 >= F.lit(min_frac_pct) * F.col("n_docs"))
+        )
+        .select("source", "g")
+    )
+    starts = (
+        grams.join(boiler, ["source", "g"])
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("starts"))
+    )
+    joined = toks.join(starts, "doc_id", "left").withColumn(
+        "starts", F.coalesce("starts", F.array().cast("array<int>"))
+    )
+    covered = lambda i: F.exists(  # noqa: E731 — shared by both branches
+        F.col("starts"), lambda s: (i >= s) & (i <= s + F.lit(span - 1))
+    )
+    kept_idx = F.filter(
+        F.sequence(F.lit(0), F.size("w") - 1), lambda i: ~covered(i)
+    )
+    return joined.select(
+        "doc_id",
+        "source",
+        F.size("w").cast("long").alias("n_tokens"),
+        (F.size("w") - F.size(kept_idx)).cast("long").alias("n_scrubbed"),
+        F.array_join(
+            F.transform(kept_idx, lambda i: F.element_at("w", i + 1)), " "
+        ).alias("text_clean"),
+    )
+
+
+def _planted_boiler_col() -> Column:
+    """Deterministic boilerplate plant: a source-specific 6-token footer
+    on every doc with doc_id % 4 != 1 (75% of each source), identical
+    arithmetic in the oracle.  Footer-internal windows hit per-source
+    df ≈ 75% of docs (≥ the 50% gate); windows straddling the text/footer
+    boundary include the doc-specific text tail and stay df = 1."""
+    return F.when(
+        F.col("doc_id") % 4 != 1,
+        F.concat(
+            F.col("text"),
+            F.lit(" visit "),
+            F.col("source"),
+            F.lit(" portal for daily updates"),
+        ),
+    ).otherwise(F.col("text"))
+
+
+def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    planted = docs.select(
+        "doc_id", "source", _planted_boiler_col().alias("text")
+    )
+    return boilerplate_scrub_frame(planted)
+
+
+BOILERPLATE_SCRUB_SQL = f"""
+WITH planted AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 4 != 1
+              THEN text || ' visit ' || source || ' portal for daily updates'
+              ELSE text END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM planted),
+grams AS (
+  SELECT doc_id, source, i - 1 AS pos,
+         array_to_string(w[i:i + {BOILER_TOKENS - 1}], ' ') AS g
+  FROM toks, unnest(range(1, len(w) - {BOILER_TOKENS} + 2)) u(i)
+  WHERE len(w) >= {BOILER_TOKENS}
+),
+ndocs AS (SELECT source, count(*) AS n_docs FROM planted GROUP BY source),
+dfreq AS (
+  SELECT source, g, count(DISTINCT doc_id) AS df
+  FROM grams GROUP BY source, g
+),
+boiler AS (
+  SELECT d.source, d.g
+  FROM dfreq d JOIN ndocs n USING (source)
+  WHERE d.df >= {BOILER_MIN_DOCS}
+    AND d.df * 100 >= {BOILER_MIN_FRAC_PCT} * n.n_docs
+),
+starts AS (
+  SELECT doc_id, list(pos) AS starts
+  FROM grams JOIN boiler USING (source, g)
+  GROUP BY doc_id
+),
+joined AS (
+  SELECT t.doc_id, t.source, t.w,
+         coalesce(s.starts, CAST([] AS BIGINT[])) AS starts
+  FROM toks t LEFT JOIN starts s USING (doc_id)
+),
+kept AS (
+  SELECT doc_id, source, w,
+         list_filter(range(0, len(w)),
+                     i -> len(list_filter(starts, s -> i >= s AND i <= s + {BOILER_TOKENS - 1})) = 0)
+           AS kept_idx
+  FROM joined
+)
+SELECT doc_id, source,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(w) - len(kept_idx) AS BIGINT) AS n_scrubbed,
+       coalesce(array_to_string(list_transform(kept_idx, i -> w[i + 1]), ' '), '')
+         AS text_clean
+FROM kept
+"""
+
+
+# --------------------------------------------------------------------------
 # Dedup provenance diagnostics — WHERE does duplication come from?
 #
 # Dedup planning needs the source-pair breakdown (mirror sites duplicate
@@ -1534,4 +1702,13 @@ EXTRA_SPECS: list[QuerySpec] = [
     # Hamming-block self-join shape stays oracle-verified locally) to
     # free a driver slot for the new funnel_episodes streaming twin.
     QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL, "ext:dedup"),
+    # New in round 8: per-source boilerplate removal (CCNet/RefinedWeb
+    # document-frequency gate) — starts in the extra tier per the
+    # rotation policy; natural r9 driver promotion.
+    QuerySpec(
+        "boilerplate_scrub",
+        boilerplate_scrub,
+        BOILERPLATE_SCRUB_SQL,
+        "ext:dedup,cleaning,boilerplate",
+    ),
 ]

@@ -1573,6 +1573,158 @@ GROUP BY source
 
 
 # --------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling", arXiv:2302.03169).
+#
+# data_mix reweights by SOURCE; DSIR selects by CONTENT: estimate two
+# bag-of-hashed-n-gram generative models — one on a trusted TARGET slice,
+# one on the raw pool — and score every document by its log importance
+# weight  Σ_b c_b·(ln p_target(b) − ln p_raw(b))  over hashed-bigram
+# buckets b.  Documents whose features look more target-like than
+# pool-like score positive and are kept (the paper then Gumbel-samples
+# proportional to the weights; the deterministic threshold here is the
+# oracle-reproducible variant — a sampler would compose with
+# weighted_sample's A-ES machinery).  The target slice is the lang='en'
+# partition, standing in for the paper's trusted corpus.
+#
+# Shape: hashed-bigram features are map-enumerated in-row (md5-prefix
+# bucket, the split_col recipe, so the oracle reproduces buckets
+# byte-for-byte); ONE (doc, bucket)-grain aggregate collapses the
+# feature stream map-side; the two models fall out of a SECOND, tiny
+# bucket-grain aggregate over those partials (B = 64 rows — both model
+# estimation passes ride the same exchange, conditional aggregation
+# instead of a target-filtered re-scan); the smoothing totals enter as a
+# broadcast one-row aggregate and the per-bucket log-ratios broadcast
+# back onto the (doc, bucket) partials for the final doc-grain weighted
+# sum.  At 100 TB nothing corpus-grain shuffles except the (doc, bucket)
+# partials (≤ B rows per doc); the model is B rows regardless of corpus
+# size.  In production the target model comes from an offline trusted
+# corpus — that only removes the conditional branch of the model pass.
+DSIR_BUCKETS = 64
+
+
+def dsir_bucket(gram: Column, buckets: int = DSIR_BUCKETS) -> Column:
+    """Hashing-trick feature bucket: md5-prefix of the n-gram string
+    (split_col's recipe — byte-identical in DuckDB), mod ``buckets``."""
+    h = F.conv(F.substring(F.md5(gram.cast("binary")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    return h % buckets
+
+
+def dsir_weights_frame(
+    docs: DataFrame, *, buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """(doc_id, is_target, n_bigrams, log_weight, selected) — add-one-
+    smoothed hashed-bigram importance weights against the lang='en'
+    target slice.  Docs with < 2 tokens have no features and are absent
+    (lm_perplexity's convention)."""
+    toks = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_target"),
+        word_tokens(F.col("text")).alias("w"),
+    )
+    feats = toks.select(
+        "doc_id",
+        "is_target",
+        F.explode(word_shingles(F.col("w"), 2)).alias("g"),
+    ).select("doc_id", "is_target", dsir_bucket(F.col("g")).alias("b"))
+    doc_bucket = feats.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.bool_or("is_target").alias("is_target"),
+    )
+    model = doc_bucket.groupBy("b").agg(
+        F.sum("c").alias("raw_c"),
+        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(0)).alias(
+            "tgt_c"
+        ),
+    )
+    totals = model.agg(
+        F.sum("raw_c").alias("raw_total"), F.sum("tgt_c").alias("tgt_total")
+    )
+    # Explicit double casts on BOTH sides of each division: the oracle
+    # mirrors them, so the log-ratio inputs are bit-identical IEEE
+    # doubles in both engines.
+    lr = F.log(
+        (F.col("tgt_c") + 1).cast("double")
+        / (F.col("tgt_total") + buckets).cast("double")
+    ) - F.log(
+        (F.col("raw_c") + 1).cast("double")
+        / (F.col("raw_total") + buckets).cast("double")
+    )
+    scored = model.crossJoin(F.broadcast(totals)).select("b", lr.alias("lr"))
+    weights = (
+        doc_bucket.join(F.broadcast(scored), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.bool_or("is_target").alias("is_target"),
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("c") * F.col("lr")), 4).alias("log_weight"),
+        )
+    )
+    return weights.select(
+        "doc_id",
+        "is_target",
+        "n_bigrams",
+        "log_weight",
+        (F.col("log_weight") > 0).alias("selected"),
+    )
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    return dsir_weights_frame(docs)
+
+
+DSIR_IMPORTANCE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_target, string_split(text, ' ') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, is_target, array_to_string(w[i:i + 1], ' ') AS g
+  FROM toks, unnest(range(1, len(w))) u(i)
+  WHERE len(w) >= 2
+),
+feats AS (
+  SELECT doc_id, is_target,
+         CAST(('0x' || substr(md5(g), 1, 4)) AS INTEGER) % {DSIR_BUCKETS} AS b
+  FROM grams
+),
+doc_bucket AS (
+  SELECT doc_id, b, count(*) AS c, bool_or(is_target) AS is_target
+  FROM feats GROUP BY doc_id, b
+),
+model AS (
+  SELECT b, sum(c) AS raw_c,
+         sum(CASE WHEN is_target THEN c ELSE 0 END) AS tgt_c
+  FROM doc_bucket GROUP BY b
+),
+totals AS (
+  SELECT sum(raw_c) AS raw_total, sum(tgt_c) AS tgt_total FROM model
+),
+scored AS (
+  SELECT b,
+         ln(CAST(tgt_c + 1 AS DOUBLE) / CAST(tgt_total + {DSIR_BUCKETS} AS DOUBLE))
+         - ln(CAST(raw_c + 1 AS DOUBLE) / CAST(raw_total + {DSIR_BUCKETS} AS DOUBLE))
+           AS lr
+  FROM model CROSS JOIN totals
+),
+weights AS (
+  SELECT d.doc_id,
+         bool_or(d.is_target) AS is_target,
+         CAST(sum(d.c) AS BIGINT) AS n_bigrams,
+         round(sum(d.c * s.lr), 4) AS log_weight
+  FROM doc_bucket d JOIN scored s USING (b)
+  GROUP BY d.doc_id
+)
+SELECT doc_id, is_target, n_bigrams, log_weight,
+       log_weight > 0 AS selected
+FROM weights
+"""
+
+
+# --------------------------------------------------------------------------
 # Bigram-LM perplexity scoring (CCNet-style quality filter).
 #
 # CCNet ranks web documents by the perplexity of a language model trained
@@ -2061,5 +2213,13 @@ EXTRA_SPECS: list[QuerySpec] = [
         text_fingerprint,
         TEXT_FINGERPRINT_SQL,
         "ext:text,cleaning,fingerprint",
+    ),
+    # New in round 8: DSIR-style content-based data selection — starts in
+    # the extra tier per the rotation policy; natural r9 driver promotion.
+    QuerySpec(
+        "dsir_importance",
+        dsir_importance,
+        DSIR_IMPORTANCE_SQL,
+        "ext:selection,sampling,quality",
     ),
 ]

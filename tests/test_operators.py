@@ -2524,3 +2524,73 @@ def test_table_profile_approx_within_hll_tolerance(spark):
         assert abs(a["approx_ndv"] - e["n_distinct"]) <= max(
             0.2 * e["n_distinct"], 2
         )
+
+
+def test_boilerplate_scrub_per_source_gate(spark):
+    """The footer shared by 3 of source A's 4 docs is scrubbed from
+    exactly those docs; the SAME window in source B (1 of 2 docs) stays —
+    the gate is per-source document frequency, not global occurrence."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.dedup import (
+        boilerplate_scrub_frame,
+    )
+
+    rows = [
+        (1, "alpha beta gamma join our newsletter now", "sA"),
+        (2, "delta epsilon join our newsletter now", "sA"),
+        (3, "zeta eta theta iota join our newsletter now", "sA"),
+        (4, "kappa lambda mu nu xi", "sA"),
+        (40, "omicron pi rho join our newsletter now", "sB"),
+        (41, "sigma tau upsilon phi", "sB"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_scrub_frame(
+            docs, span=4, min_docs=3, min_frac_pct=50
+        ).collect()
+    }
+    assert len(out) == 6
+    assert out[1]["text_clean"] == "alpha beta gamma"
+    assert out[2]["text_clean"] == "delta epsilon"
+    assert out[3]["text_clean"] == "zeta eta theta iota"
+    assert all(out[d]["n_scrubbed"] == 4 for d in (1, 2, 3))
+    # below the df gate (doc 4 in A) and below min_docs (source B): intact
+    for d in (4, 40, 41):
+        assert out[d]["n_scrubbed"] == 0
+        assert out[d]["text_clean"] == rows[[1, 2, 3, 4, 40, 41].index(d)][1]
+
+
+def test_dsir_weights_content_based_selection(spark):
+    """Target-style docs score positive, out-of-distribution docs score
+    negative, and the weight is a pure function of CONTENT: a raw-pool
+    doc with target-identical text gets the target doc's exact weight."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        dsir_weights_frame,
+    )
+
+    gibberish = [
+        "qq ww ee rr tt yy",
+        "uu ii oo pp aa ss",
+        "dd ff gg hh jj kk",
+        "ll zz xx cc vv bb",
+        "nn mm q1 w2 e3 r4",
+        "t5 y6 u7 i8 o9 p0",
+    ]
+    rows = (
+        [(i, "the cat sat on the mat", "en") for i in (1, 2, 3)]
+        + [(4, "the cat sat on the mat", "de")]
+        + [(10 + j, g, "de") for j, g in enumerate(gibberish)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r["doc_id"]: r for r in dsir_weights_frame(docs).collect()}
+    assert len(out) == 10
+    for d in (1, 2, 3):
+        assert out[d]["is_target"] and out[d]["selected"]
+        assert out[d]["log_weight"] > 0
+    # content-identical raw doc: same weight, selected, not target
+    assert not out[4]["is_target"]
+    assert out[4]["log_weight"] == out[1]["log_weight"]
+    assert out[4]["selected"]
+    for d in range(10, 16):
+        assert out[d]["log_weight"] < 0 and not out[d]["selected"]
+    assert out[1]["n_bigrams"] == 5
