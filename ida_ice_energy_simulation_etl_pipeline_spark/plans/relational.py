@@ -1092,6 +1092,16 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this exact variant as the oracle-matched reference.  Global
     # aggregates always emit one row, so the "one stats row per column
     # even on an EMPTY table" contract holds with no seed join.
+    # Round-8 negative: folding all four columns into ONE aggregate with
+    # four countDistincts (Catalyst's multi-distinct Expand) + stack()
+    # unpivot was built and measured — floor jobs 9 → 3 but wall +55% at
+    # sf0.1 (best-of-5 ×2 interleaved: 0.70/0.83 s → 1.10/1.33 s,
+    # identical results): Expand multiplies every row ×4 BEFORE the
+    # partial aggregates, so the map side hashes 4× the rows and the one
+    # exchange carries all four columns' distinct partials serially
+    # where the branches overlap their stages.  The same trade holds at
+    # 100 TB (Expand's row inflation scales with the corpus; the saved
+    # stages don't), so the four pruned parallel branches stand.
     li = load_table(spark, sf_dir, "lineitem")
     out = None
     for c in PROFILE_COLUMNS:
