@@ -644,3 +644,29 @@ def test_funnel_episodes_single_exchange_no_joins_no_python(spark):
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_collect_list" in plan  # map-side combine before the wire
+
+
+def test_boilerplate_scrub_no_cartesian_no_python(spark):
+    """The per-source df gate must stay equi-join machinery end-to-end:
+    the 20-row per-source doc-count joins as a broadcast hash join (never
+    nested-loop), the boilerplate mark-back is an equi-join on
+    (source, window), and the coverage resolve is in-row — no Python."""
+    plan = _executed_plan(spark, "boilerplate_scrub")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # document frequency partial-aggregates map-side before the wire
+    assert "partial_count" in plan
+
+
+def test_dsir_importance_broadcast_model_no_python(spark):
+    """DSIR's model must reach the (doc, bucket) partials as a BROADCAST
+    (B = 64 rows regardless of corpus size); the only nested-loop allowed
+    is the 64×1 smoothing-totals merge; scoring is in-row column math —
+    no Python anywhere."""
+    plan = _executed_plan(spark, "dsir_importance").split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # totals merge only
+    assert "BroadcastHashJoin" in plan  # log-ratios onto the partials
+    assert "partial_count" in plan  # feature counts combine map-side
