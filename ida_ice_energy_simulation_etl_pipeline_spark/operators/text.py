@@ -1573,6 +1573,95 @@ GROUP BY source
 
 
 # --------------------------------------------------------------------------
+# Deterministic epoch shuffle — the training-order step between curation
+# and packing.
+#
+# Training runs need every epoch's document order to be (a) uniformly
+# shuffled, (b) exactly reproducible, and (c) assigned a CONTIGUOUS
+# global index 0..n−1 (so shard s of S is `position % S` and a resume
+# at step k is a range predicate).  The naive Spark spelling — a global
+# row_number() over the shuffle key — funnels the whole corpus through
+# ONE reducer; zipWithIndex leaves the DataFrame API and
+# monotonically_increasing_id is non-contiguous.  The scale shape here
+# is the classic two-level index: order by a salted content hash, bucket
+# rows by the hash's leading bytes (value-based, so the bucketing is
+# deterministic — no sampled range boundaries), compute each bucket's
+# global offset from a tiny bucket-count aggregate (cumulative sum over
+# 256 rows, broadcast back), and add the within-bucket rank.  Because
+# the bucket is a PREFIX of the sort key, (bucket, h, doc_id) ordering
+# equals (h, doc_id) ordering and the composed index is exactly the
+# global row_number the oracle computes.  One corpus-grain hash
+# exchange (the bucket shuffle that also serves the rank window); the
+# window's partitions are ~n/256 rows — widen the prefix for more
+# buckets at larger corpora (2 bytes = 65 536).
+EPOCH_SHUFFLE_SALT = "epoch0"
+EPOCH_BUCKET_HEX = 2  # leading hex chars of the hash = 256 buckets
+
+
+def epoch_shuffle_frame(
+    docs: DataFrame,
+    *,
+    salt: str = EPOCH_SHUFFLE_SALT,
+    n_shards: int = 8,
+    bucket_hex: int = EPOCH_BUCKET_HEX,
+) -> DataFrame:
+    """(doc_id, shuffle_key, position, shard) — reproducible uniform
+    training order with a contiguous 0-based global index, no
+    single-partition global sort."""
+    from pyspark.sql import Window
+
+    hashed = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit(salt), F.col("doc_id").cast("string")).cast(
+                "binary"
+            )
+        ).alias("shuffle_key"),
+    ).withColumn("bkt", F.substring("shuffle_key", 1, bucket_hex))
+    counts = hashed.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
+    # 256-row cumulative sum — tiny by construction, the single-partition
+    # window is bounded by the bucket count, never the corpus
+    w_cum = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "bkt", (F.sum("n").over(w_cum) - F.col("n")).alias("offset")
+    )
+    w_rank = Window.partitionBy("bkt").orderBy("shuffle_key", "doc_id")
+    return (
+        hashed.join(F.broadcast(offsets), "bkt")
+        .select(
+            "doc_id",
+            "shuffle_key",
+            (F.col("offset") + F.row_number().over(w_rank) - 1)
+            .cast("long")
+            .alias("position"),
+        )
+        .withColumn("shard", (F.col("position") % n_shards).cast("long"))
+    )
+
+
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    return epoch_shuffle_frame(docs)
+
+
+EPOCH_SHUFFLE_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id,
+         md5('{EPOCH_SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, shuffle_key,
+       CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)
+         AS position,
+       CAST((row_number() OVER (ORDER BY shuffle_key, doc_id) - 1) % 8 AS BIGINT)
+         AS shard
+FROM hashed
+"""
+
+
+# --------------------------------------------------------------------------
 # DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
 # Language Models via Importance Resampling", arXiv:2302.03169).
 #
@@ -2221,5 +2310,14 @@ EXTRA_SPECS: list[QuerySpec] = [
         dsir_importance,
         DSIR_IMPORTANCE_SQL,
         "ext:selection,sampling,quality",
+    ),
+    # New in round 8: reproducible training-order shuffle with a
+    # contiguous global index (two-level bucket+offset rank — no
+    # single-partition global sort).
+    QuerySpec(
+        "epoch_shuffle",
+        epoch_shuffle,
+        EPOCH_SHUFFLE_SQL,
+        "ext:shuffle,ordering,sharding",
     ),
 ]

@@ -2594,3 +2594,25 @@ def test_dsir_weights_content_based_selection(spark):
     for d in range(10, 16):
         assert out[d]["log_weight"] < 0 and not out[d]["selected"]
     assert out[1]["n_bigrams"] == 5
+
+
+def test_epoch_shuffle_contiguous_permutation(spark):
+    """Positions are a contiguous 0..n-1 permutation equal to the global
+    (shuffle_key, doc_id) sort order, shards derive from position, and
+    the whole assignment is invariant under input partitioning."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        epoch_shuffle_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(101)], ["doc_id", "text"]
+    )
+    out = epoch_shuffle_frame(docs, n_shards=4).collect()
+    assert sorted(r["position"] for r in out) == list(range(101))
+    by_key = sorted(out, key=lambda r: (r["shuffle_key"], r["doc_id"]))
+    assert [r["position"] for r in by_key] == list(range(101))
+    assert all(r["shard"] == r["position"] % 4 for r in out)
+    out2 = epoch_shuffle_frame(docs.repartition(7), n_shards=4).collect()
+    assert {(r["doc_id"], r["position"]) for r in out2} == {
+        (r["doc_id"], r["position"]) for r in out
+    }

@@ -670,3 +670,14 @@ def test_dsir_importance_broadcast_model_no_python(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # totals merge only
     assert "BroadcastHashJoin" in plan  # log-ratios onto the partials
     assert "partial_count" in plan  # feature counts combine map-side
+
+
+def test_epoch_shuffle_no_global_sort(spark):
+    """The contiguous index must come from the bucket+offset composition,
+    never a rangepartitioned global sort (one reducer's worth of corpus)
+    — and the offset table joins as a broadcast."""
+    plan = _executed_plan(spark, "epoch_shuffle")
+    assert "Exchange rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
