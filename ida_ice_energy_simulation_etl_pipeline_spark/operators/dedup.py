@@ -1659,11 +1659,16 @@ SPECS: list[QuerySpec] = [
     # verification before (dedup_simhash rotated out with 4 rounds of
     # green driver rows; still oracle-verified locally).
     QuerySpec("dedup_passages", dedup_passages, DEDUP_PASSAGES_SQL, "ext:dedup"),
+    # Round-9 rotation: span_scrub moved to the extra tier (4 rounds of
+    # green driver rows, r5–r8, plus the always-on sf0.1 oracle lane in
+    # tests/test_oracle_parity.py keeps it value-verified on every suite
+    # run) to free a slot for the never-driver-verified boilerplate
+    # scrubber promoted below.
     QuerySpec(
-        "span_scrub",
-        span_scrub,
-        SPAN_SCRUB_SQL,
-        "ext:dedup,spans,surgery",
+        "boilerplate_scrub",
+        boilerplate_scrub,
+        BOILERPLATE_SCRUB_SQL,
+        "ext:dedup,cleaning,boilerplate",
     ),
     QuerySpec(
         "dedup_semantic",
@@ -1702,13 +1707,12 @@ EXTRA_SPECS: list[QuerySpec] = [
     # Hamming-block self-join shape stays oracle-verified locally) to
     # free a driver slot for the new funnel_episodes streaming twin.
     QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL, "ext:dedup"),
-    # New in round 8: per-source boilerplate removal (CCNet/RefinedWeb
-    # document-frequency gate) — starts in the extra tier per the
-    # rotation policy; natural r9 driver promotion.
+    # Rotated out in round 9 (4 green rounds + the always-on sf0.1
+    # oracle lane; see the SPECS comment above).
     QuerySpec(
-        "boilerplate_scrub",
-        boilerplate_scrub,
-        BOILERPLATE_SCRUB_SQL,
-        "ext:dedup,cleaning,boilerplate",
+        "span_scrub",
+        span_scrub,
+        SPAN_SCRUB_SQL,
+        "ext:dedup,spans,surgery",
     ),
 ]

@@ -1278,7 +1278,7 @@ def encode_jpeg(
                     x0 = (mx * hs + bx) * 8
                     block = padded[ci][y0 : y0 + 8, x0 : x0 + 8] - 128.0
                     coef = basis @ block @ basis.T
-                    q = np.round(coef / _zz_to_block(qts[t]))
+                    q = np.round(coef / qts[t].reshape(8, 8))
                     zz = q.astype(np.int64).reshape(64)[_JPEG_ZIGZAG]
                     diff = int(zz[0]) - dc_pred[ci]
                     dc_pred[ci] = int(zz[0])
@@ -1318,7 +1318,9 @@ def encode_jpeg(
     out = bytearray(b"\xff\xd8")
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for tq, q in enumerate(qts):
-        out += seg(0xDB, bytes([tq]) + bytes(int(v) for v in q))
+        # DQT carries zigzag-ordered entries; the base tables are kept in
+        # natural row-major order (spec Table K.1 layout), so reorder here.
+        out += seg(0xDB, bytes([tq]) + bytes(int(v) for v in q[_JPEG_ZIGZAG]))
     nf = bytes([8]) + struct.pack(">HH", h, w) + bytes([ch])
     for ci in range(ch):
         hs, vs = sampling[ci]
@@ -1341,15 +1343,6 @@ def encode_jpeg(
     out += entropy
     out += b"\xff\xd9"
     return bytes(out)
-
-
-def _zz_to_block(qt_zigzag: "object") -> "object":
-    """64-entry zigzag-ordered quant values → natural-order 8×8 block."""
-    import numpy as np
-
-    blk = np.zeros(64, dtype=np.int32)
-    blk[_JPEG_ZIGZAG] = np.asarray(qt_zigzag, dtype=np.int32)
-    return blk.reshape(8, 8)
 
 
 def decode_image_pixels(payload: bytes) -> "object | None":

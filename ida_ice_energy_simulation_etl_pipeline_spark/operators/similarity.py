@@ -1080,12 +1080,11 @@ SPECS += [
     QuerySpec("similarity_pq", similarity_pq, _pq_sql(), "ext:ann,pq"),
     # Round-6 rotation (judge-prescribed): first driver rows for the
     # hyperplane-LSH bucket/multiprobe paths and the recall harness.
-    QuerySpec(
-        "similarity_lsh_buckets",
-        similarity_lsh_buckets,
-        _lsh_buckets_oracle_sql(),
-        "ext:ann",
-    ),
+    # Round-9 rotation: similarity_lsh_buckets moved to the extra tier
+    # (6 rounds of green driver rows, r2–r4 + r6–r8; the hyperplane-LSH
+    # bucketing shape stays driver-exercised by similarity_lsh_probe and
+    # dedup_semantic) to free a slot for a never-driver-verified round-8
+    # operator.
     QuerySpec(
         "similarity_lsh_probe",
         similarity_lsh_probe,
@@ -1116,4 +1115,11 @@ EXTRA_SPECS: list[QuerySpec] = [
     # Rotated out of the driver window in round 7 (6 rounds of green
     # driver rows; see the module SPECS comment).
     QuerySpec("similarity_ivf", similarity_ivf, SIMILARITY_IVF_SQL, "ext:ann"),
+    # Rotated out in round 9 (6 green rounds; see the SPECS comment).
+    QuerySpec(
+        "similarity_lsh_buckets",
+        similarity_lsh_buckets,
+        _lsh_buckets_oracle_sql(),
+        "ext:ann",
+    ),
 ]

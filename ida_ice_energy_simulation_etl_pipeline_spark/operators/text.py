@@ -401,7 +401,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-source report needs one source-grain exchange — the earlier
     # two aggregates + left join shape ran the same arithmetic in three
     # scheduled stages (floor jobs 7 → 5, same hashes).  Sources with
-    # zero hits keep their row via the flag-0 branch, so the coalesce
+    # zero hits keep their row via the flag-1 branch, so the coalesce
     # disappears too.
     flags = train.select("source", F.lit(1).alias("flag")).unionByName(
         contaminated.select("source", F.lit(2).alias("flag"))
@@ -2174,9 +2174,12 @@ FROM z
 # folds cleaning + fingerprinting, split_sample folds split + sampling —
 # every text operator keeps a driver CORRECTNESS row.
 SPECS: list[QuerySpec] = [
-    QuerySpec(
-        "tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_SQL, "ext:text,window"
-    ),
+    # Round-9 rotation: tfidf_top_terms moved to the extra tier (6 rounds
+    # of green driver rows, r3–r8; stays oracle-verified locally and in
+    # the bench set) — its slot plus the span_scrub and
+    # similarity_lsh_buckets slots go to the three never-driver-verified
+    # round-8 operators (boilerplate_scrub in operators/dedup.py plus the
+    # two promoted at the end of this list).
     # Round-7 second rotation wave: split_sample, contamination_check,
     # text_quality, seq_packing, corpus_funnel and pii_scrub demoted
     # (split_sample/text_quality/seq_packing carry SIX rounds of green
@@ -2267,6 +2270,22 @@ SPECS: list[QuerySpec] = [
         PACKING_EFFICIENCY_SQL,
         "ext:packing,evaluation",
     ),
+    # Round-9 rotation (judge-prescribed): first driver rows for the
+    # DSIR importance-resampling selector and the contiguous
+    # epoch-shuffle training-order operator (both new in round 8,
+    # oracle-verified locally at sf0.001+sf0.01 since).
+    QuerySpec(
+        "dsir_importance",
+        dsir_importance,
+        DSIR_IMPORTANCE_SQL,
+        "ext:selection,sampling,quality",
+    ),
+    QuerySpec(
+        "epoch_shuffle",
+        epoch_shuffle,
+        EPOCH_SHUFFLE_SQL,
+        "ext:shuffle,ordering,sharding",
+    ),
 ]
 
 # The standalone halves of the merged driver queries — still
@@ -2303,21 +2322,8 @@ EXTRA_SPECS: list[QuerySpec] = [
         TEXT_FINGERPRINT_SQL,
         "ext:text,cleaning,fingerprint",
     ),
-    # New in round 8: DSIR-style content-based data selection — starts in
-    # the extra tier per the rotation policy; natural r9 driver promotion.
+    # Rotated out in round 9 (6 green rounds; see the SPECS comment).
     QuerySpec(
-        "dsir_importance",
-        dsir_importance,
-        DSIR_IMPORTANCE_SQL,
-        "ext:selection,sampling,quality",
-    ),
-    # New in round 8: reproducible training-order shuffle with a
-    # contiguous global index (two-level bucket+offset rank — no
-    # single-partition global sort).
-    QuerySpec(
-        "epoch_shuffle",
-        epoch_shuffle,
-        EPOCH_SHUFFLE_SQL,
-        "ext:shuffle,ordering,sharding",
+        "tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_SQL, "ext:text,window"
     ),
 ]
