@@ -5,8 +5,12 @@ pretraining-data job actually runs, chained from the operator library:
       → language + quality filter        (map-only predicates)
       → exact dedup                      (one shuffle on content hash)
       → near dedup (MinHash-LSH → connected components → survivors)
+      → optional boilerplate scrub       (per-source df gate, then global passes)
+      → optional passage/span surgery    (C4 blocks / Lee-et-al. spans)
+      → optional ppl / quality / DSIR gates (self-trained models)
       → PII scrub                        (map-only regexp redaction)
       → deterministic split assignment   (content-hash, map-only)
+      → optional epoch shuffle           (contiguous training position + shard)
       → optional sequence packing        (per-shard running-sum window)
       → parquet/JSONL partitioned by split (atomic staged publish)
 
@@ -63,6 +67,13 @@ class CorpusConfig:
     min_tokens: int = FUNNEL_MIN_TOKENS
     min_ttr: float = FUNNEL_MIN_TTR
     near_dedup: bool = True
+    # per-source boilerplate removal (operators/dedup.py::
+    # boilerplate_scrub_frame, the CCNet/RefinedWeb domain-frequency
+    # gate) — runs BEFORE the global passage/span passes: the per-source
+    # criterion fires on footers that are rare corpus-wide, and removing
+    # them first keeps the global passes from wasting span budget on
+    # per-domain chrome
+    boilerplate_scrub: bool = False
     # drop repeated fixed-size token passages corpus-wide (C4-style);
     # docs whose every block is dropped leave the corpus
     passage_dedup: bool = False
@@ -85,6 +96,12 @@ class CorpusConfig:
     # drop docs whose logistic quality-classifier score is below this
     # probability (operators/text.py::quality_logit; map-only predicate)
     min_quality: float | None = None
+    # DSIR content-based selection gate (operators/text.py::
+    # dsir_weights_frame): drop docs whose hashed-bigram log importance
+    # weight against the lang='en' target slice falls below this bound
+    # (0.0 = the paper's keep-if-target-like threshold); docs with < 2
+    # tokens have no features and pass through (length gates own them)
+    min_dsir_weight: float | None = None
     # "label_prop" (diameter rounds — near-dup clusters are small/dense) or
     # "star" (large-star/small-star, O(log n) rounds at any diameter)
     cc_algorithm: str = "label_prop"
@@ -95,6 +112,13 @@ class CorpusConfig:
     chunk_tokens: int | None = None
     embed: bool = False  # append a unit-L2 embedding column (ANN-ready corpus)
     pack_budget: int | None = None  # tokens per training chunk; None = off
+    # reproducible training-order shuffle (operators/text.py::
+    # epoch_shuffle_frame) between split and pack: every row gets a
+    # contiguous 0-based global position + derived shard, and packing
+    # consumes that order (chunks draw docs shard-local in shuffled
+    # order instead of source-local ingest order)
+    epoch_shuffle: bool = False
+    epoch_shards: int = 8
     shuffle_output: bool = False  # pseudo-random global order for training
     # I/O formats — web-scale corpora arrive and ship as JSONL at least
     # as often as parquet ("parquet" | "jsonl" on either side)
@@ -204,8 +228,11 @@ def _near_deduped(docs: DataFrame, cc_algorithm: str = "label_prop") -> DataFram
 
 
 def _packed(docs: DataFrame, budget: int) -> DataFrame:
-    """GPT-style concat-and-chunk per source shard (the seq_packing
-    recipe): chunk_id = floor(tokens-before-this-doc / budget)."""
+    """GPT-style concat-and-chunk (the seq_packing recipe):
+    chunk_id = floor(tokens-before-this-doc / budget).  Default shard
+    key is the ingest source; after the epoch-shuffle stage the rows
+    carry (shard, position) and packing consumes the shuffled training
+    order instead, so chunks draw decorrelated docs."""
     from pyspark.sql import Window
 
     # chunk mode already materialized the exact per-row token count
@@ -214,9 +241,15 @@ def _packed(docs: DataFrame, budget: int) -> DataFrame:
         if "chunk_tokens" in docs.columns
         else F.size(word_tokens(F.col("text"))).cast("long")
     )
-    order = ["doc_id", "chunk_idx"] if "chunk_idx" in docs.columns else ["doc_id"]
+    if "position" in docs.columns:
+        shard_key, order = "shard", ["position"]
+    else:
+        shard_key = "source"
+        order = (
+            ["doc_id", "chunk_idx"] if "chunk_idx" in docs.columns else ["doc_id"]
+        )
     w = (
-        Window.partitionBy("source")
+        Window.partitionBy(shard_key)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -242,6 +275,8 @@ def run_corpus_pipeline(
         raise ValueError(
             f"min_quality must be in (0, 1), got {cfg.min_quality}"
         )
+    if cfg.epoch_shards < 1:
+        raise ValueError(f"epoch_shards must be >= 1, got {cfg.epoch_shards}")
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
 
@@ -250,6 +285,11 @@ def run_corpus_pipeline(
             f"output_format must be 'parquet' or 'jsonl', got {cfg.output_format!r}"
         )
     docs = _read_docs(spark, input_path, cfg)
+    if cfg.min_dsir_weight is not None and "lang" not in docs.columns:
+        raise ValueError(
+            "min_dsir_weight requires a 'lang' column — the DSIR target "
+            "slice is the metadata-labeled lang='en' partition"
+        )
 
     kept = _exact_deduped(_filtered(docs, cfg))
     if cfg.near_dedup:
@@ -262,6 +302,29 @@ def run_corpus_pipeline(
         # etl/pipeline.py staging pattern) so executors can evict.
         kept = kept.localCheckpoint(eager=True)
         kept = _near_deduped(kept, cfg.cc_algorithm)
+    if cfg.boilerplate_scrub:
+        # per-source boilerplate removal (operators/dedup.py::
+        # boilerplate_scrub_frame) — deliberately BEFORE the global
+        # passage/span passes: per-source gate first, global second.
+        # Same conventions as span_scrub below: zero-token docs were
+        # never scrubbed and pass through; fully-scrubbed docs leave.
+        from ..operators.dedup import boilerplate_scrub_frame
+
+        scrubbed = boilerplate_scrub_frame(
+            kept.select("doc_id", "source", "text")
+        )
+        kept = kept.drop("text").join(
+            scrubbed.filter(
+                (F.col("n_tokens") == 0)
+                | (F.col("n_scrubbed") < F.col("n_tokens"))
+            ).select("doc_id", F.col("text_clean").alias("text")),
+            "doc_id",
+        )
+        # Re-dedup immediately: docs differing only in their source's
+        # boilerplate converge to one residue, and every downstream
+        # model-training gate (ppl, quality, DSIR) must see the deduped
+        # corpus — the same reasoning as the span_scrub re-dedup below.
+        kept = _exact_deduped(kept.drop("text_hash"))
     if cfg.passage_dedup:
         # keep-first block removal (operators/dedup.py::passage_dedup):
         # replace each doc's text with its surviving blocks; fully-
@@ -333,6 +396,25 @@ def run_corpus_pipeline(
         # own degenerate docs, the classifier only ranks scoreable ones
         z = quality_logit(F.col("text"))
         kept = kept.filter(z.isNull() | (z >= thr))
+    if cfg.min_dsir_weight is not None:
+        # DSIR content-based selection (operators/text.py::
+        # dsir_weights_frame): both bag models are self-trained on the
+        # already-filtered corpus, the same in-pipeline convention as
+        # the ppl gate — a production build broadcasts an offline
+        # target model instead.  LEFT join + null-pass: a doc with < 2
+        # tokens has no bigram features and no weight row; undefined
+        # weight passes through (the length gates own short docs).
+        from ..operators.text import dsir_weights_frame
+
+        w = dsir_weights_frame(kept.select("doc_id", "lang", "text"))
+        kept = (
+            kept.join(w.select("doc_id", "log_weight"), "doc_id", "left")
+            .filter(
+                F.col("log_weight").isNull()
+                | (F.col("log_weight") >= cfg.min_dsir_weight)
+            )
+            .drop("log_weight")
+        )
     if cfg.scrub:
         kept = (
             scrub_pii(kept)
@@ -399,6 +481,25 @@ def run_corpus_pipeline(
             how="left_anti",
         )
     kept = kept.withColumn("split", split_col(F.col("doc_id")))
+    if cfg.epoch_shuffle:
+        # Training-order assignment between split and pack (operators/
+        # text.py::epoch_shuffle_frame): contiguous 0-based global
+        # position from a salted-hash two-level rank (256-row offset
+        # broadcast, never a single-partition global sort) + derived
+        # shard.  In chunk mode the row identity is (doc_id, chunk_idx),
+        # so the shuffle runs at chunk grain — duplicate doc_ids would
+        # make the within-bucket rank non-deterministic.
+        from ..operators.text import epoch_shuffle_frame
+
+        ident = (
+            F.xxhash64("doc_id", "chunk_idx")
+            if cfg.chunk_tokens
+            else F.col("doc_id")
+        )
+        order = epoch_shuffle_frame(
+            kept.select(ident.alias("doc_id")), n_shards=cfg.epoch_shards
+        ).select(F.col("doc_id").alias("__sid"), "position", "shard")
+        kept = kept.join(order, ident == F.col("__sid")).drop("__sid")
     if cfg.pack_budget:
         kept = _packed(kept, cfg.pack_budget)
     if cfg.shuffle_output:
@@ -409,21 +510,32 @@ def run_corpus_pipeline(
         # md5(doc_id) — file k holds hash range k, so any reader
         # streaming file 0..N sees a reproducible shuffled corpus.  One
         # range exchange at write time; readers pay nothing.
-        kept = (
-            kept.withColumn(
-                "shuffle_key", F.md5(F.col("doc_id").cast("string").cast("binary"))
+        if cfg.epoch_shuffle:
+            # the epoch-shuffle stage already assigned a contiguous
+            # pseudo-random global position — land the files in that
+            # order so a reader streaming file 0..N replays the exact
+            # training order
+            kept = kept.repartitionByRange("position").sortWithinPartitions(
+                "position"
             )
-            .repartitionByRange("shuffle_key")
-            .sortWithinPartitions(
-                # chunk rows share their doc's shuffle_key — chunk_idx
-                # breaks the tie so the shuffled order stays reproducible
-                *(
-                    ["shuffle_key", "chunk_idx"]
-                    if cfg.chunk_tokens
-                    else ["shuffle_key"]
+        else:
+            kept = (
+                kept.withColumn(
+                    "shuffle_key",
+                    F.md5(F.col("doc_id").cast("string").cast("binary")),
+                )
+                .repartitionByRange("shuffle_key")
+                .sortWithinPartitions(
+                    # chunk rows share their doc's shuffle_key — chunk_idx
+                    # breaks the tie so the shuffled order stays
+                    # reproducible
+                    *(
+                        ["shuffle_key", "chunk_idx"]
+                        if cfg.chunk_tokens
+                        else ["shuffle_key"]
+                    )
                 )
             )
-        )
 
     # Staged publish: nothing appears at the final path unless the gate
     # passes (same contract as etl/pipeline.py).
@@ -514,6 +626,7 @@ def run_corpus_pipeline(
             "min_tokens": cfg.min_tokens,
             "min_ttr": cfg.min_ttr,
             "near_dedup": cfg.near_dedup,
+            "boilerplate_scrub": cfg.boilerplate_scrub,
             "passage_dedup": cfg.passage_dedup,
             "span_scrub": cfg.span_scrub,
             "semantic_dedup": cfg.semantic_dedup,
@@ -521,10 +634,13 @@ def run_corpus_pipeline(
             "semantic_tau": cfg.semantic_tau,
             "max_ppl": cfg.max_ppl,
             "min_quality": cfg.min_quality,
+            "min_dsir_weight": cfg.min_dsir_weight,
             "scrub": cfg.scrub,
             "embed": cfg.embed,
             "chunk_tokens": cfg.chunk_tokens,
             "pack_budget": cfg.pack_budget,
+            "epoch_shuffle": cfg.epoch_shuffle,
+            "epoch_shards": cfg.epoch_shards,
             "shuffle_output": cfg.shuffle_output,
             "input_format": cfg.input_format,
             "output_format": cfg.output_format,
@@ -568,6 +684,12 @@ def main(argv: list[str] | None = None) -> int:
         help="drop repeated fixed-size token passages corpus-wide (C4-style)",
     )
     ap.add_argument(
+        "--boilerplate-scrub",
+        action="store_true",
+        help="per-source boilerplate removal (domain document-frequency "
+        "gate; runs before the global passage/span passes)",
+    )
+    ap.add_argument(
         "--span-scrub",
         action="store_true",
         help="excise corpus-duplicated stride-1 token spans (alignment-"
@@ -606,6 +728,14 @@ def main(argv: list[str] | None = None) -> int:
         help="drop docs whose quality-classifier score falls below this "
         "probability in (0, 1)",
     )
+    ap.add_argument(
+        "--min-dsir-weight",
+        type=float,
+        default=None,
+        help="DSIR selection gate: drop docs whose hashed-bigram log "
+        "importance weight against the lang='en' target slice falls "
+        "below this (0.0 = keep-if-target-like)",
+    )
     ap.add_argument("--no-scrub", action="store_true")
     ap.add_argument(
         "--embed",
@@ -619,6 +749,18 @@ def main(argv: list[str] | None = None) -> int:
         help="RAG mode: explode docs into overlapping token-window chunks",
     )
     ap.add_argument("--pack-budget", type=int, default=None)
+    ap.add_argument(
+        "--epoch-shuffle",
+        action="store_true",
+        help="assign a contiguous pseudo-random training position + shard "
+        "between split and pack; packing consumes the shuffled order",
+    )
+    ap.add_argument(
+        "--epoch-shards",
+        type=int,
+        default=8,
+        help="shard count for --epoch-shuffle (shard = position mod N)",
+    )
     ap.add_argument(
         "--shuffle-output",
         action="store_true",
@@ -645,6 +787,7 @@ def main(argv: list[str] | None = None) -> int:
         min_ttr=args.min_ttr,
         near_dedup=not args.no_near_dedup,
         cc_algorithm=args.cc_algorithm,
+        boilerplate_scrub=args.boilerplate_scrub,
         passage_dedup=args.passage_dedup,
         span_scrub=args.span_scrub,
         semantic_dedup=args.semantic_dedup,
@@ -652,10 +795,13 @@ def main(argv: list[str] | None = None) -> int:
         semantic_tau=args.semantic_tau,
         max_ppl=args.max_ppl,
         min_quality=args.min_quality,
+        min_dsir_weight=args.min_dsir_weight,
         scrub=not args.no_scrub,
         chunk_tokens=args.chunk_tokens,
         embed=args.embed,
         pack_budget=args.pack_budget,
+        epoch_shuffle=args.epoch_shuffle,
+        epoch_shards=args.epoch_shards,
         shuffle_output=args.shuffle_output,
         input_format=args.input_format,
         output_format=args.output_format,
