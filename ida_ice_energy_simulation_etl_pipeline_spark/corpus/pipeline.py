@@ -995,6 +995,232 @@ GROUP BY split
 """
 
 
+# --------------------------------------------------------------------------
+# Driver-visible CURATION composition query: the round-8 operators as the
+# stage chain run_corpus_pipeline now composes them — planted per-source
+# boilerplate → boilerplate scrub → exact re-dedup → DSIR selection gate
+# → epoch shuffle → sequence packing — so the COMPOSITION of the new
+# stages earns an independent driver CORRECTNESS row, not just its
+# pieces.  Boilerplate is PLANTED (operators/dedup.py::
+# _planted_boiler_col, the same arithmetic the standalone query uses)
+# because the synthetic fixture has no per-source chrome; every
+# downstream stage then does real work on the scrubbed residues.
+CURATION_PACK_BUDGET = 64
+CURATION_SHARDS = 8
+
+
+def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import _planted_boiler_col, boilerplate_scrub_frame
+    from ..operators.text import dsir_weights_frame, epoch_shuffle_frame
+    from ..plans.core import ensure_parallelism, load_table
+
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    planted = docs.select(
+        "doc_id", "source", _planted_boiler_col().alias("text")
+    )
+    scrubbed = boilerplate_scrub_frame(planted)
+    # survivors rejoin their lang label for the DSIR target slice (the
+    # scrub frame's contract carries only the scrub accounting columns)
+    survivors = (
+        scrubbed.filter(
+            (F.col("n_tokens") == 0)
+            | (F.col("n_scrubbed") < F.col("n_tokens"))
+        )
+        .select("doc_id", F.col("text_clean").alias("text"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    # exact re-dedup on the scrubbed residue (pipeline convention: docs
+    # differing only in boilerplate converge; min-doc_id survivor)
+    w_dd = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy(
+        "doc_id"
+    )
+    ex = (
+        survivors.withColumn("__rn", F.row_number().over(w_dd))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # DSIR selection: keep target-like docs (log_weight > 0, the frame's
+    # `selected` convention); featureless < 2-token docs null-pass
+    weights = dsir_weights_frame(ex.select("doc_id", "lang", "text"))
+    sel = ex.join(
+        weights.select("doc_id", "log_weight"), "doc_id", "left"
+    ).filter(F.col("log_weight").isNull() | (F.col("log_weight") > 0))
+    # epoch shuffle → contiguous training order; packing rides it
+    order = epoch_shuffle_frame(
+        sel.select("doc_id"), n_shards=CURATION_SHARDS
+    )
+    toked = sel.join(
+        order.select("doc_id", "position", "shard"), "doc_id"
+    ).select(
+        "position",
+        "shard",
+        F.size(word_tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    w_pack = (
+        Window.partitionBy("shard")
+        .orderBy("position")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toked.withColumn(
+        "chunk_id",
+        F.floor(
+            (F.sum("n_tok").over(w_pack) - F.col("n_tok"))
+            / CURATION_PACK_BUDGET
+        ).cast("long"),
+    )
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.countDistinct("chunk_id").cast("long").alias("n_chunks"),
+        F.min("position").alias("first_pos"),
+        F.max("position").alias("last_pos"),
+    )
+
+
+def _curation_e2e_sql() -> str:
+    """DuckDB oracle for corpus_curation_e2e — the new-stage chain
+    restated from the same fragments the per-stage oracles use (the
+    boilerplate window/df CTEs, the DSIR hashed-bigram model, the
+    salted-md5 epoch order, the running-sum pack arithmetic)."""
+    from ..operators.dedup import (
+        BOILER_MIN_DOCS,
+        BOILER_MIN_FRAC_PCT,
+        BOILER_TOKENS,
+    )
+    from ..operators.text import DSIR_BUCKETS, EPOCH_SHUFFLE_SALT
+
+    return f"""
+WITH planted AS (
+  SELECT doc_id, source, lang,
+         CASE WHEN doc_id % 4 != 1
+              THEN text || ' visit ' || source || ' portal for daily updates'
+              ELSE text END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, source, lang, string_split(text, ' ') AS w FROM planted),
+grams AS (
+  SELECT doc_id, source, i - 1 AS pos,
+         array_to_string(w[i:i + {BOILER_TOKENS - 1}], ' ') AS g
+  FROM toks, unnest(range(1, len(w) - {BOILER_TOKENS} + 2)) u(i)
+  WHERE len(w) >= {BOILER_TOKENS}
+),
+ndocs AS (SELECT source, count(*) AS n_docs FROM planted GROUP BY source),
+dfreq AS (
+  SELECT source, g, count(DISTINCT doc_id) AS df
+  FROM grams GROUP BY source, g
+),
+boiler AS (
+  SELECT d.source, d.g
+  FROM dfreq d JOIN ndocs n USING (source)
+  WHERE d.df >= {BOILER_MIN_DOCS}
+    AND d.df * 100 >= {BOILER_MIN_FRAC_PCT} * n.n_docs
+),
+starts AS (
+  SELECT doc_id, list(pos) AS starts
+  FROM grams JOIN boiler USING (source, g)
+  GROUP BY doc_id
+),
+joined AS (
+  SELECT t.doc_id, t.lang, t.w,
+         coalesce(s.starts, CAST([] AS BIGINT[])) AS starts
+  FROM toks t LEFT JOIN starts s USING (doc_id)
+),
+residues AS (
+  SELECT doc_id, lang, w,
+         list_filter(range(0, len(w)),
+                     i -> len(list_filter(starts, s -> i >= s AND i <= s + {BOILER_TOKENS - 1})) = 0)
+           AS kept_idx
+  FROM joined
+),
+survivors AS (
+  SELECT doc_id, lang,
+         coalesce(array_to_string(list_transform(kept_idx, i -> w[i + 1]), ' '), '')
+           AS text
+  FROM residues
+  WHERE len(w) = 0 OR len(kept_idx) > 0
+),
+ex AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM survivors
+  ) WHERE rn = 1
+),
+toks2 AS (
+  SELECT doc_id, lang = 'en' AS is_target, string_split(text, ' ') AS w
+  FROM ex
+),
+grams2 AS (
+  SELECT doc_id, is_target, array_to_string(w[i:i + 1], ' ') AS g
+  FROM toks2, unnest(range(1, len(w))) u(i)
+  WHERE len(w) >= 2
+),
+feats AS (
+  SELECT doc_id, is_target,
+         CAST(('0x' || substr(md5(g), 1, 4)) AS INTEGER) % {DSIR_BUCKETS} AS b
+  FROM grams2
+),
+doc_bucket AS (
+  SELECT doc_id, b, count(*) AS c, bool_or(is_target) AS is_target
+  FROM feats GROUP BY doc_id, b
+),
+model AS (
+  SELECT b, sum(c) AS raw_c,
+         sum(CASE WHEN is_target THEN c ELSE 0 END) AS tgt_c
+  FROM doc_bucket GROUP BY b
+),
+totals AS (
+  SELECT sum(raw_c) AS raw_total, sum(tgt_c) AS tgt_total FROM model
+),
+scored AS (
+  SELECT b,
+         ln(CAST(tgt_c + 1 AS DOUBLE) / CAST(tgt_total + {DSIR_BUCKETS} AS DOUBLE))
+         - ln(CAST(raw_c + 1 AS DOUBLE) / CAST(raw_total + {DSIR_BUCKETS} AS DOUBLE))
+           AS lr
+  FROM model CROSS JOIN totals
+),
+weights AS (
+  SELECT doc_id, round(sum(c * lr), 4) AS log_weight
+  FROM doc_bucket JOIN scored USING (b)
+  GROUP BY doc_id
+),
+sel AS (
+  SELECT e.doc_id, e.text
+  FROM ex e LEFT JOIN weights w ON e.doc_id = w.doc_id
+  WHERE w.log_weight IS NULL OR w.log_weight > 0
+),
+ordered AS (
+  SELECT doc_id, text,
+         row_number() OVER (
+           ORDER BY md5('{EPOCH_SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)), doc_id
+         ) - 1 AS position
+  FROM sel
+),
+toked AS (
+  SELECT position, position % {CURATION_SHARDS} AS shard,
+         len(string_split(text, ' ')) AS n_tok
+  FROM ordered
+),
+packed AS (
+  SELECT shard, position, n_tok,
+         (sum(n_tok) OVER (PARTITION BY shard ORDER BY position
+                           ROWS UNBOUNDED PRECEDING) - n_tok)
+           // {CURATION_PACK_BUDGET} AS chunk_id
+  FROM toked
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       count(DISTINCT chunk_id) AS n_chunks,
+       CAST(min(position) AS BIGINT) AS first_pos,
+       CAST(max(position) AS BIGINT) AS last_pos
+FROM packed
+GROUP BY shard
+"""
+
+
 def _specs():
     from ..plans.core import QuerySpec
 
@@ -1004,7 +1230,16 @@ def _specs():
             corpus_pipeline_e2e,
             _corpus_e2e_sql(),
             "ext:corpus,composition,dedup,pii,split",
-        )
+        ),
+        # New in round 9: the round-8 curation operators as ONE chained
+        # stage composition (slot from the event_funnel demotion in
+        # plans/analytics.py).
+        QuerySpec(
+            "corpus_curation_e2e",
+            corpus_curation_e2e,
+            _curation_e2e_sql(),
+            "ext:corpus,composition,boilerplate,dsir,shuffle,packing",
+        ),
     ]
 
 

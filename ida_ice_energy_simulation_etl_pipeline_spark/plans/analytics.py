@@ -989,7 +989,10 @@ FROM e3
 # Promoted into the driver window in round 5 — the ordered-sequence
 # funnel had only local oracle verification before.
 SPECS += [
-    QuerySpec("event_funnel", event_funnel, EVENT_FUNNEL_SQL, "ext:funnel,sequence"),
+    # Round-9 rotation: event_funnel moved to the extra tier (4 rounds
+    # of green driver rows, r5–r8; funnel coverage stays in-window via
+    # funnel_episodes and segmented_funnel) to free a slot for the new
+    # corpus_curation_e2e composition query in corpus/pipeline.py.
     # Round-7 promotions (judge-prescribed, first driver rows): the
     # MERGE-upsert streaming-sink algebra (stream==batch convergence
     # asserted in tests/test_streaming.py), the ntile decile ladder, the
@@ -1031,6 +1034,8 @@ SPECS += [
 ]
 
 EXTRA_SPECS: list[QuerySpec] = [
+    # Rotated out in round 9 (4 green rounds; see the SPECS comment).
+    QuerySpec("event_funnel", event_funnel, EVENT_FUNNEL_SQL, "ext:funnel,sequence"),
     # Rotated out of the driver window in round 8 (7 rounds of green
     # driver rows; see the SPECS comment above).
     QuerySpec(

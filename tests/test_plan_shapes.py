@@ -681,3 +681,17 @@ def test_epoch_shuffle_no_global_sort(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_corpus_curation_e2e_composed_shape(spark):
+    """The chained curation stages must keep their individual shape
+    guarantees when composed: no cartesian beyond DSIR's 64×1
+    smoothing-totals merge, no rangepartitioned global sort for the
+    epoch order, no Python anywhere."""
+    plan = _executed_plan(spark, "corpus_curation_e2e").split(
+        "== Initial Plan =="
+    )[0]
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # DSIR totals merge
+    assert "Exchange rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
