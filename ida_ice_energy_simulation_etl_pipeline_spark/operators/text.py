@@ -809,22 +809,39 @@ FROM ranked WHERE term_rank <= {TFIDF_TOP_K}
 PACK_BUDGET_TOKENS = 256
 
 
-def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def seq_packing_frame(
+    docs: DataFrame,
+    *,
+    budget: int = PACK_BUDGET_TOKENS,
+    token_count: Column | None = None,
+) -> DataFrame:
+    """(source, doc_id, n_tok, chunk_id) — the greedy cumulative pack
+    assignment.  ``token_count`` sets the budget currency: pass
+    ``F.size("token_ids")`` to budget on REAL tokenizer output (a
+    bpe_encode token-id column) instead of the default whitespace
+    proxy — the packer arithmetic is currency-agnostic."""
     from pyspark.sql import Window
 
-    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
-    n_tok = F.size(word_tokens(F.col("text"))).cast("long")
+    n_tok = (
+        token_count
+        if token_count is not None
+        else F.size(word_tokens(F.col("text")))
+    ).cast("long")
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    chunked = docs.select("source", "doc_id", n_tok.alias("n_tok"))
     cum = F.sum("n_tok").over(w)
-    chunked = docs.select("source", "doc_id", n_tok.alias("n_tok")).withColumn(
-        "chunk_id",
-        F.floor((cum - F.col("n_tok")) / F.lit(PACK_BUDGET_TOKENS)),
+    return chunked.withColumn(
+        "chunk_id", F.floor((cum - F.col("n_tok")) / F.lit(budget))
     )
-    return chunked.groupBy("source", "chunk_id").agg(
+
+
+def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    return seq_packing_frame(docs).groupBy("source", "chunk_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("chunk_tokens"),
     )
@@ -2089,6 +2106,195 @@ LIMIT {BPE_TOP_K}
 
 
 # --------------------------------------------------------------------------
+# BPE merge APPLICATION — the missing half of the tokenizer story:
+# bpe_merge_candidates COUNTS merges; this APPLIES a learned, rank-
+# ordered merge table to produce token ids (the encode step every
+# training job runs over the whole corpus).
+#
+# Shape: the merge table is ONE row carrying an array<struct<a,b>> in
+# rank order — broadcast onto the corpus (constant size regardless of
+# corpus size, like DSIR's model).  Application is an IN-ROW fold
+# (F.aggregate over the merge array), so the corpus-grain work is pure
+# whole-stage-codegen column math: no Python, no token-grain shuffle.
+# The greedy left-to-right merge scan itself rides string replace():
+# each word is rendered as '|c1||c2||...|' (every symbol wrapped in its
+# own delimiters) and merging pair (a, b) is replace('|a||b|' → '|ab|')
+# — non-overlapping left-to-right replacement IS the BPE greedy scan,
+# and the double delimiter makes matches symbol-boundary-exact (no
+# false hits on symbols that merely end in `a` or start with `b`).
+# Token ids are positions in the sorted vocab (distinct final symbols —
+# bounded by the alphabet + the merge count, so it broadcasts too) via
+# in-row array_position: the id assignment never shuffles the corpus.
+#
+# Constraint: symbols must not contain the '|' delimiter — byte/char
+# pretokenizers guarantee this for real tokenizers, and the fixture's
+# whitespace words are alphanumeric.
+#
+# The registry query learns its table from ONE counting round (the
+# top-K char pairs, rank = count desc then pair — oracle-reproducible);
+# true iterative BPE training recounts after every merge, which is R
+# sequential corpus passes — a production deployment trains offline and
+# ships the table, which only swaps the table-derivation branch while
+# the broadcast+fold application below is unchanged.  Multi-level
+# tables (merges whose operands are earlier merge OUTPUTS) fold
+# correctly — the crafted test pins (t,h) then (th,e) → 'the'.
+BPE_ENCODE_MERGES = 12
+
+
+def bpe_merge_table(
+    docs: DataFrame, *, n_merges: int = BPE_ENCODE_MERGES
+) -> DataFrame:
+    """ONE-row (merges: array<struct<a,b>>) rank-ordered merge table
+    from one corpus counting round (count desc, pair asc)."""
+    words = docs.select(F.explode(word_tokens(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(n_merges)
+    )
+    # collect_list order is partition-dependent; the struct sort key
+    # (-n, pair) re-derives the rank order deterministically in-row
+    return top.agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (F.col("n") * -1).alias("neg_n"),
+                        F.col("pair").alias("p"),
+                    )
+                )
+            ),
+            lambda m: F.struct(
+                F.substring(m["p"], 1, 1).alias("a"),
+                F.substring(m["p"], 2, 1).alias("b"),
+            ),
+        ).alias("merges")
+    )
+
+
+def bpe_encode_tokens(text: Column, merges: Column) -> Column:
+    """array<string> of BPE tokens for ``text``: greedy rank-ordered
+    merge application as an in-row fold over the (broadcast) merge
+    array."""
+
+    def encode_word(w):
+        wrapped = F.concat(
+            F.lit("|"), F.array_join(F.split(w, ""), "||"), F.lit("|")
+        )
+        folded = F.aggregate(
+            merges,
+            wrapped,
+            lambda acc, m: F.replace(
+                acc,
+                F.concat(
+                    F.lit("|"), m["a"], F.lit("||"), m["b"], F.lit("|")
+                ),
+                F.concat(F.lit("|"), m["a"], m["b"], F.lit("|")),
+            ),
+        )
+        inner = F.regexp_replace(folded, r"^\||\|$", "")
+        return F.split(inner, r"\|\|")
+
+    return F.flatten(F.transform(word_tokens(text), encode_word))
+
+
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    enc = docs.crossJoin(F.broadcast(bpe_merge_table(docs))).select(
+        "doc_id", bpe_encode_tokens(F.col("text"), F.col("merges")).alias("toks")
+    )
+    # vocab: distinct final symbols, sorted — per-doc array_distinct
+    # compacts in-row before the explode, and the partial collect_sets
+    # combine map-side, so the vocab pass moves ~|V| rows per partition
+    vocab_row = enc.select(
+        F.explode(F.array_distinct("toks")).alias("t")
+    ).agg(F.sort_array(F.collect_set("t")).alias("vocab"))
+    # id assignment is in-row against the broadcast vocab: token_id =
+    # 1-based position in the sorted vocab (row_number ORDER BY tok in
+    # the oracle); the checksum columns pin the full id stream
+    return enc.crossJoin(F.broadcast(vocab_row)).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.aggregate(
+            "toks",
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.array_position(F.col("vocab"), t),
+        ).alias("id_sum"),
+        F.array_max(
+            F.transform("toks", lambda t: F.array_position(F.col("vocab"), t))
+        )
+        .cast("long")
+        .alias("id_max"),
+    )
+
+
+BPE_ENCODE_SQL = f"""
+WITH RECURSIVE
+allwords AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+cp AS (
+  SELECT substr(w, i, 2) AS pair
+  FROM allwords, unnest(range(1, len(w))) u(i)
+  WHERE len(w) >= 2
+),
+merges AS (
+  SELECT substr(pair, 1, 1) AS a, substr(pair, 2, 1) AS b,
+         row_number() OVER (ORDER BY n DESC, pair) AS r
+  FROM (
+    SELECT pair, count(*) AS n FROM cp GROUP BY pair
+    ORDER BY n DESC, pair LIMIT {BPE_ENCODE_MERGES}
+  )
+),
+wrapped AS (
+  SELECT doc_id,
+         '|' || array_to_string(
+           list_transform(range(1, len(w) + 1), i -> w[i]), '||') || '|'
+           AS s
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+),
+enc AS (
+  SELECT doc_id, s, 0 AS r FROM wrapped
+  UNION ALL
+  SELECT e.doc_id,
+         replace(e.s, '|' || m.a || '||' || m.b || '|',
+                 '|' || m.a || m.b || '|') AS s,
+         e.r + 1
+  FROM enc e JOIN merges m ON m.r = e.r + 1
+),
+final AS (
+  SELECT doc_id, s FROM enc WHERE r = (SELECT count(*) FROM merges)
+),
+syms AS (
+  SELECT doc_id,
+         unnest(string_split(substr(s, 2, len(s) - 2), '||')) AS tok
+  FROM final
+),
+vocab AS (
+  SELECT tok, row_number() OVER (ORDER BY tok) AS token_id
+  FROM (SELECT DISTINCT tok FROM syms)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(token_id) AS BIGINT) AS id_sum,
+       CAST(max(token_id) AS BIGINT) AS id_max
+FROM syms JOIN vocab USING (tok)
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Linear quality-classifier inference — the fasttext-style "keep/drop"
 # scoring step of a web-corpus pipeline, expressed as pure column math so
 # inference runs inside whole-stage codegen (no model server, no UDF).
@@ -2325,5 +2531,14 @@ EXTRA_SPECS: list[QuerySpec] = [
     # Rotated out in round 9 (6 green rounds; see the SPECS comment).
     QuerySpec(
         "tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_SQL, "ext:text,window"
+    ),
+    # New in round 9: BPE merge-table APPLICATION (broadcast table +
+    # in-row fold → token ids) — starts in the extra tier per the
+    # rotation policy; natural r10 driver promotion.
+    QuerySpec(
+        "bpe_encode",
+        bpe_encode,
+        BPE_ENCODE_SQL,
+        "ext:text,tokenizer,encode",
     ),
 ]

@@ -2616,3 +2616,122 @@ def test_epoch_shuffle_contiguous_permutation(spark):
     assert {(r["doc_id"], r["position"]) for r in out2} == {
         (r["doc_id"], r["position"]) for r in out
     }
+
+
+def test_bpe_encode_multilevel_merge_table(spark):
+    """A merge whose operand is an earlier merge's OUTPUT must fold
+    correctly: (t,h) then (th,e) turns 'the' into ONE token — the
+    property that distinguishes BPE application from single-pass pair
+    replacement."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        bpe_encode_tokens,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(0, "the then lathe"), (1, "he thee")], ["doc_id", "text"]
+    )
+    merges = F.array(
+        F.struct(F.lit("t").alias("a"), F.lit("h").alias("b")),
+        F.struct(F.lit("th").alias("a"), F.lit("e").alias("b")),
+    )
+    out = {
+        r["doc_id"]: r["toks"]
+        for r in docs.select(
+            "doc_id", bpe_encode_tokens(F.col("text"), merges).alias("toks")
+        ).collect()
+    }
+    assert out[0] == ["the", "the", "n", "l", "a", "the"]
+    # 'he' has no 't' — (t,h) never fires, (th,e) operand absent
+    assert out[1] == ["h", "e", "the", "e"]
+
+
+def test_bpe_encode_greedy_left_to_right_overlap(spark):
+    """'aaaa' with merge (a,a) → [aa, aa]; 'aaa' → [aa, a] — the
+    non-overlapping left-to-right scan, not regex lookahead or
+    rescan-after-merge."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        bpe_encode_tokens,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([(0, "aaaa aaa")], ["doc_id", "text"])
+    merges = F.array(F.struct(F.lit("a").alias("a"), F.lit("a").alias("b")))
+    [row] = docs.select(
+        bpe_encode_tokens(F.col("text"), merges).alias("toks")
+    ).collect()
+    assert row["toks"] == ["aa", "aa", "aa", "a"]
+
+
+def test_bpe_encode_rank_order_priority(spark):
+    """Merges apply in RANK order: with table [(b,c), (a,b)] the word
+    'abc' becomes [a, bc] — the higher-priority (b,c) consumes the b
+    before (a,b) can see it."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        bpe_encode_tokens,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([(0, "abc")], ["doc_id", "text"])
+    merges = F.array(
+        F.struct(F.lit("b").alias("a"), F.lit("c").alias("b")),
+        F.struct(F.lit("a").alias("a"), F.lit("b").alias("b")),
+    )
+    [row] = docs.select(
+        bpe_encode_tokens(F.col("text"), merges).alias("toks")
+    ).collect()
+    assert row["toks"] == ["a", "bc"]
+
+
+def test_bpe_merge_table_rank_is_count_then_pair(spark):
+    """The one-round learned table ranks by count desc then pair asc,
+    reproducibly under any partitioning."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        bpe_merge_table,
+    )
+
+    # 'ab' ×3 (aba has ab, ba; abab has ab×2, ba — wait: count exact)
+    docs = spark.createDataFrame(
+        [(0, "abab"), (1, "abx"), (2, "zz zz")], ["doc_id", "text"]
+    ).repartition(4)
+    [row] = bpe_merge_table(docs, n_merges=3).collect()
+    got = [(m["a"], m["b"]) for m in row["merges"]]
+    # pair counts: ab=3 (abab×2, abx), zz=2, ba=1, bx=1 → top3 by
+    # (count desc, pair asc): ab, zz, ba
+    assert got == [("a", "b"), ("z", "z"), ("b", "a")]
+
+
+def test_seq_packing_frame_budgets_on_token_id_column(spark):
+    """The packer consumes REAL tokenizer output when given a token-id
+    column: budget arithmetic runs on size(token_ids), not the
+    whitespace proxy."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        seq_packing_frame,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        # (doc_id, text with 2 whitespace words, token_ids of varying len)
+        (0, "aa bb", list(range(5))),
+        (1, "cc dd", list(range(4))),
+        (2, "ee ff", list(range(3))),
+        (3, "gg hh", list(range(7))),
+    ]
+    docs = spark.createDataFrame(
+        [(d, t, ids, "s0") for d, t, ids in rows],
+        ["doc_id", "text", "token_ids", "source"],
+    )
+    out = {
+        r["doc_id"]: (r["n_tok"], r["chunk_id"])
+        for r in seq_packing_frame(
+            docs, budget=8, token_count=F.size("token_ids")
+        ).collect()
+    }
+    # cumulative-before: 0,5,9,12 → chunks 0,0,1,1 on the ID counts
+    assert out == {0: (5, 0), 1: (4, 0), 2: (3, 1), 3: (7, 1)}
+    # whitespace proxy would have put every doc in chunk 0 (2 tokens each)
+    proxy = {
+        r["doc_id"]: r["chunk_id"]
+        for r in seq_packing_frame(docs, budget=8).collect()
+    }
+    assert set(proxy.values()) == {0}

@@ -695,3 +695,16 @@ def test_corpus_curation_e2e_composed_shape(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # DSIR totals merge
     assert "Exchange rangepartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_encode_broadcast_table_in_row_fold(spark):
+    """BPE application must be in-row column math against broadcast
+    one-row tables (merge table + vocab): no Python, no token-grain
+    shuffle of the corpus — the only exchanges are the tiny pair-count
+    and vocab aggregates; the nested-loop joins are exclusively the
+    1-row broadcast fan-outs."""
+    plan = _executed_plan(spark, "bpe_encode").split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # id assignment never shuffles docs
+    assert plan.count("BroadcastNestedLoopJoin") <= 3
