@@ -76,19 +76,20 @@ FEATURE_SCHEMA = StructType(
 
 def decode_image(payload: bytes) -> object:
     """Decode an image payload: PIL.Image when PIL is installed; without
-    PIL, baseline PNG, first-frame GIF and baseline-Huffman JPEG still
-    decode for real via the pure-stdlib codecs (returns an (h, w, ch)
-    uint8 numpy array — see decode_image_pixels); only the remaining
-    profiles (progressive/arithmetic JPEG, 16-bit/palette PNG, WebP,
-    TIFF, ...) are gated on the optional dependency."""
+    PIL, every spec-legal PNG profile (8/16-bit, palette incl. tRNS
+    alpha, sub-byte gray, Adam7), first-frame GIF and baseline-Huffman
+    JPEG still decode for real via the pure-stdlib codecs (returns an
+    (h, w, ch) uint8 numpy array — see decode_image_pixels); only the
+    remaining profiles (progressive/arithmetic JPEG, WebP, TIFF, ...)
+    are gated on the optional dependency."""
     if not HAS_PIL:
         px = decode_image_pixels(payload)
         if px is not None:
             return px
         raise NotImplementedError(
-            "pixel decode beyond baseline PNG/GIF/JPEG requires PIL (not "
+            "pixel decode beyond PNG/GIF/baseline-JPEG requires PIL (not "
             "installed); those three decode via the stdlib codecs, other "
-            "formats and non-baseline profiles are gated"
+            "formats and non-baseline JPEG profiles are gated"
         )
     from io import BytesIO
 
@@ -532,13 +533,81 @@ def parse_image_dims(payload: bytes) -> tuple[int, int, str] | None:
 # decoding megapixel assets swaps in a codec library via `decoder=`,
 # same as before.
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # colortype -> samples/pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # colortype -> samples/pixel
+# spec-legal bit depths per color type (PNG spec §11.2.2)
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+# Adam7 interlace passes: (x0, y0, dx, dy) — PNG spec §8.2 pass order
+_PNG_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, offset: int, h: int, stride: int, bpp: int):
+    """Undo the per-scanline filters over ``h`` rows of ``stride`` bytes
+    starting at ``offset`` (each row prefixed by its filter byte).
+    ``bpp`` is the filter's left-neighbour distance in BYTES (1 for
+    sub-byte depths, samples×2 for 16-bit).  Returns the (h, stride)
+    uint8 array, or None on truncation / unknown filter."""
+    import numpy as np
+
+    if len(raw) - offset < h * (stride + 1):
+        return None
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        base = offset + y * (stride + 1)
+        ftype = raw[base]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=base + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = row
+        elif ftype == 2:  # Up
+            cur = (row + prev) & 0xFF
+        else:  # Sub / Average / Paeth need the left neighbour: scan
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0  # left
+                b = int(prev[x])  # up
+                if ftype == 1:  # Sub
+                    pred = a
+                elif ftype == 3:  # Average
+                    pred = (a + b) // 2
+                elif ftype == 4:  # Paeth
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                else:
+                    return None
+                cur[x] = (row[x] + pred) & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = out[y]
+    return out
 
 
 def decode_png_pixels(payload: bytes) -> "object | None":
-    """Decode a baseline PNG to an (h, w, channels) uint8 numpy array —
-    pure stdlib (zlib + struct), no PIL.  None for non-PNG or an
-    unsupported profile (16-bit, palette, interlaced, truncated)."""
+    """Decode a PNG to an (h, w, channels) uint8 numpy array — pure
+    stdlib (zlib + struct), no PIL.  Covers every spec-legal profile:
+    gray/RGB/gray+alpha/RGBA at 8 and 16 bit (16-bit samples downscale
+    to their high byte — the standard 16→8 reduction), palette at
+    1/2/4/8 bit (PLTE expansion, tRNS palette alpha → RGBA), sub-byte
+    grayscale (1/2/4 bit, scaled to full range), and Adam7 interlacing
+    for all of the above.  None for non-PNG or malformed payloads; the
+    only un-decoded tRNS form is the color-key variant on non-palette
+    images (the image still decodes, without the alpha key)."""
     import struct
     import zlib
 
@@ -548,6 +617,7 @@ def decode_png_pixels(payload: bytes) -> "object | None":
         return None
     pos, w = len(_PNG_MAGIC), None
     idat = bytearray()
+    plte = trns = None
     try:
         while pos + 8 <= len(payload):
             (length,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -560,58 +630,84 @@ def decode_png_pixels(payload: bytes) -> "object | None":
                     ">IIBBBBB", data
                 )
                 if (
-                    depth != 8
-                    or color not in _PNG_CHANNELS
+                    color not in _PNG_CHANNELS
+                    or depth not in _PNG_DEPTHS[color]
                     or comp != 0
                     or filt != 0
-                    or interlace != 0
+                    or interlace not in (0, 1)
                 ):
                     return None
-                ch = _PNG_CHANNELS[color]
+            elif ctype == b"PLTE":
+                if length % 3:
+                    return None
+                plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            elif ctype == b"tRNS":
+                trns = np.frombuffer(data, dtype=np.uint8)
             elif ctype == b"IDAT":
                 idat += data
             elif ctype == b"IEND":
                 break
             pos += 12 + length  # length + type + data + crc
-        if w is None or not idat:
+        if w is None or not idat or (color == 3 and plte is None):
             return None
         raw = zlib.decompress(bytes(idat))
     except (struct.error, zlib.error):
         return None
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        return None
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        row = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int32)
-        ftype = raw[y * (stride + 1)]
-        if ftype == 0:  # None
-            cur = row
-        elif ftype == 2:  # Up
-            cur = (row + prev) & 0xFF
-        else:  # Sub / Average / Paeth need the left neighbour: scan
-            cur = np.empty(stride, dtype=np.int32)
-            for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0  # left
-                b = int(prev[x])  # up
-                if ftype == 1:  # Sub
-                    pred = a
-                elif ftype == 3:  # Average
-                    pred = (a + b) // 2
-                elif ftype == 4:  # Paeth
-                    c = int(prev[x - ch]) if x >= ch else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                else:
-                    return None
-                cur[x] = (row[x] + pred) & 0xFF
-        out[y] = cur.astype(np.uint8)
-        prev = out[y]
-    return out.reshape(h, w, ch)
+
+    samples = _PNG_CHANNELS[color]
+    bpp = max(1, samples * depth // 8)
+
+    def to_samples(flat: "object", ph: int, pw: int) -> "object":
+        """(ph, stride) filtered-out bytes → (ph, pw, samples) uint8."""
+        if depth == 8:
+            return flat.reshape(ph, pw, samples)
+        if depth == 16:
+            # big-endian sample pairs; keep the high byte (16→8)
+            return flat.reshape(ph, pw, samples, 2)[:, :, :, 0]
+        bits = np.unpackbits(flat, axis=1)[:, : pw * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        vals = (bits.reshape(ph, pw, depth) * weights).sum(axis=2)
+        return vals.astype(np.uint8)[:, :, None]
+
+    def pass_stride(pw: int) -> int:
+        return (pw * samples * depth + 7) // 8
+
+    if interlace == 0:
+        flat = _png_unfilter(raw, 0, h, pass_stride(w), bpp)
+        if flat is None or len(raw) != h * (pass_stride(w) + 1):
+            return None
+        img = to_samples(flat, h, w)
+    else:  # Adam7: seven sub-images, each filtered independently
+        img = np.zeros((h, w, samples), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            flat = _png_unfilter(raw, offset, ph, pass_stride(pw), bpp)
+            if flat is None:
+                return None
+            offset += ph * (pass_stride(pw) + 1)
+            img[y0::dy, x0::dx] = to_samples(flat, ph, pw)
+        if offset != len(raw):
+            return None
+
+    if color == 3:  # palette expansion (+ optional palette alpha)
+        idx = img[:, :, 0]
+        if idx.max(initial=0) >= len(plte):
+            return None
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: min(len(trns), len(plte))] = trns[: len(plte)]
+            return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+        return rgb
+    if depth < 8:  # sub-byte grayscale: scale to full 0..255 range
+        return (img.astype(np.int32) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
+    return img
 
 
 def encode_png(pixels: "object") -> bytes:
@@ -1347,10 +1443,11 @@ def encode_jpeg(
 
 def decode_image_pixels(payload: bytes) -> "object | None":
     """Dependency-free pixel decode for the formats the stdlib can fully
-    express: baseline PNG (deflate + scanline filters), first-frame GIF
-    (LZW + palette) and baseline-Huffman JPEG (DQT/DHT walk + IDCT).
-    Progressive/arithmetic JPEG and the other non-baseline profiles stay
-    the PIL-gated remainder."""
+    express: PNG at every spec-legal profile (deflate + scanline
+    filters; 8/16-bit, palette incl. tRNS alpha, sub-byte gray, Adam7),
+    first-frame GIF (LZW + palette) and baseline-Huffman JPEG (DQT/DHT
+    walk + IDCT).  Progressive/arithmetic JPEG and the other
+    non-stdlib-expressible formats stay the PIL-gated remainder."""
     px = decode_png_pixels(payload)
     if px is None:
         px = decode_gif_pixels(payload)

@@ -2183,7 +2183,11 @@ def test_png_decoder_rejects_unsupported_profiles():
     assert decode_png_pixels(b"") is None
     assert decode_png_pixels(b"\xff\xd8not a png") is None
     blob = bytearray(encode_png(np.zeros((2, 2), dtype=np.uint8)))
-    blob[24] = 16  # bit depth byte inside IHDR -> unsupported profile
+    blob[24] = 3  # bit depth 3 is illegal for every color type
+    assert decode_png_pixels(bytes(blob)) is None
+    # depth 16 is a SUPPORTED profile since r9, but this payload's IDAT
+    # is 8-bit-sized — the stream-length check must reject it, not crash
+    blob[24] = 16
     assert decode_png_pixels(bytes(blob)) is None
     assert decode_png_pixels(bytes(encode_png(np.zeros((2, 2), np.uint8)))[:30]) is None
 
@@ -2735,3 +2739,133 @@ def test_seq_packing_frame_budgets_on_token_id_column(spark):
         for r in seq_packing_frame(docs, budget=8).collect()
     }
     assert set(proxy.values()) == {0}
+
+
+def _build_png(w, h, depth, color, raw_rows, plte=None, trns=None, interlace=0):
+    """Independent TEST-SIDE PNG builder (struct+zlib only — shares no
+    code with the production decoder): raw_rows is the pre-filtered
+    scanline byte stream (each row prefixed with its filter byte)."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    )
+    if plte is not None:
+        out += chunk(b"PLTE", bytes(plte))
+    if trns is not None:
+        out += chunk(b"tRNS", bytes(trns))
+    return out + chunk(b"IDAT", zlib.compress(raw_rows)) + chunk(b"IEND", b"")
+
+
+def test_png_decoder_palette_with_trns_alpha():
+    """1/2/4/8-bit palette PNGs expand through PLTE; tRNS palette alpha
+    promotes the output to RGBA with 255 default beyond the table."""
+    import numpy as np
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    plte = [255, 0, 0, 0, 255, 0, 0, 0, 255]  # red, green, blue
+    # 8-bit palette, 3x2: indices [[0,1,2],[2,1,0]]
+    raw = b"\x00" + bytes([0, 1, 2]) + b"\x00" + bytes([2, 1, 0])
+    px = decode_png_pixels(_build_png(3, 2, 8, 3, raw, plte=plte))
+    assert px.shape == (2, 3, 3)
+    assert px[0, 0].tolist() == [255, 0, 0] and px[1, 0].tolist() == [0, 0, 255]
+    # same image at 2-bit depth: indices packed MSB-first, row = one byte
+    # [0,1,2] -> 00 01 10 xx -> 0b00011000
+    raw2 = b"\x00" + bytes([0b00011000]) + b"\x00" + bytes([0b10010000])
+    px2 = decode_png_pixels(_build_png(3, 2, 2, 3, raw2, plte=plte))
+    assert (px2 == px).all()
+    # tRNS: index 0 transparent, index 1 half, index 2 defaults to 255
+    pxa = decode_png_pixels(
+        _build_png(3, 2, 8, 3, raw, plte=plte, trns=[0, 128])
+    )
+    assert pxa.shape == (2, 3, 4)
+    assert pxa[0, :, 3].tolist() == [0, 128, 255]
+    # out-of-range palette index is malformed, not a crash
+    bad = b"\x00" + bytes([7, 0, 0]) + b"\x00" + bytes([0, 0, 0])
+    assert decode_png_pixels(_build_png(3, 2, 8, 3, bad, plte=plte)) is None
+
+
+def test_png_decoder_16bit_and_subbyte_gray():
+    """16-bit samples downscale to their high byte; 1/2/4-bit grayscale
+    scales to the full 0..255 range (PNG's sample-depth scaling)."""
+    import numpy as np
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    # 16-bit gray 2x1: samples 0x1234, 0xFF00 -> high bytes 0x12, 0xFF
+    raw = b"\x00" + bytes([0x12, 0x34, 0xFF, 0x00])
+    px = decode_png_pixels(_build_png(2, 1, 16, 0, raw))
+    assert px.shape == (1, 2, 1) and px.ravel().tolist() == [0x12, 0xFF]
+    # 16-bit RGB 1x1: (0x0102, 0xFFFE, 0x8000) -> (1, 255, 128)
+    raw = b"\x00" + bytes([1, 2, 0xFF, 0xFE, 0x80, 0x00])
+    px = decode_png_pixels(_build_png(1, 1, 16, 2, raw))
+    assert px.ravel().tolist() == [1, 255, 128]
+    # 1-bit gray 8x1: 0b10110001 -> 255/0 pattern
+    raw = b"\x00" + bytes([0b10110001])
+    px = decode_png_pixels(_build_png(8, 1, 1, 0, raw))
+    assert px.ravel().tolist() == [255, 0, 255, 255, 0, 0, 0, 255]
+    # 4-bit gray: 0xA5 -> 10, 5 -> scaled by 17 -> 170, 85
+    raw = b"\x00" + bytes([0xA5])
+    px = decode_png_pixels(_build_png(2, 1, 4, 0, raw))
+    assert px.ravel().tolist() == [170, 85]
+
+
+def test_png_decoder_adam7_interlace_matches_sequential():
+    """An Adam7-interlaced image decodes to the same pixels as its
+    sequential twin — passes built independently test-side, with a
+    filtered (Sub) row inside one pass to prove per-pass unfiltering."""
+    import numpy as np
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    ref = rng.integers(0, 256, (9, 10, 3), dtype=np.uint8)  # odd dims
+    # sequential twin via the production encoder (already round-trips)
+    seq = decode_png_pixels(encode_png(ref))
+    # build the interlaced stream: Adam7 pass order, filter 0 rows
+    passes = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = ref[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            raw += b"\x00" + sub[y].tobytes()
+    px = decode_png_pixels(_build_png(10, 9, 8, 2, bytes(raw), interlace=1))
+    assert px is not None and (px == ref).all() and (px == seq).all()
+    # filtered row inside a pass: re-emit pass 7 rows with Sub filter
+    raw2 = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = ref[y0::dy, x0::dx].astype(np.int32)
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            if (x0, y0) == (0, 1):  # last pass: Sub-filter the bytes
+                flat = sub[y].reshape(-1)
+                delta = flat.copy()
+                delta[3:] = (flat[3:] - flat[:-3]) % 256
+                raw2 += b"\x01" + delta.astype(np.uint8).tobytes()
+            else:
+                raw2 += b"\x00" + sub[y].astype(np.uint8).tobytes()
+    px2 = decode_png_pixels(_build_png(10, 9, 8, 2, bytes(raw2), interlace=1))
+    assert px2 is not None and (px2 == ref).all()
