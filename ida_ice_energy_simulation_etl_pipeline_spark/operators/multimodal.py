@@ -883,18 +883,22 @@ def decode_gif_pixels(payload: bytes) -> "object | None":
 
 
 # ---------------------------------------------------------------------------
-# Pure-python baseline JPEG PIXEL codec — the third format with real
-# pixel decode and no imaging library, and the highest-volume one a
-# real curation corpus meets.  Baseline DCT (SOF0) and extended
-# sequential (SOF1) Huffman streams decode fully: DQT/DHT/DRI/SOS
-# parsing, byte-unstuffing, restart-interval segmentation, per-MCU
-# Huffman block decode, dequant + inverse zigzag, matrix IDCT, chroma
-# upsampling and JFIF YCbCr→RGB.  Progressive (SOF2), arithmetic-coded,
-# lossless, hierarchical and 12-bit streams return None — those profiles
-# stay behind the PIL gate (decode_image), exactly like non-baseline
-# PNG profiles.  The bit-serial Huffman walk is Python-speed: fine for
-# the Arrow-batched stats lane at fixture scale; a production cluster
-# swaps in a codec library via the same decode_image seam.
+# Pure-python JPEG PIXEL codec — the third format with real pixel
+# decode and no imaging library, and the highest-volume one a real
+# curation corpus meets.  Baseline DCT (SOF0), extended sequential
+# (SOF1) AND progressive (SOF2) Huffman streams decode fully: DQT/DHT/
+# DRI/SOS parsing, byte-unstuffing, restart-interval segmentation,
+# per-MCU Huffman block decode, dequant + inverse zigzag, matrix IDCT,
+# chroma upsampling and JFIF YCbCr→RGB; the progressive path (new r9)
+# adds the multi-scan coefficient store, spectral selection,
+# interleaved/non-interleaved scan geometry, EOB runs and DC/AC
+# successive approximation with the correction-bit protocol (the
+# jdphuff.c algorithms from the spec's G.2 flowcharts).  Arithmetic-
+# coded, lossless, hierarchical and 12-bit streams return None — those
+# stay behind the PIL gate (decode_image).  The bit-serial Huffman walk
+# is Python-speed: fine for the Arrow-batched stats lane at fixture
+# scale; a production cluster swaps in a codec library via the same
+# decode_image seam.
 
 _JPEG_ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -962,11 +966,14 @@ def _jpeg_extend(v: int, t: int) -> int:
 
 
 def decode_jpeg_pixels(payload: bytes) -> "object | None":
-    """Decode a baseline/extended-sequential Huffman JPEG to an
-    (h, w, channels) uint8 numpy array — grayscale → 1 channel, YCbCr →
-    3-channel RGB.  Pure stdlib + numpy; None for non-JPEG, non-baseline
-    profiles (progressive, arithmetic, 12-bit, CMYK) or a malformed/
-    truncated stream."""
+    """Decode a Huffman-coded JPEG to an (h, w, channels) uint8 numpy
+    array — grayscale → 1 channel, YCbCr → 3-channel RGB.  Covers
+    baseline (SOF0), extended sequential (SOF1) AND progressive (SOF2:
+    spectral selection, successive approximation for DC and AC,
+    interleaved and non-interleaved scans, EOB runs, per-scan table
+    redefinition, restart intervals).  Pure stdlib + numpy; None for
+    non-JPEG, the remaining profiles (arithmetic-coded, lossless,
+    hierarchical, 12-bit, CMYK) or a malformed/truncated stream."""
     import struct
 
     import numpy as np
@@ -976,6 +983,9 @@ def decode_jpeg_pixels(payload: bytes) -> "object | None":
     qt: dict[int, "object"] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) → decode table
     frame = None  # (h, w, comps) where comps = [(cid, hs, vs, tq)]
+    progressive = False
+    coef = None  # per-component zigzag coefficient store (SOF2 only)
+    scans_done = 0
     restart = 0
     pos = 2
     try:
@@ -986,8 +996,8 @@ def decode_jpeg_pixels(payload: bytes) -> "object | None":
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
                 pos += 2
                 continue
-            if marker == 0xD9:  # EOI before any scan
-                return None
+            if marker == 0xD9:  # EOI
+                break
             (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
             body = payload[pos + 4 : pos + 2 + seglen]
             if len(body) != seglen - 2:
@@ -1020,7 +1030,7 @@ def decode_jpeg_pixels(payload: bytes) -> "object | None":
                         return None
                     huff[(tc, th)] = _huff_decode_table(counts, syms)
                     i += 17 + n
-            elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
                 prec, h, w, nc = struct.unpack(">BHHB", body[:6])
                 if prec != 8 or nc not in (1, 3) or not h or not w:
                     return None
@@ -1029,9 +1039,27 @@ def decode_jpeg_pixels(payload: bytes) -> "object | None":
                     cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                     comps.append((cid, hv >> 4, hv & 15, tq))
                 frame = (h, w, comps)
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                if marker == 0xC2:
+                    progressive = True
+                    max_h = max(c[1] for c in comps)
+                    max_v = max(c[2] for c in comps)
+                    if not max_h or not max_v:
+                        return None
+                    mcus_x = -(-w // (8 * max_h))
+                    mcus_y = -(-h // (8 * max_v))
+                    # zigzag-ordered coefficients on the PADDED (MCU)
+                    # grid; scans accumulate into this store and the
+                    # IDCT runs once at EOI
+                    coef = [
+                        np.zeros(
+                            (mcus_y * c[2], mcus_x * c[1], 64),
+                            dtype=np.int32,
+                        )
+                        for c in comps
+                    ]
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive / arithmetic / lossless gates
+                return None  # arithmetic / lossless / hierarchical gates
             elif marker == 0xDD:  # DRI
                 (restart,) = struct.unpack(">H", body[:2])
             elif marker == 0xDA:  # SOS → entropy-coded data follows
@@ -1048,16 +1076,60 @@ def decode_jpeg_pixels(payload: bytes) -> "object | None":
                     if idx is None:
                         return None
                     scan.append((idx, tables >> 4, tables & 15))
-                if len(scan) != len(frame[2]):
-                    return None  # multi-scan file: not baseline
                 data_lo = pos + 2 + seglen
-                return _jpeg_decode_scan(
-                    payload, data_lo, frame, scan, qt, huff, restart
-                )
+                if not progressive:
+                    if len(scan) != len(frame[2]):
+                        return None  # multi-scan sequential: unsupported
+                    return _jpeg_decode_scan(
+                        payload, data_lo, frame, scan, qt, huff, restart
+                    )
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
+                segments, end = _jpeg_entropy_segments(payload, data_lo)
+                if not _jpeg_progressive_scan(
+                    frame, coef, scan, ss, se, ah, al, segments, huff, restart
+                ):
+                    return None
+                scans_done += 1
+                pos = end
+                continue
             pos += 2 + seglen
     except (struct.error, IndexError, ValueError):
         return None
+    if progressive and scans_done:
+        try:
+            return _jpeg_reconstruct(frame, coef, qt)
+        except (IndexError, ValueError, KeyError, ZeroDivisionError):
+            return None
     return None
+
+
+def _jpeg_entropy_segments(payload: bytes, lo: int) -> tuple:
+    """Split one entropy-coded stream starting at ``lo`` into restart
+    segments, un-stuffing FF00 as it goes.  Returns (segments, end)
+    where ``end`` is the offset of the first real marker after the
+    stream (or len(payload))."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    pos = lo
+    while pos < len(payload):
+        b = payload[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        nxt = payload[pos + 1] if pos + 1 < len(payload) else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:
+            break  # real marker (EOI or next header)
+    segments.append(bytes(cur))
+    return segments, pos
 
 
 def _jpeg_decode_scan(
@@ -1077,28 +1149,7 @@ def _jpeg_decode_scan(
         # regardless of declared sampling factors
         comps = [(comps[0][0], 1, 1, comps[0][3])]
     try:
-        # find the end of the entropy stream, splitting on restarts and
-        # un-stuffing FF00 as we go
-        segments: list[bytes] = []
-        cur = bytearray()
-        pos = lo
-        while pos < len(payload):
-            b = payload[pos]
-            if b != 0xFF:
-                cur.append(b)
-                pos += 1
-                continue
-            nxt = payload[pos + 1] if pos + 1 < len(payload) else 0xD9
-            if nxt == 0x00:
-                cur.append(0xFF)
-                pos += 2
-            elif 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                pos += 2
-            else:
-                break  # real marker (EOI or next header)
-        segments.append(bytes(cur))
+        segments, _end = _jpeg_entropy_segments(payload, lo)
 
         max_h = max(c[1] for c in comps)
         max_v = max(c[2] for c in comps)
@@ -1153,29 +1204,224 @@ def _jpeg_decode_scan(
                         y0 = (my * vs + by) * 8
                         x0 = (mx * hs + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
-        out = []
-        for ci, (_cid, hs, vs, _tq) in enumerate(comps):
-            p = planes[ci]
-            if hs != max_h or vs != max_v:
-                p = np.repeat(
-                    np.repeat(p, max_v // vs, axis=0), max_h // hs, axis=1
-                )
-            out.append(p[:h, :w])
-        if len(out) == 1:
-            gray = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
-            return gray[:, :, None]
-        y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
-        rgb = np.stack(
-            [
-                y + 1.402 * cr,
-                y - 0.344136 * cb - 0.714136 * cr,
-                y + 1.772 * cb,
-            ],
-            axis=2,
-        )
-        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        return _jpeg_planes_to_pixels(planes, comps, h, w, max_h, max_v)
     except (IndexError, ValueError, ZeroDivisionError):
         return None
+
+
+def _jpeg_planes_to_pixels(
+    planes: list, comps: list, h: int, w: int, max_h: int, max_v: int
+) -> "object":
+    """Upsample subsampled planes, crop to (h, w), JFIF YCbCr→RGB —
+    the reconstruction tail shared by the sequential and progressive
+    decode paths."""
+    import numpy as np
+
+    out = []
+    for ci, (_cid, hs, vs, _tq) in enumerate(comps):
+        p = planes[ci]
+        if hs != max_h or vs != max_v:
+            p = np.repeat(
+                np.repeat(p, max_v // vs, axis=0), max_h // hs, axis=1
+            )
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        gray = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        return gray[:, :, None]
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _jpeg_progressive_scan(
+    frame: tuple,
+    coef: list,
+    scan: list,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    segments: list,
+    huff: dict,
+    restart: int,
+) -> bool:
+    """Apply ONE progressive scan (spec G.2 / the jdphuff algorithms) to
+    the zigzag coefficient store.  DC scans (Ss=0) may be interleaved;
+    AC scans are single-component over the component's REAL block grid
+    (edge-MCU padding blocks are not coded in non-interleaved scans).
+    Successive approximation: first scans (Ah=0) code values at point
+    transform Al; refinement scans (Ah=Al+1) add one magnitude bit via
+    the correction-bit protocol.  Returns False on malformed input."""
+    h, w, comps = frame
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    ns = len(scan)
+    if ss == 0:
+        if se != 0:
+            return False
+    else:
+        if ns != 1 or se < ss or se > 63:
+            return False
+    if ah and ah != al + 1:
+        return False
+
+    # unit = what the restart interval counts: an MCU (interleaved) or
+    # one block (non-interleaved)
+    if ns > 1:
+        n_units = mcus_x * mcus_y
+
+        def unit_blocks(u):
+            my, mx = divmod(u, mcus_x)
+            for ci, tdc, tac in scan:
+                _cid, hs, vs, _tq = comps[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        yield ci, my * vs + by, mx * hs + bx, tdc, tac
+    else:
+        ci0, tdc0, tac0 = scan[0]
+        _cid, hs, vs, _tq = comps[ci0]
+        comp_w = -(-(w * hs) // max_h)
+        comp_h = -(-(h * vs) // max_v)
+        bw = -(-comp_w // 8)
+        bh = -(-comp_h // 8)
+        n_units = bw * bh
+
+        def unit_blocks(u):
+            yield ci0, u // bw, u % bw, tdc0, tac0
+
+    p1, m1 = 1 << al, -1 << al
+    try:
+        seg_i = 0
+        bits = _JpegBits(segments[0])
+        dc_pred = [0] * len(comps)
+        eobrun = 0
+        for u in range(n_units):
+            if restart and u and u % restart == 0:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    return False
+                bits = _JpegBits(segments[seg_i])
+                dc_pred = [0] * len(comps)
+                eobrun = 0
+            for ci, by, bx, tdc, tac in unit_blocks(u):
+                blk = coef[ci][by, bx]  # 64-entry zigzag view
+                if ss == 0:
+                    if ah == 0:  # DC first: diff-coded, point transform Al
+                        if (0, tdc) not in huff:
+                            return False
+                        t = bits.huff(huff[(0, tdc)])
+                        dc_pred[ci] += _jpeg_extend(bits.read(t), t)
+                        blk[0] = dc_pred[ci] << al
+                    else:  # DC refinement: one raw bit per block
+                        if bits.read(1):
+                            blk[0] |= p1
+                    continue
+                # ---- AC scan ----
+                if (1, tac) not in huff:
+                    return False
+                actbl = huff[(1, tac)]
+                if ah == 0:  # AC first scan (jdphuff decode_mcu_AC_first)
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = bits.huff(actbl)
+                        r, s = sym >> 4, sym & 15
+                        if s:
+                            k += r
+                            if k > se:
+                                return False
+                            blk[k] = _jpeg_extend(bits.read(s), s) << al
+                            k += 1
+                        else:
+                            if r != 15:  # EOBr
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += bits.read(r)
+                                eobrun -= 1  # current block is a member
+                                break
+                            k += 16  # ZRL
+                    continue
+                # AC refinement (jdphuff decode_mcu_AC_refine)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = bits.huff(actbl)
+                        r, s = sym >> 4, sym & 15
+                        if s:
+                            # new coef: size is always 1 in a refinement
+                            s = p1 if bits.read(1) else m1
+                        else:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += bits.read(r)
+                                break  # rest handled by EOB logic below
+                            # ZRL: s stays 0, skip 16 zero-history coefs
+                        # advance over r zero-history coefs, appending
+                        # correction bits to already-nonzero ones
+                        while k <= se:
+                            cur = int(blk[k])
+                            if cur != 0:
+                                if bits.read(1) and (cur & p1) == 0:
+                                    blk[k] = cur + (p1 if cur >= 0 else m1)
+                            else:
+                                r -= 1
+                                if r < 0:
+                                    break  # reached target zero coef
+                            k += 1
+                        if s:
+                            if k > se:
+                                return False
+                            blk[k] = s
+                        k += 1
+                if eobrun > 0:
+                    # correction bits for the rest of the band
+                    while k <= se:
+                        cur = int(blk[k])
+                        if cur != 0:
+                            if bits.read(1) and (cur & p1) == 0:
+                                blk[k] = cur + (p1 if cur >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+    except (IndexError, ValueError):
+        return False
+    return True
+
+
+def _jpeg_reconstruct(frame: tuple, coef: list, qt: dict) -> "object":
+    """Dequantize + IDCT the accumulated progressive coefficient store
+    (vectorized over all blocks) and assemble pixels."""
+    import numpy as np
+
+    h, w, comps = frame
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    basis = _jpeg_dct_basis()
+    planes = []
+    for ci, (_cid, _hs, _vs, tq) in enumerate(comps):
+        if tq not in qt:
+            raise KeyError(tq)
+        bh, bw, _ = coef[ci].shape
+        natural = np.zeros((bh, bw, 64), dtype=np.int32)
+        natural[:, :, _JPEG_ZIGZAG] = coef[ci]
+        blocks = natural.reshape(bh, bw, 8, 8) * qt[tq][None, None]
+        px = (
+            np.einsum("ij,xyjk,kl->xyil", basis.T, blocks.astype(np.float64), basis)
+            + 128.0
+        )
+        planes.append(px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+    return _jpeg_planes_to_pixels(planes, comps, h, w, max_h, max_v)
 
 
 # Annex-K example tables (JPEG spec, public): quantization +
@@ -1439,6 +1685,264 @@ def encode_jpeg(
     out += entropy
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def encode_jpeg_progressive(
+    pixels: "object", quality: int = 90, *, subsample: bool = False
+) -> bytes:
+    """Encode as a PROGRESSIVE JFIF JPEG (SOF2) — pure stdlib + numpy;
+    the fixture-side twin of the progressive decode path.  The scan
+    script exercises every progressive mechanism: an interleaved DC
+    first scan at point transform Al=1, per-component spectral-selection
+    AC first scans (bands 1–5 and 6–63, Al=1, EOB-run accumulation
+    across blocks), a DC refinement scan (raw bits), and per-component
+    AC refinement scans (Ah=1→Al=0, the correction-bit protocol).
+    Huffman tables are built per scan from the actual symbol census
+    (two-pass, like real progressive encoders — the Annex-K tables lack
+    the EOBn symbols) and written as a fresh DHT before each SOS.  The
+    transmitted coefficients reassemble EXACTLY, so decoding this
+    stream equals decoding the same image's baseline encoding."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    if ch not in (1, 3):
+        raise ValueError("encode_jpeg_progressive supports 1 or 3 channels")
+    scale = 5000 // max(quality, 1) if quality < 50 else 200 - 2 * min(quality, 100)
+    mk_qt = lambda base: np.clip(  # noqa: E731
+        (np.array(base, dtype=np.int64) * scale + 50) // 100, 1, 255
+    ).astype(np.int32)
+    qts = [mk_qt(_JPEG_STD_LUM_QT)] + ([mk_qt(_JPEG_STD_CHR_QT)] if ch == 3 else [])
+
+    if ch == 3:
+        rgb = px.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        planes = [px[:, :, 0].astype(np.float64)]
+    sampling = [(2, 2), (1, 1), (1, 1)] if (ch == 3 and subsample) else [(1, 1)] * ch
+    if ch == 3 and subsample:
+        for i in (1, 2):
+            p = planes[i]
+            ph, pw = p.shape
+            p = np.pad(p, ((0, ph % 2), (0, pw % 2)), mode="edge")
+            planes[i] = (
+                p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
+            )
+    max_h = max(s[0] for s in sampling)
+    max_v = max(s[1] for s in sampling)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    tsel = [0, 1, 1][:ch]
+
+    # per-component ZIGZAG quantized coefficients over the padded grid
+    basis = _jpeg_dct_basis()
+    coefs = []
+    real_grid = []  # (bh_real, bw_real) — what non-interleaved scans code
+    for ci, p in enumerate(planes):
+        hs, vs = sampling[ci]
+        th = mcus_y * vs * 8
+        tw = mcus_x * hs * 8
+        p = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        bh, bw = th // 8, tw // 8
+        blocks = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        f = np.einsum("ij,xyjk,kl->xyil", basis, blocks, basis.T)
+        q = np.round(f / qts[tsel[ci]].reshape(8, 8)[None, None]).astype(np.int64)
+        coefs.append(q.reshape(bh, bw, 64)[:, :, _JPEG_ZIGZAG])
+        comp_w = -(-(w * hs) // max_h)
+        comp_h = -(-(h * vs) // max_v)
+        real_grid.append((-(-comp_h // 8), -(-comp_w // 8)))
+
+    def mag_shift(v: int, al: int) -> int:
+        s = abs(v) >> al
+        return s if v >= 0 else -s
+
+    def render_scan(scan_comps: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        """Two-pass scan writer: symbol census → per-scan DHT → bits."""
+        ops: list[tuple] = []  # ('h', tclass, sym) | ('b', value, nbits)
+
+        if ss == 0 and ah == 0:  # DC first (interleaved if several comps)
+            pred = {ci: 0 for ci in scan_comps}
+            for mcu in range(mcus_x * mcus_y):
+                my, mx = divmod(mcu, mcus_x)
+                for ci in scan_comps:
+                    hs, vs = sampling[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            v = int(coefs[ci][my * vs + by, mx * hs + bx, 0]) >> al
+                            diff = v - pred[ci]
+                            pred[ci] = v
+                            t, bv = _jpeg_magnitude(diff)
+                            ops.append(("h", 0, t))
+                            if t:
+                                ops.append(("b", bv, t))
+        elif ss == 0:  # DC refinement: one raw bit per block
+            for mcu in range(mcus_x * mcus_y):
+                my, mx = divmod(mcu, mcus_x)
+                for ci in scan_comps:
+                    hs, vs = sampling[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            v = int(coefs[ci][my * vs + by, mx * hs + bx, 0])
+                            ops.append(("b", (v >> al) & 1, 1))
+        elif ah == 0:  # AC first scan (jcphuff encode_mcu_AC_first)
+            (ci,) = scan_comps
+            bh, bw = real_grid[ci]
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    nbits = eobrun.bit_length() - 1
+                    ops.append(("h", 1, nbits << 4))
+                    if nbits:
+                        ops.append(("b", eobrun & ((1 << nbits) - 1), nbits))
+                    eobrun = 0
+
+            for u in range(bh * bw):
+                blk = coefs[ci][u // bw, u % bw]
+                r = 0
+                for k in range(ss, se + 1):
+                    v = mag_shift(int(blk[k]), al)
+                    if v == 0:
+                        r += 1
+                        continue
+                    flush_eob()
+                    while r > 15:
+                        ops.append(("h", 1, 0xF0))
+                        r -= 16
+                    t, bv = _jpeg_magnitude(v)
+                    ops.append(("h", 1, (r << 4) | t))
+                    ops.append(("b", bv, t))
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+            flush_eob()
+        else:  # AC refinement (jcphuff encode_mcu_AC_refine)
+            (ci,) = scan_comps
+            bh, bw = real_grid[ci]
+            eobrun = 0
+            be: list[int] = []  # correction bits buffered across EOB run
+
+            def flush_eob_refine():
+                nonlocal eobrun, be
+                if eobrun:
+                    nbits = eobrun.bit_length() - 1
+                    ops.append(("h", 1, nbits << 4))
+                    if nbits:
+                        ops.append(("b", eobrun & ((1 << nbits) - 1), nbits))
+                    eobrun = 0
+                for bit in be:
+                    ops.append(("b", bit, 1))
+                be = []
+
+            for u in range(bh * bw):
+                blk = coefs[ci][u // bw, u % bw]
+                absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+                eob = -1  # band index of last NEWLY-nonzero coef
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob = i
+                r = 0
+                br: list[int] = []  # this block's buffered correction bits
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eob:
+                        flush_eob_refine()
+                        ops.append(("h", 1, 0xF0))
+                        r -= 16
+                        for bit in br:
+                            ops.append(("b", bit, 1))
+                        br = []
+                    if t > 1:  # history coef: one correction bit
+                        br.append(t & 1)
+                        continue
+                    # newly nonzero (t == 1)
+                    flush_eob_refine()
+                    ops.append(("h", 1, (r << 4) | 1))
+                    ops.append(("b", 1 if int(blk[ss + i]) >= 0 else 0, 1))
+                    for bit in br:
+                        ops.append(("b", bit, 1))
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    be.extend(br)
+                    if eobrun == 0x7FFF or len(be) > 900:
+                        flush_eob_refine()
+            flush_eob_refine()
+
+        # per-scan Huffman tables from the census (canonical, all codes
+        # one length L with 2^L > n so the all-ones code stays unused)
+        out = bytearray()
+        tables: dict[int, dict] = {}
+        for tclass in (0, 1):
+            syms = sorted({op[2] for op in ops if op[0] == "h" and op[1] == tclass})
+            if not syms:
+                continue
+            ln = max(1, len(syms).bit_length())
+            counts = [0] * 16
+            counts[ln - 1] = len(syms)
+            tables[tclass] = _huff_encode_table(counts, syms)
+            out += _jpeg_seg(
+                0xC4, bytes([(tclass << 4)]) + bytes(counts) + bytes(syms)
+            )
+        sos = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            sos += bytes([ci + 1, 0])  # DC and AC table 0 (fresh per scan)
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _jpeg_seg(0xDA, sos)
+        wr = _JpegBitWriter()
+        for op in ops:
+            if op[0] == "h":
+                code, n = tables[op[1]][op[2]]
+                wr.write(code, n)
+            else:
+                wr.write(op[1], op[2])
+        wr.flush()
+        out += bytes(wr.out)
+        return bytes(out)
+
+    out = bytearray(b"\xff\xd8")
+    out += _jpeg_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in enumerate(qts):
+        out += _jpeg_seg(
+            0xDB, bytes([tq]) + bytes(int(v) for v in q[_JPEG_ZIGZAG])
+        )
+    nf = bytes([8]) + struct.pack(">HH", h, w) + bytes([ch])
+    for ci in range(ch):
+        hs, vs = sampling[ci]
+        nf += bytes([ci + 1, (hs << 4) | vs, tsel[ci]])
+    out += _jpeg_seg(0xC2, nf)
+    all_comps = list(range(ch))
+    out += render_scan(all_comps, 0, 0, 0, 1)  # DC first, Al=1
+    for ci in all_comps:  # spectral selection, Al=1
+        out += render_scan([ci], 1, 5, 0, 1)
+        out += render_scan([ci], 6, 63, 0, 1)
+    out += render_scan(all_comps, 0, 0, 1, 0)  # DC refine
+    for ci in all_comps:  # AC refine, Ah=1 → Al=0
+        out += render_scan([ci], 1, 5, 1, 0)
+        out += render_scan([ci], 6, 63, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
 
 def decode_image_pixels(payload: bytes) -> "object | None":

@@ -2869,3 +2869,117 @@ def test_png_decoder_adam7_interlace_matches_sequential():
                 raw2 += b"\x00" + sub[y].astype(np.uint8).tobytes()
     px2 = decode_png_pixels(_build_png(10, 9, 8, 2, bytes(raw2), interlace=1))
     assert px2 is not None and (px2 == ref).all()
+
+
+def test_jpeg_progressive_round_trips_equal_baseline():
+    """A progressive stream transmits the SAME quantized coefficients as
+    the baseline encoding, just reordered — so progressive decode must
+    EQUAL baseline decode pixel-for-pixel, across grayscale, RGB, 4:2:0
+    subsampling, odd (padding-exercising) dimensions and a noise image
+    (dense EOB-run churn)."""
+    import numpy as np
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    x = np.linspace(0, 4 * np.pi, 40)
+    smooth = ((np.sin(x)[None, :] * np.cos(x)[:, None] * 0.5 + 0.5) * 255).astype(
+        np.uint8
+    )
+    rgb = np.stack([smooth, smooth.T, 255 - smooth], axis=2)
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, (21, 19, 3), dtype=np.uint8)  # odd dims
+    cases = [
+        (smooth, 85, {}),
+        (rgb, 85, {}),
+        (rgb, 85, {"subsample": True}),  # chroma grid ≠ luma grid
+        (rgb[:37, :29], 60, {"subsample": True}),  # odd dims + padding MCUs
+        (noise, 90, {}),
+        (noise[:, :, 0], 35, {}),  # low quality: long zero runs, EOBn
+    ]
+    for px, q, kw in cases:
+        base = decode_jpeg_pixels(encode_jpeg(px, q, **kw))
+        blob = encode_jpeg_progressive(px, q, **kw)
+        prog = decode_jpeg_pixels(blob)
+        assert prog is not None and base is not None
+        assert prog.shape == base.shape
+        assert (prog == base).all(), (px.shape, q, kw)
+
+
+def test_jpeg_progressive_refinement_corner_paths():
+    """Drive _jpeg_progressive_scan with HANDCRAFTED bitstreams (bits
+    derived from the spec's G.2 flowcharts by hand, independent of the
+    encoder) pinning the successive-approximation corners: ZRL inside
+    an AC refinement scan, a history coefficient's correction bit
+    buffered across the run, a negative newly-nonzero insert, an EOBn
+    (n>0) run spanning blocks, and a DC refinement bit ORed into a
+    negative DC."""
+    import numpy as np
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        _huff_decode_table,
+        _jpeg_progressive_scan,
+    )
+
+    # --- AC refinement: pre-state k3=4 (history), target k23=-1 -------
+    # table: symbols [0x00, 0x51, 0xF0] at 2 bits -> codes 00, 01, 10
+    huff = {(1, 0): _huff_decode_table([0, 3] + [0] * 14, bytes([0x00, 0x51, 0xF0]))}
+    frame = (8, 8, [(1, 1, 1, 0)])
+    coef = [np.zeros((1, 1, 64), dtype=np.int32)]
+    coef[0][0, 0, 3] = 4
+    # bits: ZRL(10) corr(0) 0x51(01) sign(0=neg) EOB0(00) -> 0x88
+    ok = _jpeg_progressive_scan(
+        frame, coef, [(0, 0, 0)], 1, 63, 1, 0, [bytes([0x88])], huff, 0
+    )
+    assert ok
+    expect = np.zeros(64, dtype=np.int32)
+    expect[3], expect[23] = 4, -1
+    assert (coef[0][0, 0] == expect).all()
+
+    # --- AC first with an EOBn (n=1) run spanning two blocks ----------
+    # table: symbols [0x03, 0x10] at 2 bits -> codes 00, 01
+    huff = {(1, 0): _huff_decode_table([0, 2] + [0] * 14, bytes([0x03, 0x10]))}
+    frame = (8, 16, [(1, 1, 1, 0)])
+    coef = [np.zeros((1, 2, 64), dtype=np.int32)]
+    # bits: 0x03(00) value 5(101) 0x10(01) appended-bit(0) -> 0x2A
+    ok = _jpeg_progressive_scan(
+        frame, coef, [(0, 0, 0)], 1, 63, 0, 0, [bytes([0x2A])], huff, 0
+    )
+    assert ok
+    assert coef[0][0, 0, 1] == 5 and not coef[0][0, 0, 2:].any()
+    assert not coef[0][0, 1].any()  # second block consumed by the EOB run
+
+    # --- DC refinement ORs the Al bit into a NEGATIVE DC --------------
+    frame = (8, 8, [(1, 1, 1, 0)])
+    coef = [np.zeros((1, 1, 64), dtype=np.int32)]
+    coef[0][0, 0, 0] = -6  # first DC scan stored (-5 >> 1) << 1
+    ok = _jpeg_progressive_scan(
+        frame, coef, [(0, 0, 0)], 0, 0, 1, 0, [bytes([0x80])], huff, 0
+    )
+    assert ok
+    assert coef[0][0, 0, 0] == -5  # -6 | 1 in two's complement
+
+
+def test_jpeg_progressive_truncation_never_crashes():
+    """Every prefix of a progressive stream decodes to None or an image,
+    never an exception — the malformed-payload contract all the stdlib
+    codecs follow."""
+    import numpy as np
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (17, 13, 3), dtype=np.uint8)
+    blob = encode_jpeg_progressive(px, 75)
+    for cut in list(range(0, len(blob), 7)) + [len(blob) - 1]:
+        decode_jpeg_pixels(blob[:cut])  # must not raise
+    # corrupting a scan's marker byte must also fail closed
+    mut = bytearray(blob)
+    mut[len(mut) // 2] = 0xFF
+    decode_jpeg_pixels(bytes(mut))
