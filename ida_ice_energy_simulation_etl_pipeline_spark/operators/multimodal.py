@@ -99,17 +99,19 @@ def decode_image(payload: bytes) -> object:
 
 
 def decode_audio(payload: bytes) -> object:
-    """Audio SAMPLE decode: REAL for uncompressed PCM / IEEE-float WAV
-    via the pure-stdlib RIFF walk (returns an (n_frames, n_channels)
-    float64 array in [-1, 1] — see decode_wav_samples); compressed or
-    non-WAV payloads still need a codec library and stay gated."""
+    """Audio SAMPLE decode: REAL for PCM / IEEE-float WAV plus the
+    COMPRESSED in-container codecs G.711 µ-law/A-law and IMA ADPCM via
+    the pure-stdlib RIFF walk (returns an (n_frames, n_channels)
+    float64 array in [-1, 1] — see decode_wav_samples); perceptual
+    codecs (MP3/AAC/Vorbis) and vendor ADPCM variants still need a
+    codec library and stay gated."""
     samples = decode_wav_samples(payload)
     if samples is not None:
         return samples
     raise NotImplementedError(
-        "compressed/non-WAV sample decode requires an audio library; "
-        "PCM and IEEE-float WAV decode via the stdlib RIFF walk, other "
-        "formats are gated"
+        "perceptual-codec / non-WAV sample decode requires an audio "
+        "library; PCM, IEEE-float, G.711 and IMA-ADPCM WAV decode via "
+        "the stdlib RIFF walk, other formats are gated"
     )
 
 
@@ -130,16 +132,109 @@ def _riff_chunks(payload: bytes, lo: int, hi: int):
         pos = body_lo + size + (size % 2)  # chunks are word-aligned
 
 
+def _g711_ulaw_table() -> "object":
+    """256-entry µ-law → linear int16 expansion table (ITU G.711)."""
+    import numpy as np
+
+    out = np.empty(256, dtype=np.int32)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        out[b] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    return out
+
+
+def _g711_alaw_table() -> "object":
+    """256-entry A-law → linear int16 expansion table (ITU G.711)."""
+    import numpy as np
+
+    out = np.empty(256, dtype=np.int32)
+    for b in range(256):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        out[b] = t if (a & 0x80) else -t
+    return out
+
+
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_adpcm_decode_block(
+    body: bytes, n_ch: int, block_align: int
+) -> "object | None":
+    """Decode ONE IMA ADPCM block → (n_samples, n_ch) int16 array.
+    Block layout: per-channel 4-byte header (int16 predictor, uint8 step
+    index, reserved), then nibble data interleaved per channel in 4-byte
+    (8-nibble) groups; low nibble first."""
+    import struct
+
+    import numpy as np
+
+    if len(body) < 4 * n_ch:
+        return None
+    pred = [0] * n_ch
+    index = [0] * n_ch
+    for c in range(n_ch):
+        pred[c], index[c] = struct.unpack("<hB", body[4 * c : 4 * c + 3])
+        if index[c] > 88:
+            return None
+    data = body[4 * n_ch : block_align]
+    n_per_ch = len(data) // (4 * n_ch) * 8  # nibbles per channel
+    out = np.empty((1 + n_per_ch, n_ch), dtype=np.int16)
+    out[0] = pred
+    # walk 4-byte groups, channel-interleaved
+    n_groups = len(data) // (4 * n_ch)
+    for g in range(n_groups):
+        for c in range(n_ch):
+            chunk = data[(g * n_ch + c) * 4 : (g * n_ch + c) * 4 + 4]
+            for i in range(8):
+                nib = (chunk[i // 2] >> (4 * (i % 2))) & 0x0F
+                step = _IMA_STEP_TABLE[index[c]]
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                p = pred[c] - diff if nib & 8 else pred[c] + diff
+                pred[c] = max(-32768, min(32767, p))
+                index[c] = max(
+                    0, min(88, index[c] + _IMA_INDEX_TABLE[nib & 7])
+                )
+                out[1 + g * 8 + i, c] = pred[c]
+    return out
+
+
 def decode_wav_samples(payload: bytes):
-    """REAL PCM sample decode in pure stdlib + numpy.
+    """REAL sample decode in pure stdlib + numpy.
 
     Walks the RIFF chunk list (same traversal as parse_audio_meta),
     then reinterprets the ``data`` chunk: integer PCM (format code 1;
-    8-bit unsigned, 16/32-bit signed little-endian, 24-bit packed) and
-    IEEE float (code 3; f32/f64) both decode to a float64
-    (n_frames, n_channels) array scaled to [-1, 1].  Returns None for
-    anything else (compressed codecs like ADPCM/GSM need a real codec
-    library), so callers can gate cleanly.
+    8-bit unsigned, 16/32-bit signed little-endian, 24-bit packed),
+    IEEE float (code 3; f32/f64), the G.711 COMPRESSED telephony
+    codecs (code 6 A-law, code 7 µ-law — table expansion) and IMA
+    ADPCM (code 0x11 — block-based 4-bit differential decode, mono or
+    stereo) all decode to a float64 (n_frames, n_channels) array
+    scaled to [-1, 1].  Returns None for anything else (MP3/GSM/
+    vendor ADPCM variants need a real codec library), so callers can
+    gate cleanly.
     """
     import struct
 
@@ -150,10 +245,12 @@ def decode_wav_samples(payload: bytes):
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     fmt = None
+    block_align = 0
     data = None
     for cid, lo, hi in _riff_chunks(payload, 12, len(payload)):
         if cid == b"fmt " and hi - lo >= 16:
             code, n_ch = struct.unpack("<HH", payload[lo : lo + 4])
+            block_align = struct.unpack("<H", payload[lo + 12 : lo + 14])[0]
             bits = struct.unpack("<H", payload[lo + 14 : lo + 16])[0]
             fmt = (code, n_ch, bits)
         elif cid == b"data":
@@ -161,6 +258,29 @@ def decode_wav_samples(payload: bytes):
     if fmt is None or data is None:
         return None
     code, n_ch, bits = fmt
+    if code == 6 or code == 7:  # G.711 A-law / µ-law
+        table = _g711_alaw_table() if code == 6 else _g711_ulaw_table()
+        arr = (
+            table[np.frombuffer(data, dtype=np.uint8)].astype(np.float64)
+            / 32768.0
+        )
+        n_ch = max(int(n_ch), 1)
+        return arr[: len(arr) // n_ch * n_ch].reshape(-1, n_ch)
+    if code == 0x11:  # IMA ADPCM
+        n_ch = max(int(n_ch), 1)
+        if bits != 4 or block_align < 4 * n_ch:
+            return None
+        blocks = []
+        for off in range(0, len(data) // block_align * block_align, block_align):
+            blk = _ima_adpcm_decode_block(
+                data[off : off + block_align], n_ch, block_align
+            )
+            if blk is None:
+                return None
+            blocks.append(blk)
+        if not blocks:
+            return None
+        return np.vstack(blocks).astype(np.float64) / 32768.0
     # A truncated payload can leave the data chunk shorter than a whole
     # number of samples; np.frombuffer refuses partial elements, so every
     # branch clips to an element-size multiple (the 24-bit packed path
@@ -426,16 +546,65 @@ def _parse_mp4_meta(payload: bytes) -> tuple[int, int, int, float, float] | None
     return None
 
 
+def decode_mjpeg_frames(payload: bytes) -> "list | None":
+    """REAL video FRAME decode for Motion-JPEG AVIs — each video chunk
+    in the ``movi`` LIST is an independent JPEG, so the pure-stdlib
+    JPEG codec decodes the movie frame-by-frame.  Walks the RIFF tree
+    with the same iterative queue as _parse_avi_meta, collects
+    ``##dc``/``##db`` stream chunks whose body starts with a JPEG SOI,
+    and returns the list of (h, w, ch) uint8 frame arrays (undecodable
+    frames are skipped).  None for non-AVI payloads or AVIs whose video
+    chunks are not JPEG-coded."""
+    from collections import deque
+
+    if (
+        not payload
+        or len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"AVI "
+    ):
+        return None
+    frames = []
+    saw_video_chunk = False
+    ranges = deque([(12, len(payload))])
+    while ranges:
+        lo, hi = ranges.popleft()
+        for cid, body_lo, body_hi in _riff_chunks(payload, lo, hi):
+            if cid == b"LIST" and body_hi - body_lo >= 4:
+                ranges.append((body_lo + 4, body_hi))
+            elif (
+                len(cid) == 4
+                and cid[:2].isdigit()
+                and cid[2:] in (b"dc", b"db")
+            ):
+                saw_video_chunk = True
+                body = payload[body_lo:body_hi]
+                if body[:2] == b"\xff\xd8":
+                    px = decode_jpeg_pixels(body)
+                    if px is not None:
+                        frames.append(px)
+    if not saw_video_chunk or not frames:
+        return None
+    return frames
+
+
 def decode_video(payload: bytes) -> object:
-    """Video FRAME decode: gated — every in-the-wild video codec needs a
-    real decoder library.  Container METADATA (resolution, frame count,
-    fps, duration) is real and dependency-free for AVI and MP4/ISO-BMFF
-    via parse_video_meta; ``frame_sample`` is the byte-level stand-in
-    that keeps the fan-out plumbing testable."""
+    """Video FRAME decode: REAL for Motion-JPEG AVIs (JPEG-per-frame —
+    see decode_mjpeg_frames, riding the full pure-stdlib JPEG codec
+    including progressive streams); every inter-frame codec
+    (H.264/VP9/AV1/MPEG) needs a real decoder library and stays gated.
+    Container METADATA (resolution, frame count, fps, duration) is real
+    and dependency-free for AVI and MP4/ISO-BMFF via parse_video_meta;
+    ``frame_sample`` is the byte-level stand-in that keeps the fan-out
+    plumbing testable for the gated codecs."""
+    frames = decode_mjpeg_frames(payload)
+    if frames is not None:
+        return frames
     raise NotImplementedError(
-        "video frame decode requires a codec library; AVI and MP4 "
-        "container metadata decodes via parse_video_meta, frame "
-        "sampling is stubbed by frame_sample"
+        "inter-frame video codecs require a decoder library; MJPEG AVIs "
+        "decode frame-by-frame via the stdlib JPEG codec, AVI and MP4 "
+        "container metadata via parse_video_meta, frame sampling is "
+        "stubbed by frame_sample"
     )
 
 

@@ -2983,3 +2983,206 @@ def test_jpeg_progressive_truncation_never_crashes():
     mut = bytearray(blob)
     mut[len(mut) // 2] = 0xFF
     decode_jpeg_pixels(bytes(mut))
+
+
+def _wav_blob(fmt_code, n_ch, rate, bits, block_align, data):
+    import struct
+
+    byte_rate = rate * n_ch * max(bits, 1) // 8
+    fmt = struct.pack("<HHIIHH", fmt_code, n_ch, rate, byte_rate, block_align, bits)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_wav_g711_ulaw_alaw_decode():
+    """G.711 companded WAVs decode through the ITU expansion tables —
+    spot-checked against hand-computed table entries, then round-tripped
+    through independent TEST-SIDE compressors within G.711's quantization
+    error envelope."""
+    import numpy as np
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        decode_wav_samples,
+    )
+
+    # hand-computed ITU values: µ-law 0x00 → −32124, 0x80 → +32124,
+    # 0xFF → 0;  A-law 0x2A → −32256, 0xAA → +32256, 0x55 → −8
+    out = decode_wav_samples(
+        _wav_blob(7, 1, 8000, 8, 1, bytes([0x00, 0x80, 0xFF]))
+    )
+    assert np.allclose(out.ravel() * 32768.0, [-32124, 32124, 0])
+    out = decode_wav_samples(
+        _wav_blob(6, 1, 8000, 8, 1, bytes([0x2A, 0xAA, 0x55]))
+    )
+    assert np.allclose(out.ravel() * 32768.0, [-32256, 32256, -8])
+
+    # independent test-side µ-law compressor (ITU search over the table)
+    def ulaw_compress(x16):
+        bias, out = 0x84, []
+        for v in x16:
+            sign = 0x80 if v < 0 else 0
+            v = min(abs(int(v)), 32635) + bias
+            exp = v.bit_length() - 8  # segment: top set bit above bit 7
+            mant = (v >> (exp + 3)) & 0x0F
+            out.append(~(sign | (exp << 4) | mant) & 0xFF)
+        return bytes(out)
+
+    t = np.arange(800)
+    wave = (np.sin(2 * np.pi * t / 80) * 20000).astype(np.int64)
+    dec = decode_wav_samples(
+        _wav_blob(7, 1, 8000, 8, 1, ulaw_compress(wave))
+    )
+    err = np.abs(dec.ravel() * 32768.0 - wave)
+    # µ-law quantization error grows with segment: the truncating
+    # test-side compressor errs by at most one segment-7 step (1024)
+    assert err.max() <= 1024
+    # and small-amplitude samples must be near-exact (segment-0 steps)
+    small = np.abs(wave) < 100
+    assert err[small].max() <= 8
+    # stereo shaping
+    st = decode_wav_samples(_wav_blob(7, 2, 8000, 8, 2, bytes(range(64))))
+    assert st.shape == (32, 2)
+
+
+def test_wav_ima_adpcm_decode():
+    """IMA ADPCM blocks decode via the reference step/index tables —
+    round-tripped through an independent TEST-SIDE IMA compressor; the
+    decoded waveform must track the original within ADPCM's adaptive
+    step error, and the block header predictor must be emitted as the
+    first sample."""
+    import struct
+
+    import numpy as np
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        _IMA_INDEX_TABLE,
+        _IMA_STEP_TABLE,
+        decode_wav_samples,
+    )
+
+    def ima_compress(x16, n_ch, block_align):
+        # standard IMA encoder: quantize diff against the adaptive step
+        per_ch = [x16[:, c].tolist() for c in range(n_ch)]
+        n = len(per_ch[0])
+        samples_per_block = (block_align - 4 * n_ch) * 2 // n_ch + 1
+        out = bytearray()
+        pos = 0
+        pred = [0] * n_ch
+        idx = [0] * n_ch
+        while pos < n:
+            for c in range(n_ch):
+                pred[c] = per_ch[c][pos]
+                out += struct.pack("<hBB", pred[c], idx[c], 0)
+            nibs = [[] for _ in range(n_ch)]
+            for i in range(1, samples_per_block):
+                for c in range(n_ch):
+                    v = per_ch[c][pos + i] if pos + i < n else pred[c]
+                    step = _IMA_STEP_TABLE[idx[c]]
+                    delta = v - pred[c]
+                    nib = 8 if delta < 0 else 0
+                    delta = abs(delta)
+                    if delta >= step:
+                        nib |= 4
+                        delta -= step
+                    if delta >= step >> 1:
+                        nib |= 2
+                        delta -= step >> 1
+                    if delta >= step >> 2:
+                        nib |= 1
+                    # reconstruct exactly like the decoder
+                    diff = step >> 3
+                    if nib & 1:
+                        diff += step >> 2
+                    if nib & 2:
+                        diff += step >> 1
+                    if nib & 4:
+                        diff += step
+                    p = pred[c] - diff if nib & 8 else pred[c] + diff
+                    pred[c] = max(-32768, min(32767, p))
+                    idx[c] = max(0, min(88, idx[c] + _IMA_INDEX_TABLE[nib & 7]))
+                    nibs[c].append(nib)
+            # pack per channel in 8-nibble groups, channel-interleaved
+            for g in range(len(nibs[0]) // 8):
+                for c in range(n_ch):
+                    grp = nibs[c][g * 8 : g * 8 + 8]
+                    for j in range(0, 8, 2):
+                        out.append(grp[j] | (grp[j + 1] << 4))
+            pos += samples_per_block
+        return bytes(out)
+
+    t = np.arange(1024)
+    mono = (np.sin(2 * np.pi * t / 64) * 12000).astype(np.int64)[:, None]
+    blob = _wav_blob(0x11, 1, 8000, 4, 256, ima_compress(mono, 1, 256))
+    dec = decode_wav_samples(blob)
+    n = min(len(dec), len(mono))
+    err = np.abs(dec[:n, 0] * 32768.0 - mono[:n, 0])
+    assert err.mean() < 600  # adaptive-step tracking error, not garbage
+    assert abs(dec[0, 0] * 32768.0 - mono[0, 0]) < 1  # header predictor
+    # stereo: L = wave, R = inverted wave; channels must not swap
+    stereo = np.concatenate([mono, -mono], axis=1)
+    blob = _wav_blob(0x11, 2, 8000, 4, 512, ima_compress(stereo, 2, 512))
+    dec = decode_wav_samples(blob)
+    n = min(len(dec), len(stereo))
+    assert np.abs(dec[:n, 0] * 32768.0 - stereo[:n, 0]).mean() < 600
+    assert np.abs(dec[:n, 1] * 32768.0 - stereo[:n, 1]).mean() < 600
+    # malformed: step index out of range fails closed
+    bad = _wav_blob(0x11, 1, 8000, 4, 8, struct.pack("<hBB", 0, 99, 0) + b"\x00" * 4)
+    assert decode_wav_samples(bad) is None
+
+
+def test_decode_video_mjpeg_avi_frames():
+    """An MJPEG AVI decodes frame-by-frame through the stdlib JPEG
+    codec: a handcrafted RIFF 'AVI ' with hdrl + movi carrying three
+    JPEG frames (one of them PROGRESSIVE) yields three pixel arrays in
+    stream order; non-MJPEG video chunks stay gated."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        decode_mjpeg_frames,
+        decode_video,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    frames_px = [
+        np.full((16, 16, 3), 40, dtype=np.uint8),
+        np.full((16, 16, 3), 120, dtype=np.uint8),
+        np.full((16, 16, 3), 200, dtype=np.uint8),
+    ]
+    payloads = [
+        encode_jpeg(frames_px[0], 95),
+        encode_jpeg_progressive(frames_px[1], 95),
+        encode_jpeg(frames_px[2], 95),
+    ]
+    movi_body = b"movi" + b"".join(chunk(b"00dc", p) for p in payloads)
+    avih_body = struct.pack("<14I", 40_000, 0, 0, 0x10, 3, 0, 1, 0, 16, 16,
+                            0, 0, 0, 0)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih_body))
+    movi = chunk(b"LIST", movi_body)
+    riff_body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+    frames = decode_video(avi)
+    assert len(frames) == 3
+    for got, want in zip(frames, frames_px):
+        assert got.shape == (16, 16, 3)
+        # flat-color frames survive JPEG within quantization tolerance
+        assert abs(got.astype(int).mean() - want.astype(int).mean()) < 3
+    # non-JPEG video chunks: recognized as AVI but stay gated
+    movi2 = chunk(b"LIST", b"movi" + chunk(b"00dc", b"\x00\x01\x02\x03"))
+    riff2 = b"AVI " + hdrl + movi2
+    bad = b"RIFF" + struct.pack("<I", len(riff2)) + riff2
+    assert decode_mjpeg_frames(bad) is None
+    with pytest.raises(NotImplementedError):
+        decode_video(bad)
+    assert decode_mjpeg_frames(b"RIFF\x00\x00\x00\x00WAVE") is None
