@@ -665,6 +665,25 @@ def parse_image_dims(payload: bytes) -> tuple[int, int, str] | None:
             w, h = struct.unpack("<ii", payload[18:26])
             return abs(int(w)), abs(int(h)), "BMP"  # negative h = top-down
         return None
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        bo = "<" if payload[:1] == b"I" else ">"
+        try:
+            ifd = struct.unpack(bo + "I", payload[4:8])[0]
+            n = struct.unpack(bo + "H", payload[ifd : ifd + 2])[0]
+            dims = {}
+            for e in range(n):
+                lo = ifd + 2 + 12 * e
+                tag, typ = struct.unpack(bo + "HH", payload[lo : lo + 4])
+                if tag in (256, 257) and typ in (3, 4):
+                    fmt = "H" if typ == 3 else "I"
+                    dims[tag] = struct.unpack(
+                        bo + fmt, payload[lo + 8 : lo + 8 + (2 if typ == 3 else 4)]
+                    )[0]
+            if 256 in dims and 257 in dims:
+                return int(dims[256]), int(dims[257]), "TIFF"
+        except (struct.error, IndexError):
+            pass
+        return None
     if payload[:2] == b"\xff\xd8":
         i = 2
         while i + 4 <= len(payload):
@@ -2114,16 +2133,242 @@ def _jpeg_seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
 
+def decode_bmp_pixels(payload: bytes) -> "object | None":
+    """Decode an uncompressed / RLE8 BMP (BITMAPINFOHEADER family) to an
+    (h, w, ch) uint8 array — pure stdlib + numpy.  Supports 24/32-bit
+    BI_RGB (BGR(X) → RGB), 1/4/8-bit palette (including BI_RLE8),
+    bottom-up and top-down row orders.  None for other profiles
+    (BI_RLE4, BITFIELDS, OS/2 core headers) or malformed payloads."""
+    import struct
+
+    import numpy as np
+
+    if not payload or len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    try:
+        px_off = struct.unpack("<I", payload[10:14])[0]
+        dib = struct.unpack("<I", payload[14:18])[0]
+        if dib < 40:
+            return None
+        w, h_raw = struct.unpack("<ii", payload[18:26])
+        bpp = struct.unpack("<H", payload[28:30])[0]
+        compression = struct.unpack("<I", payload[30:34])[0]
+        clr_used = struct.unpack("<I", payload[46:50])[0]
+        if w <= 0 or h_raw == 0:
+            return None
+        top_down = h_raw < 0
+        h = abs(h_raw)
+        if bpp in (24, 32) and compression == 0:
+            stride = (w * (bpp // 8) + 3) // 4 * 4
+            need = px_off + stride * h
+            if len(payload) < need:
+                return None
+            rows = np.frombuffer(
+                payload, dtype=np.uint8, count=stride * h, offset=px_off
+            ).reshape(h, stride)
+            nb = bpp // 8
+            img = rows[:, : w * nb].reshape(h, w, nb)[:, :, :3][:, :, ::-1]
+            return (img if top_down else img[::-1]).copy()
+        if bpp in (1, 4, 8) and compression in (0, 1):
+            n_pal = clr_used or (1 << bpp)
+            pal_lo = 14 + dib
+            if len(payload) < pal_lo + 4 * n_pal:
+                return None
+            pal = np.frombuffer(
+                payload, dtype=np.uint8, count=4 * n_pal, offset=pal_lo
+            ).reshape(n_pal, 4)[:, :3][:, ::-1]  # BGRX → RGB
+            if compression == 1:  # BI_RLE8 (bpp must be 8)
+                if bpp != 8:
+                    return None
+                idx = np.zeros((h, w), dtype=np.uint8)
+                x = y = 0
+                i = px_off
+                while i + 1 < len(payload):
+                    n, v = payload[i], payload[i + 1]
+                    i += 2
+                    if n:  # run of v
+                        idx[y, x : min(x + n, w)] = v
+                        x = min(x + n, w)
+                    elif v == 0:  # end of line
+                        x, y = 0, y + 1
+                        if y >= h:
+                            break
+                    elif v == 1:  # end of bitmap
+                        break
+                    elif v == 2:  # delta
+                        if i + 1 >= len(payload):
+                            return None
+                        x = min(x + payload[i], w)
+                        y = min(y + payload[i + 1], h - 1)
+                        i += 2
+                    else:  # absolute mode: v literal bytes, word-aligned
+                        if i + v > len(payload):
+                            return None
+                        run = np.frombuffer(
+                            payload, dtype=np.uint8, count=v, offset=i
+                        )
+                        end = min(x + v, w)
+                        idx[y, x:end] = run[: end - x]
+                        x = end
+                        i += v + (v % 2)
+            else:
+                stride = ((w * bpp + 7) // 8 + 3) // 4 * 4
+                if len(payload) < px_off + stride * h:
+                    return None
+                rows = np.frombuffer(
+                    payload, dtype=np.uint8, count=stride * h, offset=px_off
+                ).reshape(h, stride)
+                if bpp == 8:
+                    idx = rows[:, :w]
+                else:  # 1/4-bit: unpack MSB-first
+                    bits = np.unpackbits(rows, axis=1)[:, : w * bpp]
+                    weights = 1 << np.arange(bpp - 1, -1, -1)
+                    idx = (bits.reshape(h, w, bpp) * weights).sum(axis=2)
+            if int(idx.max(initial=0)) >= n_pal:
+                return None
+            img = pal[idx]
+            return (img if top_down else img[::-1]).copy()
+        return None
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def _packbits_decode(data: bytes, expect: int) -> "bytes | None":
+    """Apple PackBits RLE (TIFF compression 32773) → raw bytes."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expect:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1 bytes
+            if i + n + 1 > len(data):
+                return None
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if i >= len(data):
+                return None
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out[:expect]) if len(out) >= expect else None
+
+
+def decode_tiff_pixels(payload: bytes) -> "object | None":
+    """Decode a baseline TIFF (8-bit samples, strip-organized,
+    uncompressed or PackBits) to an (h, w, ch) uint8 array — pure
+    stdlib + numpy.  Supports grayscale (both photometric polarities),
+    RGB(A) and 16-bit-colormap palette images, either byte order.
+    None for other profiles (LZW/JPEG/deflate compression, tiles,
+    sub-byte or 16-bit samples) or malformed payloads."""
+    import struct
+
+    import numpy as np
+
+    if not payload or len(payload) < 8:
+        return None
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        return None
+    try:
+        ifd_off = struct.unpack(bo + "I", payload[4:8])[0]
+        if ifd_off + 2 > len(payload):
+            return None
+        n_entries = struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])[0]
+        type_size = {1: 1, 3: 2, 4: 4}
+        tags: dict[int, list[int]] = {}
+        for e in range(n_entries):
+            lo = ifd_off + 2 + 12 * e
+            if lo + 12 > len(payload):
+                return None
+            tag, typ = struct.unpack(bo + "HH", payload[lo : lo + 4])
+            count = struct.unpack(bo + "I", payload[lo + 4 : lo + 8])[0]
+            if typ not in type_size or count == 0:
+                continue
+            sz = type_size[typ] * count
+            if sz <= 4:
+                raw = payload[lo + 8 : lo + 8 + sz]
+            else:
+                off = struct.unpack(bo + "I", payload[lo + 8 : lo + 12])[0]
+                if off + sz > len(payload):
+                    return None
+                raw = payload[off : off + sz]
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            tags[tag] = list(struct.unpack(bo + fmt * count, raw))
+        w = tags.get(256, [0])[0]
+        h = tags.get(257, [0])[0]
+        bits = tags.get(258, [8])
+        compression = tags.get(259, [1])[0]
+        photometric = tags.get(262, [1])[0]
+        offsets = tags.get(273)
+        spp = tags.get(277, [len(bits)])[0]
+        rows_per_strip = tags.get(278, [h])[0] or h
+        counts = tags.get(279)
+        colormap = tags.get(320)
+        if (
+            not w
+            or not h
+            or offsets is None
+            or counts is None
+            or len(offsets) != len(counts)
+            or any(b != 8 for b in bits)
+            or spp not in (1, 3, 4)
+            or compression not in (1, 32773)
+            or photometric not in (0, 1, 2, 3)
+        ):
+            return None
+        raw = bytearray()
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(payload):
+                return None
+            strip = payload[off : off + cnt]
+            n_rows = min(rows_per_strip, h - i * rows_per_strip)
+            if n_rows <= 0:
+                return None
+            if compression == 32773:
+                strip = _packbits_decode(strip, n_rows * w * spp)
+                if strip is None:
+                    return None
+            raw += strip
+        if len(raw) < h * w * spp:
+            return None
+        img = np.frombuffer(bytes(raw), dtype=np.uint8, count=h * w * spp).reshape(
+            h, w, spp
+        )
+        if photometric == 0:  # white-is-zero grayscale
+            img = 255 - img
+        elif photometric == 3:  # palette: 16-bit colormap, R/G/B planes
+            if colormap is None or spp != 1 or len(colormap) < 3 * 256:
+                return None
+            cmap = (
+                np.array(colormap[: 3 * 256], dtype=np.uint32).reshape(3, 256)
+                // 257
+            ).astype(np.uint8)
+            return cmap.T[img[:, :, 0]]
+        return img.copy()
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
 def decode_image_pixels(payload: bytes) -> "object | None":
     """Dependency-free pixel decode for the formats the stdlib can fully
     express: PNG at every spec-legal profile (deflate + scanline
     filters; 8/16-bit, palette incl. tRNS alpha, sub-byte gray, Adam7),
-    first-frame GIF (LZW + palette) and baseline-Huffman JPEG (DQT/DHT
-    walk + IDCT).  Progressive/arithmetic JPEG and the other
-    non-stdlib-expressible formats stay the PIL-gated remainder."""
+    first-frame GIF (LZW + palette), Huffman JPEG (baseline + extended
+    sequential + progressive), uncompressed/RLE8 BMP and baseline TIFF
+    (uncompressed + PackBits strips).  Arithmetic-coded JPEG and the
+    non-stdlib-expressible formats (WebP/VP8, LZW TIFF, ...) stay the
+    PIL-gated remainder."""
     px = decode_png_pixels(payload)
     if px is None:
         px = decode_gif_pixels(payload)
+    if px is None:
+        px = decode_bmp_pixels(payload)
+    if px is None:
+        px = decode_tiff_pixels(payload)
     if px is None:
         px = decode_jpeg_pixels(payload)
     return px

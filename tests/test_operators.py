@@ -3186,3 +3186,179 @@ def test_decode_video_mjpeg_avi_frames():
     with pytest.raises(NotImplementedError):
         decode_video(bad)
     assert decode_mjpeg_frames(b"RIFF\x00\x00\x00\x00WAVE") is None
+
+
+def test_bmp_pixel_decode_profiles():
+    """Handcrafted BMPs: 24-bit bottom-up BGR, 32-bit top-down BGRX,
+    8-bit palette, 4-bit palette packing, and BI_RLE8 runs/absolute/EOL
+    — all decode to exact pixels; unsupported profiles return None."""
+    import struct
+
+    import numpy as np
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        decode_bmp_pixels,
+    )
+
+    def bmp(w, h, bpp, compression, pal, pixel_bytes):
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bpp, compression,
+            len(pixel_bytes), 2835, 2835, len(pal), 0,
+        )
+        pal_bytes = b"".join(bytes([b, g, r, 0]) for r, g, b in pal)
+        off = 14 + len(dib) + len(pal_bytes)
+        hdr = b"BM" + struct.pack("<IHHI", off + len(pixel_bytes), 0, 0, off)
+        return hdr + dib + pal_bytes + pixel_bytes
+
+    # 24-bit 2x2 bottom-up: rows padded to 4 bytes (2*3=6 -> 8)
+    # file row 0 (image BOTTOM row): red, green; row 1 (top): blue, white
+    rows = (
+        bytes([0, 0, 255, 0, 255, 0]) + b"\x00\x00"
+        + bytes([255, 0, 0, 255, 255, 255]) + b"\x00\x00"
+    )
+    px = decode_bmp_pixels(bmp(2, 2, 24, 0, [], rows))
+    assert px.shape == (2, 2, 3)
+    assert px[0].tolist() == [[0, 0, 255], [255, 255, 255]]  # top row
+    assert px[1].tolist() == [[255, 0, 0], [0, 255, 0]]  # bottom row
+
+    # 32-bit TOP-DOWN (negative height): BGRX, no padding needed
+    rows32 = bytes([10, 20, 30, 0, 40, 50, 60, 0])
+    px = decode_bmp_pixels(bmp(2, -1, 32, 0, [], rows32))
+    assert px.shape == (1, 2, 3)
+    assert px[0].tolist() == [[30, 20, 10], [60, 50, 40]]
+
+    # 8-bit palette 3x1: indices 2,0,1 -> padded to 4
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    px = decode_bmp_pixels(bmp(3, -1, 8, 0, pal, bytes([2, 0, 1, 0])))
+    assert px[0].tolist() == [[0, 0, 255], [255, 0, 0], [0, 255, 0]]
+
+    # 4-bit palette 3x1: nibbles 2,0 | 1,pad -> 0x20 0x10 + 2 pad bytes
+    px = decode_bmp_pixels(bmp(3, -1, 4, 0, pal, bytes([0x20, 0x10, 0, 0])))
+    assert px[0].tolist() == [[0, 0, 255], [255, 0, 0], [0, 255, 0]]
+
+    # BI_RLE8 4x2 top... (RLE is bottom-up): run 3x idx1, literal? use
+    # encoded runs: row0: (3,1)(1,0) EOL; row1: absolute 4 bytes EOL EOB
+    rle = bytes(
+        [3, 1, 1, 0, 0, 0]  # 3x pal1, 1x pal0, end-of-line
+        + [0, 4, 2, 2, 0, 0, 0, 0]  # absolute: 4 literals 2,2,0,0
+        + [0, 1]  # end of bitmap
+    )
+    px = decode_bmp_pixels(bmp(4, 2, 8, 1, pal, rle))
+    assert px.shape == (2, 4, 3)
+    # bottom-up: file row 0 is the image BOTTOM
+    assert px[1].tolist() == [[0, 255, 0]] * 3 + [[255, 0, 0]]
+    assert px[0].tolist() == [[0, 0, 255]] * 2 + [[255, 0, 0]] * 2
+
+    # unsupported: BITFIELDS compression, out-of-range palette index
+    assert decode_bmp_pixels(bmp(2, 2, 32, 3, [], rows32 * 2)) is None
+    assert decode_bmp_pixels(bmp(3, -1, 8, 0, pal, bytes([7, 0, 1, 0]))) is None
+    assert decode_bmp_pixels(b"BMshort") is None
+
+
+def test_tiff_pixel_decode_profiles():
+    """Handcrafted TIFFs: little/big endian, RGB strips, white-is-zero
+    grayscale inversion, PackBits compression, 16-bit colormap palette —
+    exact pixels; LZW and non-8-bit profiles return None."""
+    import struct
+
+    import numpy as np
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        decode_tiff_pixels,
+    )
+
+    def tiff(bo, entries, blobs, blob_base):
+        # entries: list of (tag, typ, values); blobs appended after IFD
+        ifd_off = 8
+        n = len(entries)
+        out = bytearray()
+        out += (b"II*\x00" if bo == "<" else b"MM\x00*")
+        out += struct.pack(bo + "I", ifd_off)
+        out += struct.pack(bo + "H", n)
+        fmt = {1: "B", 3: "H", 4: "I"}
+        size = {1: 1, 3: 2, 4: 4}
+        for tag, typ, vals in entries:
+            out += struct.pack(bo + "HH", tag, typ)
+            out += struct.pack(bo + "I", len(vals))
+            packed = struct.pack(bo + fmt[typ] * len(vals), *vals)
+            if len(packed) <= 4:
+                out += packed + b"\x00" * (4 - len(packed))
+            else:
+                out += struct.pack(bo + "I", blob_base + blobs.index(packed))
+        out += struct.pack(bo + "I", 0)  # next IFD
+        return out
+
+    # RGB 2x2, one uncompressed strip, little-endian
+    strip = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    base = 8 + 2 + 8 * 12 + 4
+    entries = [
+        (256, 3, [2]), (257, 3, [2]), (258, 3, [8, 8, 8]),
+        (259, 3, [1]), (262, 3, [2]), (273, 4, [base + 6]),
+        (277, 3, [3]), (279, 4, [len(strip)]),
+    ]
+    blob258 = struct.pack("<HHH", 8, 8, 8)
+    payload = bytes(tiff("<", entries, [blob258], base)) + blob258 + strip
+    px = decode_tiff_pixels(payload)
+    assert px.shape == (2, 2, 3)
+    assert px[0, 0].tolist() == [255, 0, 0] and px[1, 1].tolist() == [9, 9, 9]
+
+    # grayscale 4x1 white-is-zero, big-endian: values invert
+    strip = bytes([0, 64, 128, 255])
+    base = 8 + 2 + 7 * 12 + 4
+    entries = [
+        (256, 3, [4]), (257, 3, [1]), (258, 3, [8]),
+        (259, 3, [1]), (262, 3, [0]), (273, 4, [base]),
+        (279, 4, [4]),
+    ]
+    px = decode_tiff_pixels(bytes(tiff(">", entries, [], base)) + strip)
+    assert px[:, :, 0].ravel().tolist() == [255, 191, 127, 0]
+
+    # PackBits grayscale 8x1: run of 5x7 + literal 3 bytes
+    pb = bytes([256 - 4, 7, 2, 1, 2, 3])  # repeat 7 x5, literal [1,2,3]
+    base = 8 + 2 + 7 * 12 + 4
+    entries = [
+        (256, 3, [8]), (257, 3, [1]), (258, 3, [8]),
+        (259, 3, [32773]), (262, 3, [1]), (273, 4, [base]),
+        (279, 4, [len(pb)]),
+    ]
+    px = decode_tiff_pixels(bytes(tiff("<", entries, [], base)) + pb)
+    assert px[:, :, 0].ravel().tolist() == [7, 7, 7, 7, 7, 1, 2, 3]
+
+    # palette 2x1: colormap planes R,G,B of 256 uint16 (value*257)
+    cmap_vals = [0] * 768
+    cmap_vals[1] = 255 * 257  # R plane idx1 -> red
+    cmap_vals[256 + 2] = 200 * 257  # G plane idx2
+    cmap = struct.pack("<768H", *cmap_vals)
+    strip = bytes([1, 2])
+    base = 8 + 2 + 8 * 12 + 4
+    entries = [
+        (256, 3, [2]), (257, 3, [1]), (258, 3, [8]),
+        (259, 3, [1]), (262, 3, [3]), (273, 4, [base + len(cmap)]),
+        (279, 4, [2]), (320, 3, cmap_vals),
+    ]
+    px = decode_tiff_pixels(bytes(tiff("<", entries, [cmap], base)) + cmap + strip)
+    assert px[0, 0].tolist() == [255, 0, 0] and px[0, 1].tolist() == [0, 200, 0]
+
+    # unsupported: LZW compression
+    entries = [
+        (256, 3, [2]), (257, 3, [1]), (258, 3, [8]),
+        (259, 3, [5]), (262, 3, [1]), (273, 4, [200]),
+        (279, 4, [2]),
+    ]
+    assert decode_tiff_pixels(bytes(tiff("<", entries, [], 200)) + b"\x00" * 300) is None
+    assert decode_tiff_pixels(b"II*\x00\x08") is None
+
+
+def test_parse_image_dims_tiff():
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        parse_image_dims,
+    )
+    import struct
+
+    ifd = struct.pack("<H", 2)
+    ifd += struct.pack("<HHI", 256, 3, 1) + struct.pack("<H", 640) + b"\x00\x00"
+    ifd += struct.pack("<HHI", 257, 4, 1) + struct.pack("<I", 480)
+    ifd += struct.pack("<I", 0)
+    blob = b"II*\x00" + struct.pack("<I", 8) + ifd
+    assert parse_image_dims(blob) == (640, 480, "TIFF")
+    assert parse_image_dims(b"II*\x00\x08\x00\x00\x00") is None
