@@ -112,6 +112,12 @@ class CorpusConfig:
     chunk_tokens: int | None = None
     embed: bool = False  # append a unit-L2 embedding column (ANN-ready corpus)
     pack_budget: int | None = None  # tokens per training chunk; None = off
+    # budget currency for packing: "whitespace" (the proxy) or "bpe" —
+    # a merge table self-trained on the curated corpus (operators/
+    # text.py::bpe_merge_table, one-row broadcast) encodes each doc
+    # in-row and packing budgets on REAL token counts; a production
+    # build broadcasts an offline-trained table through the same fold
+    pack_tokenizer: str = "whitespace"
     # reproducible training-order shuffle (operators/text.py::
     # epoch_shuffle_frame) between split and pack: every row gets a
     # contiguous 0-based global position + derived shard, and packing
@@ -227,20 +233,27 @@ def _near_deduped(docs: DataFrame, cc_algorithm: str = "label_prop") -> DataFram
     )
 
 
-def _packed(docs: DataFrame, budget: int) -> DataFrame:
+def _packed(
+    docs: DataFrame, budget: int, n_tok: "F.Column | None" = None
+) -> DataFrame:
     """GPT-style concat-and-chunk (the seq_packing recipe):
     chunk_id = floor(tokens-before-this-doc / budget).  Default shard
     key is the ingest source; after the epoch-shuffle stage the rows
     carry (shard, position) and packing consumes the shuffled training
-    order instead, so chunks draw decorrelated docs."""
+    order instead, so chunks draw decorrelated docs.  ``n_tok``
+    overrides the budget currency (the pack_tokenizer="bpe" path passes
+    real tokenizer counts)."""
     from pyspark.sql import Window
 
-    # chunk mode already materialized the exact per-row token count
-    n_tok = (
-        F.col("chunk_tokens").cast("long")
-        if "chunk_tokens" in docs.columns
-        else F.size(word_tokens(F.col("text"))).cast("long")
-    )
+    if n_tok is not None:
+        n_tok = n_tok.cast("long")
+    else:
+        # chunk mode already materialized the exact per-row token count
+        n_tok = (
+            F.col("chunk_tokens").cast("long")
+            if "chunk_tokens" in docs.columns
+            else F.size(word_tokens(F.col("text"))).cast("long")
+        )
     if "position" in docs.columns:
         shard_key, order = "shard", ["position"]
     else:
@@ -271,6 +284,11 @@ def run_corpus_pipeline(
         raise ValueError(f"chunk_tokens must be >= 1, got {cfg.chunk_tokens}")
     if cfg.pack_budget is not None and cfg.pack_budget < 1:
         raise ValueError(f"pack_budget must be >= 1, got {cfg.pack_budget}")
+    if cfg.pack_tokenizer not in ("whitespace", "bpe"):
+        raise ValueError(
+            "pack_tokenizer must be 'whitespace' or 'bpe', "
+            f"got {cfg.pack_tokenizer!r}"
+        )
     if cfg.min_quality is not None and not (0.0 < cfg.min_quality < 1.0):
         raise ValueError(
             f"min_quality must be in (0, 1), got {cfg.min_quality}"
@@ -501,7 +519,31 @@ def run_corpus_pipeline(
         ).select(F.col("doc_id").alias("__sid"), "position", "shard")
         kept = kept.join(order, ident == F.col("__sid")).drop("__sid")
     if cfg.pack_budget:
-        kept = _packed(kept, cfg.pack_budget)
+        if cfg.pack_tokenizer == "bpe":
+            # REAL token budgeting: a merge table self-trained on the
+            # curated corpus (one-row broadcast, constant size at any
+            # corpus scale) encodes each row's text in-row; packing
+            # consumes the BPE token count instead of the whitespace
+            # proxy.  Production swaps in an offline table — same
+            # broadcast + fold, only the derivation branch changes.
+            from ..operators.text import bpe_encode_tokens, bpe_merge_table
+
+            merges = bpe_merge_table(kept.select("text"))
+            kept = (
+                kept.crossJoin(F.broadcast(merges))
+                .withColumn(
+                    "__bpe_n",
+                    F.size(
+                        bpe_encode_tokens(F.col("text"), F.col("merges"))
+                    ).cast("long"),
+                )
+                .drop("merges")
+            )
+            kept = _packed(
+                kept, cfg.pack_budget, n_tok=F.col("__bpe_n")
+            ).drop("__bpe_n")
+        else:
+            kept = _packed(kept, cfg.pack_budget)
     if cfg.shuffle_output:
         # Deterministic pseudo-random GLOBAL order: training wants the
         # corpus decorrelated from ingest order, and rand() would make
@@ -639,6 +681,7 @@ def run_corpus_pipeline(
             "embed": cfg.embed,
             "chunk_tokens": cfg.chunk_tokens,
             "pack_budget": cfg.pack_budget,
+            "pack_tokenizer": cfg.pack_tokenizer,
             "epoch_shuffle": cfg.epoch_shuffle,
             "epoch_shards": cfg.epoch_shards,
             "shuffle_output": cfg.shuffle_output,
@@ -750,6 +793,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--pack-budget", type=int, default=None)
     ap.add_argument(
+        "--pack-tokenizer",
+        choices=("whitespace", "bpe"),
+        default="whitespace",
+        help="packing budget currency: whitespace proxy or a BPE merge "
+        "table self-trained on the curated corpus (in-row encode)",
+    )
+    ap.add_argument(
         "--epoch-shuffle",
         action="store_true",
         help="assign a contiguous pseudo-random training position + shard "
@@ -800,6 +850,7 @@ def main(argv: list[str] | None = None) -> int:
         chunk_tokens=args.chunk_tokens,
         embed=args.embed,
         pack_budget=args.pack_budget,
+        pack_tokenizer=args.pack_tokenizer,
         epoch_shuffle=args.epoch_shuffle,
         epoch_shards=args.epoch_shards,
         shuffle_output=args.shuffle_output,

@@ -795,3 +795,83 @@ def test_corpus_epoch_shuffle_chunk_mode_is_chunk_grain(spark, tmp_path):
     got = [(r["position"], r["doc_id"], r["chunk_idx"]) for r in landed.collect()]
     assert sorted(p for p, _, _ in got) == list(range(len(got)))
     assert len({(d, c) for _, d, c in got}) == len(got)
+
+
+def test_corpus_pack_tokenizer_bpe_budgets_on_real_tokens(spark, tmp_path):
+    """pack_tokenizer='bpe' budgets chunks on BPE token counts (a merge
+    table self-trained on the curated corpus, applied in-row): the
+    landed chunk assignment equals the test's independent recomputation
+    from bpe_merge_table + bpe_encode_tokens, and differs from the
+    whitespace-proxy assignment."""
+    from pyspark.sql import functions as F
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        bpe_encode_tokens,
+        bpe_merge_table,
+    )
+
+    # few whitespace words, many chars -> BPE counts >> whitespace counts
+    # (texts all distinct so exact dedup drops nothing; every predicted
+    # lang accepted so the filter stage drops nothing)
+    rows = [
+        (i, " ".join("abcdefgh"[: 4 + (i * 3 + j) % 7] for j in range(3)), "s0")
+        for i in range(6)
+    ]
+    path = tmp_path / "docs.parquet"
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.parquet(str(path))
+    cfgkw = dict(
+        near_dedup=False,
+        scrub=False,
+        min_tokens=1,
+        min_ttr=0.0,
+        langs=("en", "de", "fr", "es"),
+    )
+    manifest = run_corpus_pipeline(
+        spark,
+        path,
+        tmp_path / "out",
+        CorpusConfig(pack_budget=16, pack_tokenizer="bpe", **cfgkw),
+    )
+    landed = spark.read.parquet(manifest["output"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["chunk_id"]) for r in landed.collect()
+    }
+
+    # independent recomputation: same survivors (no dedup drops anything
+    # here), same self-trained table, same running-sum arithmetic
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    merges = bpe_merge_table(docs.select("text"))
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in docs.crossJoin(F.broadcast(merges))
+        .select(
+            "doc_id",
+            F.size(bpe_encode_tokens(F.col("text"), F.col("merges"))).alias("n"),
+        )
+        .collect()
+    }
+    before = 0
+    for doc_id in sorted(counts):
+        assert got[doc_id] == (counts[doc_id], before // 16)
+        before += counts[doc_id]
+    # the whitespace proxy (3 tokens/doc) would pack everything in chunk 0
+    ws = run_corpus_pipeline(
+        spark,
+        path,
+        tmp_path / "out_ws",
+        CorpusConfig(pack_budget=16, **cfgkw),
+    )
+    ws_landed = spark.read.parquet(ws["output"])
+    assert {r["chunk_id"] for r in ws_landed.collect()} == {0}
+    assert len({c for _, c in got.values()}) > 1
+    assert manifest["config"]["pack_tokenizer"] == "bpe"
+
+
+def test_corpus_pack_tokenizer_rejects_unknown(spark, corpus_input, tmp_path):
+    with pytest.raises(ValueError, match="pack_tokenizer"):
+        run_corpus_pipeline(
+            spark,
+            corpus_input,
+            tmp_path / "out",
+            CorpusConfig(pack_budget=16, pack_tokenizer="unigram"),
+        )
