@@ -610,10 +610,12 @@ def decode_video(payload: bytes) -> object:
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """Resize an image payload: PIL when installed; without PIL, a REAL
-    nearest-neighbor resample for baseline PNGs via the stdlib codec
-    (decode → integer index map → re-encode); non-PNG stays gated."""
+    nearest-neighbor resample for every stdlib-decodable format (PNG/
+    GIF/JPEG/BMP/TIFF via decode_image_pixels → integer index map →
+    PNG re-encode; non-PNG inputs come back as PNG, the one format the
+    stdlib encoder can produce).  Undecodable formats stay gated."""
     if not HAS_PIL:
-        px = decode_png_pixels(payload)
+        px = decode_image_pixels(payload)
         if px is not None:
             import numpy as np
 
@@ -622,8 +624,9 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
             xi = np.arange(width) * w // width
             return encode_png(px[yi][:, xi])
         raise NotImplementedError(
-            "non-PNG resize requires PIL (not installed); baseline PNG "
-            "resamples via the stdlib codec, other formats are gated"
+            "resize of non-stdlib-decodable formats requires PIL (not "
+            "installed); PNG/GIF/JPEG/BMP/TIFF resample via the stdlib "
+            "codecs (re-encoded as PNG), other formats are gated"
         )
     from io import BytesIO
 

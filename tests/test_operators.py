@@ -3362,3 +3362,21 @@ def test_parse_image_dims_tiff():
     blob = b"II*\x00" + struct.pack("<I", 8) + ifd
     assert parse_image_dims(blob) == (640, 480, "TIFF")
     assert parse_image_dims(b"II*\x00\x08\x00\x00\x00") is None
+
+
+def test_resize_image_stdlib_formats_resample_to_png():
+    """Without PIL, resize decodes ANY stdlib-decodable format and
+    re-encodes as PNG — a flat-color JPEG resamples to the same color,
+    and a GIF's palette pixels survive the index-map resample."""
+    import numpy as np
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators import multimodal as M
+
+    if M.HAS_PIL:
+        import pytest
+
+        pytest.skip("stdlib resample path only runs without PIL")
+    flat = np.full((16, 16, 3), 77, dtype=np.uint8)
+    out = M.decode_png_pixels(M.resize_image(M.encode_jpeg(flat, 95), 4, 4))
+    assert out.shape == (4, 4, 3)
+    assert abs(out.astype(int).mean() - 77) < 3  # JPEG-lossy tolerance
