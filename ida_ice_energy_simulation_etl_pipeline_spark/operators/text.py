@@ -2239,6 +2239,134 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Iterative BPE TRAINING — the full Sennrich et al. loop, not just one
+# counting round: after every chosen merge the corpus pair counts are
+# RECOUNTED over the updated symbol streams, so later merges can select
+# pairs whose operands are earlier merge OUTPUTS (the property
+# bpe_merge_candidates' single round cannot express; its docstring
+# documents the gap, this closes it).
+#
+# Shape: ONE corpus-grain aggregate collapses the corpus to a
+# (word, count) vocab table — the table every real BPE trainer iterates
+# on, bounded by distinct-word count, never corpus size.  Each round is
+# a vocab-grain pair-count aggregate (weighted by word frequency), a
+# deterministic argmax (count desc, then (a, b) lexicographic — the
+# oracle mirrors the tie-break), a one-row driver collect (the
+# kmeans_refine pattern), and an in-row literal replace applying the
+# merge over the double-delimited symbol rendering bpe_encode_tokens
+# uses.  localCheckpoint per round keeps the vocab-grain lineage flat.
+# The oracle unrolls the same rounds as chained CTEs (the kmeans_census
+# recipe) — exact hash-match for iterative tokenizer training.
+BPE_TRAIN_MERGES = 6
+
+
+def bpe_train_frame(
+    docs: DataFrame, *, n_merges: int = BPE_TRAIN_MERGES
+) -> DataFrame:
+    """(rank, a, b, n) — the learned merge table, one row per round, in
+    merge order.  ``n`` is the frequency-weighted corpus pair count the
+    merge was chosen at."""
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(word_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(
+                F.lit("|"), F.array_join(F.split("w", ""), "||"), F.lit("|")
+            ).alias("s"),
+            "cnt",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple] = []
+    for r in range(n_merges):
+        syms = F.split(F.regexp_replace("s", r"^\||\|$", ""), r"\|\|")
+        # adjacent (1-indexed) pairs; sequence() descends when the word
+        # has < 2 symbols, so gate it to an empty array instead
+        idx = F.when(
+            F.size(syms) >= 2, F.sequence(F.lit(1), F.size(syms) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = words.select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at(syms, i).alias("a"),
+                        F.element_at(syms, i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], best[0]["n"]
+        merges.append((r + 1, a, b, n))
+        words = words.withColumn(
+            "s",
+            F.replace(
+                F.col("s"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
+            ),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, schema="rank BIGINT, a STRING, b STRING, n BIGINT"
+    )
+
+
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    return bpe_train_frame(docs)
+
+
+def _bpe_train_sql(n_merges: int = BPE_TRAIN_MERGES) -> str:
+    """Unrolled-CTE oracle: each round recounts pairs over the updated
+    symbol streams and picks (count desc, a, b) — kmeans_census-style
+    exact SQL for an iterative algorithm."""
+    parts = [
+        """
+w0 AS MATERIALIZED (
+  SELECT '|' || array_to_string(
+           list_transform(range(1, len(w) + 1), i -> w[i]), '||') || '|' AS s,
+         count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1
+)"""
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f"""
+p{r} AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS n
+  FROM (SELECT string_split(substr(s, 2, len(s) - 2), '||') AS syms, cnt
+        FROM w{r}),
+       unnest(range(1, len(syms))) u(i)
+  GROUP BY 1, 2
+),
+m{r} AS MATERIALIZED (SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1),
+w{r + 1} AS MATERIALIZED (
+  SELECT replace(s,
+                 '|' || (SELECT a FROM m{r}) || '||' || (SELECT b FROM m{r}) || '|',
+                 '|' || (SELECT a FROM m{r}) || (SELECT b FROM m{r}) || '|') AS s,
+         cnt
+  FROM w{r}
+)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS rank, a, b, n FROM m{r}"
+        for r in range(n_merges)
+    )
+    return "WITH " + ",".join(parts) + "\n" + union
+
+
 BPE_ENCODE_SQL = f"""
 WITH RECURSIVE
 allwords AS (
@@ -2540,5 +2668,14 @@ EXTRA_SPECS: list[QuerySpec] = [
         bpe_encode,
         BPE_ENCODE_SQL,
         "ext:text,tokenizer,encode",
+    ),
+    # New in round 9: iterative BPE TRAINING (recount after every merge;
+    # unrolled-CTE oracle, kmeans_census-style exact SQL for an
+    # iterative algorithm) — extra tier, r10 promotion candidate.
+    QuerySpec(
+        "bpe_train",
+        bpe_train,
+        _bpe_train_sql(),
+        "ext:text,tokenizer,training,iterative",
     ),
 ]

@@ -3380,3 +3380,45 @@ def test_resize_image_stdlib_formats_resample_to_png():
     out = M.decode_png_pixels(M.resize_image(M.encode_jpeg(flat, 95), 4, 4))
     assert out.shape == (4, 4, 3)
     assert abs(out.astype(int).mean() - 77) < 3  # JPEG-lossy tolerance
+
+
+def test_bpe_train_recounts_after_each_merge(spark):
+    """True iterative training: round 2's winning pair has round 1's
+    OUTPUT as an operand — a property one counting round can never
+    produce (bpe_merge_candidates' documented gap)."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        bpe_train_frame,
+    )
+
+    # 'aaaa' x10: round 1 counts (a,a)=30 and merges it -> streams
+    # become [aa, aa]; round 2's recount sees (aa, aa)=10 — an operand
+    # that did not EXIST before round 1.  'xy' x4 is the decoy: a
+    # single-round top-2 would pick (x,y)=4 second, never (aa,aa).
+    rows = [(i, "aaaa", "s") for i in range(10)] + [
+        (100 + i, "xy", "s") for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"]).repartition(4)
+    got = [
+        (r["rank"], r["a"], r["b"], r["n"])
+        for r in bpe_train_frame(docs, n_merges=3).orderBy("rank").collect()
+    ]
+    # word-frequency weighting: 'aaaa' count 10 -> (a,a) pairs 3*10=30
+    assert got[0] == (1, "a", "a", 30)
+    assert got[1] == (2, "aa", "aa", 10)
+    assert got[2] == (3, "x", "y", 4)
+
+
+def test_bpe_train_tie_break_is_lexicographic(spark):
+    """Equal-count pairs resolve by (a, b) ordering, reproducibly under
+    any partitioning — the cross-engine tie-break the oracle mirrors."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        bpe_train_frame,
+    )
+
+    rows = [(0, "zw zw", "s"), (1, "bc bc", "s")]  # (z,w)=2 ties (b,c)=2
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"]).repartition(3)
+    got = [
+        (r["a"], r["b"])
+        for r in bpe_train_frame(docs, n_merges=1).collect()
+    ]
+    assert got == [("b", "c")]
