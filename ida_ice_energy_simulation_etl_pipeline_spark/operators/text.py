@@ -2127,8 +2127,11 @@ LIMIT {BPE_TOP_K}
 # in-row array_position: the id assignment never shuffles the corpus.
 #
 # Constraint: symbols must not contain the '|' delimiter — byte/char
-# pretokenizers guarantee this for real tokenizers, and the fixture's
-# whitespace words are alphanumeric.
+# pretokenizers guarantee this for real tokenizers.  The constraint is
+# ENFORCED, not assumed: bpe_encode_tokens raises (ANSI raise_error,
+# fails the job) on any word containing '|', and merge_table_from_ranks
+# raises on any merge operand containing '|', so a hostile corpus or
+# table fails closed instead of silently corrupting token streams.
 #
 # The registry query learns its table from ONE counting round (the
 # top-K char pairs, rank = count desc then pair — oracle-reproducible);
@@ -2189,8 +2192,24 @@ def bpe_encode_tokens(text: Column, merges: Column) -> Column:
     array."""
 
     def encode_word(w):
+        # fail closed on the delimiter constraint: a word containing '|'
+        # would corrupt the symbol rendering silently (and the DuckDB
+        # oracle would corrupt identically, so parity could not catch
+        # it) — raise instead, per-row, inside codegen
+        safe = F.when(
+            w.contains("|"),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "bpe_encode_tokens: word contains the reserved "
+                        "symbol delimiter '|': "
+                    ),
+                    w,
+                )
+            ),
+        ).otherwise(w)
         wrapped = F.concat(
-            F.lit("|"), F.array_join(F.split(w, ""), "||"), F.lit("|")
+            F.lit("|"), F.array_join(F.split(safe, ""), "||"), F.lit("|")
         )
         folded = F.aggregate(
             merges,

@@ -2687,6 +2687,34 @@ def test_bpe_encode_rank_order_priority(spark):
     assert row["toks"] == ["a", "bc"]
 
 
+def test_bpe_encode_rejects_delimiter_bearing_word(spark):
+    """The '|' delimiter constraint is ENFORCED, not assumed: a word
+    containing the reserved symbol delimiter fails the job (raise_error)
+    instead of silently corrupting the symbol rendering — the silent
+    path would corrupt the DuckDB oracle identically, so parity could
+    never catch it."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        bpe_encode_tokens,
+    )
+
+    merges = F.array(F.struct(F.lit("a").alias("a"), F.lit("b").alias("b")))
+    hostile = spark.createDataFrame([(0, "ok a|b ok")], ["doc_id", "text"])
+    with pytest.raises(SparkRuntimeException, match=r"delimiter '\|'"):
+        hostile.select(
+            bpe_encode_tokens(F.col("text"), merges).alias("toks")
+        ).collect()
+    # clean input is untouched by the guard
+    clean = spark.createDataFrame([(0, "abc ab")], ["doc_id", "text"])
+    [row] = clean.select(
+        bpe_encode_tokens(F.col("text"), merges).alias("toks")
+    ).collect()
+    assert row["toks"] == ["ab", "c", "ab"]
+
+
 def test_bpe_merge_table_rank_is_count_then_pair(spark):
     """The one-round learned table ranks by count desc then pair asc,
     reproducibly under any partitioning."""
