@@ -113,11 +113,16 @@ class CorpusConfig:
     embed: bool = False  # append a unit-L2 embedding column (ANN-ready corpus)
     pack_budget: int | None = None  # tokens per training chunk; None = off
     # budget currency for packing: "whitespace" (the proxy) or "bpe" —
-    # a merge table self-trained on the curated corpus (operators/
-    # text.py::bpe_merge_table, one-row broadcast) encodes each doc
-    # in-row and packing budgets on REAL token counts; a production
-    # build broadcasts an offline-trained table through the same fold
+    # the merge table (one-row broadcast) encodes each doc in-row and
+    # packing budgets on REAL token counts.  Table provenance, in
+    # precedence order: bpe_merges_path (an offline-trained rank-grain
+    # (rank, a, b) parquet — bpe_train_frame's output shape — bridged
+    # through operators/text.py::merge_table_from_ranks), else a table
+    # self-trained on the curated corpus in one counting round
+    # (bpe_merge_table).  Either way the broadcast + in-row fold
+    # application is identical; only the derivation branch changes.
     pack_tokenizer: str = "whitespace"
+    bpe_merges_path: str | None = None
     # reproducible training-order shuffle (operators/text.py::
     # epoch_shuffle_frame) between split and pack: every row gets a
     # contiguous 0-based global position + derived shard, and packing
@@ -287,6 +292,20 @@ def run_corpus_pipeline(
     if cfg.pack_tokenizer not in ("whitespace", "bpe"):
         raise ValueError(
             "pack_tokenizer must be 'whitespace' or 'bpe', "
+            f"got {cfg.pack_tokenizer!r}"
+        )
+    # A non-default tokenizer or an explicit merge table with packing off
+    # would be silently ignored (the BPE branch lives inside the
+    # pack_budget stage) — fail loudly instead of building a corpus the
+    # user believes is token-budgeted.
+    if cfg.pack_tokenizer != "whitespace" and cfg.pack_budget is None:
+        raise ValueError(
+            f"pack_tokenizer={cfg.pack_tokenizer!r} requires pack_budget "
+            "(the tokenizer only sets the packing budget currency)"
+        )
+    if cfg.bpe_merges_path is not None and cfg.pack_tokenizer != "bpe":
+        raise ValueError(
+            "bpe_merges_path requires pack_tokenizer='bpe', "
             f"got {cfg.pack_tokenizer!r}"
         )
     if cfg.min_quality is not None and not (0.0 < cfg.min_quality < 1.0):
@@ -520,15 +539,27 @@ def run_corpus_pipeline(
         kept = kept.join(order, ident == F.col("__sid")).drop("__sid")
     if cfg.pack_budget:
         if cfg.pack_tokenizer == "bpe":
-            # REAL token budgeting: a merge table self-trained on the
-            # curated corpus (one-row broadcast, constant size at any
-            # corpus scale) encodes each row's text in-row; packing
-            # consumes the BPE token count instead of the whitespace
-            # proxy.  Production swaps in an offline table — same
-            # broadcast + fold, only the derivation branch changes.
-            from ..operators.text import bpe_encode_tokens, bpe_merge_table
+            # REAL token budgeting: a merge table (one-row broadcast,
+            # constant size at any corpus scale) encodes each row's text
+            # in-row; packing consumes the BPE token count instead of
+            # the whitespace proxy.  bpe_merges_path ships an
+            # offline-trained rank-grain table (bpe_train_frame's output
+            # shape) through merge_table_from_ranks — the production
+            # path; otherwise the table self-trains on the curated
+            # corpus in one counting round.  Same broadcast + fold
+            # either way.
+            from ..operators.text import (
+                bpe_encode_tokens,
+                bpe_merge_table,
+                merge_table_from_ranks,
+            )
 
-            merges = bpe_merge_table(kept.select("text"))
+            if cfg.bpe_merges_path is not None:
+                merges = merge_table_from_ranks(
+                    spark.read.parquet(cfg.bpe_merges_path)
+                )
+            else:
+                merges = bpe_merge_table(kept.select("text"))
             kept = (
                 kept.crossJoin(F.broadcast(merges))
                 .withColumn(
@@ -682,6 +713,7 @@ def run_corpus_pipeline(
             "chunk_tokens": cfg.chunk_tokens,
             "pack_budget": cfg.pack_budget,
             "pack_tokenizer": cfg.pack_tokenizer,
+            "bpe_merges_path": cfg.bpe_merges_path,
             "epoch_shuffle": cfg.epoch_shuffle,
             "epoch_shards": cfg.epoch_shards,
             "shuffle_output": cfg.shuffle_output,
@@ -797,7 +829,14 @@ def main(argv: list[str] | None = None) -> int:
         choices=("whitespace", "bpe"),
         default="whitespace",
         help="packing budget currency: whitespace proxy or a BPE merge "
-        "table self-trained on the curated corpus (in-row encode)",
+        "table (in-row encode); requires --pack-budget",
+    )
+    ap.add_argument(
+        "--bpe-merges-path",
+        default=None,
+        help="offline-trained rank-grain (rank, a, b) merge-table parquet "
+        "(bpe_train output shape) for --pack-tokenizer bpe; omitted = "
+        "self-train one counting round on the curated corpus",
     )
     ap.add_argument(
         "--epoch-shuffle",
@@ -851,6 +890,7 @@ def main(argv: list[str] | None = None) -> int:
         embed=args.embed,
         pack_budget=args.pack_budget,
         pack_tokenizer=args.pack_tokenizer,
+        bpe_merges_path=args.bpe_merges_path,
         epoch_shuffle=args.epoch_shuffle,
         epoch_shards=args.epoch_shards,
         shuffle_output=args.shuffle_output,

@@ -2346,6 +2346,51 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_frame(docs)
 
 
+def merge_table_from_ranks(ranks: DataFrame) -> DataFrame:
+    """ONE-row (merges: array<struct<a,b>>) broadcast-ready table from a
+    rank-grain (rank, a, b[, ...]) frame — ``bpe_train_frame``'s output
+    or an offline-trained table loaded from parquet.  This is the bridge
+    that makes the documented "production trains offline and ships the
+    table" story real plumbing: any rank-ordered merge list feeds the
+    same broadcast + in-row fold ``bpe_encode_tokens`` runs.
+
+    Fails closed on the delimiter constraint: a NULL or '|'-bearing
+    operand raises (in-row raise_error over the rank-grain rows — the
+    table is merge-count-sized, so the check is free) instead of
+    silently corrupting every encoded word downstream."""
+
+    def checked(c: str) -> Column:
+        col = F.col(c).cast("string")
+        return (
+            F.when(
+                col.isNull() | col.contains("|") | (F.length(col) == 0),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"merge_table_from_ranks: illegal merge operand {c!r}"
+                            " (NULL, empty, or contains the reserved delimiter"
+                            " '|'): "
+                        ),
+                        F.coalesce(col, F.lit("NULL")),
+                    )
+                ),
+            )
+            .otherwise(col)
+            .alias(c)
+        )
+
+    # collect_list order is partition-dependent; sorting the (rank, a, b)
+    # structs re-derives merge order deterministically in-row
+    return ranks.select(
+        F.col("rank").cast("long").alias("rank"), checked("a"), checked("b")
+    ).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("rank", "a", "b"))),
+            lambda m: F.struct(m["a"].alias("a"), m["b"].alias("b")),
+        ).alias("merges")
+    )
+
+
 def _bpe_train_sql(n_merges: int = BPE_TRAIN_MERGES) -> str:
     """Unrolled-CTE oracle: each round recounts pairs over the updated
     symbol streams and picks (count desc, a, b) — kmeans_census-style

@@ -875,3 +875,133 @@ def test_corpus_pack_tokenizer_rejects_unknown(spark, corpus_input, tmp_path):
             tmp_path / "out",
             CorpusConfig(pack_budget=16, pack_tokenizer="unigram"),
         )
+
+
+def test_corpus_pack_tokenizer_without_budget_fails_loudly(
+    spark, corpus_input, tmp_path
+):
+    """pack_tokenizer='bpe' with no pack_budget used to validate and then
+    be silently ignored (the BPE branch lives inside the pack stage) —
+    it must raise instead."""
+    with pytest.raises(ValueError, match="requires pack_budget"):
+        run_corpus_pipeline(
+            spark,
+            corpus_input,
+            tmp_path / "out",
+            CorpusConfig(pack_tokenizer="bpe"),
+        )
+    with pytest.raises(ValueError, match="requires pack_tokenizer='bpe'"):
+        run_corpus_pipeline(
+            spark,
+            corpus_input,
+            tmp_path / "out",
+            CorpusConfig(pack_budget=16, bpe_merges_path="/nonexistent"),
+        )
+
+
+def test_corpus_bpe_merges_path_trains_offline_then_packs(spark, tmp_path):
+    """The full production tokenizer story as real plumbing: bpe_train
+    (iterative, recount-per-merge) writes a rank-grain merge table to
+    parquet offline; the pipeline ships it via bpe_merges_path and packs
+    on ITS token counts — verified against an independent recomputation
+    through merge_table_from_ranks + bpe_encode_tokens, and shown to
+    differ from the self-trained one-round table's assignment."""
+    from pyspark.sql import functions as F
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        bpe_encode_tokens,
+        bpe_train_frame,
+        merge_table_from_ranks,
+    )
+
+    rows = [
+        (i, " ".join("abcdefgh"[: 4 + (i * 3 + j) % 7] for j in range(3)), "s0")
+        for i in range(6)
+    ]
+    path = tmp_path / "docs.parquet"
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    docs.write.parquet(str(path))
+
+    # offline training step: iterative table -> parquet artifact
+    ranks = bpe_train_frame(docs, n_merges=5)
+    merges_path = tmp_path / "merges.parquet"
+    ranks.write.parquet(str(merges_path))
+
+    cfgkw = dict(
+        near_dedup=False,
+        scrub=False,
+        min_tokens=1,
+        min_ttr=0.0,
+        langs=("en", "de", "fr", "es"),
+    )
+    manifest = run_corpus_pipeline(
+        spark,
+        path,
+        tmp_path / "out",
+        CorpusConfig(
+            pack_budget=16,
+            pack_tokenizer="bpe",
+            bpe_merges_path=str(merges_path),
+            **cfgkw,
+        ),
+    )
+    landed = spark.read.parquet(manifest["output"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["chunk_id"]) for r in landed.collect()
+    }
+
+    # independent recomputation from the artifact itself
+    table = merge_table_from_ranks(spark.read.parquet(str(merges_path)))
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in docs.crossJoin(F.broadcast(table))
+        .select(
+            "doc_id",
+            F.size(bpe_encode_tokens(F.col("text"), F.col("merges"))).alias("n"),
+        )
+        .collect()
+    }
+    before = 0
+    for doc_id in sorted(counts):
+        assert got[doc_id] == (counts[doc_id], before // 16)
+        before += counts[doc_id]
+
+    # the iterative table (recounts let it learn multi-char merges the
+    # one-round table cannot) yields different token counts than the
+    # self-trained one-round branch on the same corpus
+    selftrained = run_corpus_pipeline(
+        spark,
+        path,
+        tmp_path / "out_selftrained",
+        CorpusConfig(pack_budget=16, pack_tokenizer="bpe", **cfgkw),
+    )
+    st = {
+        r["doc_id"]: r["n_tokens"]
+        for r in spark.read.parquet(selftrained["output"]).collect()
+    }
+    assert {d: n for d, (n, _) in got.items()} != st
+    assert manifest["config"]["bpe_merges_path"] == str(merges_path)
+
+
+def test_merge_table_from_ranks_rejects_hostile_operands(spark):
+    """An offline table is an external input: NULL, empty, or
+    '|'-bearing operands must fail the job, not corrupt every encoded
+    word."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        merge_table_from_ranks,
+    )
+
+    for a, b in [("a|", "b"), ("a", None), ("", "b")]:
+        hostile = spark.createDataFrame(
+            [(1, a, b)], "rank BIGINT, a STRING, b STRING"
+        )
+        with pytest.raises(SparkRuntimeException, match="illegal merge operand"):
+            merge_table_from_ranks(hostile).collect()
+    # clean table round-trips in rank order regardless of partitioning
+    clean = spark.createDataFrame(
+        [(2, "th", "e"), (1, "t", "h")], "rank BIGINT, a STRING, b STRING"
+    ).repartition(4)
+    [row] = merge_table_from_ranks(clean).collect()
+    assert [(m["a"], m["b"]) for m in row["merges"]] == [("t", "h"), ("th", "e")]
