@@ -247,12 +247,18 @@ def decode_wav_samples(payload: bytes):
     fmt = None
     block_align = 0
     data = None
+    fact_frames = None
     for cid, lo, hi in _riff_chunks(payload, 12, len(payload)):
         if cid == b"fmt " and hi - lo >= 16:
             code, n_ch = struct.unpack("<HH", payload[lo : lo + 4])
             block_align = struct.unpack("<H", payload[lo + 12 : lo + 14])[0]
             bits = struct.unpack("<H", payload[lo + 14 : lo + 16])[0]
             fmt = (code, n_ch, bits)
+        elif cid == b"fact" and hi - lo >= 4:
+            # dwSampleLength: the DECLARED per-channel frame count —
+            # compressed codecs pad their final block, so the block walk
+            # over-produces without this bound
+            fact_frames = struct.unpack("<I", payload[lo : lo + 4])[0]
         elif cid == b"data":
             data = payload[lo:hi]
     if fmt is None or data is None:
@@ -265,7 +271,11 @@ def decode_wav_samples(payload: bytes):
             / 32768.0
         )
         n_ch = max(int(n_ch), 1)
-        return arr[: len(arr) // n_ch * n_ch].reshape(-1, n_ch)
+        frames = arr[: len(arr) // n_ch * n_ch].reshape(-1, n_ch)
+        # byte-per-sample codecs rarely need the fact bound, but honor a
+        # declared shorter frame count when present (same contract as
+        # the block-padded ADPCM path)
+        return frames[:fact_frames] if fact_frames is not None else frames
     if code == 0x11:  # IMA ADPCM
         n_ch = max(int(n_ch), 1)
         if bits != 4 or block_align < 4 * n_ch:
@@ -280,7 +290,13 @@ def decode_wav_samples(payload: bytes):
             blocks.append(blk)
         if not blocks:
             return None
-        return np.vstack(blocks).astype(np.float64) / 32768.0
+        full = np.vstack(blocks)
+        # the encoder pads the final block's nibble area — without the
+        # fact chunk's declared frame count those padding nibbles decode
+        # to phantom trailing samples and skew rms/zero-crossing stats
+        if fact_frames is not None:
+            full = full[:fact_frames]
+        return full.astype(np.float64) / 32768.0
     # A truncated payload can leave the data chunk shorter than a whole
     # number of samples; np.frombuffer refuses partial elements, so every
     # branch clips to an element-size multiple (the 24-bit packed path
@@ -2263,7 +2279,8 @@ def decode_tiff_pixels(payload: bytes) -> "object | None":
     stdlib + numpy.  Supports grayscale (both photometric polarities),
     RGB(A) and 16-bit-colormap palette images, either byte order.
     None for other profiles (LZW/JPEG/deflate compression, tiles,
-    sub-byte or 16-bit samples) or malformed payloads."""
+    sub-byte or 16-bit samples, planar multi-sample layout) or
+    malformed payloads."""
     import struct
 
     import numpy as np
@@ -2311,6 +2328,11 @@ def decode_tiff_pixels(payload: bytes) -> "object | None":
         rows_per_strip = tags.get(278, [h])[0] or h
         counts = tags.get(279)
         colormap = tags.get(320)
+        # PlanarConfiguration (284): the strip layout below assumes
+        # chunky pixel interleave; a planar (=2) multi-sample image
+        # meets every other accepted-profile check yet would decode
+        # channel-scrambled — fail closed like the other gated profiles
+        planar = tags.get(284, [1])[0]
         if (
             not w
             or not h
@@ -2321,6 +2343,7 @@ def decode_tiff_pixels(payload: bytes) -> "object | None":
             or spp not in (1, 3, 4)
             or compression not in (1, 32773)
             or photometric not in (0, 1, 2, 3)
+            or (planar != 1 and spp > 1)
         ):
             return None
         raw = bytearray()

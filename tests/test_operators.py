@@ -607,6 +607,41 @@ def test_image_features_real_pil_decode(spark):
     assert (row["width"], row["height"], row["mode"]) == (7, 3, "PNG")
 
 
+def test_progressive_jpeg_decode_against_independent_encoder():
+    """Golden cross-check against an INDEPENDENT progressive encoder
+    (PIL/libjpeg), not just the in-repo encode_jpeg_progressive twin — a
+    shared spec misunderstanding (AC-refinement ZRL, EOB-run handling)
+    would round-trip the twins cleanly yet fail on real libjpeg streams.
+    Skipped where PIL is absent (this container); the handcrafted-
+    bitstream unit tests pin the same mechanisms dependency-free."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        HAS_PIL,
+        decode_jpeg_pixels,
+    )
+
+    if not HAS_PIL:
+        pytest.skip("PIL not installed in this container")
+    from io import BytesIO
+
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    for quality in (95, 75):
+        buf = BytesIO()
+        Image.fromarray(px).save(
+            buf, format="JPEG", quality=quality, progressive=True
+        )
+        got = decode_jpeg_pixels(buf.getvalue())
+        assert got is not None and got.shape == (24, 17, 3)
+        want = np.asarray(Image.open(BytesIO(buf.getvalue())).convert("RGB"))
+        # libjpeg's IDCT and ours may round intermediate values apart by
+        # a hair; the decoded planes must agree within a tight tolerance
+        diff = np.abs(got.astype(int) - want.astype(int))
+        assert diff.max() <= 2, diff.max()
+
+
 def test_multimodal_frame_explosion(spark):
     docs = spark.createDataFrame(
         [(1, "0123456789abcdef", "s1"), (2, "xy", "s2"), (3, "", "s3")],
@@ -3013,14 +3048,20 @@ def test_jpeg_progressive_truncation_never_crashes():
     decode_jpeg_pixels(bytes(mut))
 
 
-def _wav_blob(fmt_code, n_ch, rate, bits, block_align, data):
+def _wav_blob(fmt_code, n_ch, rate, bits, block_align, data, fact_frames=None):
     import struct
 
     byte_rate = rate * n_ch * max(bits, 1) // 8
     fmt = struct.pack("<HHIIHH", fmt_code, n_ch, rate, byte_rate, block_align, bits)
+    fact = (
+        b"fact" + struct.pack("<II", 4, fact_frames)
+        if fact_frames is not None
+        else b""
+    )
     return (
-        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        b"RIFF" + struct.pack("<I", 36 + len(fact) + len(data)) + b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + fact
         + b"data" + struct.pack("<I", len(data)) + data
     )
 
@@ -3159,6 +3200,89 @@ def test_wav_ima_adpcm_decode():
     # malformed: step index out of range fails closed
     bad = _wav_blob(0x11, 1, 8000, 4, 8, struct.pack("<hBB", 0, 99, 0) + b"\x00" * 4)
     assert decode_wav_samples(bad) is None
+
+
+def test_wav_adpcm_fact_chunk_bounds_phantom_padding_samples():
+    """A stream whose length is not a whole number of ADPCM blocks pads
+    the final block's nibble area; the fact chunk's declared frame count
+    must bound the decode — without it the padding decodes as phantom
+    trailing samples and skews rms/zero-crossing stats."""
+    import numpy as np
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        _IMA_INDEX_TABLE,
+        _IMA_STEP_TABLE,
+        decode_wav_samples,
+    )
+
+    # independent test-side compressor (same as the round-trip test, but
+    # fed FEWER samples than one block holds so the encoder pads)
+    import struct as _struct
+
+    def ima_compress(x16, n_ch, block_align):
+        per_ch = [x16[:, c].tolist() for c in range(n_ch)]
+        n = len(per_ch[0])
+        samples_per_block = (block_align - 4 * n_ch) * 2 // n_ch + 1
+        out = bytearray()
+        pos = 0
+        pred = [0] * n_ch
+        idx = [0] * n_ch
+        while pos < n:
+            for c in range(n_ch):
+                pred[c] = per_ch[c][pos]
+                out += _struct.pack("<hBB", pred[c], idx[c], 0)
+            nibs = [[] for _ in range(n_ch)]
+            for i in range(1, samples_per_block):
+                for c in range(n_ch):
+                    v = per_ch[c][pos + i] if pos + i < n else pred[c]
+                    step = _IMA_STEP_TABLE[idx[c]]
+                    delta = v - pred[c]
+                    nib = 8 if delta < 0 else 0
+                    delta = abs(delta)
+                    if delta >= step:
+                        nib |= 4
+                        delta -= step
+                    if delta >= step >> 1:
+                        nib |= 2
+                        delta -= step >> 1
+                    if delta >= step >> 2:
+                        nib |= 1
+                    diff = step >> 3
+                    if nib & 1:
+                        diff += step >> 2
+                    if nib & 2:
+                        diff += step >> 1
+                    if nib & 4:
+                        diff += step
+                    p = pred[c] - diff if nib & 8 else pred[c] + diff
+                    pred[c] = max(-32768, min(32767, p))
+                    idx[c] = max(0, min(88, idx[c] + _IMA_INDEX_TABLE[nib & 7]))
+                    nibs[c].append(nib)
+            for g in range(len(nibs[0]) // 8):
+                for c in range(n_ch):
+                    grp = nibs[c][g * 8 : g * 8 + 8]
+                    for j in range(0, 8, 2):
+                        out.append(grp[j] | (grp[j + 1] << 4))
+            pos += samples_per_block
+        return bytes(out)
+
+    t = np.arange(300)  # one 256-byte mono block holds 505 samples
+    mono = (np.sin(2 * np.pi * t / 64) * 12000).astype(np.int64)[:, None]
+    data = ima_compress(mono, 1, 256)
+    # without fact: the padded nibbles decode as phantom trailing samples
+    dec_nofact = decode_wav_samples(_wav_blob(0x11, 1, 8000, 4, 256, data))
+    assert len(dec_nofact) == 505
+    # with fact: decode is bounded to the declared 300 frames
+    dec = decode_wav_samples(
+        _wav_blob(0x11, 1, 8000, 4, 256, data, fact_frames=300)
+    )
+    assert len(dec) == 300
+    assert np.abs(dec[:, 0] * 32768.0 - mono[:, 0]).mean() < 600
+    # the G.711 path honors a declared shorter count too
+    dec_g711 = decode_wav_samples(
+        _wav_blob(7, 1, 8000, 8, 1, bytes([0xFF] * 10), fact_frames=7)
+    )
+    assert len(dec_g711) == 7
 
 
 def test_decode_video_mjpeg_avi_frames():
@@ -3375,6 +3499,31 @@ def test_tiff_pixel_decode_profiles():
     ]
     assert decode_tiff_pixels(bytes(tiff("<", entries, [], 200)) + b"\x00" * 300) is None
     assert decode_tiff_pixels(b"II*\x00\x08") is None
+
+    # unsupported: PLANAR (PlanarConfiguration=2) RGB meets every other
+    # accepted-profile check but would decode channel-scrambled — must
+    # fail closed, not return wrong pixels
+    strip = bytes(12)
+    base = 8 + 2 + 9 * 12 + 4
+    entries = [
+        (256, 3, [2]), (257, 3, [2]), (258, 3, [8, 8, 8]),
+        (259, 3, [1]), (262, 3, [2]), (273, 4, [base + 6]),
+        (277, 3, [3]), (279, 4, [len(strip)]), (284, 3, [2]),
+    ]
+    blob258 = struct.pack("<HHH", 8, 8, 8)
+    payload = bytes(tiff("<", entries, [blob258], base)) + blob258 + strip
+    assert decode_tiff_pixels(payload) is None
+    # planar tag on a SINGLE-sample image is layout-equivalent to chunky
+    # and still decodes
+    strip = bytes([0, 64, 128, 255])
+    base = 8 + 2 + 8 * 12 + 4
+    entries = [
+        (256, 3, [4]), (257, 3, [1]), (258, 3, [8]),
+        (259, 3, [1]), (262, 3, [1]), (273, 4, [base]),
+        (279, 4, [4]), (284, 3, [2]),
+    ]
+    px = decode_tiff_pixels(bytes(tiff("<", entries, [], base)) + strip)
+    assert px[:, :, 0].ravel().tolist() == [0, 64, 128, 255]
 
 
 def test_parse_image_dims_tiff():
