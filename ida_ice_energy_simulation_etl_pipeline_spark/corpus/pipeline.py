@@ -1090,21 +1090,32 @@ GROUP BY split
 # Driver-visible CURATION composition query: the round-8 operators as the
 # stage chain run_corpus_pipeline now composes them — planted per-source
 # boilerplate → boilerplate scrub → exact re-dedup → DSIR selection gate
-# → epoch shuffle → sequence packing — so the COMPOSITION of the new
-# stages earns an independent driver CORRECTNESS row, not just its
-# pieces.  Boilerplate is PLANTED (operators/dedup.py::
+# → epoch shuffle → BPE-budgeted sequence packing — so the COMPOSITION of
+# the new stages earns an independent driver CORRECTNESS row, not just
+# its pieces.  Since round 10 the packing budget runs on REAL BPE token
+# counts (the pipeline's pack_tokenizer="bpe" self-trained branch: one
+# counting round on the curated text, broadcast table, in-row fold); the
+# oracle applies the same merges through a recursive CTE.  Boilerplate is PLANTED (operators/dedup.py::
 # _planted_boiler_col, the same arithmetic the standalone query uses)
 # because the synthetic fixture has no per-source chrome; every
 # downstream stage then does real work on the scrubbed residues.
 CURATION_PACK_BUDGET = 64
 CURATION_SHARDS = 8
+# merge count for the self-trained packing table (one counting round on
+# the curated text — the pipeline's pack_tokenizer="bpe" default branch)
+CURATION_BPE_MERGES = 8
 
 
 def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..operators.dedup import _planted_boiler_col, boilerplate_scrub_frame
-    from ..operators.text import dsir_weights_frame, epoch_shuffle_frame
+    from ..operators.text import (
+        bpe_encode_tokens,
+        bpe_merge_table,
+        dsir_weights_frame,
+        epoch_shuffle_frame,
+    )
     from ..plans.core import ensure_parallelism, load_table
 
     docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
@@ -1142,12 +1153,30 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = epoch_shuffle_frame(
         sel.select("doc_id"), n_shards=CURATION_SHARDS
     )
-    toked = sel.join(
-        order.select("doc_id", "position", "shard"), "doc_id"
-    ).select(
-        "position",
-        "shard",
-        F.size(word_tokens(F.col("text"))).cast("long").alias("n_tok"),
+    # pack on REAL BPE token counts (round-10: the pipeline's
+    # pack_tokenizer="bpe" branch, driver-verified end-to-end): a merge
+    # table self-trained on the CURATED text in one counting round
+    # (bpe_merge_table — exactly what run_corpus_pipeline's default BPE
+    # branch derives) broadcasts onto the survivors and each doc encodes
+    # in-row; empty residues (a fully-scrubbed doc that survived on the
+    # n_tokens==0 arm) budget as 0 tokens, pinned explicitly in both
+    # engines so the count never rides delimiter-rendering edge cases
+    merges = bpe_merge_table(
+        sel.select("text"), n_merges=CURATION_BPE_MERGES
+    )
+    toked = (
+        sel.join(order.select("doc_id", "position", "shard"), "doc_id")
+        .crossJoin(F.broadcast(merges))
+        .select(
+            "position",
+            "shard",
+            F.when(F.length("text") == 0, F.lit(0))
+            .otherwise(
+                F.size(bpe_encode_tokens(F.col("text"), F.col("merges")))
+            )
+            .cast("long")
+            .alias("n_tok"),
+        )
     )
     w_pack = (
         Window.partitionBy("shard")
@@ -1174,7 +1203,9 @@ def _curation_e2e_sql() -> str:
     """DuckDB oracle for corpus_curation_e2e — the new-stage chain
     restated from the same fragments the per-stage oracles use (the
     boilerplate window/df CTEs, the DSIR hashed-bigram model, the
-    salted-md5 epoch order, the running-sum pack arithmetic)."""
+    salted-md5 epoch order, BPE_ENCODE_SQL's recursive-CTE merge
+    application over the curated text, the running-sum pack
+    arithmetic)."""
     from ..operators.dedup import (
         BOILER_MIN_DOCS,
         BOILER_MIN_FRAC_PCT,
@@ -1183,7 +1214,7 @@ def _curation_e2e_sql() -> str:
     from ..operators.text import DSIR_BUCKETS, EPOCH_SHUFFLE_SALT
 
     return f"""
-WITH planted AS (
+WITH RECURSIVE planted AS (
   SELECT doc_id, source, lang,
          CASE WHEN doc_id % 4 != 1
               THEN text || ' visit ' || source || ' portal for daily updates'
@@ -1289,10 +1320,50 @@ ordered AS (
          ) - 1 AS position
   FROM sel
 ),
+selw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM sel WHERE text != ''
+),
+cp AS (
+  SELECT substr(w, i, 2) AS pair
+  FROM selw, unnest(range(1, len(w))) u(i)
+  WHERE len(w) >= 2
+),
+bmerges AS MATERIALIZED (
+  SELECT substr(pair, 1, 1) AS a, substr(pair, 2, 1) AS b,
+         row_number() OVER (ORDER BY n DESC, pair) AS r
+  FROM (
+    SELECT pair, count(*) AS n FROM cp GROUP BY pair
+    ORDER BY n DESC, pair LIMIT {CURATION_BPE_MERGES}
+  )
+),
+wrapped AS (
+  SELECT doc_id,
+         '|' || array_to_string(
+           list_transform(range(1, len(w) + 1), i -> w[i]), '||') || '|'
+           AS s
+  FROM selw
+),
+enc AS (
+  SELECT doc_id, s, 0 AS r FROM wrapped
+  UNION ALL
+  SELECT e.doc_id,
+         replace(e.s, '|' || m.a || '||' || m.b || '|',
+                 '|' || m.a || m.b || '|') AS s,
+         e.r + 1
+  FROM enc e JOIN bmerges m ON m.r = e.r + 1
+),
+counts AS (
+  SELECT doc_id,
+         CAST(sum(len(string_split(substr(s, 2, len(s) - 2), '||'))) AS BIGINT)
+           AS n_tok
+  FROM enc WHERE r = (SELECT count(*) FROM bmerges)
+  GROUP BY doc_id
+),
 toked AS (
   SELECT position, position % {CURATION_SHARDS} AS shard,
-         len(string_split(text, ' ')) AS n_tok
-  FROM ordered
+         coalesce(c.n_tok, 0) AS n_tok
+  FROM ordered o LEFT JOIN counts c USING (doc_id)
 ),
 packed AS (
   SELECT shard, position, n_tok,
@@ -1329,7 +1400,7 @@ def _specs():
             "corpus_curation_e2e",
             corpus_curation_e2e,
             _curation_e2e_sql(),
-            "ext:corpus,composition,boilerplate,dsir,shuffle,packing",
+            "ext:corpus,composition,boilerplate,dsir,shuffle,packing,bpe",
         ),
     ]
 

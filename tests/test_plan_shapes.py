@@ -686,13 +686,16 @@ def test_epoch_shuffle_no_global_sort(spark):
 def test_corpus_curation_e2e_composed_shape(spark):
     """The chained curation stages must keep their individual shape
     guarantees when composed: no cartesian beyond DSIR's 64×1
-    smoothing-totals merge, no rangepartitioned global sort for the
-    epoch order, no Python anywhere."""
+    smoothing-totals merge and the one-row BPE merge-table broadcast
+    (round-10: packing budgets on real BPE token counts), no
+    rangepartitioned global sort for the epoch order, no Python
+    anywhere."""
     plan = _executed_plan(spark, "corpus_curation_e2e").split(
         "== Initial Plan =="
     )[0]
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") <= 1  # DSIR totals merge
+    # DSIR totals merge + the broadcast BPE merge-table fan-out
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "Exchange rangepartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
