@@ -1337,7 +1337,7 @@ bmerges AS MATERIALIZED (
     ORDER BY n DESC, pair LIMIT {CURATION_BPE_MERGES}
   )
 ),
-wrapped AS (
+wrapped AS MATERIALIZED (
   SELECT doc_id,
          '|' || array_to_string(
            list_transform(range(1, len(w) + 1), i -> w[i]), '||') || '|'

@@ -1074,10 +1074,11 @@ GROUP BY c.method
 # rows; still oracle-verified locally).  Appended here because both
 # functions are defined after the module's main SPECS list.
 SPECS += [
-    QuerySpec(
-        "kmeans_census", kmeans_census, _kmeans_census_sql(), "ext:ann,kmeans"
-    ),
-    QuerySpec("similarity_pq", similarity_pq, _pq_sql(), "ext:ann,pq"),
+    # Round-10 rotation: kmeans_census and similarity_pq moved to the
+    # extra tier (5 rounds of green driver rows each, r5–r9; the k-means
+    # argmax shape stays driver-exercised by dedup_semantic's IVF cells
+    # and PQ by ann_recall's PQ branch) — their slots fund the first
+    # driver rows for bpe_encode and bpe_train in operators/text.py.
     # Round-6 rotation (judge-prescribed): first driver rows for the
     # hyperplane-LSH bucket/multiprobe paths and the recall harness.
     # Round-9 rotation: similarity_lsh_buckets moved to the extra tier
@@ -1122,4 +1123,10 @@ EXTRA_SPECS: list[QuerySpec] = [
         _lsh_buckets_oracle_sql(),
         "ext:ann",
     ),
+    # Rotated out in round 10 (5 green rounds each; see the SPECS
+    # comment — coverage stays via dedup_semantic and ann_recall).
+    QuerySpec(
+        "kmeans_census", kmeans_census, _kmeans_census_sql(), "ext:ann,kmeans"
+    ),
+    QuerySpec("similarity_pq", similarity_pq, _pq_sql(), "ext:ann,pq"),
 ]

@@ -178,6 +178,11 @@ SF01_QUERIES = [
     "dsir_importance",
     "epoch_shuffle",
     "funnel_episodes",
+    # Round-10 addition (promoted to the driver window this round): the
+    # in-row greedy fold + vocab id assignment are exactly what toy
+    # scale under-exercises — multi-level merge collisions and vocab
+    # sizes that never occur in 600 docs occur constantly in 60k.
+    "bpe_encode",
 ]
 
 
