@@ -1968,6 +1968,179 @@ GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# CCNet-style perplexity bucketing — the head/middle/tail tercile split
+# CCNet (Wenzek et al.) uses to stratify a web corpus by LM quality
+# before sampling: per-language terciles of the self-trained bigram
+# perplexity (bigram_ppl above; docs with < 2 tokens have no score and
+# are absent, exactly like lm_perplexity).  The exact ntile(3) over a
+# (lang)-partitioned window is the oracle-verifiable twin; the window
+# orders by (ppl, doc_id) so rounded-ppl ties (duplicate texts) bucket
+# identically in both engines.  Scale disposition: the per-lang window
+# is ONE hash exchange + per-lang sort, skew-bound by the dominant
+# language — a 100 TB deployment replaces the exact terciles with
+# approx_percentile thresholds from a sample (two map-only passes, no
+# global sort), the same exact-kernel-vs-approx-path trade documented
+# for priority_price_quantiles in SCALE.md.
+PPL_BUCKET_NAMES = ("head", "middle", "tail")
+
+
+def ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    ppl = bigram_ppl(docs).select("doc_id", "ppl")
+    joined = ppl.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy("ppl", "doc_id")
+    bucket = F.element_at(
+        F.array(*[F.lit(x) for x in PPL_BUCKET_NAMES]), F.ntile(3).over(w)
+    )
+    return (
+        joined.withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.min("ppl"), 4).alias("min_ppl"),
+            F.round(F.max("ppl"), 4).alias("max_ppl"),
+            F.round(F.avg("ppl"), 4).alias("avg_ppl"),
+        )
+    )
+
+
+PPL_BUCKETS_SQL = f"""
+WITH ppl AS ({LM_PERPLEXITY_SQL}),
+labeled AS (
+  SELECT d.lang, p.ppl,
+         ntile(3) OVER (PARTITION BY d.lang ORDER BY p.ppl, p.doc_id) AS b
+  FROM ppl p JOIN documents d USING (doc_id)
+)
+SELECT lang,
+       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(min(ppl), 4) AS min_ppl,
+       round(max(ppl), 4) AS max_ppl,
+       round(avg(ppl), 4) AS avg_ppl
+FROM labeled
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# BM25 relevance scoring — the retrieval-side ranking function a RAG
+# corpus serves (Robertson/Okapi, the Lucene idf variant with the +1
+# inside the log so idf stays positive at any df).  The query terms are
+# literals, so term frequencies are IN-ROW array filters on the one
+# corpus scan (no explode, no token-grain shuffle); corpus statistics
+# (N, avgdl, per-term df) collapse to ONE row broadcast back over the
+# scoring scan.  Two corpus scans total, both map-only around a
+# one-row aggregate — the shape survives any corpus size; a production
+# deployment with ad-hoc queries swaps the literal terms for a
+# broadcast query-term table over an inverted-index join
+# (tfidf_top_terms' shape), which only changes the tf derivation.
+BM25_TERMS = ("hash", "join", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    toks = word_tokens(F.col("text"))
+    def tf_of(term: str) -> Column:
+        # NB: the lambda must stay single-parameter — F.filter treats a
+        # two-parameter lambda as (element, index)
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    tf_cols = [
+        tf_of(term).cast("long").alias(f"tf_{i}")
+        for i, term in enumerate(BM25_TERMS)
+    ]
+    base = docs.select(
+        "doc_id", F.size(toks).cast("long").alias("dl"), *tf_cols
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long"))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+
+    def term_score(i: int) -> Column:
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+        )
+        return idf * tf * F.lit(BM25_K1 + 1.0) / denom
+
+    score = term_score(0)
+    n_hit = (F.col("tf_0") > 0).cast("long")
+    for i in range(1, len(BM25_TERMS)):
+        score = score + term_score(i)
+        n_hit = n_hit + (F.col(f"tf_{i}") > 0).cast("long")
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .filter(n_hit > 0)
+        .select(
+            "doc_id",
+            n_hit.alias("n_terms_hit"),
+            F.round(score, 4).alias("bm25"),
+        )
+    )
+
+
+def _bm25_sql() -> str:
+    tf_exprs = ",\n         ".join(
+        f"len(list_filter(string_split(text, ' '), t -> t = '{term}')) AS tf_{i}"
+        for i, term in enumerate(BM25_TERMS)
+    )
+    df_exprs = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    one_minus_b = 1.0 - BM25_B
+    k1_plus_1 = BM25_K1 + 1.0
+    score_terms = " + ".join(
+        f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * CAST(tf_{i} AS DOUBLE) * {k1_plus_1}"
+        f" / (CAST(tf_{i} AS DOUBLE) + {BM25_K1} * ({one_minus_b}"
+        f" + {BM25_B} * dl / avgdl))"
+        for i in range(len(BM25_TERMS))
+    )
+    hit_terms = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)"
+        for i in range(len(BM25_TERMS))
+    )
+    any_hit = " OR ".join(f"tf_{i} > 0" for i in range(len(BM25_TERMS)))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS dl,
+         {tf_exprs}
+  FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         avg(dl) AS avgdl,
+         {df_exprs}
+  FROM base
+)
+SELECT doc_id,
+       CAST({hit_terms} AS BIGINT) AS n_terms_hit,
+       round({score_terms}, 4) AS bm25
+FROM base CROSS JOIN stats
+WHERE {any_hit}
+"""
+
+
+# --------------------------------------------------------------------------
 # Overlapping-window chunking (RAG / embedding prep).
 #
 # Retrieval corpora index CHUNKS, not documents: fixed token windows with
@@ -2751,4 +2924,19 @@ EXTRA_SPECS: list[QuerySpec] = [
     ),
     # bpe_encode and bpe_train started here in round 9 and were promoted
     # into the driver window in round 10 (see the SPECS comment).
+    # New in round 10: CCNet-style per-language perplexity terciles and
+    # BM25 relevance scoring — extra tier per the rotation policy
+    # (natural r11 promotions).
+    QuerySpec(
+        "ppl_buckets",
+        ppl_buckets,
+        PPL_BUCKETS_SQL,
+        "ext:text,quality,lm,stratification",
+    ),
+    QuerySpec(
+        "bm25_scores",
+        bm25_scores,
+        _bm25_sql(),
+        "ext:text,retrieval,ranking",
+    ),
 ]

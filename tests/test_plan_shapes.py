@@ -700,6 +700,31 @@ def test_corpus_curation_e2e_composed_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_bm25_scores_map_only_around_one_row_stats(spark):
+    """BM25 with literal query terms must be two map-only corpus scans
+    around a one-row stats aggregate: in-row tf filters (no explode, no
+    token-grain shuffle), the single broadcast nested-loop fan-out of
+    the stats row, no Python, no sort-merge join."""
+    plan = _executed_plan(spark, "bm25_scores").split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "Generate explode" not in plan  # tf is in-row, never exploded
+
+
+def test_ppl_buckets_single_lang_exchange_for_terciles(spark):
+    """The tercile window must ride ONE lang-keyed hash exchange (no
+    rangepartitioned global sort) on top of lm_perplexity's model
+    pipeline; no Python anywhere."""
+    plan = _executed_plan(spark, "ppl_buckets").split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    # one ntile window, partitioned by lang
+    assert plan.count("hashpartitioning(lang") == 1
+
+
 def test_bpe_encode_broadcast_table_in_row_fold(spark):
     """BPE application must be in-row column math against broadcast
     one-row tables (merge table + vocab): no Python, no token-grain
