@@ -642,6 +642,48 @@ def test_progressive_jpeg_decode_against_independent_encoder():
         assert diff.max() <= 2, diff.max()
 
 
+def test_progressive_jpeg_decode_against_libjpeg_golden():
+    """Checked-in golden cross-check that runs in EVERY container (no PIL
+    needed): three progressive streams produced by the system libjpeg via
+    ``tests/golden/gen_jpeg_golden.c``, asserted against libjpeg's own
+    decode of each stream.  Odd dims + 2x2 subsampling, unsubsampled
+    low-quality, and grayscale cover the scan-script/EOB/refinement paths
+    the round-9 advisory flagged as twin-only-verified."""
+    import numpy as np
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+    )
+
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "jpeg_progressive_golden",
+        os.path.join(
+            os.path.dirname(__file__), "golden", "jpeg_progressive_golden.py"
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    GOLDENS = mod.GOLDENS
+
+    for name, g in GOLDENS.items():
+        h, w, c = g["shape"]
+        # the stream really is progressive (SOF2 marker present)
+        assert b"\xff\xc2" in g["jpeg"], name
+        got = decode_jpeg_pixels(g["jpeg"])
+        assert got is not None, name
+        got = np.asarray(got).reshape(h, w, c)
+        want = np.frombuffer(g["libjpeg_pixels"], dtype=np.uint8).reshape(
+            h, w, c
+        )
+        diff = np.abs(got.astype(int) - want.astype(int))
+        # libjpeg islow IDCT vs our float IDCT round apart by ≤2 LSB
+        assert diff.max() <= 2, (name, diff.max())
+        assert diff.mean() < 0.5, (name, diff.mean())
+
+
 def test_multimodal_frame_explosion(spark):
     docs = spark.createDataFrame(
         [(1, "0123456789abcdef", "s1"), (2, "xy", "s2"), (3, "", "s3")],
