@@ -413,6 +413,138 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# PageRank over the part co-order graph — iterative NUMERIC graph
+# analytics beside the label-propagation/star CC (which is iterative but
+# set-valued).  Vertices: parts; undirected edges: two parts appearing
+# in the same order (the retail co-occurrence graph).  Edge generation
+# is bounded per order (an order holds ≤ 7 lineitems → ≤ 21 pairs), so
+# it is LINEAR in the fact table at any scale; each PageRank round is
+# one src-keyed equi-join + one dst-keyed aggregate — the canonical
+# distributed PageRank shape, no collect, no driver-side graph.
+#
+# Cross-engine float lockstep: every iteration ROUNDS the rank vector to
+# 12 decimals, so both engines start each round from bit-identical
+# inputs and per-round accumulation-order wobble (≤ ~1e-15 on these
+# degree-bounded sums) is quantized away before it can compound; the
+# kmeans_census argmax-margin argument, made explicit.  Fixed iteration
+# count (no convergence test) keeps the oracle a straight CTE unroll.
+PR_ITERATIONS = 5
+PR_DAMPING = 0.85
+PR_TOP_K = 20
+PR_ROUND = 12
+
+
+def pagerank_frame(
+    edges: DataFrame,
+    *,
+    iterations: int = PR_ITERATIONS,
+    damping: float = PR_DAMPING,
+) -> DataFrame:
+    """(src, dst) one row per undirected edge → (vertex, degree, pr).
+    Vertices are the edge endpoints (every vertex has degree ≥ 1, so
+    there is no dangling-mass term)."""
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)  # joined every round — keep lineage flat
+    )
+    deg = sym.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    n_row = deg.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    pr = (
+        deg.crossJoin(F.broadcast(n_row))
+        .select(
+            "vertex",
+            "degree",
+            "n_nodes",
+            F.round(F.lit(1.0) / F.col("n_nodes"), PR_ROUND).alias("pr"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        contrib = (
+            sym.join(pr, sym.src == pr.vertex)
+            .groupBy(F.col("dst").alias("vertex"))
+            .agg(F.sum(F.col("pr") / F.col("degree")).alias("mass"))
+        )
+        pr = (
+            pr.drop("pr")
+            .join(contrib, "vertex", "left")
+            .select(
+                "vertex",
+                "degree",
+                "n_nodes",
+                F.round(
+                    (F.lit(1.0) - F.lit(damping)) / F.col("n_nodes")
+                    + F.lit(damping) * F.coalesce("mass", F.lit(0.0)),
+                    PR_ROUND,
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.select("vertex", "degree", "pr")
+
+
+def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, F.col("a.ok") == F.col("b.ok"))
+        .filter(F.col("a.pk") < F.col("b.pk"))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+    )
+    ranked = pagerank_frame(ensure_parallelism(spark, edges))
+    return ranked.select(
+        F.col("vertex").alias("part_id"),
+        "degree",
+        F.round("pr", 10).alias("pagerank"),
+    ).orderBy(F.col("pagerank").desc(), "part_id").limit(PR_TOP_K)
+
+
+def _pagerank_sql() -> str:
+    base = 1.0 - PR_DAMPING
+    iters = []
+    prev = "p0"
+    for i in range(1, PR_ITERATIONS + 1):
+        iters.append(f"""
+p{i} AS (
+  SELECT d.vertex, d.degree, d.n_nodes,
+         round({base} / d.n_nodes + {PR_DAMPING} * coalesce(c.mass, 0.0),
+               {PR_ROUND}) AS pr
+  FROM p0 d LEFT JOIN (
+    SELECT s.dst AS vertex, sum(p.pr / p.degree) AS mass
+    FROM sym s JOIN {prev} p ON p.vertex = s.src
+    GROUP BY s.dst
+  ) c USING (vertex)
+)""")
+        prev = f"p{i}"
+    return f"""
+WITH m AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e AS (
+  SELECT DISTINCT a.pk AS src, b.pk AS dst
+  FROM m a JOIN m b USING (ok) WHERE a.pk < b.pk
+),
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+p0 AS (
+  SELECT vertex, degree, n_nodes, round(1.0 / n_nodes, {PR_ROUND}) AS pr
+  FROM (SELECT src AS vertex, CAST(count(*) AS BIGINT) AS degree
+        FROM sym GROUP BY src),
+       (SELECT CAST(count(DISTINCT src) AS DOUBLE) AS n_nodes FROM sym)
+),{",".join(iters)}
+SELECT vertex AS part_id, degree, round(pr, 10) AS pagerank
+FROM {prev}
+ORDER BY pagerank DESC, part_id
+LIMIT {PR_TOP_K}
+"""
+
+
 # Round-6 rotation: dedup_survivors moved to the extra tier (5 rounds
 # of green driver rows; survivor selection stays locally oracle-verified
 # and dedup_survivors_ranked covers the same cluster-grain max_by);
@@ -451,5 +583,13 @@ EXTRA_SPECS: list[QuerySpec] = [
         dedup_survivors,
         _dedup_survivors_sql(),
         "ext:dedup,graph",
+    ),
+    # New in round 10: iterative numeric graph analytics (PageRank over
+    # the part co-order graph) — extra tier per the rotation policy.
+    QuerySpec(
+        "pagerank_parts",
+        pagerank_parts,
+        _pagerank_sql(),
+        "ext:graph,pagerank,iterative",
     ),
 ]

@@ -2743,6 +2743,315 @@ FROM z
 """
 
 
+# --------------------------------------------------------------------------
+# Zipf-law fit — corpus-health analytics.  A natural-language corpus's
+# token frequencies follow freq ∝ rank^(-s) with s ≈ 1; a corpus whose
+# per-source slope drifts far from the fleet (template spam flattens the
+# head, boilerplate floods steepen it) is a curation red flag, so the
+# rank-curve slope is a standard corpus-monitoring panel.
+#
+# Shape: ONE word-count aggregate (token-grain shuffle with map-side
+# partial combine — the canonical scalable word count), a per-source
+# rank window bounded by |vocab per source| (never corpus-grain), a
+# top-N cap, then the OLS closed form over (ln rank, ln freq) as plain
+# aggregates — no collect, no iteration.  Survives any corpus size: the
+# post-wordcount grain is vocabulary, which grows ~O(corpus^0.5) (Heaps).
+ZIPF_TOP_N = 150
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(
+            "source", F.explode(word_tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), "tok")
+    xy = (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= ZIPF_TOP_N)
+        .select(
+            "source",
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("n").cast("double")).alias("y"),
+        )
+    )
+    n = F.count(F.lit(1)).cast("double")
+    agg = xy.groupBy("source").agg(
+        n.alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "source",
+        F.col("k").cast("long").alias("n_terms"),
+        F.round(cov / varx, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - (cov / varx) * F.col("sx")) / F.col("k"), 4)
+        .alias("intercept"),
+        F.round(cov * cov / (varx * vary), 4).alias("r2"),
+    )
+
+
+ZIPF_FIT_SQL = f"""
+WITH counts AS (
+  SELECT source, tok, count(*) AS n
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY source, tok
+),
+ranked AS (
+  SELECT source, ln(CAST(row_number() OVER (
+           PARTITION BY source ORDER BY n DESC, tok) AS DOUBLE)) AS x,
+         ln(CAST(n AS DOUBLE)) AS y
+  FROM counts
+  QUALIFY row_number() OVER (PARTITION BY source ORDER BY n DESC, tok)
+          <= {ZIPF_TOP_N}
+),
+sums AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS k,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM ranked GROUP BY source
+)
+SELECT source,
+       CAST(k AS BIGINT) AS n_terms,
+       round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS zipf_slope,
+       round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 4)
+         AS intercept,
+       round((k * sxy - sx * sy) * (k * sxy - sx * sy)
+             / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 4) AS r2
+FROM sums
+"""
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility — the per-source report every tokenizer change is
+# judged by in a training-data pipeline: BPE tokens per whitespace word
+# (fertility) and characters per BPE token (compression).  Reuses the
+# bpe_encode machinery (broadcast merge table, in-row greedy fold), so
+# the fertility panel exercises the same tokenizer the packing budget
+# uses — one definition, two consumers.  Ratios divide two corpus-grain
+# INTEGER sums, so the engine-boundary float comparison is one division
+# after exact arithmetic.
+def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    per_doc = docs.crossJoin(F.broadcast(bpe_merge_table(docs))).select(
+        "source",
+        F.size(word_tokens(F.col("text"))).cast("long").alias("n_words"),
+        F.size(bpe_encode_tokens(F.col("text"), F.col("merges")))
+        .cast("long")
+        .alias("n_bpe"),
+        F.length(F.regexp_replace(F.col("text"), " ", ""))
+        .cast("long")
+        .alias("n_chars"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_bpe").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum("n_bpe").cast("double") / F.sum("n_words").cast("double"), 4
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_bpe").cast("double"), 4
+        ).alias("chars_per_token"),
+    )
+
+
+BPE_FERTILITY_SQL = f"""
+WITH RECURSIVE
+allwords AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+cp AS (
+  SELECT substr(w, i, 2) AS pair
+  FROM allwords, unnest(range(1, len(w))) u(i)
+  WHERE len(w) >= 2
+),
+merges AS MATERIALIZED (
+  SELECT substr(pair, 1, 1) AS a, substr(pair, 2, 1) AS b,
+         row_number() OVER (ORDER BY n DESC, pair) AS r
+  FROM (
+    SELECT pair, count(*) AS n FROM cp GROUP BY pair
+    ORDER BY n DESC, pair LIMIT {BPE_ENCODE_MERGES}
+  )
+),
+wrapped AS MATERIALIZED (
+  SELECT doc_id,
+         '|' || array_to_string(
+           list_transform(range(1, len(w) + 1), i -> w[i]), '||') || '|'
+           AS s
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+),
+enc AS (
+  SELECT doc_id, s, 0 AS r FROM wrapped
+  UNION ALL
+  SELECT e.doc_id,
+         replace(e.s, '|' || m.a || '||' || m.b || '|',
+                 '|' || m.a || m.b || '|') AS s,
+         e.r + 1
+  FROM enc e JOIN merges m ON m.r = e.r + 1
+),
+per_word AS (
+  SELECT doc_id, len(string_split(s, '||')) AS n_toks
+  FROM enc WHERE r = (SELECT count(*) FROM merges)
+),
+per_doc AS (
+  SELECT d.source,
+         len(string_split(d.text, ' ')) AS n_words,
+         p.n_bpe,
+         length(replace(d.text, ' ', '')) AS n_chars
+  FROM documents d
+  JOIN (SELECT doc_id, sum(n_toks) AS n_bpe FROM per_word GROUP BY doc_id) p
+    USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_bpe) AS BIGINT) AS n_tokens,
+       round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_words), 4) AS fertility,
+       round(CAST(sum(n_chars) AS DOUBLE) / sum(n_bpe), 4) AS chars_per_token
+FROM per_doc
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010) — unsupervised corpus
+# keyword/keyphrase mining, the enrichment step that tags a curated
+# corpus with topical phrases.  Candidate phrases are maximal stopword-
+# free token runs (capped at RAKE_MAX_LEN words, per the original);
+# member words score degree/frequency over the candidate set; a phrase
+# scores the sum of its member word scores.
+#
+# Shape: phrase segmentation is a per-token prefix count of stopwords
+# (window partitioned by doc_id — bounded by document length, never
+# corpus-grain), then phrase assembly is a (doc, phrase_id) aggregate;
+# word stats are one phrase-grain explode + word-grain aggregate
+# (map-side combine), joined back NARROWLY (word-grain broadcast-sized
+# at any corpus scale: it is the vocabulary, not the corpus).
+RAKE_STOPWORDS = ("the", "a")
+RAKE_MAX_LEN = 3
+RAKE_TOP_K = 20
+
+
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    is_stop = F.col("tok").isin(*RAKE_STOPWORDS)
+    toks = docs.select(
+        "doc_id", F.posexplode(word_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    seg = Window.partitionBy("doc_id").orderBy("pos")
+    phrases = (
+        toks.withColumn(
+            "phrase_id", F.sum(is_stop.cast("int")).over(seg)
+        )
+        .filter(~is_stop)
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase")
+        )
+        .filter(F.size(F.split(F.col("phrase"), " ")) <= RAKE_MAX_LEN)
+        .select("phrase")
+    )
+    words = phrases.select(
+        F.explode(F.split(F.col("phrase"), " ")).alias("word"),
+        F.size(F.split(F.col("phrase"), " ")).cast("long").alias("plen"),
+    )
+    word_scores = words.groupBy("word").agg(
+        (
+            F.sum("plen").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("wscore")
+    )
+    counted = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    # score from the DISTINCT phrase table: ≤ RAKE_MAX_LEN float addends
+    # per phrase (instead of re-summing per occurrence), so the engine-
+    # boundary rounding sees the minimum possible accumulation wobble
+    scored = (
+        counted.select(
+            "phrase",
+            "n_occurrences",
+            F.explode(F.split(F.col("phrase"), " ")).alias("word"),
+        )
+        .join(word_scores, "word")
+        .groupBy("phrase", "n_occurrences")
+        .agg(F.round(F.sum("wscore"), 4).alias("rake_score"))
+    )
+    return scored.orderBy(F.col("rake_score").desc(), "phrase").limit(
+        RAKE_TOP_K
+    )
+
+
+def _rake_sql() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in RAKE_STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, w[i] AS tok, i AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       unnest(range(1, len(w) + 1)) u(i)
+),
+seg AS (
+  SELECT doc_id, tok, pos,
+         sum(CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+  FROM toks
+),
+phrases AS (
+  SELECT string_agg(tok, ' ' ORDER BY pos) AS phrase
+  FROM seg WHERE tok NOT IN ({stop_list})
+  GROUP BY doc_id, phrase_id
+  HAVING count(*) <= {RAKE_MAX_LEN}
+),
+words AS (
+  SELECT unnest(string_split(phrase, ' ')) AS word,
+         len(string_split(phrase, ' ')) AS plen
+  FROM phrases
+),
+word_scores AS (
+  SELECT word, CAST(sum(plen) AS DOUBLE) / count(*) AS wscore
+  FROM words GROUP BY word
+),
+counted AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM phrases GROUP BY phrase
+),
+scored AS (
+  SELECT p.phrase, p.n_occurrences, round(sum(ws.wscore), 4) AS rake_score
+  FROM (SELECT phrase, n_occurrences,
+               unnest(string_split(phrase, ' ')) AS word
+        FROM counted) p
+  JOIN word_scores ws USING (word)
+  GROUP BY p.phrase, p.n_occurrences
+)
+SELECT phrase, n_occurrences, rake_score
+FROM scored
+ORDER BY rake_score DESC, phrase
+LIMIT {RAKE_TOP_K}
+"""
+
+
 # Driver-facing tier (see plans/relational.py note on the 50-query
 # window): text_quality folds in the repetition signals, text_fingerprint
 # folds cleaning + fingerprinting, split_sample folds split + sampling —
@@ -2938,5 +3247,26 @@ EXTRA_SPECS: list[QuerySpec] = [
         bm25_scores,
         _bm25_sql(),
         "ext:text,retrieval,ranking",
+    ),
+    # Round-10 additions: corpus-health rank-curve fit, tokenizer
+    # fertility panel (reuses the bpe_encode machinery), and RAKE
+    # keyphrase extraction — extra tier per the rotation policy.
+    QuerySpec(
+        "zipf_fit",
+        zipf_fit,
+        ZIPF_FIT_SQL,
+        "ext:text,corpus-health,regression",
+    ),
+    QuerySpec(
+        "bpe_fertility",
+        bpe_fertility,
+        BPE_FERTILITY_SQL,
+        "ext:text,tokenizer,bpe",
+    ),
+    QuerySpec(
+        "rake_keywords",
+        rake_keywords,
+        _rake_sql(),
+        "ext:text,keywords,enrichment",
     ),
 ]

@@ -162,8 +162,9 @@ def _assert_parity(spark, con, spec, sf_dir):
 # can miss at toy scale (a span/shingle/pack boundary that never occurs in
 # 600 documents occurs thousands of times in 60k; likewise per-source
 # window df counts, bucket offsets and episode horizons).  Runtime-
-# budgeted: the eight queries cost ~60 s total on this box; opt out for
-# quick local loops with SPARK_GRAFT_SKIP_SF01=1.
+# budgeted: the nine queries cost ~60 s total on this box (measured
+# per-round in ROUND{N}_NOTES); opt out for quick local loops with
+# SPARK_GRAFT_SKIP_SF01=1.
 SF01_DIR = os.environ.get("PARITY_SF01_DIR", "/root/testdata/sf0.1")
 SF01_QUERIES = [
     "span_scrub",

@@ -736,3 +736,52 @@ def test_bpe_encode_broadcast_table_in_row_fold(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # id assignment never shuffles docs
     assert plan.count("BroadcastNestedLoopJoin") <= 3
+
+
+def test_zipf_fit_vocab_grain_no_global_sort(spark):
+    """The rank-curve fit must be the canonical scalable word count
+    (token-grain hash agg with map-side partial combine), a per-source
+    rank window (hash exchange, never a rangepartitioned global sort),
+    and the OLS closed form as plain aggregates — no Python, no
+    cartesian, no collect-side math."""
+    plan = _executed_plan(spark, "zipf_fit").split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    # the rank window rides ONE source-keyed exchange
+    assert plan.count("hashpartitioning(source") >= 1
+
+
+def test_bpe_fertility_broadcast_table_in_row_fold(spark):
+    """Fertility reuses bpe_encode's shape: the merge table is a one-row
+    broadcast fan-out (never a shuffle join), the greedy fold is in-row,
+    and the only corpus-grain operation is the final per-source
+    aggregate — no Python, no token-grain corpus shuffle."""
+    plan = _executed_plan(spark, "bpe_fertility").split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_rake_keywords_doc_grain_window_topk(spark):
+    """RAKE segmentation must ride a doc_id-keyed window (bounded by
+    document length, never corpus-grain), phrase/word stats must stay
+    hash aggregates, and the top-k must be TakeOrdered (limit-pushed),
+    never a global sort of the phrase table."""
+    plan = _executed_plan(spark, "rake_keywords").split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(doc_id" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pagerank_topk_never_global_sorts(spark):
+    """PageRank's visible tail (iterations are localCheckpoint-truncated)
+    must be a TakeOrdered top-k over the checkpointed rank vector — no
+    Python, no cartesian, no rangepartitioned global sort."""
+    plan = _executed_plan(spark, "pagerank_parts").split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "TakeOrderedAndProject" in plan
