@@ -610,6 +610,79 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Retention cohorts — the weekly cohort-retention matrix every product
+# analytics stack renders: cohort = a user's first-seen week, and each
+# (cohort, week-offset) cell holds how many of that cohort's users were
+# active that many weeks later.  Three user-grain or coarser aggregates:
+# first-seen (user grain, map-side combinable min), the distinct
+# (user, active-week) set (one exchange), and the cell counts (cohort
+# grain).  The cohort-size join is cohort-grain — broadcast-sized at any
+# event volume (weeks × nothing).  No windows, no iteration.
+#
+# Week truncation is Monday-based `date_trunc('week')` on BOTH engines,
+# compared as DATE; the offset divides an exact multiple of 7 days, and
+# the retention percentage divides two exact integers — one boundary
+# round, no float accumulation.
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    user_weeks = events.select(
+        "user_id",
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("week"),
+    ).distinct()
+    cohorts = user_weeks.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    cells = (
+        user_weeks.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(
+            F.lit(100.0) * F.col("n_active") / F.col("cohort_size"), 4
+        ).alias("retention_pct"),
+    )
+
+
+RETENTION_COHORTS_SQL = """
+WITH user_weeks AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, min(week) AS cohort_week FROM user_weeks GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM cohorts GROUP BY cohort_week
+),
+cells AS (
+  SELECT c.cohort_week,
+         CAST(date_diff('day', c.cohort_week, u.week) / 7 AS BIGINT)
+           AS week_offset,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM user_weeks u JOIN cohorts c USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, n_active, cohort_size,
+       round(100.0 * n_active / cohort_size, 4) AS retention_pct
+FROM cells JOIN sizes USING (cohort_week)
+"""
+
+
 # Driver-facing tier (see relational.py note on the 50-query window).
 # top_parts_per_brand is the driver-facing ranking-window exercise (it is
 # also the only query over the part table); supplier_nation_balance
@@ -1034,6 +1107,14 @@ SPECS += [
 ]
 
 EXTRA_SPECS: list[QuerySpec] = [
+    # New in round 10: weekly cohort-retention matrix — extra tier per
+    # the rotation policy.
+    QuerySpec(
+        "retention_cohorts",
+        retention_cohorts,
+        RETENTION_COHORTS_SQL,
+        "ext:analytics,cohort,retention",
+    ),
     # Rotated out in round 9 (4 green rounds; see the SPECS comment).
     QuerySpec("event_funnel", event_funnel, EVENT_FUNNEL_SQL, "ext:funnel,sequence"),
     # Rotated out of the driver window in round 8 (7 rounds of green

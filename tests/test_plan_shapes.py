@@ -785,3 +785,14 @@ def test_pagerank_topk_never_global_sorts(spark):
     assert "CartesianProduct" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_retention_cohorts_broadcasts_cohort_sizes(spark):
+    """The cohort-size join must broadcast (cohort-grain is weeks-count
+    rows at any event volume); no Python, no cartesian, no global
+    sort."""
+    plan = _executed_plan(spark, "retention_cohorts").split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
