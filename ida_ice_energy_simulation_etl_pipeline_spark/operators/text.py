@@ -2834,6 +2834,89 @@ FROM sums
 
 
 # --------------------------------------------------------------------------
+# Per-source distribution divergence — the other half of the corpus-
+# health panel beside zipf_fit: how far each source's unigram
+# distribution sits from the corpus mixture (KL and Jensen-Shannon).  A
+# source whose JS jumps between snapshots changed its content mix — the
+# standard drift alarm for a continuously-ingested training corpus.
+#
+# Shape: ONE token-grain word count (map-side combine), re-aggregated to
+# global vocab grain FROM the source-grain counts (no second corpus
+# scan); the divergence terms join at vocab grain with the 20-row source
+# totals broadcast.  The absent-token mass needs no dense source×vocab
+# cross: for tokens missing from a source, p=0 and m=q/2, so the JS
+# contribution collapses to the CLOSED FORM 0.5·ln2·(1 − ΣQ(vocab_s)) —
+# which is why this stays vocab-grain at any corpus size.
+def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    sc = (
+        docs.select(
+            "source", F.explode(word_tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    gc = sc.groupBy("tok").agg(F.sum("n").alias("gn"))
+    stot = sc.groupBy("source").agg(
+        F.sum("n").cast("double").alias("stot")
+    )
+    gtot = gc.agg(F.sum("gn").cast("double").alias("gtot"))
+    joined = (
+        sc.join(gc, "tok")
+        .join(F.broadcast(stot), "source")
+        .join(F.broadcast(gtot))
+    )
+    p = F.col("n").cast("double") / F.col("stot")
+    q = F.col("gn").cast("double") / F.col("gtot")
+    m = (p + q) / F.lit(2.0)
+    agg = joined.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.sum(p * F.log(p / q)).alias("kl"),
+        F.sum(F.lit(0.5) * p * F.log(p / m) + F.lit(0.5) * q * F.log(q / m))
+        .alias("js_present"),
+        F.sum(q).alias("q_cov"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        F.round("kl", 6).alias("kl_divergence"),
+        F.round(
+            F.col("js_present")
+            + F.lit(0.5)
+            * F.log(F.lit(2.0))
+            * (F.lit(1.0) - F.col("q_cov")),
+            6,
+        ).alias("js_divergence"),
+    )
+
+
+SOURCE_DIVERGENCE_SQL = """
+WITH sc AS (
+  SELECT source, tok, count(*) AS n
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY source, tok
+),
+gc AS (SELECT tok, sum(n) AS gn FROM sc GROUP BY tok),
+stot AS (SELECT source, CAST(sum(n) AS DOUBLE) AS stot FROM sc GROUP BY source),
+gtot AS (SELECT CAST(sum(gn) AS DOUBLE) AS gtot FROM gc),
+terms AS (
+  SELECT sc.source, sc.n,
+         CAST(sc.n AS DOUBLE) / stot.stot AS p,
+         CAST(gc.gn AS DOUBLE) / gtot.gtot AS q
+  FROM sc JOIN gc USING (tok) JOIN stot USING (source), gtot
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       round(sum(p * ln(p / q)), 6) AS kl_divergence,
+       round(sum(0.5 * p * ln(p / ((p + q) / 2.0))
+                 + 0.5 * q * ln(q / ((p + q) / 2.0)))
+             + 0.5 * ln(2.0) * (1.0 - sum(q)), 6) AS js_divergence
+FROM terms
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # Tokenizer fertility — the per-source report every tokenizer change is
 # judged by in a training-data pipeline: BPE tokens per whitespace word
 # (fertility) and characters per BPE token (compression).  Reuses the
@@ -3256,6 +3339,12 @@ EXTRA_SPECS: list[QuerySpec] = [
         zipf_fit,
         ZIPF_FIT_SQL,
         "ext:text,corpus-health,regression",
+    ),
+    QuerySpec(
+        "source_divergence",
+        source_divergence,
+        SOURCE_DIVERGENCE_SQL,
+        "ext:text,corpus-health,divergence",
     ),
     QuerySpec(
         "bpe_fertility",

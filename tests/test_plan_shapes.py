@@ -796,3 +796,15 @@ def test_retention_cohorts_broadcasts_cohort_sizes(spark):
     assert "CartesianProduct" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_source_divergence_broadcasts_totals(spark):
+    """The divergence terms must join at vocab grain with BROADCAST
+    totals (source totals + one global row) — no shuffle join of the
+    count tables against totals, no Python, no cartesian beyond the
+    single-row broadcast fan-out, no global sort."""
+    plan = _executed_plan(spark, "source_divergence").split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
