@@ -121,3 +121,112 @@ def run_incremental_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --------------------------------------------------------------------------
+# Continuous corpus drift monitoring — the streaming consumer of the
+# batch corpus-health panel (operators/text.py::zipf_fit,
+# source_divergence): per ingest window and source, compare the live
+# token statistics against a STATIC per-source baseline and flag
+# sources whose mix moved.  The window aggregate is watermark-bounded
+# (state = in-horizon windows × sources), the baseline join is
+# stream-static broadcast, and every signal is map-side until the one
+# windowed aggregate — the same posture as the rest of this module.
+DRIFT_STOPWORDS = ("the", "a")  # the quality_logit stopword set
+
+
+def source_baseline_frame(docs: DataFrame) -> DataFrame:
+    """Per-source baseline from a batch corpus snapshot: the reference
+    point the live windows are compared against.  Compute once offline,
+    persist, broadcast into the stream."""
+    toks = F.split(F.col("text"), " ")
+    base = docs.select(
+        "source",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.size(F.filter(toks, lambda t: t.isin(*DRIFT_STOPWORDS)))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    return base.groupBy("source").agg(
+        (F.sum("n_toks").cast("double") / F.count(F.lit(1))).alias(
+            "base_avg_tokens"
+        ),
+        (F.sum("n_stop").cast("double") / F.sum("n_toks")).alias(
+            "base_stop_ratio"
+        ),
+    )
+
+
+def corpus_drift_frame(
+    docs: DataFrame,
+    baseline: DataFrame,
+    *,
+    window_dur: str = "10 minutes",
+    rel_tokens_threshold: float = 0.25,
+    abs_stop_threshold: float = 0.05,
+) -> DataFrame:
+    """Shared stream/batch drift computation: enrich each document with
+    its source baseline (stream-static BROADCAST join BEFORE the
+    aggregate — the canonical enrichment shape, legal in every streaming
+    output mode), then one windowed aggregate per (window, source) and
+    the drift flags.  The baseline columns are functionally dependent on
+    source, so carrying them through the groupBy adds no grain."""
+    toks = F.split(F.col("text"), " ")
+    base = docs.join(F.broadcast(baseline), "source").select(
+        "source",
+        "ingest_ts",
+        "base_avg_tokens",
+        "base_stop_ratio",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.size(F.filter(toks, lambda t: t.isin(*DRIFT_STOPWORDS)))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    agg = base.groupBy(
+        F.window("ingest_ts", window_dur).alias("w"),
+        "source",
+        "base_avg_tokens",
+        "base_stop_ratio",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_toks"),
+        F.sum("n_stop").cast("long").alias("n_stop"),
+    )
+    avg_tokens = F.col("n_toks").cast("double") / F.col("n_docs")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_toks")
+    rel = F.abs(avg_tokens - F.col("base_avg_tokens")) / F.col(
+        "base_avg_tokens"
+    )
+    sabs = F.abs(stop_ratio - F.col("base_stop_ratio"))
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "source",
+        "n_docs",
+        F.round(avg_tokens, 4).alias("avg_tokens"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        (rel > rel_tokens_threshold).alias("tokens_drifted"),
+        (sabs > abs_stop_threshold).alias("stopwords_drifted"),
+    )
+
+
+def corpus_drift_stream(
+    docs: DataFrame,
+    baseline: DataFrame,
+    *,
+    window_dur: str = "10 minutes",
+    watermark: str = "10 minutes",
+    rel_tokens_threshold: float = 0.25,
+    abs_stop_threshold: float = 0.05,
+) -> DataFrame:
+    """Watermarked windowed stats against the static per-source baseline
+    with drift flags.  Update/complete modes emit windows as they fill;
+    in append mode the watermark closes them — state is bounded either
+    way (in-horizon windows × sources)."""
+    return corpus_drift_frame(
+        docs.withWatermark("ingest_ts", watermark),
+        baseline,
+        window_dur=window_dur,
+        rel_tokens_threshold=rel_tokens_threshold,
+        abs_stop_threshold=abs_stop_threshold,
+    )

@@ -1064,3 +1064,78 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
     assert got[1][0] == 1 and got[1][2] == 0   # exact dup of index
     assert got[2][1] >= 1 and got[2][2] == 0   # near dup via LSH bands
     assert got[3] == (0, 0, 1)                 # genuinely new
+
+
+def test_corpus_drift_stream_flags_and_matches_batch(spark, tmp_path):
+    """Streaming drift monitor: (a) the windowed stats + baseline
+    enrichment flag a source whose token mix moved and pass a stable
+    one; (b) the streaming result EQUALS the batch result of the SAME
+    corpus_drift_frame builder — one definition, twin parity."""
+    import json as _json
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming.corpus import (
+        corpus_drift_frame,
+        corpus_drift_stream,
+        read_document_stream,
+        source_baseline_frame,
+    )
+
+    # Baseline snapshot: s1 and s2 both average 6 tokens/doc with one
+    # stopword ('the') per doc.
+    base_docs = spark.createDataFrame(
+        [
+            ("the alpha beta gamma delta epsilon", "s1"),
+            ("the zeta eta theta iota kappa", "s1"),
+            ("the one two three four five", "s2"),
+            ("the six seven eight nine ten", "s2"),
+        ],
+        ["text", "source"],
+    )
+    baseline = source_baseline_frame(base_docs)
+
+    # Live window: s1 stays at 6 tokens; s2 drifts to 12-token docs with
+    # zero stopwords.
+    drifted = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    rows = [
+        {"doc_id": 1, "text": "the alpha beta gamma delta epsilon",
+         "source": "s1", "ingest_ts": "2024-03-01T00:00:10"},
+        {"doc_id": 2, "text": "the zeta eta theta iota kappa",
+         "source": "s1", "ingest_ts": "2024-03-01T00:01:10"},
+        {"doc_id": 3, "text": drifted, "source": "s2",
+         "ingest_ts": "2024-03-01T00:02:10"},
+        {"doc_id": 4, "text": drifted, "source": "s2",
+         "ingest_ts": "2024-03-01T00:03:10"},
+    ]
+    ingest = tmp_path / "drift_in"
+    ingest.mkdir()
+    (ingest / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    stream = corpus_drift_stream(
+        read_document_stream(spark, str(ingest)), baseline
+    )
+    # complete mode: windows emit as they fill (production append mode
+    # emits on watermark close; the frame is identical either way)
+    run_to_memory(stream, "drift_t", output_mode="complete")
+    got = {
+        r["source"]: r for r in spark.sql("SELECT * FROM drift_t").collect()
+    }
+    assert set(got) == {"s1", "s2"}
+    assert not got["s1"]["tokens_drifted"] and not got["s1"]["stopwords_drifted"]
+    assert got["s2"]["tokens_drifted"] and got["s2"]["stopwords_drifted"]
+    assert got["s1"]["n_docs"] == 2 and got["s2"]["n_docs"] == 2
+
+    # twin parity: the SAME rows through the SAME builder, batch-side
+    batch_docs = spark.createDataFrame(
+        [
+            (r["doc_id"], r["text"], r["source"], r["ingest_ts"])
+            for r in rows
+        ],
+        ["doc_id", "text", "source", "ingest_ts"],
+    ).withColumn("ingest_ts", F.to_timestamp("ingest_ts"))
+    batch_rows = sorted(
+        map(tuple, corpus_drift_frame(batch_docs, baseline).collect())
+    )
+    stream_rows = sorted(
+        map(tuple, spark.sql("SELECT * FROM drift_t").collect())
+    )
+    assert stream_rows == batch_rows
