@@ -3641,3 +3641,189 @@ def test_bpe_train_tie_break_is_lexicographic(spark):
         for r in bpe_train_frame(docs, n_merges=1).collect()
     ]
     assert got == [("b", "c")]
+
+
+# --------------------------------------------------------------------------
+# Round-10 operator semantics on PLANTED inputs (the oracle-parity sweep
+# proves cross-engine agreement; these prove the answers are RIGHT).
+
+
+def test_zipf_fit_recovers_planted_exponent(spark):
+    """A corpus built to follow freq = C·rank^(-0.8) exactly must fit
+    slope ≈ -0.8 with R² ≈ 1."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        zipf_fit,
+    )
+
+    words = []
+    for rank in range(1, 41):
+        n = max(1, round(2000 * rank ** -0.8))
+        words.extend([f"w{rank:03d}"] * n)
+    docs = spark.createDataFrame(
+        [(1, " ".join(words), "en", "s1", len(words))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        row = zipf_fit(spark, d).collect()[0]
+    # rounding of counts bends the tail slightly; the fit must still
+    # land on the planted exponent
+    assert abs(row["zipf_slope"] - (-0.8)) < 0.02, row["zipf_slope"]
+    assert row["r2"] > 0.999, row["r2"]
+
+
+def test_pagerank_mass_conserved_and_hub_ranks_first(spark):
+    """On a star graph the hub must out-rank every leaf; total rank mass
+    stays ≈ 1 (the damping identity — no dangling nodes here)."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.graph import (
+        pagerank_frame,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], ["src", "dst"]
+    )
+    pr = {r["vertex"]: r["pr"] for r in pagerank_frame(edges).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
+    hub, leaves = pr[0], [pr[i] for i in range(1, 9)]
+    assert all(hub > l for l in leaves)
+    # symmetry: all leaves identical
+    assert max(leaves) - min(leaves) < 1e-12
+
+
+def test_rake_scores_match_hand_computation(spark):
+    """RAKE on a two-document corpus with hand-computable degree/freq
+    scores."""
+    import os
+    import tempfile
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        rake_keywords,
+    )
+
+    # Candidate phrases (split at 'the'/'a'):
+    #   doc1: "red fox", "red dog"     doc2: "red fox"
+    # freq: red=3, fox=2, dog=1 ; deg (sum of phrase lengths containing
+    # the word, multiplicity): red=6, fox=4, dog=2
+    # wscore: red=2, fox=2, dog=2 → "red fox"=4.0 (×2 occurrences),
+    # "red dog"=4.0 (×1)
+    docs = spark.createDataFrame(
+        [
+            (1, "the red fox a red dog", "en", "s1", 21),
+            (2, "a red fox", "en", "s2", 9),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        rows = {
+            r["phrase"]: r for r in rake_keywords(spark, d).collect()
+        }
+    assert rows["red fox"]["rake_score"] == 4.0
+    assert rows["red fox"]["n_occurrences"] == 2
+    assert rows["red dog"]["rake_score"] == 4.0
+    assert rows["red dog"]["n_occurrences"] == 1
+
+
+def test_source_divergence_zero_for_identical_disjoint_positive(spark):
+    """A source distributed exactly like the corpus mixture diverges by
+    0; a source with disjoint vocabulary hits the JS ceiling ln 2 (its
+    own mass) minus the shared-mixture correction — strictly positive
+    and larger than any overlapping source."""
+    import os
+    import tempfile
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        source_divergence,
+    )
+
+    # s1 and s2: identical distributions → each vs the (s1+s2) mixture
+    # of THEMSELVES is 0.  s3: disjoint vocabulary.
+    docs = spark.createDataFrame(
+        [
+            (1, "x x y", "en", "s1", 5),
+            (2, "x x y", "en", "s2", 5),
+            (3, "q r r", "en", "s3", 5),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        rows = {
+            r["source"]: r for r in source_divergence(spark, d).collect()
+        }
+    # s1 == s2, and s3's divergence strictly dominates both
+    assert rows["s1"]["js_divergence"] == rows["s2"]["js_divergence"]
+    assert rows["s3"]["js_divergence"] > rows["s1"]["js_divergence"] > 0
+    assert rows["s3"]["kl_divergence"] > rows["s1"]["kl_divergence"]
+
+
+def test_retention_cohorts_two_planted_cohorts(spark):
+    """Two cohorts with known week-over-week activity: a week-1 cohort
+    of two users (one returns in week 2), and a week-2 cohort of one
+    user (never returns)."""
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.plans.analytics import (
+        retention_cohorts,
+    )
+
+    # 2024-03-04 and 2024-03-11 are Mondays.
+    def ev(i, day, user):
+        return (i, datetime(2024, 3, day, 12, 0, 0), user, "click", 1.0, "{}")
+
+    events = spark.createDataFrame(
+        [
+            ev(1, 4, 100), ev(2, 5, 200),      # cohort A (week of 03-04)
+            ev(3, 11, 100),                     # user 100 returns week 2
+            ev(4, 12, 300),                     # cohort B (week of 03-11)
+        ],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        events.write.parquet(os.path.join(d, "events.parquet"))
+        rows = {
+            (str(r["cohort_week"]), r["week_offset"]): r
+            for r in retention_cohorts(spark, d).collect()
+        }
+    a0 = rows[("2024-03-04", 0)]
+    a1 = rows[("2024-03-04", 1)]
+    b0 = rows[("2024-03-11", 0)]
+    assert (a0["n_active"], a0["cohort_size"], a0["retention_pct"]) == (2, 2, 100.0)
+    assert (a1["n_active"], a1["cohort_size"], a1["retention_pct"]) == (1, 2, 50.0)
+    assert (b0["n_active"], b0["cohort_size"], b0["retention_pct"]) == (1, 1, 100.0)
+    assert len(rows) == 3
+
+
+def test_bpe_fertility_single_merge_hand_check(spark):
+    """One dominant pair → the self-derived table's top merge halves the
+    tokens of words made of that pair; fertility reflects it exactly."""
+    import os
+    import tempfile
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        bpe_fertility,
+    )
+
+    # 'abab' dominates: pairs ab (x2 per word), ba (x1).  With 12 merge
+    # slots the table learns ab, then abab→(ab)(ab) etc.; exact token
+    # counts are pinned by the oracle sweep — here pin the INVARIANTS:
+    # fertility = n_tokens/n_words and chars/token = chars/n_tokens.
+    docs = spark.createDataFrame(
+        [(1, "abab abab cd", "en", "s1", 12)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        row = bpe_fertility(spark, d).collect()[0]
+    assert row["n_words"] == 3
+    assert row["fertility"] == round(row["n_tokens"] / row["n_words"], 4)
+    # 10 non-space chars
+    assert row["chars_per_token"] == round(10 / row["n_tokens"], 4)
+    # 'abab' fully merges into one or two symbols depending on rank
+    # interaction; it must at least HALVE vs character grain (8 chars)
+    assert row["n_tokens"] <= 8
