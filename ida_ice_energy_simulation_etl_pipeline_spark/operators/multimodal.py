@@ -2867,3 +2867,181 @@ EXTRA_SPECS: list[QuerySpec] = [
         "ext:multimodal",
     ),
 ]
+
+
+# --------------------------------------------------------------------------
+# EXIF metadata extraction — the typed-metadata walk for photographic
+# payloads (camera make/model, orientation, exposure triangle, capture
+# time, GPS), pure stdlib.  Reuses the TIFF byte-order + IFD entry
+# layout decode_tiff_pixels walks, generalized to all the field types
+# EXIF uses (BYTE/ASCII/SHORT/LONG/RATIONAL/SLONG/SRATIONAL) and to the
+# chained sub-IFDs (Exif IFD via tag 34665, GPS IFD via 34853).  Accepts
+# a bare TIFF or a JPEG whose APP1 segment carries the "Exif\0\0" blob.
+_EXIF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 9: 4, 10: 8}
+
+
+def _exif_ifd_tags(payload: bytes, bo: str, ifd_off: int) -> "dict | None":
+    """One IFD → {tag: decoded value} (ints, strings, floats for
+    rationals — single values unwrapped, multi-values as lists)."""
+    import struct
+
+    if ifd_off + 2 > len(payload):
+        return None
+    n = struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])[0]
+    tags: dict[int, object] = {}
+    for e in range(n):
+        lo = ifd_off + 2 + 12 * e
+        if lo + 12 > len(payload):
+            return None
+        tag, typ = struct.unpack(bo + "HH", payload[lo : lo + 4])
+        count = struct.unpack(bo + "I", payload[lo + 4 : lo + 8])[0]
+        if typ not in _EXIF_TYPE_SIZE or count == 0:
+            continue
+        sz = _EXIF_TYPE_SIZE[typ] * count
+        if sz <= 4:
+            raw = payload[lo + 8 : lo + 8 + sz]
+        else:
+            off = struct.unpack(bo + "I", payload[lo + 8 : lo + 12])[0]
+            if off + sz > len(payload):
+                continue  # tolerate one bad pointer, keep the rest
+            raw = payload[off : off + sz]
+        if typ == 2:  # ASCII, NUL-terminated
+            tags[tag] = raw.split(b"\x00", 1)[0].decode("ascii", "replace")
+            continue
+        if typ in (5, 10):  # (S)RATIONAL pairs → float
+            fmt = "I" if typ == 5 else "i"
+            pairs = struct.unpack(bo + fmt * (2 * count), raw)
+            vals = [
+                (pairs[2 * i] / pairs[2 * i + 1]) if pairs[2 * i + 1] else None
+                for i in range(count)
+            ]
+        else:
+            fmt = {1: "B", 3: "H", 4: "I", 9: "i"}[typ]
+            vals = list(struct.unpack(bo + fmt * count, raw))
+        tags[tag] = vals[0] if count == 1 else vals
+    return tags
+
+
+def _gps_coord(vals, ref: "str | None") -> "float | None":
+    """[deg, min, sec] rationals + hemisphere ref → signed decimal."""
+    if not isinstance(vals, list) or len(vals) != 3 or None in vals:
+        return None
+    dec = vals[0] + vals[1] / 60.0 + vals[2] / 3600.0
+    if ref in ("S", "W"):
+        dec = -dec
+    return round(dec, 7)
+
+
+def parse_exif(payload: bytes) -> "dict | None":
+    """EXIF fields from a JPEG (APP1 "Exif\\0\\0" segment) or bare TIFF
+    payload: make, model, orientation, datetime, exposure_time,
+    f_number, iso, focal_length, datetime_original, pixel_x, pixel_y,
+    gps_lat, gps_lon — absent fields None; None when the payload has no
+    EXIF at all."""
+    import struct
+
+    blob = None
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        blob = payload
+    elif payload[:2] == b"\xff\xd8":  # JPEG: find APP1/Exif
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                break
+            marker = payload[pos + 1]
+            if marker in (0xD8,) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if marker in (0xD9, 0xDA):  # EOI / SOS: no metadata past here
+                break
+            (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+            body = payload[pos + 4 : pos + 2 + seglen]
+            if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+                blob = body[6:]
+                break
+            pos += 2 + seglen
+    if blob is None or len(blob) < 8:
+        return None
+    bo = "<" if blob[:4] == b"II*\x00" else ">" if blob[:4] == b"MM\x00*" else None
+    if bo is None:
+        return None
+    try:
+        ifd0_off = struct.unpack(bo + "I", blob[4:8])[0]
+        ifd0 = _exif_ifd_tags(blob, bo, ifd0_off)
+        if ifd0 is None:
+            return None
+        sub = (
+            _exif_ifd_tags(blob, bo, ifd0[34665])
+            if isinstance(ifd0.get(34665), int)
+            else None
+        ) or {}
+        gps = (
+            _exif_ifd_tags(blob, bo, ifd0[34853])
+            if isinstance(ifd0.get(34853), int)
+            else None
+        ) or {}
+    except (struct.error, IndexError, KeyError):
+        return None
+    iso = sub.get(34855)
+    return {
+        "make": ifd0.get(271),
+        "model": ifd0.get(272),
+        "orientation": ifd0.get(274),
+        "datetime": ifd0.get(306),
+        "exposure_time": sub.get(33434),
+        "f_number": sub.get(33437),
+        "iso": iso[0] if isinstance(iso, list) else iso,
+        "focal_length": sub.get(37386),
+        "datetime_original": sub.get(36867),
+        "pixel_x": sub.get(40962),
+        "pixel_y": sub.get(40963),
+        "gps_lat": _gps_coord(gps.get(2), gps.get(1)),
+        "gps_lon": _gps_coord(gps.get(4), gps.get(3)),
+    }
+
+
+EXIF_FEATURE_SCHEMA = (
+    "item_id long, source string, make string, model string, "
+    "orientation int, datetime_original string, exposure_time double, "
+    "f_number double, iso int, focal_length double, "
+    "pixel_x int, pixel_y int, gps_lat double, gps_lon double"
+)
+
+
+def extract_exif_features(media: DataFrame) -> DataFrame:
+    """EXIF walk over binary payloads through the same Arrow-batched
+    ``mapInPandas`` path as the other extractors — typed camera
+    metadata columns, NULL rows for payloads without EXIF."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [
+                parse_exif(bytes(b)) if b is not None else None
+                for b in pdf["payload"]
+            ]
+            def col(key):
+                return [p.get(key) if p else None for p in parsed]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "source": pdf["source"],
+                    "make": col("make"),
+                    "model": col("model"),
+                    "orientation": pd.array(col("orientation"), dtype="Int32"),
+                    "datetime_original": col("datetime_original"),
+                    "exposure_time": pd.array(
+                        col("exposure_time"), dtype="Float64"
+                    ),
+                    "f_number": pd.array(col("f_number"), dtype="Float64"),
+                    "iso": pd.array(col("iso"), dtype="Int32"),
+                    "focal_length": pd.array(
+                        col("focal_length"), dtype="Float64"
+                    ),
+                    "pixel_x": pd.array(col("pixel_x"), dtype="Int32"),
+                    "pixel_y": pd.array(col("pixel_y"), dtype="Int32"),
+                    "gps_lat": pd.array(col("gps_lat"), dtype="Float64"),
+                    "gps_lon": pd.array(col("gps_lon"), dtype="Float64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=EXIF_FEATURE_SCHEMA)

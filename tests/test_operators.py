@@ -3827,3 +3827,137 @@ def test_bpe_fertility_single_merge_hand_check(spark):
     # 'abab' fully merges into one or two symbols depending on rank
     # interaction; it must at least HALVE vs character grain (8 chars)
     assert row["n_tokens"] <= 8
+
+
+def _build_ifd(entries, ifd_off, bo):
+    """Minimal TIFF IFD builder for EXIF tests: entries are
+    (tag, typ, count, raw_value_bytes); >4-byte values land in a data
+    area directly after the entry table.  Returns the IFD block bytes
+    (caller places it at ifd_off)."""
+    import struct
+
+    out = struct.pack(bo + "H", len(entries))
+    data = b""
+    data_base = ifd_off + 2 + 12 * len(entries) + 4
+    for tag, typ, count, raw in entries:
+        out += struct.pack(bo + "HHI", tag, typ, count)
+        if len(raw) <= 4:
+            out += raw.ljust(4, b"\x00")
+        else:
+            out += struct.pack(bo + "I", data_base + len(data))
+            data += raw
+    out += struct.pack(bo + "I", 0)  # no next IFD
+    return out + data
+
+
+def _build_exif_tiff(bo):
+    """A deterministic EXIF TIFF blob: IFD0 (make/model/orientation +
+    Exif/GPS pointers), Exif IFD (exposure/fnumber/iso/pixel_x), GPS IFD
+    (N 40d26m46s, W 79d58m56s)."""
+    import struct
+
+    def rat(*pairs):
+        return b"".join(struct.pack(bo + "II", n, d) for n, d in pairs)
+
+    header = (b"II*\x00" if bo == "<" else b"MM\x00*") + struct.pack(bo + "I", 8)
+    # IFD0: 5 entries, 2+60+4 = 66 bytes + 6 data ("Canon\0") = 72 → next at 80
+    ifd0_entries = lambda off_exif, off_gps: [
+        (271, 2, 6, b"Canon\x00"),
+        (272, 2, 4, b"EOS\x00"),
+        (274, 3, 1, struct.pack(bo + "H", 6)),
+        (34665, 4, 1, struct.pack(bo + "I", off_exif)),
+        (34853, 4, 1, struct.pack(bo + "I", off_gps)),
+    ]
+    off_exif = 8 + 66 + 6
+    exif_entries = [
+        (33434, 5, 1, rat((1, 250))),
+        (33437, 5, 1, rat((28, 10))),
+        (34855, 3, 1, struct.pack(bo + "H", 400)),
+        (40962, 4, 1, struct.pack(bo + "I", 33)),
+    ]
+    exif_block = _build_ifd(exif_entries, off_exif, bo)
+    off_gps = off_exif + len(exif_block)
+    gps_entries = [
+        (1, 2, 2, b"N\x00"),
+        (2, 5, 3, rat((40, 1), (26, 1), (46, 1))),
+        (3, 2, 2, b"W\x00"),
+        (4, 5, 3, rat((79, 1), (58, 1), (56, 1))),
+    ]
+    blob = (
+        header
+        + _build_ifd(ifd0_entries(off_exif, off_gps), 8, bo)
+        + exif_block
+        + _build_ifd(gps_entries, off_gps, bo)
+    )
+    return blob
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+def test_parse_exif_both_byte_orders(bo):
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        parse_exif,
+    )
+
+    got = parse_exif(_build_exif_tiff(bo))
+    assert got is not None
+    assert got["make"] == "Canon" and got["model"] == "EOS"
+    assert got["orientation"] == 6
+    assert got["exposure_time"] == 1 / 250
+    assert got["f_number"] == 2.8
+    assert got["iso"] == 400
+    assert got["pixel_x"] == 33
+    assert got["gps_lat"] == round(40 + 26 / 60 + 46 / 3600, 7)
+    assert got["gps_lon"] == -round(79 + 58 / 60 + 56 / 3600, 7)
+
+
+def test_parse_exif_jpeg_app1_and_negatives():
+    """The APP1 'Exif\\0\\0' wrapper parses identically; a JPEG without
+    EXIF and a non-image payload return None."""
+    import struct
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        parse_exif,
+    )
+
+    blob = _build_exif_tiff("<")
+    app1 = b"Exif\x00\x00" + blob
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe1"
+        + struct.pack(">H", 2 + len(app1))
+        + app1
+        + b"\xff\xd9"
+    )
+    got = parse_exif(jpeg)
+    assert got is not None and got["make"] == "Canon" and got["iso"] == 400
+    assert parse_exif(b"\xff\xd8\xff\xd9") is None  # JPEG, no EXIF
+    assert parse_exif(b"not an image") is None
+
+
+def test_extract_exif_features_typed_columns(spark):
+    import struct
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        extract_exif_features,
+    )
+
+    blob = _build_exif_tiff("<")
+    app1 = b"Exif\x00\x00" + blob
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe1"
+        + struct.pack(">H", 2 + len(app1))
+        + app1
+        + b"\xff\xd9"
+    )
+    media = spark.createDataFrame(
+        [
+            (1, "image/jpeg", bytearray(jpeg), "s1"),
+            (2, "text/plain", bytearray(b"hello"), "s2"),
+        ],
+        ["item_id", "media_type", "payload", "source"],
+    )
+    rows = {r["item_id"]: r for r in extract_exif_features(media).collect()}
+    assert rows[1]["make"] == "Canon" and rows[1]["iso"] == 400
+    assert rows[1]["gps_lon"] < 0 < rows[1]["gps_lat"]
+    assert rows[2]["make"] is None and rows[2]["iso"] is None
