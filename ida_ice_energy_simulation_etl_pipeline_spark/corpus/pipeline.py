@@ -131,6 +131,13 @@ class CorpusConfig:
     epoch_shuffle: bool = False
     epoch_shards: int = 8
     shuffle_output: bool = False  # pseudo-random global order for training
+    # corpus-health panel over the LANDED output: per-source Zipf
+    # rank-curve fit + KL/JS divergence vs the corpus mixture
+    # (operators/text.py::zipf_fit_frame / source_divergence_frame),
+    # recorded in the manifest — the numbers a continuously-rebuilt
+    # corpus trends across builds (and the streaming drift monitor
+    # compares live windows against)
+    health_report: bool = False
     # I/O formats — web-scale corpora arrive and ship as JSONL at least
     # as often as parquet ("parquet" | "jsonl" on either side)
     input_format: str = "parquet"
@@ -688,6 +695,31 @@ def run_corpus_pipeline(
         shutil.rmtree(staging, ignore_errors=True)
         raise CorpusGateError(gate)
 
+    # Optional corpus-health panel over the landed corpus: ~|sources|
+    # rows each, a driver-report collect by design (the manifest is a
+    # driver artifact).  In chunk mode the panel describes the CHUNK
+    # text stream — which is what a retrieval index serves, so that is
+    # the honest grain there.  Computed BEFORE the staging rename:
+    # ``landed`` reads the staging path.
+    health: "dict | None" = None
+    if cfg.health_report:
+        from ..operators.text import source_divergence_frame, zipf_fit_frame
+
+        zipf_rows = {r["source"]: r for r in zipf_fit_frame(landed).collect()}
+        div_rows = {
+            r["source"]: r for r in source_divergence_frame(landed).collect()
+        }
+        health = {
+            src: {
+                "zipf_slope": zipf_rows[src]["zipf_slope"],
+                "zipf_r2": zipf_rows[src]["r2"],
+                "kl_divergence": div_rows[src]["kl_divergence"],
+                "js_divergence": div_rows[src]["js_divergence"],
+                "n_tokens": div_rows[src]["n_tokens"],
+            }
+            for src in sorted(zipf_rows.keys() & div_rows.keys())
+        }
+
     shutil.rmtree(final, ignore_errors=True)
     staging.rename(final)
 
@@ -717,6 +749,7 @@ def run_corpus_pipeline(
             "epoch_shuffle": cfg.epoch_shuffle,
             "epoch_shards": cfg.epoch_shards,
             "shuffle_output": cfg.shuffle_output,
+            "health_report": cfg.health_report,
             "input_format": cfg.input_format,
             "output_format": cfg.output_format,
         },
@@ -732,6 +765,7 @@ def run_corpus_pipeline(
             "pii_redactions": out_row["pii_redactions"],
             "per_split": per_split,
         },
+        "corpus_health": health,
         "gate": gate,
     }
     (output_dir / "corpus_manifest.json").write_text(json.dumps(manifest, indent=2))
@@ -856,6 +890,12 @@ def main(argv: list[str] | None = None) -> int:
         help="write in deterministic pseudo-random (content-hash) global order",
     )
     ap.add_argument(
+        "--health-report",
+        action="store_true",
+        help="record the per-source corpus-health panel (Zipf fit + "
+        "KL/JS divergence vs the corpus mixture) in the manifest",
+    )
+    ap.add_argument(
         "--input-format",
         choices=("parquet", "jsonl"),
         default="parquet",
@@ -894,6 +934,7 @@ def main(argv: list[str] | None = None) -> int:
         epoch_shuffle=args.epoch_shuffle,
         epoch_shards=args.epoch_shards,
         shuffle_output=args.shuffle_output,
+        health_report=args.health_report,
         input_format=args.input_format,
         output_format=args.output_format,
     )

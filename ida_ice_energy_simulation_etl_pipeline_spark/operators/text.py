@@ -2759,10 +2759,12 @@ FROM z
 ZIPF_TOP_N = 150
 
 
-def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zipf_fit_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level builder (docs must carry text + source) — the form
+    the corpus pipeline's health report composes over its landed
+    output."""
     from pyspark.sql import Window
 
-    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
     counts = (
         docs.select(
             "source", F.explode(word_tokens(F.col("text"))).alias("tok")
@@ -2790,8 +2792,15 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
     cov = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
-    varx = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vary = F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
+    # degenerate sources (a single distinct term → zero rank variance)
+    # yield NULL, not an ANSI divide-by-zero: nullify the zero
+    # denominators on BOTH engines (the oracle uses nullif)
+    varx = F.nullif(
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+    )
+    vary = F.nullif(
+        F.col("k") * F.col("syy") - F.col("sy") * F.col("sy"), F.lit(0.0)
+    )
     return agg.select(
         "source",
         F.col("k").cast("long").alias("n_terms"),
@@ -2799,6 +2808,12 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("sy") - (cov / varx) * F.col("sx")) / F.col("k"), 4)
         .alias("intercept"),
         F.round(cov * cov / (varx * vary), 4).alias("r2"),
+    )
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zipf_fit_frame(
+        ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
     )
 
 
@@ -2824,11 +2839,13 @@ sums AS (
 )
 SELECT source,
        CAST(k AS BIGINT) AS n_terms,
-       round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS zipf_slope,
-       round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 4)
-         AS intercept,
+       round((k * sxy - sx * sy) / nullif(k * sxx - sx * sx, 0), 4)
+         AS zipf_slope,
+       round((sy - ((k * sxy - sx * sy) / nullif(k * sxx - sx * sx, 0)) * sx)
+             / k, 4) AS intercept,
        round((k * sxy - sx * sy) * (k * sxy - sx * sy)
-             / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 4) AS r2
+             / (nullif(k * sxx - sx * sx, 0) * nullif(k * syy - sy * sy, 0)),
+             4) AS r2
 FROM sums
 """
 
@@ -2847,8 +2864,9 @@ FROM sums
 # cross: for tokens missing from a source, p=0 and m=q/2, so the JS
 # contribution collapses to the CLOSED FORM 0.5·ln2·(1 − ΣQ(vocab_s)) —
 # which is why this stays vocab-grain at any corpus size.
-def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+def source_divergence_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level builder (docs must carry text + source) — composed by
+    the corpus pipeline's health report beside zipf_fit_frame."""
     sc = (
         docs.select(
             "source", F.explode(word_tokens(F.col("text"))).alias("tok")
@@ -2887,6 +2905,12 @@ def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.lit(1.0) - F.col("q_cov")),
             6,
         ).alias("js_divergence"),
+    )
+
+
+def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_divergence_frame(
+        ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
     )
 
 

@@ -1005,3 +1005,36 @@ def test_merge_table_from_ranks_rejects_hostile_operands(spark):
     ).repartition(4)
     [row] = merge_table_from_ranks(clean).collect()
     assert [(m["a"], m["b"]) for m in row["merges"]] == [("t", "h"), ("th", "e")]
+
+
+def test_corpus_pipeline_health_report_in_manifest(spark, corpus_input, tmp_path):
+    """--health-report lands the per-source corpus-health panel (Zipf
+    fit + KL/JS divergence) in the manifest, computed over the LANDED
+    output and matching a direct recomputation of the same frames."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        source_divergence_frame,
+        zipf_fit_frame,
+    )
+
+    out = tmp_path / "out_health"
+    manifest = run_corpus_pipeline(
+        spark, corpus_input, out, CorpusConfig(health_report=True)
+    )
+    health = manifest["corpus_health"]
+    assert health, "health panel missing"
+    landed = spark.read.parquet(str(out / "corpus"))
+    want_sources = {r["source"] for r in landed.select("source").distinct().collect()}
+    assert set(health) == want_sources
+    zipf = {r["source"]: r for r in zipf_fit_frame(landed).collect()}
+    div = {r["source"]: r for r in source_divergence_frame(landed).collect()}
+    for src, h in health.items():
+        assert h["zipf_slope"] == zipf[src]["zipf_slope"]
+        assert h["zipf_r2"] == zipf[src]["r2"]
+        assert h["kl_divergence"] == div[src]["kl_divergence"]
+        assert h["js_divergence"] == div[src]["js_divergence"]
+        assert h["n_tokens"] == div[src]["n_tokens"]
+        assert h["js_divergence"] >= 0
+    # default stays off and serializes as null
+    out2 = tmp_path / "out_nohealth"
+    m2 = run_corpus_pipeline(spark, corpus_input, out2, CorpusConfig())
+    assert m2["corpus_health"] is None
