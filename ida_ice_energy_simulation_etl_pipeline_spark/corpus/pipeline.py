@@ -705,10 +705,20 @@ def run_corpus_pipeline(
     if cfg.health_report:
         from ..operators.text import source_divergence_frame, zipf_fit_frame
 
-        zipf_rows = {r["source"]: r for r in zipf_fit_frame(landed).collect()}
-        div_rows = {
-            r["source"]: r for r in source_divergence_frame(landed).collect()
-        }
+        # A failure here (transient Spark error, schema surprise) must
+        # not strand the staging dir — clean up before re-raising, the
+        # same way the gate-failure path does.
+        try:
+            zipf_rows = {
+                r["source"]: r for r in zipf_fit_frame(landed).collect()
+            }
+            div_rows = {
+                r["source"]: r
+                for r in source_divergence_frame(landed).collect()
+            }
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         health = {
             src: {
                 "zipf_slope": zipf_rows[src]["zipf_slope"],

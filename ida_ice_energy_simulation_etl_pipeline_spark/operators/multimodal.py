@@ -2982,19 +2982,28 @@ def parse_exif(payload: bytes) -> "dict | None":
         ) or {}
     except (struct.error, IndexError, KeyError):
         return None
-    iso = sub.get(34855)
+    def scalar(v):
+        # Every scalar schema field must survive a quirky-but-real
+        # count>1 payload (the IFD walk returns a list then): take the
+        # first element like the single-count path would have, and fold
+        # an empty list to None so one odd row NULLs out instead of
+        # failing the whole Arrow batch downstream.
+        if isinstance(v, list):
+            return v[0] if v else None
+        return v
+
     return {
-        "make": ifd0.get(271),
-        "model": ifd0.get(272),
-        "orientation": ifd0.get(274),
-        "datetime": ifd0.get(306),
-        "exposure_time": sub.get(33434),
-        "f_number": sub.get(33437),
-        "iso": iso[0] if isinstance(iso, list) else iso,
-        "focal_length": sub.get(37386),
-        "datetime_original": sub.get(36867),
-        "pixel_x": sub.get(40962),
-        "pixel_y": sub.get(40963),
+        "make": scalar(ifd0.get(271)),
+        "model": scalar(ifd0.get(272)),
+        "orientation": scalar(ifd0.get(274)),
+        "datetime": scalar(ifd0.get(306)),
+        "exposure_time": scalar(sub.get(33434)),
+        "f_number": scalar(sub.get(33437)),
+        "iso": scalar(sub.get(34855)),
+        "focal_length": scalar(sub.get(37386)),
+        "datetime_original": scalar(sub.get(36867)),
+        "pixel_x": scalar(sub.get(40962)),
+        "pixel_y": scalar(sub.get(40963)),
         "gps_lat": _gps_coord(gps.get(2), gps.get(1)),
         "gps_lon": _gps_coord(gps.get(4), gps.get(3)),
     }

@@ -2554,12 +2554,29 @@ def merge_table_from_ranks(ranks: DataFrame) -> DataFrame:
 
     # collect_list order is partition-dependent; sorting the (rank, a, b)
     # structs re-derives merge order deterministically in-row
-    return ranks.select(
+    folded = ranks.select(
         F.col("rank").cast("long").alias("rank"), checked("a"), checked("b")
     ).agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("rank", "a", "b"))),
             lambda m: F.struct(m["a"].alias("a"), m["b"].alias("b")),
+        ).alias("merges")
+    )
+    # An empty rank frame (wrong parquet path, zero-row artifact) would
+    # otherwise yield a one-row empty merges array and silently degrade
+    # BPE packing to character-grain counts — fail as loudly as the
+    # operand checks do.  assert_true returns NULL on success, so the
+    # when-branch keeps the array type while still raising in-row.
+    return folded.select(
+        F.when(
+            F.assert_true(
+                F.size("merges") > 0,
+                F.lit(
+                    "merge_table_from_ranks: the rank frame is empty — "
+                    "check the merge-table source (bpe_merges_path?)"
+                ),
+            ).isNull(),
+            F.col("merges"),
         ).alias("merges")
     )
 

@@ -239,6 +239,25 @@ def test_corpus_gate_blocks_empty_output(spark, tmp_path):
     assert not (out / "corpus._staging").exists()
 
 
+def test_corpus_health_failure_cleans_staging(spark, corpus_input, tmp_path, monkeypatch):
+    """A health-panel failure (transient Spark error, schema surprise)
+    must remove the staging dir before re-raising — same contract as the
+    gate-failure path."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators import text as text_mod
+
+    def boom(_landed):
+        raise RuntimeError("synthetic health-panel failure")
+
+    monkeypatch.setattr(text_mod, "zipf_fit_frame", boom)
+    out = tmp_path / "out_healthfail"
+    with pytest.raises(RuntimeError, match="synthetic health-panel failure"):
+        run_corpus_pipeline(
+            spark, corpus_input, out, CorpusConfig(health_report=True)
+        )
+    assert not (out / "corpus").exists()
+    assert not (out / "corpus._staging").exists()
+
+
 def test_corpus_split_fractions_at_scale(spark, tmp_path):
     """Content-hash split lands near 80/10/10 on a bigger corpus and is
     disjoint+exhaustive."""
@@ -1005,6 +1024,11 @@ def test_merge_table_from_ranks_rejects_hostile_operands(spark):
     ).repartition(4)
     [row] = merge_table_from_ranks(clean).collect()
     assert [(m["a"], m["b"]) for m in row["merges"]] == [("t", "h"), ("th", "e")]
+    # a zero-row rank frame (wrong parquet path, empty artifact) fails
+    # loudly instead of degrading packing to character-grain counts
+    empty = spark.createDataFrame([], "rank BIGINT, a STRING, b STRING")
+    with pytest.raises(SparkRuntimeException, match="rank frame is empty"):
+        merge_table_from_ranks(empty).collect()
 
 
 def test_corpus_pipeline_health_report_in_manifest(spark, corpus_input, tmp_path):

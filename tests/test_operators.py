@@ -3934,6 +3934,67 @@ def test_parse_exif_jpeg_app1_and_negatives():
     assert parse_exif(b"not an image") is None
 
 
+def _build_exif_tiff_multicount(bo="<"):
+    """A quirky-but-real blob where scalar-schema fields carry count>1:
+    orientation SHORT×2 and exposure_time RATIONAL×2.  parse_exif must
+    unwrap to the first element (not return a Python list that breaks
+    the Arrow batch downstream)."""
+    import struct
+
+    def rat(*pairs):
+        return b"".join(struct.pack(bo + "II", n, d) for n, d in pairs)
+
+    header = (b"II*\x00" if bo == "<" else b"MM\x00*") + struct.pack(bo + "I", 8)
+    ifd0_entries = lambda off_exif: [
+        (271, 2, 6, b"Canon\x00"),
+        (274, 3, 2, struct.pack(bo + "HH", 6, 1)),  # orientation, count=2
+        (34665, 4, 1, struct.pack(bo + "I", off_exif)),
+    ]
+    # IFD0: 2 + 3*12 + 4 = 42 bytes + 6 data = 48 → exif IFD at 8+48
+    off_exif = 8 + 42 + 6
+    exif_entries = [
+        (33434, 5, 2, rat((1, 250), (1, 125))),  # exposure_time, count=2
+        (34855, 3, 2, struct.pack(bo + "HH", 400, 800)),  # iso, count=2
+    ]
+    return (
+        header
+        + _build_ifd(ifd0_entries(off_exif), 8, bo)
+        + _build_ifd(exif_entries, off_exif, bo)
+    )
+
+
+def test_parse_exif_multicount_scalars_unwrap_to_first():
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        parse_exif,
+    )
+
+    got = parse_exif(_build_exif_tiff_multicount())
+    assert got is not None
+    assert got["orientation"] == 6  # not [6, 1]
+    assert got["exposure_time"] == 1 / 250  # not a list
+    assert got["iso"] == 400
+
+
+def test_extract_exif_features_survives_multicount_payload(spark):
+    """One quirky payload must yield a typed row, not fail the job
+    (the extractor's fail-safe-per-row contract)."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        extract_exif_features,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "image/tiff", bytearray(_build_exif_tiff_multicount()), "s1"),
+            (2, "image/tiff", bytearray(_build_exif_tiff("<")), "s2"),
+        ],
+        ["item_id", "media_type", "payload", "source"],
+    )
+    rows = {r["item_id"]: r for r in extract_exif_features(media).collect()}
+    assert rows[1]["orientation"] == 6 and rows[1]["iso"] == 400
+    assert rows[1]["exposure_time"] == 1 / 250
+    assert rows[2]["make"] == "Canon"
+
+
 def test_extract_exif_features_typed_columns(spark):
     import struct
 
