@@ -1619,12 +1619,18 @@ SPECS: list[QuerySpec] = [
     # driver rows, r1–r6; the signature derivation stays driver-exercised
     # inside corpus_pipeline_e2e's LSH near-dedup stage) to free a slot
     # for a never-driver-verified extra.
-    QuerySpec(
-        "dup_pairs_by_source",
-        dup_pairs_by_source,
-        DUP_PAIRS_BY_SOURCE_SQL,
-        "ext:dedup,diagnostics",
-    ),
+    # Round-11 rotation (judge-prescribed): dup_pairs_by_source,
+    # dedup_passages, dedup_semantic and incremental_dedup demoted with
+    # 5–6 green rounds each (r5/r6–r10) to free slots for the eight
+    # never-driver-verified round-10 operators.  Coverage retained:
+    # the pair-graph diagnostics stay driver-exercised by
+    # dedup_transitivity + minhash_calibration; the passage/span grain
+    # by dup_span_stats + boilerplate_scrub; the SemDeDup IVF-cell
+    # cosine shape by corpus_curation_e2e's semantic-dedup stage and
+    # ann_recall; the incremental watermark path by its exact
+    # stream==batch twin-parity test (tests/test_streaming.py) and the
+    # corpus ingest stream.  All four stay oracle-verified every suite
+    # run in the extra tier below.
     # Round-8 rotation: dedup_ngram_jaccard moved to the extra tier
     # (SEVEN rounds of green driver rows, r1–r7; the inverted-index
     # verify shape stays driver-exercised by corpus_pipeline_e2e's LSH
@@ -1654,11 +1660,6 @@ SPECS: list[QuerySpec] = [
         DUP_SPAN_STATS_SQL,
         "ext:dedup,spans,diagnostics",
     ),
-    # Promoted into the driver window in round 5 — the passage/span/
-    # semantic/incremental flagship paths had only local oracle
-    # verification before (dedup_simhash rotated out with 4 rounds of
-    # green driver rows; still oracle-verified locally).
-    QuerySpec("dedup_passages", dedup_passages, DEDUP_PASSAGES_SQL, "ext:dedup"),
     # Round-9 rotation: span_scrub moved to the extra tier (4 rounds of
     # green driver rows, r5–r8, plus the always-on sf0.1 oracle lane in
     # tests/test_oracle_parity.py keeps it value-verified on every suite
@@ -1670,6 +1671,18 @@ SPECS: list[QuerySpec] = [
         BOILERPLATE_SCRUB_SQL,
         "ext:dedup,cleaning,boilerplate",
     ),
+]
+
+EXTRA_SPECS: list[QuerySpec] = [
+    # Rotated out of the driver window in round 11 (5–6 green rounds
+    # each; see the SPECS comment above).
+    QuerySpec(
+        "dup_pairs_by_source",
+        dup_pairs_by_source,
+        DUP_PAIRS_BY_SOURCE_SQL,
+        "ext:dedup,diagnostics",
+    ),
+    QuerySpec("dedup_passages", dedup_passages, DEDUP_PASSAGES_SQL, "ext:dedup"),
     QuerySpec(
         "dedup_semantic",
         dedup_semantic,
@@ -1682,9 +1695,6 @@ SPECS: list[QuerySpec] = [
         INCREMENTAL_DEDUP_SQL,
         "ext:dedup,incremental",
     ),
-]
-
-EXTRA_SPECS: list[QuerySpec] = [
     QuerySpec(
         "minhash_signatures", minhash_signatures, MINHASH_SIGNATURES_SQL, "ext:dedup"
     ),

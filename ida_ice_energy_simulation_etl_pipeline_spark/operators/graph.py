@@ -556,21 +556,26 @@ SPECS: list[QuerySpec] = [
     # Round-7 second wave: dedup_clusters demoted (6 rounds of green
     # driver rows, r1–r6; label-propagation CC stays driver-exercised by
     # dedup_survivors_ranked, which runs connected_components on the same
-    # pair graph, and the star variant keeps its own driver row below).
-    QuerySpec(
-        "dedup_clusters_star",
-        dedup_clusters_star,
-        _dedup_clusters_sql(),
-        "ext:dedup,graph,star",
-    ),
+    # pair graph).  Round-11 rotation: dedup_clusters_star likewise
+    # demoted (5 green rounds, r6–r10; the O(log n) star-contraction
+    # variant stays oracle-verified in the extra tier) so the round-10
+    # iterative NUMERIC graph operator earns its first driver row.
     # Promoted in round 7 (judge-prescribed): the quality-ranked survivor
-    # policy (cluster-grain max_by over the quality logit) earns its
-    # first independent driver row.
+    # policy (cluster-grain max_by over the quality logit).
     QuerySpec(
         "dedup_survivors_ranked",
         dedup_survivors_ranked,
         _dedup_survivors_ranked_sql(),
         "ext:dedup,graph,quality",
+    ),
+    # Round-11 promotion (judge-prescribed): PageRank over the part
+    # co-order graph — iterative float analytics with an EXACT
+    # value-hash oracle via per-round rank quantization.
+    QuerySpec(
+        "pagerank_parts",
+        pagerank_parts,
+        _pagerank_sql(),
+        "ext:graph,pagerank,iterative",
     ),
 ]
 
@@ -584,12 +589,12 @@ EXTRA_SPECS: list[QuerySpec] = [
         _dedup_survivors_sql(),
         "ext:dedup,graph",
     ),
-    # New in round 10: iterative numeric graph analytics (PageRank over
-    # the part co-order graph) — extra tier per the rotation policy.
+    # Rotated out of the driver window in round 11 (5 green rounds,
+    # r6–r10; see the SPECS comment above).
     QuerySpec(
-        "pagerank_parts",
-        pagerank_parts,
-        _pagerank_sql(),
-        "ext:graph,pagerank,iterative",
+        "dedup_clusters_star",
+        dedup_clusters_star,
+        _dedup_clusters_sql(),
+        "ext:dedup,graph,star",
     ),
 ]

@@ -3211,12 +3211,10 @@ SPECS: list[QuerySpec] = [
         CONTAMINATION_OVERLAP_SQL,
         "ext:contamination,overlap",
     ),
-    QuerySpec(
-        "weighted_sample",
-        weighted_sample,
-        WEIGHTED_SAMPLE_SQL,
-        "ext:sampling,weighted",
-    ),
+    # Round-11 rotation: weighted_sample demoted (5 green rounds,
+    # r6–r10; A-ES weighted sampling stays driver-covered by data_mix's
+    # temperature sampling and the sampling family keeps dataset_split +
+    # stratified_sample rows) — see EXTRA_SPECS below.
     QuerySpec(
         "seq_pack_emit", seq_pack_emit, SEQ_PACK_EMIT_SQL, "ext:packing,emit"
     ),
@@ -3315,6 +3313,47 @@ SPECS: list[QuerySpec] = [
         _bpe_train_sql(),
         "ext:text,tokenizer,training,iterative",
     ),
+    # Round-11 rotation (judge-prescribed): first driver rows for the
+    # six round-10 text/corpus-health operators — all oracle-verified
+    # locally at sf0.001+sf0.01 since round 10.  Slots from the
+    # weighted_sample demotion above plus the dedup.py/relational.py
+    # demotions (see those modules' SPECS comments).
+    QuerySpec(
+        "ppl_buckets",
+        ppl_buckets,
+        PPL_BUCKETS_SQL,
+        "ext:text,quality,lm,stratification",
+    ),
+    QuerySpec(
+        "bm25_scores",
+        bm25_scores,
+        _bm25_sql(),
+        "ext:text,retrieval,ranking",
+    ),
+    QuerySpec(
+        "zipf_fit",
+        zipf_fit,
+        ZIPF_FIT_SQL,
+        "ext:text,corpus-health,regression",
+    ),
+    QuerySpec(
+        "source_divergence",
+        source_divergence,
+        SOURCE_DIVERGENCE_SQL,
+        "ext:text,corpus-health,divergence",
+    ),
+    QuerySpec(
+        "bpe_fertility",
+        bpe_fertility,
+        BPE_FERTILITY_SQL,
+        "ext:text,tokenizer,bpe",
+    ),
+    QuerySpec(
+        "rake_keywords",
+        rake_keywords,
+        _rake_sql(),
+        "ext:text,keywords,enrichment",
+    ),
 ]
 
 # The standalone halves of the merged driver queries — still
@@ -3356,47 +3395,16 @@ EXTRA_SPECS: list[QuerySpec] = [
         "tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_SQL, "ext:text,window"
     ),
     # bpe_encode and bpe_train started here in round 9 and were promoted
-    # into the driver window in round 10 (see the SPECS comment).
-    # New in round 10: CCNet-style per-language perplexity terciles and
-    # BM25 relevance scoring — extra tier per the rotation policy
-    # (natural r11 promotions).
+    # into the driver window in round 10; the six round-10 text
+    # operators (ppl_buckets, bm25_scores, zipf_fit, source_divergence,
+    # bpe_fertility, rake_keywords) likewise started here and were
+    # promoted in round 11 (see the SPECS comment).
+    # Rotated out of the driver window in round 11 (5 green rounds,
+    # r6–r10; see the SPECS comment above).
     QuerySpec(
-        "ppl_buckets",
-        ppl_buckets,
-        PPL_BUCKETS_SQL,
-        "ext:text,quality,lm,stratification",
-    ),
-    QuerySpec(
-        "bm25_scores",
-        bm25_scores,
-        _bm25_sql(),
-        "ext:text,retrieval,ranking",
-    ),
-    # Round-10 additions: corpus-health rank-curve fit, tokenizer
-    # fertility panel (reuses the bpe_encode machinery), and RAKE
-    # keyphrase extraction — extra tier per the rotation policy.
-    QuerySpec(
-        "zipf_fit",
-        zipf_fit,
-        ZIPF_FIT_SQL,
-        "ext:text,corpus-health,regression",
-    ),
-    QuerySpec(
-        "source_divergence",
-        source_divergence,
-        SOURCE_DIVERGENCE_SQL,
-        "ext:text,corpus-health,divergence",
-    ),
-    QuerySpec(
-        "bpe_fertility",
-        bpe_fertility,
-        BPE_FERTILITY_SQL,
-        "ext:text,tokenizer,bpe",
-    ),
-    QuerySpec(
-        "rake_keywords",
-        rake_keywords,
-        _rake_sql(),
-        "ext:text,keywords,enrichment",
+        "weighted_sample",
+        weighted_sample,
+        WEIGHTED_SAMPLE_SQL,
+        "ext:sampling,weighted",
     ),
 ]

@@ -1448,6 +1448,14 @@ SPECS += [
         YOY_CUSTOMER_REVENUE_SQL,
         "ext:full-outer,reconciliation",
     ),
+    # Round-11 rotation (judge-prescribed): column_histograms and
+    # column_top_values demoted with 5 green rounds each (r6–r10) to
+    # free slots for the round-10 promotions; the ANALYZE-stats family
+    # keeps table_profile's driver row and both stay oracle-verified in
+    # the extra tier below.
+]
+
+EXTRA_SPECS += [
     QuerySpec(
         "column_histograms",
         column_histograms,
@@ -1460,9 +1468,6 @@ SPECS += [
         _column_top_values_sql(),
         "ext:stats,mcv",
     ),
-]
-
-EXTRA_SPECS += [
     # Round-8 rotation (judge-prescribed): the seven-round-green A1/O3
     # anchor and the rows-only-by-design HLL profile leave the driver
     # window so every driver slot is hash-verifiable (see the SPECS
