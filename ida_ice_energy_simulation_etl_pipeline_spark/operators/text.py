@@ -2141,6 +2141,157 @@ WHERE {any_hit}
 
 
 # --------------------------------------------------------------------------
+# BM25 serving — ad-hoc retrieval with a query TABLE (the shape
+# bm25_scores's literal-terms variant documents in SCALE.md).  The
+# query-term table broadcasts (it is request-sized, never corpus-sized)
+# over a tfidf-style inverted index; the index explodes docs only at
+# (doc, MATCHED-term) grain — tokens are filtered against the query
+# vocabulary IN-ROW before any Generate node, so the exploded stream is
+# proportional to query-vocab hits, not corpus tokens.  Per-term tf is
+# an in-row nested-HOF count (no token-grain groupBy anywhere).  Top-k
+# per query ranks on the ROUNDED score with a doc_id tie-break, so the
+# serving cut is deterministic cross-engine.
+BM25_SERVE_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (1, ("hash", "join")),
+    (2, ("vector", "scan", "sort", "index")),  # 'index' never occurs: df=0 path
+    (3, ("query", "hash")),
+)
+BM25_SERVE_TOPK = 10
+
+
+def bm25_serve_frame(docs: DataFrame, queries: DataFrame) -> DataFrame:
+    """Score every (query_id, term) row of ``queries`` against ``docs``
+    (doc_id, text) and return the top-``BM25_SERVE_TOPK`` docs per query.
+
+    Shape: one corpus scan builds (doc_id, dl, [(term, tf)]) with the
+    matched-term array derived in-row from the broadcast query
+    vocabulary; the per-term df and the one-row (n_docs, avgdl) stats
+    both broadcast back; the query join broadcasts the request table.
+    The only corpus-grain exchanges are the (query_id, doc_id) candidate
+    aggregate and the per-query ranking window — both at candidate
+    grain, which the query vocabulary bounds."""
+    vocab = queries.select("term").distinct()
+    # fold the request vocabulary into one in-row array (request-sized)
+    vocab_arr = vocab.agg(
+        F.array_sort(F.collect_set("term")).alias("vocab")
+    )
+    toks = word_tokens(F.col("text"))
+    base = docs.crossJoin(F.broadcast(vocab_arr)).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        F.transform(
+            F.array_intersect(toks, F.col("vocab")),
+            lambda term: F.struct(
+                term.alias("term"),
+                F.size(F.filter(toks, lambda t: t == term))
+                .cast("long")
+                .alias("tf"),
+            ),
+        ).alias("hits"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    idx = base.select(
+        "doc_id", "dl", F.explode("hits").alias("h")
+    ).select("doc_id", "dl", F.col("h.term").alias("term"), F.col("h.tf").alias("tf"))
+    dfreq = idx.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    tf = F.col("tf").cast("double")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = tf + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        idx.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(queries), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            (idf * tf * F.lit(BM25_K1 + 1.0) / denom).alias("term_score"),
+        )
+    )
+    cand = scored.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        F.round(F.sum("term_score"), 4).alias("bm25"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= BM25_SERVE_TOPK)
+        .select("query_id", "doc_id", "n_terms_hit", "bm25", "rank")
+    )
+
+
+def bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    queries = spark.createDataFrame(
+        [(qid, t) for qid, terms in BM25_SERVE_QUERIES for t in terms],
+        "query_id INT, term STRING",
+    )
+    return bm25_serve_frame(docs, queries)
+
+
+def _bm25_serve_sql() -> str:
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in BM25_SERVE_QUERIES for t in terms
+    )
+    one_minus_b = 1.0 - BM25_B
+    k1_plus_1 = BM25_K1 + 1.0
+    return f"""
+WITH q(query_id, term) AS (VALUES {values}),
+base AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         string_split(text, ' ') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM base),
+idx AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM tok
+  WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, dl, term
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM base
+),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM idx GROUP BY term),
+scored AS (
+  SELECT q.query_id, i.doc_id,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * CAST(tf AS DOUBLE) * {k1_plus_1}
+           / (CAST(tf AS DOUBLE)
+              + {BM25_K1} * ({one_minus_b} + {BM25_B} * dl / avgdl))
+           AS term_score
+  FROM idx i
+  JOIN dfreq USING (term)
+  CROSS JOIN stats
+  JOIN q USING (term)
+),
+cand AS (
+  SELECT query_id, doc_id,
+         CAST(count(*) AS BIGINT) AS n_terms_hit,
+         round(sum(term_score), 4) AS bm25
+  FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, n_terms_hit, bm25, rank
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
+  FROM cand
+)
+WHERE rank <= {BM25_SERVE_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
 # Overlapping-window chunking (RAG / embedding prep).
 #
 # Retrieval corpora index CHUNKS, not documents: fixed token windows with
@@ -3406,5 +3557,14 @@ EXTRA_SPECS: list[QuerySpec] = [
         weighted_sample,
         WEIGHTED_SAMPLE_SQL,
         "ext:sampling,weighted",
+    ),
+    # New in round 11: ad-hoc BM25 serving with a query TABLE (the
+    # multi-query shape SCALE.md's bm25_scores entry documents) — extra
+    # tier per the rotation policy.
+    QuerySpec(
+        "bm25_serve",
+        bm25_serve,
+        _bm25_serve_sql(),
+        "ext:text,retrieval,serving",
     ),
 ]

@@ -713,6 +713,27 @@ def test_bm25_scores_map_only_around_one_row_stats(spark):
     assert "Generate explode" not in plan  # tf is in-row, never exploded
 
 
+def test_bm25_serve_broadcast_query_table_one_explode(spark):
+    """The multi-query serving shape must keep the inverted index the
+    ONLY Generate node (tokens filter against the broadcast request
+    vocabulary in-row BEFORE the explode, so the exploded stream is
+    query-vocab hits, not corpus tokens); the request table, the per-term
+    df and the one-row stats all broadcast — no sort-merge join, no
+    non-broadcast cartesian, no token-grain groupBy, no Python."""
+    plan = _executed_plan(spark, "bm25_serve").split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # the df branch re-executes the index lineage, so the hits explode
+    # appears twice (two map-side scans, the bm25_scores posture) — but
+    # EVERY Generate is over the vocab-filtered hits array; a raw-token
+    # explode (Generate explode(split(text...)) would be corpus-token
+    # grain and must never appear
+    assert plan.count("Generate explode") <= 2
+    assert "Generate explode(split(" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # dfreq + query table
+
+
 def test_ppl_buckets_single_lang_exchange_for_terciles(spark):
     """The tercile window must ride ONE lang-keyed hash exchange (no
     rangepartitioned global sort) on top of lm_perplexity's model
