@@ -2719,15 +2719,27 @@ def extract_image_features(
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract query: media plumbing end-to-end, rolled up per
-    source so the oracle is pure SQL (byte lengths of utf-8 payloads)."""
+    source so the oracle is pure SQL (byte lengths of utf-8 payloads).
+    Round 11 folds in the typed EXIF columns (GPS presence, distinct
+    camera makes, orientation range) so the IFD walk — writer → reader →
+    typed Arrow batch — carries a driver CORRECTNESS row; the join is
+    source-grain (dim-sized, broadcast under AQE)."""
     docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
     feats = extract_features(documents_as_media(docs))
-    return feats.groupBy("source").agg(
+    base = feats.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum("n_bytes").cast("long").alias("total_bytes"),
         F.max("n_bytes").cast("long").alias("max_bytes"),
         F.min("head_byte").cast("long").alias("min_head_byte"),
     )
+    exif = extract_exif_features(documents_as_exif_media(docs))
+    exif_agg = exif.groupBy("source").agg(
+        F.sum(F.col("gps_lat").isNotNull().cast("long")).alias("n_gps"),
+        F.countDistinct("make").cast("long").alias("n_makes"),
+        F.min("orientation").cast("long").alias("min_orientation"),
+        F.max("orientation").cast("long").alias("max_orientation"),
+    )
+    return base.join(exif_agg, "source")
 
 
 FRAME_SCHEMA = StructType(
@@ -2811,7 +2823,12 @@ SELECT source,
        count(*)                                         AS n_items,
        CAST(sum(octet_length(encode(text))) AS BIGINT)  AS total_bytes,
        CAST(max(octet_length(encode(text))) AS BIGINT)  AS max_bytes,
-       CAST(min(ascii(substr(text, 1, 1))) AS BIGINT)   AS min_head_byte
+       CAST(min(ascii(substr(text, 1, 1))) AS BIGINT)   AS min_head_byte,
+       CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                        AS n_gps,
+       CAST(count(DISTINCT doc_id % 5) AS BIGINT)       AS n_makes,
+       CAST(min(1 + doc_id % 8) AS BIGINT)              AS min_orientation,
+       CAST(max(1 + doc_id % 8) AS BIGINT)              AS max_orientation
 FROM documents
 GROUP BY source
 """
@@ -2833,7 +2850,9 @@ MULTIMODAL_PIPELINE_SQL = f"""
 WITH feats AS ({MULTIMODAL_FEATURES_SQL}),
 frames AS ({MULTIMODAL_FRAMES_SQL})
 SELECT feats.source, feats.n_items, feats.total_bytes, feats.max_bytes,
-       feats.min_head_byte, frames.n_frames, frames.frame_total_bytes,
+       feats.min_head_byte, feats.n_gps, feats.n_makes,
+       feats.min_orientation, feats.max_orientation,
+       frames.n_frames, frames.frame_total_bytes,
        frames.thumb_total_bytes
 FROM feats JOIN frames USING (source)
 """
@@ -3054,3 +3073,169 @@ def extract_exif_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=EXIF_FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# EXIF census — the registry-visible query for the IFD walk.  Synthetic
+# EXIF-bearing TIFF payloads are derived deterministically from doc_id
+# (a WRITER: struct-packed IFD0 + Exif IFD + conditional GPS IFD — an
+# independent code path from the reader it exercises), the REAL
+# parse_exif walk runs over them via the Arrow-batched extractor, and
+# the per-source rollup reproduces every field as doc_id arithmetic in
+# the DuckDB oracle — so a reader regression in byte order, type
+# decode, rational math, sub-IFD chaining or GPS assembly breaks the
+# value hash.
+def synth_exif_tiff(doc_id: int) -> bytes:
+    """Little-endian TIFF whose EXIF fields are pure functions of
+    ``doc_id``: make CAM<d%5>, model M<d%3>, orientation 1+d%8,
+    exposure 1/(1+d%500), iso 100*(1+d%32), focal 35+d%200; a GPS IFD
+    (deg=d%90, min=d%60, sec=d%60, ref N/S by d%2) only when d%3==0."""
+    import struct
+
+    bo = "<"
+
+    def ifd(entries, ifd_off):
+        out = struct.pack(bo + "H", len(entries))
+        data = b""
+        data_base = ifd_off + 2 + 12 * len(entries) + 4
+        for tag, typ, count, raw in entries:
+            out += struct.pack(bo + "HHI", tag, typ, count)
+            if len(raw) <= 4:
+                out += raw.ljust(4, b"\x00")
+            else:
+                out += struct.pack(bo + "I", data_base + len(data))
+                data += raw
+        out += struct.pack(bo + "I", 0)
+        return out + data
+
+    def rat(*pairs):
+        return b"".join(struct.pack(bo + "II", n, d) for n, d in pairs)
+
+    d = int(doc_id)
+    make = f"CAM{d % 5}\x00".encode()
+    model = f"M{d % 3}\x00".encode()
+    has_gps = d % 3 == 0
+    header = b"II*\x00" + struct.pack(bo + "I", 8)
+
+    ifd0_entries = [
+        (271, 2, len(make), make),
+        (272, 2, len(model), model),
+        (274, 3, 1, struct.pack(bo + "H", 1 + d % 8)),
+        (34665, 4, 1, b"\x00\x00\x00\x00"),  # patched below
+    ]
+    if has_gps:
+        ifd0_entries.append((34853, 4, 1, b"\x00\x00\x00\x00"))
+    # lay out IFD0 first to learn its size, then patch the pointers
+    ifd0_probe = ifd(ifd0_entries, 8)
+    off_exif = 8 + len(ifd0_probe)
+    exif_entries = [
+        (33434, 5, 1, rat((1, 1 + d % 500))),
+        (34855, 3, 1, struct.pack(bo + "H", 100 * (1 + d % 32))),
+        (37386, 5, 1, rat((35 + d % 200, 1))),
+    ]
+    exif_block = ifd(exif_entries, off_exif)
+    off_gps = off_exif + len(exif_block)
+    ifd0_entries[3] = (34665, 4, 1, struct.pack(bo + "I", off_exif))
+    if has_gps:
+        ifd0_entries[4] = (34853, 4, 1, struct.pack(bo + "I", off_gps))
+    blob = header + ifd(ifd0_entries, 8) + exif_block
+    if has_gps:
+        gps_entries = [
+            (1, 2, 2, (b"N\x00" if d % 2 == 0 else b"S\x00")),
+            (2, 5, 3, rat((d % 90, 1), (d % 60, 1), (d % 60, 1))),
+        ]
+        blob += ifd(gps_entries, off_gps)
+    return blob
+
+
+def documents_as_exif_media(docs: DataFrame) -> DataFrame:
+    """Lift the documents table into the media schema with synthetic
+    EXIF TIFF payloads (Arrow-batched writer; the payload column is
+    born executor-side and never crosses the driver)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["doc_id"],
+                    "media_type": "image/tiff",
+                    "payload": [synth_exif_tiff(d) for d in pdf["doc_id"]],
+                    "source": pdf["source"],
+                }
+            )
+
+    return docs.select("doc_id", "source").mapInPandas(
+        batches,
+        schema="item_id long, media_type string, payload binary, source string",
+    )
+
+
+def exif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: the full write→walk→type→aggregate EXIF
+    path, rolled up per source.  Two chained mapInPandas stages (writer,
+    then the real parse_exif IFD walk) compose map-only with the scan;
+    the only exchange is the source-grain aggregate.  GPS latitude sums
+    under the house float rule (≤90-magnitude addends, final round);
+    iso/focal/orientation stay exact integers end-to-end."""
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    exif = extract_exif_features(documents_as_exif_media(docs))
+    return exif.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("gps_lat").isNotNull().cast("long")).alias("n_gps"),
+        F.countDistinct("make").cast("long").alias("n_makes"),
+        F.min("orientation").cast("long").alias("min_orientation"),
+        F.max("orientation").cast("long").alias("max_orientation"),
+        F.sum("iso").cast("long").alias("total_iso"),
+        F.sum("focal_length").cast("long").alias("total_focal"),
+        F.round(F.sum("exposure_time"), 6).alias("total_exposure"),
+        F.round(F.sum("gps_lat"), 4).alias("total_lat"),
+    )
+
+
+# Every field the walk returns is doc_id arithmetic; the oracle
+# recomputes each from first principles (including _gps_coord's exact
+# left-associated deg + min/60 + sec/3600 double chain and its 7-dp
+# row-level round).
+EXIF_CENSUS_SQL = """
+WITH x AS (
+  SELECT source,
+         doc_id % 3 = 0 AS has_gps,
+         1 + doc_id % 8 AS orientation,
+         100 * (1 + doc_id % 32) AS iso,
+         35 + doc_id % 200 AS focal,
+         1.0 / (1 + doc_id % 500) AS exposure,
+         CASE WHEN doc_id % 3 = 0 THEN
+           round((doc_id % 90) + (doc_id % 60) / 60.0
+                 + (doc_id % 60) / 3600.0, 7)
+           * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END)
+         END AS lat,
+         'CAM' || CAST(doc_id % 5 AS VARCHAR) AS make
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_items,
+       CAST(sum(CASE WHEN has_gps THEN 1 ELSE 0 END) AS BIGINT) AS n_gps,
+       CAST(count(DISTINCT make) AS BIGINT) AS n_makes,
+       CAST(min(orientation) AS BIGINT) AS min_orientation,
+       CAST(max(orientation) AS BIGINT) AS max_orientation,
+       CAST(sum(iso) AS BIGINT) AS total_iso,
+       CAST(sum(focal) AS BIGINT) AS total_focal,
+       round(sum(exposure), 6) AS total_exposure,
+       round(sum(lat), 4) AS total_lat
+FROM x
+GROUP BY source
+"""
+
+
+# exif_census is defined below the SPECS lists (the EXIF section), so it
+# registers here at module bottom — extra tier per the rotation policy;
+# the driver-window IFD-walk coverage lives in multimodal_features'
+# folded EXIF columns.
+EXTRA_SPECS.append(
+    QuerySpec(
+        "exif_census",
+        exif_census,
+        EXIF_CENSUS_SQL,
+        "ext:multimodal,exif",
+    )
+)

@@ -3963,6 +3963,30 @@ def _build_exif_tiff_multicount(bo="<"):
     )
 
 
+@pytest.mark.parametrize("d", [0, 1, 6, 7, 59, 60, 123, 499])
+def test_synth_exif_round_trips_through_the_walk(d):
+    """exif_census's synthetic writer → the real IFD walk: every typed
+    field comes back as the doc_id arithmetic the oracle recomputes
+    (GPS only when d%3==0, S-hemisphere sign for odd d)."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        parse_exif,
+        synth_exif_tiff,
+    )
+
+    got = parse_exif(synth_exif_tiff(d))
+    assert got is not None
+    assert got["make"] == f"CAM{d % 5}" and got["model"] == f"M{d % 3}"
+    assert got["orientation"] == 1 + d % 8
+    assert got["exposure_time"] == 1.0 / (1 + d % 500)
+    assert got["iso"] == 100 * (1 + d % 32)
+    assert got["focal_length"] == 35 + d % 200
+    if d % 3 == 0:
+        want = round((d % 90) + (d % 60) / 60.0 + (d % 60) / 3600.0, 7)
+        assert got["gps_lat"] == (want if d % 2 == 0 else -want)
+    else:
+        assert got["gps_lat"] is None
+
+
 def test_parse_exif_multicount_scalars_unwrap_to_first():
     from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
         parse_exif,
