@@ -16,7 +16,7 @@ parquet exactly once per epoch (checkpointed file-sink semantics).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
@@ -133,64 +133,164 @@ def run_incremental_dedup_stream(
 # stream-static broadcast, and every signal is map-side until the one
 # windowed aggregate — the same posture as the rest of this module.
 DRIFT_STOPWORDS = ("the", "a")  # the quality_logit stopword set
+DRIFT_VOCAB_V = 16  # distribution-drift vocabulary size
+DRIFT_JS_THRESHOLD = 0.05  # nats; JS ∈ [0, ln 2]
 
 
-def source_baseline_frame(docs: DataFrame) -> DataFrame:
+def drift_vocab(docs: DataFrame, top_v: int = DRIFT_VOCAB_V) -> list[str]:
+    """The fixed vocabulary the distribution-drift signal tracks: the
+    top-``top_v`` global tokens of the baseline snapshot (count desc,
+    token asc — deterministic).  A one-time driver collect of V rows at
+    model-fit time (the quality-classifier pattern); the live stream
+    never recomputes it."""
+    rows = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(top_v)
+        .collect()
+    )
+    return [r["tok"] for r in rows]
+
+
+def source_baseline_frame(
+    docs: DataFrame, vocab: "list[str] | None" = None
+) -> DataFrame:
     """Per-source baseline from a batch corpus snapshot: the reference
     point the live windows are compared against.  Compute once offline,
-    persist, broadcast into the stream."""
+    persist, broadcast into the stream.
+
+    With ``vocab`` (see drift_vocab), also emits ``base_probs`` — the
+    source's unigram probability over the tracked vocabulary, aligned
+    to vocab order — which arms the per-window Jensen-Shannon
+    distribution-drift signal in corpus_drift_frame."""
     toks = F.split(F.col("text"), " ")
+    vocab_counts = (
+        [
+            F.size(F.filter(toks, lambda t: t == F.lit(v)))
+            .cast("long")
+            .alias(f"_vc_{i}")
+            for i, v in enumerate(vocab)
+        ]
+        if vocab
+        else []
+    )
     base = docs.select(
         "source",
         F.size(toks).cast("long").alias("n_toks"),
         F.size(F.filter(toks, lambda t: t.isin(*DRIFT_STOPWORDS)))
         .cast("long")
         .alias("n_stop"),
+        *vocab_counts,
     )
-    return base.groupBy("source").agg(
+    aggs = [
         (F.sum("n_toks").cast("double") / F.count(F.lit(1))).alias(
             "base_avg_tokens"
         ),
         (F.sum("n_stop").cast("double") / F.sum("n_toks")).alias(
             "base_stop_ratio"
         ),
+    ]
+    if vocab:
+        aggs.append(
+            F.array(
+                *[
+                    F.sum(f"_vc_{i}").cast("double") / F.sum("n_toks")
+                    for i in range(len(vocab))
+                ]
+            ).alias("base_probs")
+        )
+    return base.groupBy("source").agg(*aggs)
+
+
+def _js_divergence(p_arr: Column, q_arr: Column) -> Column:
+    """Jensen-Shannon divergence between two probability arrays over the
+    tracked vocabulary, each extended with an implicit 'other' bucket
+    (1 − Σ) so the two distributions cover the same V+1 outcomes — the
+    closed-form absent-mass treatment, exact (no dense vocab cross).
+    The per-element fold is F.aggregate — a sequential in-row reduction,
+    so the accumulation order is deterministic on both engines."""
+
+    def term(p, q):
+        # 0.5·p·ln(2p/(p+q)) + 0.5·q·ln(2q/(p+q)), with 0·ln0 = 0
+        return F.when(
+            p > 0, F.lit(0.5) * p * F.log(F.lit(2.0) * p / (p + q))
+        ).otherwise(F.lit(0.0)) + F.when(
+            q > 0, F.lit(0.5) * q * F.log(F.lit(2.0) * q / (p + q))
+        ).otherwise(F.lit(0.0))
+
+    present = F.aggregate(
+        F.zip_with(p_arr, q_arr, term),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
+    sum_of = lambda arr: F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    p_other = F.lit(1.0) - sum_of(p_arr)
+    q_other = F.lit(1.0) - sum_of(q_arr)
+    return present + term(p_other, q_other)
 
 
 def corpus_drift_frame(
     docs: DataFrame,
     baseline: DataFrame,
     *,
+    vocab: "list[str] | None" = None,
     window_dur: str = "10 minutes",
     rel_tokens_threshold: float = 0.25,
     abs_stop_threshold: float = 0.05,
+    js_threshold: float = DRIFT_JS_THRESHOLD,
 ) -> DataFrame:
     """Shared stream/batch drift computation: enrich each document with
     its source baseline (stream-static BROADCAST join BEFORE the
     aggregate — the canonical enrichment shape, legal in every streaming
     output mode), then one windowed aggregate per (window, source) and
     the drift flags.  The baseline columns are functionally dependent on
-    source, so carrying them through the groupBy adds no grain."""
+    source, so carrying them through the groupBy adds no grain.
+
+    With ``vocab`` (the baseline must then carry ``base_probs`` from
+    ``source_baseline_frame(docs, vocab)``), each window also gets its
+    Jensen-Shannon divergence against the source's baseline unigram
+    distribution over that vocabulary (+ closed-form 'other' bucket) —
+    the streaming consumer of the batch health panel's divergence
+    signal.  The per-vocab-token counts are IN-ROW array filters summed
+    inside the SAME single windowed aggregate, so the shape stays legal
+    in every output mode; no token-grain state, no second aggregation."""
     toks = F.split(F.col("text"), " ")
+    vocab = vocab or []
+    vocab_counts = [
+        F.size(F.filter(toks, lambda t: t == F.lit(v)))
+        .cast("long")
+        .alias(f"_vc_{i}")
+        for i, v in enumerate(vocab)
+    ]
+    base_cols = ["base_avg_tokens", "base_stop_ratio"] + (
+        ["base_probs"] if vocab else []
+    )
     base = docs.join(F.broadcast(baseline), "source").select(
         "source",
         "ingest_ts",
-        "base_avg_tokens",
-        "base_stop_ratio",
+        *base_cols,
         F.size(toks).cast("long").alias("n_toks"),
         F.size(F.filter(toks, lambda t: t.isin(*DRIFT_STOPWORDS)))
         .cast("long")
         .alias("n_stop"),
+        *vocab_counts,
     )
     agg = base.groupBy(
         F.window("ingest_ts", window_dur).alias("w"),
         "source",
-        "base_avg_tokens",
-        "base_stop_ratio",
+        *base_cols,
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_toks").cast("long").alias("n_toks"),
         F.sum("n_stop").cast("long").alias("n_stop"),
+        *[
+            F.sum(f"_vc_{i}").cast("long").alias(f"_wc_{i}")
+            for i in range(len(vocab))
+        ],
     )
     avg_tokens = F.col("n_toks").cast("double") / F.col("n_docs")
     stop_ratio = F.col("n_stop").cast("double") / F.col("n_toks")
@@ -198,6 +298,19 @@ def corpus_drift_frame(
         "base_avg_tokens"
     )
     sabs = F.abs(stop_ratio - F.col("base_stop_ratio"))
+    js_cols = []
+    if vocab:
+        p_arr = F.array(
+            *[
+                F.col(f"_wc_{i}").cast("double") / F.col("n_toks")
+                for i in range(len(vocab))
+            ]
+        )
+        js = _js_divergence(p_arr, F.col("base_probs"))
+        js_cols = [
+            F.round(js, 6).alias("js_divergence"),
+            (js > js_threshold).alias("dist_drifted"),
+        ]
     return agg.select(
         F.col("w.start").alias("window_start"),
         F.col("w.end").alias("window_end"),
@@ -207,6 +320,7 @@ def corpus_drift_frame(
         F.round(stop_ratio, 4).alias("stop_ratio"),
         (rel > rel_tokens_threshold).alias("tokens_drifted"),
         (sabs > abs_stop_threshold).alias("stopwords_drifted"),
+        *js_cols,
     )
 
 
@@ -214,19 +328,24 @@ def corpus_drift_stream(
     docs: DataFrame,
     baseline: DataFrame,
     *,
+    vocab: "list[str] | None" = None,
     window_dur: str = "10 minutes",
     watermark: str = "10 minutes",
     rel_tokens_threshold: float = 0.25,
     abs_stop_threshold: float = 0.05,
+    js_threshold: float = DRIFT_JS_THRESHOLD,
 ) -> DataFrame:
     """Watermarked windowed stats against the static per-source baseline
-    with drift flags.  Update/complete modes emit windows as they fill;
-    in append mode the watermark closes them — state is bounded either
-    way (in-horizon windows × sources)."""
+    with drift flags (+ the per-window JS distribution drift when
+    ``vocab`` is armed).  Update/complete modes emit windows as they
+    fill; in append mode the watermark closes them — state is bounded
+    either way (in-horizon windows × sources)."""
     return corpus_drift_frame(
         docs.withWatermark("ingest_ts", watermark),
         baseline,
+        vocab=vocab,
         window_dur=window_dur,
         rel_tokens_threshold=rel_tokens_threshold,
         abs_stop_threshold=abs_stop_threshold,
+        js_threshold=js_threshold,
     )

@@ -1139,3 +1139,87 @@ def test_corpus_drift_stream_flags_and_matches_batch(spark, tmp_path):
         map(tuple, spark.sql("SELECT * FROM drift_t").collect())
     )
     assert stream_rows == batch_rows
+
+
+def test_corpus_drift_stream_js_divergence_matches_batch(spark, tmp_path):
+    """The vocab-armed drift monitor: per-window Jensen-Shannon
+    divergence against the static baseline distribution (closed-form
+    'other' bucket) — a source whose unigram MIX moved flags
+    dist_drifted even with stable token counts, a stable source reads
+    ~0; and the streaming rows EQUAL the batch rows of the SAME
+    corpus_drift_frame builder including the JS column."""
+    import json as _json
+    import math
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming.corpus import (
+        corpus_drift_frame,
+        corpus_drift_stream,
+        drift_vocab,
+        read_document_stream,
+        source_baseline_frame,
+    )
+
+    # Baseline: both sources speak 6-token docs over {alpha..kappa}.
+    base_docs = spark.createDataFrame(
+        [
+            ("the alpha beta gamma delta epsilon", "s1"),
+            ("the zeta eta theta iota kappa", "s1"),
+            ("the alpha beta gamma delta epsilon", "s2"),
+            ("the zeta eta theta iota kappa", "s2"),
+        ],
+        ["text", "source"],
+    )
+    vocab = drift_vocab(base_docs, top_v=8)
+    assert "the" in vocab and len(vocab) == 8
+    baseline = source_baseline_frame(base_docs, vocab)
+    assert "base_probs" in baseline.columns
+
+    # Live: s1 repeats the baseline mix exactly (JS = 0); s2 keeps the
+    # SAME doc length (token-count drift stays quiet) but swaps the
+    # vocabulary for out-of-baseline words (distribution drift).
+    rows = [
+        {"doc_id": 1, "text": "the alpha beta gamma delta epsilon",
+         "source": "s1", "ingest_ts": "2024-03-01T00:00:10"},
+        {"doc_id": 2, "text": "the zeta eta theta iota kappa",
+         "source": "s1", "ingest_ts": "2024-03-01T00:01:10"},
+        {"doc_id": 3, "text": "the nu xi omicron pi rho",
+         "source": "s2", "ingest_ts": "2024-03-01T00:02:10"},
+        {"doc_id": 4, "text": "the sigma tau upsilon phi chi",
+         "source": "s2", "ingest_ts": "2024-03-01T00:03:10"},
+    ]
+    ingest = tmp_path / "drift_js_in"
+    ingest.mkdir()
+    (ingest / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    stream = corpus_drift_stream(
+        read_document_stream(spark, str(ingest)), baseline, vocab=vocab
+    )
+    run_to_memory(stream, "drift_js_t", output_mode="complete")
+    got = {
+        r["source"]: r
+        for r in spark.sql("SELECT * FROM drift_js_t").collect()
+    }
+    assert set(got) == {"s1", "s2"}
+    # s1: identical mix → zero divergence, no flags
+    assert got["s1"]["js_divergence"] == 0.0
+    assert not got["s1"]["dist_drifted"]
+    assert not got["s1"]["tokens_drifted"]
+    # s2: same length (no token drift) but the mix moved
+    assert not got["s2"]["tokens_drifted"]
+    assert got["s2"]["dist_drifted"]
+    assert 0.0 < got["s2"]["js_divergence"] <= math.log(2) + 1e-9
+    # twin parity including the JS column, through the SAME builder
+    batch_docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["source"], r["ingest_ts"]) for r in rows],
+        ["doc_id", "text", "source", "ingest_ts"],
+    ).withColumn("ingest_ts", F.to_timestamp("ingest_ts"))
+    batch_rows = sorted(
+        map(
+            tuple,
+            corpus_drift_frame(batch_docs, baseline, vocab=vocab).collect(),
+        )
+    )
+    stream_rows = sorted(
+        map(tuple, spark.sql("SELECT * FROM drift_js_t").collect())
+    )
+    assert stream_rows == batch_rows
