@@ -283,19 +283,44 @@ def main() -> None:
     # OVERSTATED relative to a strictly symmetric contract (Spark has
     # no faster public full-materialization than toPandas — the
     # Arrow-batch collector is a private API).
-    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
-    build_samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
-    for _ in range(REPEATS):
-        for name in HEADLINE:
-            t0 = time.perf_counter()
-            df = ALL_QUERIES[name].fn(spark, sf_dir)
-            t1 = time.perf_counter()
-            df.toPandas()
-            t2 = time.perf_counter()
-            build_samples[name].append(t1 - t0)
-            samples[name].append(t2 - t0)
-    timings, spreads = _summarize(samples)
-    builds, _ = _summarize(build_samples)
+    # Opt-in mid-run burst detector (r11): the quiet-window START gate
+    # cannot see a burst that lands mid-capture, so when
+    # SPARK_GRAFT_ABORT_SPREAD=<x> is set, a full measurement pass whose
+    # max per-query rel-spread exceeds x is DISCARDED and re-run (up to
+    # SPARK_GRAFT_ABORT_RETRIES attempts, default 3; the last attempt is
+    # kept regardless so the bench always reports).  Off by default — a
+    # driver-invoked bench must never multiply its own runtime.
+    abort_spread = float(os.environ.get("SPARK_GRAFT_ABORT_SPREAD", "0"))
+    abort_retries = int(os.environ.get("SPARK_GRAFT_ABORT_RETRIES", "3"))
+    attempts = 0
+    while True:
+        attempts += 1
+        samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+        build_samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+        for _ in range(REPEATS):
+            for name in HEADLINE:
+                t0 = time.perf_counter()
+                df = ALL_QUERIES[name].fn(spark, sf_dir)
+                t1 = time.perf_counter()
+                df.toPandas()
+                t2 = time.perf_counter()
+                build_samples[name].append(t1 - t0)
+                samples[name].append(t2 - t0)
+        timings, spreads = _summarize(samples)
+        builds, _ = _summarize(build_samples)
+        worst = max(spreads.values()) if spreads else 0.0
+        if (
+            abort_spread <= 0
+            or worst <= abort_spread
+            or attempts >= abort_retries
+        ):
+            break
+        print(
+            f"# burst detected (max_rel_spread {worst:.3f} > "
+            f"{abort_spread}); discarding pass {attempts} and retrying",
+            file=sys.stderr,
+        )
+        _wait_for_quiet_window()
 
     # Per-query FLOOR: the same query shape on the near-empty sf0.001
     # fixture measures Spark's fixed cost (job cadence, task scheduling,
@@ -394,6 +419,9 @@ def main() -> None:
         "build_sec": builds,
         "floor_sec": floors,
         "floor_jobs": floor_jobs,
+        # mid-run burst detector (SPARK_GRAFT_ABORT_SPREAD): how many
+        # measurement passes this record took (1 = no aborts)
+        "measurement_attempts": attempts,
         # host contention context for the wall-clock columns
         "loadavg": list(os.getloadavg()),
         "rel_spread": spreads,
