@@ -2141,6 +2141,133 @@ WHERE {any_hit}
 
 
 # --------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, §A1.1) — the published
+# heuristic document gate real corpus pipelines run before model-based
+# scoring: word-count bounds, mean-word-length bounds, symbol-to-word
+# ratio, alphabetic-word fraction, minimum stopword count.  Every
+# signal is an in-row HOF over the token array (no explode, no
+# token-grain shuffle); the report is one source-grain aggregate of
+# exact integer counters, so the oracle hash is float-free.  Bounds
+# are calibrated to the fixture distributions so each rule actually
+# splits the corpus (word counts 10–99, mean lengths 3.7–5.3).
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 80
+GOPHER_MIN_MEAN_LEN = 3.9
+GOPHER_MAX_MEAN_LEN = 5.1
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_STOPWORDS = ("the", "a")  # DRIFT_STOPWORDS / quality_logit set
+
+
+def gopher_flags(docs: DataFrame) -> DataFrame:
+    """Per-doc pass/fail flags for each Gopher rule (composable with the
+    corpus pipeline's filter stage); all signals in-row."""
+    toks = F.col("toks")
+    n = F.size(toks)
+    total_chars = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_len = total_chars.cast("double") / n
+    n_symbol = F.size(
+        F.filter(toks, lambda w: w.contains("#") | w.contains("..."))
+    )
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*GOPHER_STOPWORDS)))
+    return docs.select(
+        "doc_id", "source", word_tokens(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        "source",
+        ((n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)).alias(
+            "ok_word_count"
+        ),
+        (
+            (mean_len >= GOPHER_MIN_MEAN_LEN)
+            & (mean_len <= GOPHER_MAX_MEAN_LEN)
+        ).alias("ok_mean_len"),
+        (
+            n_symbol.cast("double") / n <= F.lit(GOPHER_MAX_SYMBOL_RATIO)
+        ).alias("ok_symbol"),
+        (n_alpha.cast("double") / n >= F.lit(GOPHER_MIN_ALPHA_FRAC)).alias(
+            "ok_alpha"
+        ),
+        (n_stop >= GOPHER_MIN_STOPWORDS).alias("ok_stopword"),
+    )
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    flags = gopher_flags(docs)
+    kept = (
+        F.col("ok_word_count")
+        & F.col("ok_mean_len")
+        & F.col("ok_symbol")
+        & F.col("ok_alpha")
+        & F.col("ok_stopword")
+    )
+
+    def fails(c: str) -> Column:
+        return F.sum((~F.col(c)).cast("long")).alias(f"n_fail_{c[3:]}")
+
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        fails("ok_word_count"),
+        fails("ok_mean_len"),
+        fails("ok_symbol"),
+        fails("ok_alpha"),
+        fails("ok_stopword"),
+    )
+
+
+GOPHER_RULES_SQL = f"""
+WITH flags AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n,
+         list_sum(list_transform(string_split(text, ' '), w -> len(w)))
+           * 1.0 / len(string_split(text, ' ')) AS mean_len,
+         len(list_filter(string_split(text, ' '),
+             w -> contains(w, '#') OR contains(w, '...'))) AS n_symbol,
+         len(list_filter(string_split(text, ' '),
+             w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ('the', 'a'))) AS n_stop
+  FROM documents
+),
+ok AS (
+  SELECT source,
+         n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS} AS ok_word_count,
+         mean_len >= {GOPHER_MIN_MEAN_LEN}
+           AND mean_len <= {GOPHER_MAX_MEAN_LEN} AS ok_mean_len,
+         n_symbol * 1.0 / n <= {GOPHER_MAX_SYMBOL_RATIO} AS ok_symbol,
+         n_alpha * 1.0 / n >= {GOPHER_MIN_ALPHA_FRAC} AS ok_alpha,
+         n_stop >= {GOPHER_MIN_STOPWORDS} AS ok_stopword
+  FROM flags
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN ok_word_count AND ok_mean_len AND ok_symbol
+                      AND ok_alpha AND ok_stopword
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN ok_word_count THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_fail_word_count,
+       CAST(sum(CASE WHEN ok_mean_len THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_fail_mean_len,
+       CAST(sum(CASE WHEN ok_symbol THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_fail_symbol,
+       CAST(sum(CASE WHEN ok_alpha THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_fail_alpha,
+       CAST(sum(CASE WHEN ok_stopword THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_fail_stopword
+FROM ok
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # BM25 serving — ad-hoc retrieval with a query TABLE (the shape
 # bm25_scores's literal-terms variant documents in SCALE.md).  The
 # query-term table broadcasts (it is request-sized, never corpus-sized)
@@ -3566,5 +3693,13 @@ EXTRA_SPECS: list[QuerySpec] = [
         bm25_serve,
         _bm25_serve_sql(),
         "ext:text,retrieval,serving",
+    ),
+    # New in round 11: the published Gopher heuristic quality gate —
+    # extra tier per the rotation policy.
+    QuerySpec(
+        "gopher_rules",
+        gopher_rules,
+        GOPHER_RULES_SQL,
+        "ext:text,quality,gate",
     ),
 ]

@@ -133,7 +133,14 @@ def main() -> None:
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     dst = Path(os.environ.get("SPARK_GRAFT_X10_DIR", "/tmp/floor_amort_x10"))
-    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    # local mode hosts every "executor" inside the one driver JVM, so the
+    # 10x corpus needs real heap (default 1g OOMs building lm_perplexity's
+    # AQE-upgraded broadcast at 10x); on a cluster this is executor memory
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.driver.memory": "16g"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     build_10x(spark, src, dst)
     m1 = measure(spark, src)
