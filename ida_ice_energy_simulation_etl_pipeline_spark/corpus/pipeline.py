@@ -703,7 +703,11 @@ def run_corpus_pipeline(
     # ``landed`` reads the staging path.
     health: "dict | None" = None
     if cfg.health_report:
-        from ..operators.text import source_divergence_frame, zipf_fit_frame
+        from ..operators.text import (
+            source_divergence_frame,
+            token_entropy_frame,
+            zipf_fit_frame,
+        )
 
         # A failure here (transient Spark error, schema surprise) must
         # not strand the staging dir — clean up before re-raising, the
@@ -716,6 +720,10 @@ def run_corpus_pipeline(
                 r["source"]: r
                 for r in source_divergence_frame(landed).collect()
             }
+            ent_rows = {
+                r["source"]: r
+                for r in token_entropy_frame(landed).collect()
+            }
         except Exception:
             shutil.rmtree(staging, ignore_errors=True)
             raise
@@ -725,9 +733,14 @@ def run_corpus_pipeline(
                 "zipf_r2": zipf_rows[src]["r2"],
                 "kl_divergence": div_rows[src]["kl_divergence"],
                 "js_divergence": div_rows[src]["js_divergence"],
+                "entropy": ent_rows[src]["entropy"],
+                "norm_entropy": ent_rows[src]["norm_entropy"],
+                "vocab_size": ent_rows[src]["vocab_size"],
                 "n_tokens": div_rows[src]["n_tokens"],
             }
-            for src in sorted(zipf_rows.keys() & div_rows.keys())
+            for src in sorted(
+                zipf_rows.keys() & div_rows.keys() & ent_rows.keys()
+            )
         }
 
     shutil.rmtree(final, ignore_errors=True)

@@ -3146,6 +3146,75 @@ FROM sums
 
 
 # --------------------------------------------------------------------------
+# Per-source unigram entropy — the third corpus-health panel member
+# beside zipf_fit and source_divergence: low (normalized) entropy marks
+# template/boilerplate-heavy sources long before a human reads them.
+#
+# Shape: the SAME single token-grain word count (map-side combine) as
+# zipf_fit, then ONE source-grain aggregate — Shannon entropy has the
+# closed form H = ln(T) − (Σ n·ln n)/T over the per-token counts, so no
+# per-source total ever needs to broadcast back; normalized entropy
+# divides by ln(vocab_size) (NULL for a single-token vocabulary on both
+# engines via nullif).  Vocab-grain at any corpus size (Heaps' law).
+def token_entropy_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level builder (docs must carry text + source) — composable
+    by the corpus pipeline's health report beside zipf_fit_frame."""
+    counts = (
+        docs.select(
+            "source", F.explode(word_tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nd = F.col("n").cast("double")
+    agg = counts.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum(nd * F.log(nd)).alias("snln"),
+    )
+    tot = F.col("n_tokens").cast("double")
+    h = F.log(tot) - F.col("snln") / tot
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab_size",
+        F.round(h, 6).alias("entropy"),
+        F.round(
+            h / F.nullif(F.log(F.col("vocab_size").cast("double")), F.lit(0.0)),
+            6,
+        ).alias("norm_entropy"),
+    )
+
+
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_entropy_frame(
+        ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    )
+
+
+TOKEN_ENTROPY_SQL = """
+WITH counts AS (
+  SELECT source, tok, count(*) AS n
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY source, tok
+),
+sums AS (
+  SELECT source,
+         CAST(sum(n) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab_size,
+         sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS snln
+  FROM counts GROUP BY source
+)
+SELECT source, n_tokens, vocab_size,
+       round(ln(CAST(n_tokens AS DOUBLE)) - snln / CAST(n_tokens AS DOUBLE),
+             6) AS entropy,
+       round((ln(CAST(n_tokens AS DOUBLE)) - snln / CAST(n_tokens AS DOUBLE))
+             / nullif(ln(CAST(vocab_size AS DOUBLE)), 0), 6) AS norm_entropy
+FROM sums
+"""
+
+
+# --------------------------------------------------------------------------
 # Per-source distribution divergence — the other half of the corpus-
 # health panel beside zipf_fit: how far each source's unigram
 # distribution sits from the corpus mixture (KL and Jensen-Shannon).  A
@@ -3701,5 +3770,13 @@ EXTRA_SPECS: list[QuerySpec] = [
         gopher_rules,
         GOPHER_RULES_SQL,
         "ext:text,quality,gate",
+    ),
+    # New in round 11: per-source unigram entropy (third corpus-health
+    # panel member) — extra tier per the rotation policy.
+    QuerySpec(
+        "token_entropy",
+        token_entropy,
+        TOKEN_ENTROPY_SQL,
+        "ext:text,corpus-health,entropy",
     ),
 ]

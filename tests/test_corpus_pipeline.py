@@ -1037,6 +1037,7 @@ def test_corpus_pipeline_health_report_in_manifest(spark, corpus_input, tmp_path
     output and matching a direct recomputation of the same frames."""
     from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
         source_divergence_frame,
+        token_entropy_frame,
         zipf_fit_frame,
     )
 
@@ -1051,6 +1052,7 @@ def test_corpus_pipeline_health_report_in_manifest(spark, corpus_input, tmp_path
     assert set(health) == want_sources
     zipf = {r["source"]: r for r in zipf_fit_frame(landed).collect()}
     div = {r["source"]: r for r in source_divergence_frame(landed).collect()}
+    ent = {r["source"]: r for r in token_entropy_frame(landed).collect()}
     for src, h in health.items():
         assert h["zipf_slope"] == zipf[src]["zipf_slope"]
         assert h["zipf_r2"] == zipf[src]["r2"]
@@ -1058,6 +1060,10 @@ def test_corpus_pipeline_health_report_in_manifest(spark, corpus_input, tmp_path
         assert h["js_divergence"] == div[src]["js_divergence"]
         assert h["n_tokens"] == div[src]["n_tokens"]
         assert h["js_divergence"] >= 0
+        assert h["entropy"] == ent[src]["entropy"]
+        assert h["norm_entropy"] == ent[src]["norm_entropy"]
+        assert h["vocab_size"] == ent[src]["vocab_size"]
+        assert 0 <= (h["norm_entropy"] or 0) <= 1
     # default stays off and serializes as null
     out2 = tmp_path / "out_nohealth"
     m2 = run_corpus_pipeline(spark, corpus_input, out2, CorpusConfig())

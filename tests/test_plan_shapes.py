@@ -713,6 +713,17 @@ def test_bm25_scores_map_only_around_one_row_stats(spark):
     assert "Generate explode" not in plan  # tf is in-row, never exploded
 
 
+def test_gopher_rules_in_row_signals_one_exchange(spark):
+    """Every Gopher signal must stay an in-row HOF over the token array
+    (no explode, no token-grain shuffle, no Python); the only exchange
+    is the source-grain aggregate."""
+    plan = _executed_plan(spark, "gopher_rules").split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" not in plan  # no explode anywhere
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(source") == 1
+
+
 def test_bm25_serve_broadcast_query_table_one_explode(spark):
     """The multi-query serving shape must keep the inverted index the
     ONLY Generate node (tokens filter against the broadcast request
