@@ -310,9 +310,12 @@ def test_split_sample_and_fingerprint_are_map_only(spark):
 
 def test_multimodal_pipeline_both_arrow_paths(spark):
     # the merged query must run BOTH mapInPandas shapes, Arrow-batched,
-    # and never fall back to row-wise Python evaluation
+    # and never fall back to row-wise Python evaluation.  Since the r11
+    # EXIF fold the features half carries THREE MapInPandas stages
+    # (byte-features extractor + the EXIF writer→reader chain); the
+    # frames half keeps its one — four total, all Arrow.
     plan = _optimized_plan(spark, "multimodal_pipeline")
-    assert plan.count("MapInPandas") == 2
+    assert plan.count("MapInPandas") == 4
     assert "BatchEvalPython" not in plan
 
 
