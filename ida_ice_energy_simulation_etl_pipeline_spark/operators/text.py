@@ -331,6 +331,106 @@ FROM toks
 
 
 # --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+# local fingerprinting algorithm).  Where doc_fingerprint keeps ONE
+# global min-hash per doc, winnowing keeps the minimum k-gram hash of
+# EVERY w-hash window, guaranteeing any shared run of ≥ w+k−1 tokens
+# leaves at least one common fingerprint while selecting only
+# ~2/(w+1) of all positions — the index-size/recall trade real
+# plagiarism and near-dup systems ship.  Everything is in-row: the
+# k-gram md5s, the per-window array_min (lexicographic over hex — the
+# identical total order on both engines), and the per-doc distinct
+# selection; the only exchanges are the source-grain rollup and the
+# fingerprint-grain distinct count (the winnowed index itself —
+# density-bounded by construction, the whole point of the algorithm).
+WINNOW_K = 4  # k-gram length (noise threshold)
+WINNOW_W = 5  # winnowing window (guarantee threshold t = w + k − 1 = 8)
+
+
+def winnow_fps(toks: Column) -> Column:
+    """Distinct winnowed fingerprints (md5 hex of k-grams) of a token
+    array; empty for docs too short to fill one window.  The selected
+    VALUE set is tie-break-independent (equal hashes select the same
+    value whichever position wins), so the distinct set is the robust
+    output."""
+    grams = word_shingles(toks, WINNOW_K)
+    hashes = F.transform(grams, lambda s: F.md5(s.cast("binary")))
+    m = F.size(hashes)
+    sel = F.transform(
+        F.sequence(F.lit(1), m - F.lit(WINNOW_W - 1)),
+        lambda j: F.array_min(F.slice(hashes, j, WINNOW_W)),
+    )
+    return F.when(m >= WINNOW_W, F.array_distinct(sel)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    toks = word_tokens(F.col("text"))
+    n = F.size(toks)
+    n_windows = F.greatest(
+        n - F.lit(WINNOW_K + WINNOW_W - 2), F.lit(0)
+    ).cast("long")
+    per_doc = docs.select(
+        "source",
+        n_windows.alias("n_windows"),
+        winnow_fps(toks).alias("fps"),
+    )
+    stats = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_windows").cast("long").alias("n_windows"),
+        F.sum(F.size("fps")).cast("long").alias("n_selected"),
+    )
+    distinct_fps = (
+        per_doc.select("source", F.explode("fps").alias("fp"))
+        .groupBy("source")
+        .agg(F.countDistinct("fp").cast("long").alias("n_distinct_fps"))
+    )
+    return stats.join(F.broadcast(distinct_fps), "source").select(
+        "source",
+        "n_docs",
+        "n_windows",
+        "n_selected",
+        "n_distinct_fps",
+        F.round(
+            F.col("n_selected") / F.col("n_windows").cast("double"), 4
+        ).alias("density"),
+    )
+
+
+WINNOW_FINGERPRINTS_SQL = f"""
+WITH per_doc AS (
+  SELECT source,
+         greatest(len(w) - {WINNOW_K + WINNOW_W - 2}, 0) AS n_windows,
+         CASE WHEN len(w) - {WINNOW_K - 1} >= {WINNOW_W} THEN
+           list_distinct(list_transform(
+             range(1, len(w) - {WINNOW_K + WINNOW_W - 2} + 1),
+             j -> list_min(
+               list_transform(range(j, j + {WINNOW_W}),
+                 i -> md5(array_to_string(w[i:i+{WINNOW_K - 1}], ' '))))))
+         ELSE [] END AS fps
+  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+),
+stats AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(n_windows) AS BIGINT) AS n_windows,
+         CAST(sum(len(fps)) AS BIGINT) AS n_selected
+  FROM per_doc GROUP BY source
+),
+fps AS (
+  SELECT source, CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fps
+  FROM (SELECT source, unnest(fps) AS fp FROM per_doc)
+  GROUP BY source
+)
+SELECT source, n_docs, n_windows, n_selected, n_distinct_fps,
+       round(n_selected / CAST(n_windows AS DOUBLE), 4) AS density
+FROM stats JOIN fps USING (source)
+"""
+
+
+# --------------------------------------------------------------------------
 # Benchmark-contamination check: which training documents share any
 # 4-gram with the held-out eval set (source 'src0')?  The standard
 # pre-training hygiene scan.  Shape: explode eval docs to DISTINCT
@@ -3778,5 +3878,13 @@ EXTRA_SPECS: list[QuerySpec] = [
         token_entropy,
         TOKEN_ENTROPY_SQL,
         "ext:text,corpus-health,entropy",
+    ),
+    # New in round 11: MOSS-style winnowing fingerprints — extra tier
+    # per the rotation policy.
+    QuerySpec(
+        "winnow_fingerprints",
+        winnow_fingerprints,
+        WINNOW_FINGERPRINTS_SQL,
+        "ext:text,fingerprint,winnowing",
     ),
 ]

@@ -4046,3 +4046,41 @@ def test_extract_exif_features_typed_columns(spark):
     assert rows[1]["make"] == "Canon" and rows[1]["iso"] == 400
     assert rows[1]["gps_lon"] < 0 < rows[1]["gps_lat"]
     assert rows[2]["make"] is None and rows[2]["iso"] is None
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The Schleimer et al. guarantee: two docs sharing a token run of
+    at least w+k−1 tokens share at least one winnowed fingerprint; two
+    docs with no common k-gram share none.  Density stays near the
+    theoretical 2/(w+1)."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.functions import word_tokens
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fps,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = w+k−1
+    assert len(shared.split()) == WINNOW_W + WINNOW_K - 1
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three " + shared + " four five six"),
+            (2, "seven eight nine ten " + shared + " eleven twelve"),
+            (3, "completely different words with no overlap at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: set(r["fps"])
+        for r in docs.select(
+            "doc_id", winnow_fps(word_tokens(F.col("text"))).alias("fps")
+        ).collect()
+    }
+    assert rows[1] & rows[2], "shared >= w+k-1 run must share a fingerprint"
+    assert not (rows[1] & rows[3]) and not (rows[2] & rows[3])
+    # a doc shorter than one window yields no fingerprints
+    short = spark.createDataFrame([(9, "a b c")], ["doc_id", "text"])
+    [r] = short.select(
+        winnow_fps(word_tokens(F.col("text"))).alias("fps")
+    ).collect()
+    assert r["fps"] == []

@@ -716,6 +716,21 @@ def test_bm25_scores_map_only_around_one_row_stats(spark):
     assert "Generate explode" not in plan  # tf is in-row, never exploded
 
 
+def test_winnow_fingerprints_in_row_selection(spark):
+    """The k-gram hashing and per-window minima must be in-row HOFs —
+    the only Generate node is the fingerprint-index explode (the
+    winnowed index, density-bounded by construction), the only
+    exchanges are source- and fingerprint-grain, the stats⋈distinct
+    join broadcasts, no Python."""
+    plan = _executed_plan(spark, "winnow_fingerprints").split(
+        "== Initial Plan =="
+    )[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert plan.count("Generate explode") == 1  # the winnowed index only
+    assert "BroadcastHashJoin" in plan  # source-grain stats join
+
+
 def test_gopher_rules_in_row_signals_one_exchange(spark):
     """Every Gopher signal must stay an in-row HOF over the token array
     (no explode, no token-grain shuffle, no Python); the only exchange
