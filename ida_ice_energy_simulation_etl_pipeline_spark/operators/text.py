@@ -347,14 +347,24 @@ WINNOW_K = 4  # k-gram length (noise threshold)
 WINNOW_W = 5  # winnowing window (guarantee threshold t = w + k − 1 = 8)
 
 
-def winnow_fps(toks: Column) -> Column:
-    """Distinct winnowed fingerprints (md5 hex of k-grams) of a token
-    array; empty for docs too short to fill one window.  The selected
+def winnow_hashes(toks: Column) -> Column:
+    """Ordered md5 hex hashes of all k-grams — the winnowing input.
+    Materialize this into its OWN projected column before selecting
+    window minima: the selection lambda evaluates its body per window,
+    so an inlined hash subtree would recompute the whole O(m) hash
+    array per element — O(m²) hashing per doc (measured 28 s vs 0.5 s
+    at sf0.001).  Referencing the projected column ≥2 times in the
+    consumer keeps CollapseProject from re-inlining it."""
+    grams = word_shingles(toks, WINNOW_K)
+    return F.transform(grams, lambda s: F.md5(s.cast("binary")))
+
+
+def winnow_select(hashes: Column) -> Column:
+    """Distinct winnowed fingerprints from a MATERIALIZED hash-array
+    column; empty for docs too short to fill one window.  The selected
     VALUE set is tie-break-independent (equal hashes select the same
     value whichever position wins), so the distinct set is the robust
     output."""
-    grams = word_shingles(toks, WINNOW_K)
-    hashes = F.transform(grams, lambda s: F.md5(s.cast("binary")))
     m = F.size(hashes)
     sel = F.transform(
         F.sequence(F.lit(1), m - F.lit(WINNOW_W - 1)),
@@ -365,25 +375,41 @@ def winnow_fps(toks: Column) -> Column:
     )
 
 
+def winnow_fps(toks: Column) -> Column:
+    """One-expression convenience form (crafted tests, tiny frames) —
+    production plans go through the two-projection
+    winnow_hashes → winnow_select split; see winnow_hashes."""
+    return winnow_select(winnow_hashes(toks))
+
+
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
     toks = word_tokens(F.col("text"))
-    n = F.size(toks)
-    n_windows = F.greatest(
-        n - F.lit(WINNOW_K + WINNOW_W - 2), F.lit(0)
-    ).cast("long")
-    per_doc = docs.select(
+    hashed = docs.select(
+        "source", winnow_hashes(toks).alias("hashes")
+    )
+    per_doc = hashed.select(
         "source",
-        n_windows.alias("n_windows"),
-        winnow_fps(toks).alias("fps"),
+        F.greatest(F.size("hashes") - F.lit(WINNOW_W - 1), F.lit(0))
+        .cast("long")
+        .alias("n_windows"),
+        winnow_select(F.col("hashes")).alias("fps"),
     )
     stats = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_windows").cast("long").alias("n_windows"),
         F.sum(F.size("fps")).cast("long").alias("n_selected"),
     )
+    # explode_OUTER, deliberately: plain explode makes the optimizer's
+    # InferFiltersFromGenerate rule synthesize a `size(fps) > 0 AND
+    # isnotnull(fps)` filter which predicate-pushdown then rewrites
+    # through both projections — duplicating the ENTIRE winnowing
+    # expression (hash array re-inlined, re-evaluated per window) into
+    # one per-row predicate: measured 18.4 s vs 0.6 s at sf0.001.
+    # explode_outer infers no filter; countDistinct ignores the NULL
+    # rows empty-fps docs contribute, so the result is identical.
     distinct_fps = (
-        per_doc.select("source", F.explode("fps").alias("fp"))
+        per_doc.select("source", F.explode_outer("fps").alias("fp"))
         .groupBy("source")
         .agg(F.countDistinct("fp").cast("long").alias("n_distinct_fps"))
     )
