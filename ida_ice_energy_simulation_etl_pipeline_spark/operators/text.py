@@ -345,6 +345,7 @@ FROM toks
 # density-bounded by construction, the whole point of the algorithm).
 WINNOW_K = 4  # k-gram length (noise threshold)
 WINNOW_W = 5  # winnowing window (guarantee threshold t = w + k − 1 = 8)
+CONTAMINATION_EVAL_SOURCE = "src0"  # the held-out eval source (as below)
 
 
 def winnow_hashes(toks: Column) -> Column:
@@ -425,6 +426,61 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def winnow_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnowed index CONSUMED: which training documents share a
+    winnowed fingerprint with the held-out eval set (source 'src0') —
+    the position-robust variant of the raw-n-gram contamination scan
+    (a shared fingerprint certifies a shared run of ≥ w+k−1 tokens
+    without shipping every n-gram).  Shape: one fingerprint-grain
+    left-semi join against the eval fingerprint set (corpus-side index
+    rides as (doc_id, fp) pairs at winnowed ~2/(w+1) density; the eval
+    side is one source and broadcasts under AQE); the report aggregates
+    at source grain.  The explode is OUTER + an explicit post-Generate
+    NULL filter — the InferFiltersFromGenerate pushdown trap documented
+    on winnow_fingerprints never fires on a generator-output predicate."""
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    toks = word_tokens(F.col("text"))
+    hashed = docs.select(
+        "doc_id", "source", winnow_hashes(toks).alias("hashes")
+    )
+    per_doc = hashed.select(
+        "doc_id", "source", winnow_select(F.col("hashes")).alias("fps")
+    )
+    ex = per_doc.select(
+        "doc_id", "source", F.explode_outer("fps").alias("fp")
+    ).filter(F.col("fp").isNotNull())
+    eval_fps = (
+        ex.filter(F.col("source") == CONTAMINATION_EVAL_SOURCE)
+        .select("fp")
+        .distinct()
+    )
+    train = ex.filter(F.col("source") != CONTAMINATION_EVAL_SOURCE)
+    flagged = (
+        train.join(eval_fps, "fp", "left_semi")
+        .select("doc_id", "source")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_flagged"))
+    )
+    totals = (
+        per_doc.filter(F.col("source") != CONTAMINATION_EVAL_SOURCE)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return totals.join(F.broadcast(flagged), "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce(F.col("n_flagged"), F.lit(0).cast("long")).alias(
+            "n_flagged"
+        ),
+        F.round(
+            F.coalesce(F.col("n_flagged"), F.lit(0))
+            / F.col("n_docs").cast("double"),
+            4,
+        ).alias("flag_rate"),
+    )
+
+
 WINNOW_FINGERPRINTS_SQL = f"""
 WITH per_doc AS (
   SELECT source,
@@ -453,6 +509,43 @@ fps AS (
 SELECT source, n_docs, n_windows, n_selected, n_distinct_fps,
        round(n_selected / CAST(n_windows AS DOUBLE), 4) AS density
 FROM stats JOIN fps USING (source)
+"""
+
+
+WINNOW_CONTAMINATION_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, source,
+         CASE WHEN len(w) - {WINNOW_K - 1} >= {WINNOW_W} THEN
+           list_distinct(list_transform(
+             range(1, len(w) - {WINNOW_K + WINNOW_W - 2} + 1),
+             j -> list_min(
+               list_transform(range(j, j + {WINNOW_W}),
+                 i -> md5(array_to_string(w[i:i+{WINNOW_K - 1}], ' '))))))
+         ELSE [] END AS fps
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+),
+ex AS (SELECT doc_id, source, unnest(fps) AS fp FROM per_doc),
+eval_fps AS (
+  SELECT DISTINCT fp FROM ex
+  WHERE source = '{CONTAMINATION_EVAL_SOURCE}'
+),
+flagged AS (
+  SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_flagged
+  FROM ex
+  WHERE source <> '{CONTAMINATION_EVAL_SOURCE}'
+    AND fp IN (SELECT fp FROM eval_fps)
+  GROUP BY source
+),
+totals AS (
+  SELECT source, count(*) AS n_docs FROM per_doc
+  WHERE source <> '{CONTAMINATION_EVAL_SOURCE}'
+  GROUP BY source
+)
+SELECT t.source, t.n_docs,
+       CAST(coalesce(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+       round(coalesce(f.n_flagged, 0) / CAST(t.n_docs AS DOUBLE), 4)
+           AS flag_rate
+FROM totals t LEFT JOIN flagged f USING (source)
 """
 
 
@@ -3912,5 +4005,14 @@ EXTRA_SPECS: list[QuerySpec] = [
         winnow_fingerprints,
         WINNOW_FINGERPRINTS_SQL,
         "ext:text,fingerprint,winnowing",
+    ),
+    # New in round 11: the winnowed index consumed — eval-set
+    # contamination via shared fingerprints (position-robust variant of
+    # contamination_check) — extra tier per the rotation policy.
+    QuerySpec(
+        "winnow_contamination",
+        winnow_contamination,
+        WINNOW_CONTAMINATION_SQL,
+        "ext:text,contamination,winnowing",
     ),
 ]

@@ -731,6 +731,26 @@ def test_winnow_fingerprints_in_row_selection(spark):
     assert "BroadcastHashJoin" in plan  # source-grain stats join
 
 
+def test_winnow_contamination_semi_join_no_filter_trap(spark):
+    """The contamination probe must consume the winnowed index through
+    a fingerprint-grain semi join (broadcast or hash — never sort-merge
+    or cartesian), with NO monster inferred-filter predicate below the
+    Generates (the pushdown trap documented on winnow_fingerprints:
+    its signature is a Filter line carrying the full winnowing
+    expression — md5 inside a lambda inside a Filter)."""
+    plan = _executed_plan(spark, "winnow_contamination").split(
+        "== Initial Plan =="
+    )[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "LeftSemi" in plan
+    for line in plan.splitlines():
+        if "Filter" in line and "md5" in line:
+            raise AssertionError(
+                "inferred-filter pushdown trap resurfaced: " + line[:200]
+            )
+
+
 def test_gopher_rules_in_row_signals_one_exchange(spark):
     """Every Gopher signal must stay an in-row HOF over the token array
     (no explode, no token-grain shuffle, no Python); the only exchange
