@@ -3176,7 +3176,15 @@ def exif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the real parse_exif IFD walk) compose map-only with the scan;
     the only exchange is the source-grain aggregate.  GPS latitude sums
     under the house float rule (≤90-magnitude addends, final round);
-    iso/focal/orientation stay exact integers end-to-end."""
+    iso/focal/orientation stay exact integers end-to-end.  Exposure is
+    aggregated as an integer microsecond surrogate (per-row round, long
+    sum) so the total is invariant to partial-aggregation order — the
+    addends here are ~1/(1+d%500), far below the magnitude the ≤90
+    float rule was calibrated for (r11 ADVICE).  The only possible
+    half-way point in [1,500] is 1e6/128 = 7812.5 (needs 2e6 ≡ 0 mod
+    denom with an odd quotient, and 2e6 = 2^7·5^6 admits only 128 ≤
+    500); 1/128 is exact in binary and both engines round halves away
+    from zero, so the per-row round agrees bit-for-bit."""
     docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
     exif = extract_exif_features(documents_as_exif_media(docs))
     return exif.groupBy("source").agg(
@@ -3187,7 +3195,9 @@ def exif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("orientation").cast("long").alias("max_orientation"),
         F.sum("iso").cast("long").alias("total_iso"),
         F.sum("focal_length").cast("long").alias("total_focal"),
-        F.round(F.sum("exposure_time"), 6).alias("total_exposure"),
+        F.sum(
+            F.round(F.col("exposure_time") * F.lit(1_000_000.0)).cast("long")
+        ).alias("total_exposure_us"),
         F.round(F.sum("gps_lat"), 4).alias("total_lat"),
     )
 
@@ -3203,7 +3213,7 @@ WITH x AS (
          1 + doc_id % 8 AS orientation,
          100 * (1 + doc_id % 32) AS iso,
          35 + doc_id % 200 AS focal,
-         1.0 / (1 + doc_id % 500) AS exposure,
+         CAST(1.0 AS DOUBLE) / (1 + doc_id % 500) AS exposure,
          CASE WHEN doc_id % 3 = 0 THEN
            round((doc_id % 90) + (doc_id % 60) / 60.0
                  + (doc_id % 60) / 3600.0, 7)
@@ -3220,7 +3230,8 @@ SELECT source,
        CAST(max(orientation) AS BIGINT) AS max_orientation,
        CAST(sum(iso) AS BIGINT) AS total_iso,
        CAST(sum(focal) AS BIGINT) AS total_focal,
-       round(sum(exposure), 6) AS total_exposure,
+       CAST(sum(CAST(round(exposure * 1000000) AS BIGINT)) AS BIGINT)
+         AS total_exposure_us,
        round(sum(lat), 4) AS total_lat
 FROM x
 GROUP BY source

@@ -51,9 +51,22 @@ SCALED = {
     "events": None,  # pure row multiplication (grid keys stay fixed)
 }
 VERBATIM = ["region", "nation", "customer", "supplier", "part"]
-REPLICAS = 10
+REPLICAS = int(os.environ.get("SPARK_GRAFT_REPLICAS", "10"))
 KEY_SHIFT = 100_000_000  # far above any sf0.1 key range
 REPEATS = 3
+
+
+def _source_stamp(src: str) -> str:
+    """Identity of the 1x corpus + build parameters.  A replica dir built
+    from a different source dir, regenerated fixtures, or another replica
+    count must NOT be silently reused (r11 ADVICE: the exists() skip made
+    a rerun with a changed SPARK_GRAFT_SF_DIR measure a stale corpus)."""
+    parts = [os.path.realpath(src), f"replicas={REPLICAS}"]
+    for t in sorted(list(SCALED) + VERBATIM):
+        p = Path(src) / f"{t}.parquet"
+        st = p.stat()
+        parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+    return "\n".join(parts)
 
 
 def build_10x(spark, src: str, dst: Path) -> None:
@@ -63,6 +76,12 @@ def build_10x(spark, src: str, dst: Path) -> None:
         load_table,
     )
 
+    stamp = _source_stamp(src)
+    stamp_file = dst / "SOURCE_STAMP"
+    if dst.exists():
+        if stamp_file.exists() and stamp_file.read_text() == stamp:
+            return  # replica corpus verifiably built from this exact source
+        shutil.rmtree(dst)  # stale or unstamped — rebuild from scratch
     dst.mkdir(parents=True, exist_ok=True)
     for t in VERBATIM:
         out = dst / f"{t}.parquet"
@@ -90,6 +109,7 @@ def build_10x(spark, src: str, dst: Path) -> None:
         for r in reps[1:]:
             unioned = unioned.unionAll(r)
         unioned.write.mode("overwrite").parquet(str(out))
+    stamp_file.write_text(stamp)
 
 
 def measure(spark, sf_dir: str) -> dict:
@@ -132,7 +152,16 @@ def main() -> None:
 
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    dst = Path(os.environ.get("SPARK_GRAFT_X10_DIR", "/tmp/floor_amort_x10"))
+    dst = Path(
+        os.environ.get(
+            "SPARK_GRAFT_X10_DIR", f"/tmp/floor_amort_x{REPLICAS}"
+        )
+    )
+    # SPARK_GRAFT_FLOOR_QUERIES: comma-separated subset for steep-slope
+    # follow-up points (e.g. the 30x run on lm_perplexity,region_revenue)
+    subset = os.environ.get("SPARK_GRAFT_FLOOR_QUERIES")
+    if subset:
+        QUERIES[:] = [q.strip() for q in subset.split(",") if q.strip()]
     # local mode hosts every "executor" inside the one driver JVM, so the
     # 10x corpus needs real heap (default 1g OOMs building lm_perplexity's
     # AQE-upgraded broadcast at 10x); on a cluster this is executor memory
@@ -148,6 +177,7 @@ def main() -> None:
     report = {
         "sf_1x": src,
         "sf_10x": str(dst),
+        "replicas": REPLICAS,
         "loadavg_start": os.getloadavg()[0],
         "queries": {
             q: {
