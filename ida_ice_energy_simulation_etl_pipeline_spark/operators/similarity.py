@@ -1086,28 +1086,15 @@ SPECS += [
     # bucketing shape stays driver-exercised by similarity_lsh_probe and
     # dedup_semantic) to free a slot for a never-driver-verified round-8
     # operator.
-    QuerySpec(
-        "similarity_lsh_probe",
-        similarity_lsh_probe,
-        _lsh_probe_oracle_sql(),
-        "ext:ann,multiprobe",
-    ),
-    QuerySpec(
-        "ann_recall",
-        ann_recall,
-        _ann_recall_sql(),
-        "ext:ann,evaluation",
-    ),
-    # Round-8 rotation (judge-prescribed): first driver row for the
-    # leave-one-out kNN label-accuracy acceptance harness (new in round
-    # 7, oracle-verified locally since; slot from the seven-round-green
-    # demotions listed in plans/relational.py).
-    QuerySpec(
-        "knn_label_accuracy",
-        knn_label_accuracy,
-        KNN_LABEL_ACCURACY_SQL,
-        "ext:ann,evaluation,labels",
-    ),
+    # Round-12 rotation (judge-prescribed): similarity_lsh_probe (6
+    # green rounds, r6–r11), ann_recall (5, r7–r11) and
+    # knn_label_accuracy (4, r8–r11) moved to the extra tier — each
+    # verified present in CORRECTNESS_r11 before demotion.  ANN-family
+    # driver coverage stays anchored by dedup_semantic's IVF cells
+    # inside corpus_curation_e2e; all three remain oracle-verified
+    # every run by tests/test_oracle_parity.py.  Their slots fund the
+    # first driver rows for the round-11 text/multimodal operators
+    # (see operators/text.py and operators/multimodal.py).
 ]
 
 EXTRA_SPECS: list[QuerySpec] = [
@@ -1129,4 +1116,24 @@ EXTRA_SPECS: list[QuerySpec] = [
         "kmeans_census", kmeans_census, _kmeans_census_sql(), "ext:ann,kmeans"
     ),
     QuerySpec("similarity_pq", similarity_pq, _pq_sql(), "ext:ann,pq"),
+    # Rotated out in round 12 (4–6 green rounds each; see the SPECS
+    # comment above).
+    QuerySpec(
+        "similarity_lsh_probe",
+        similarity_lsh_probe,
+        _lsh_probe_oracle_sql(),
+        "ext:ann,multiprobe",
+    ),
+    QuerySpec(
+        "ann_recall",
+        ann_recall,
+        _ann_recall_sql(),
+        "ext:ann,evaluation",
+    ),
+    QuerySpec(
+        "knn_label_accuracy",
+        knn_label_accuracy,
+        KNN_LABEL_ACCURACY_SQL,
+        "ext:ann,evaluation,labels",
+    ),
 ]

@@ -692,12 +692,11 @@ FROM cells JOIN sizes USING (cohort_week)
 # keeps its r7 perf disposition and local oracle lane) to free a slot
 # for the judge-prescribed never-driver-verified round-7 components.
 SPECS: list[QuerySpec] = [
-    QuerySpec(
-        "alert_transitions",
-        alert_transitions,
-        _alert_transitions_sql(),
-        "ext:streaming-twin,alerts",
-    ),
+    # Round-12 rotation (judge-prescribed): alert_transitions moved to
+    # the extra tier (6 green rounds, r6–r11; verified present in
+    # CORRECTNESS_r11 before demotion).  The streaming-twin family
+    # keeps its driver anchor via rolling_anomaly + funnel_episodes,
+    # and stream==batch parity stays pinned by tests/test_streaming.py.
 ]
 # Round-6 rotation: event_pivot and top_parts_per_brand moved to the
 # extra tier (5 rounds of green driver rows each; A3/conditional-count
@@ -1116,6 +1115,14 @@ SPECS += [
 ]
 
 EXTRA_SPECS: list[QuerySpec] = [
+    # Rotated out in round 12 (6 green rounds, r6–r11; see the SPECS
+    # comment above).
+    QuerySpec(
+        "alert_transitions",
+        alert_transitions,
+        _alert_transitions_sql(),
+        "ext:streaming-twin,alerts",
+    ),
     # Rotated out in round 9 (4 green rounds; see the SPECS comment).
     QuerySpec("event_funnel", event_funnel, EVENT_FUNNEL_SQL, "ext:funnel,sequence"),
     # Rotated out of the driver window in round 8 (7 rounds of green
