@@ -66,6 +66,14 @@ class CorpusConfig:
     langs: tuple[str, ...] = ("en",)
     min_tokens: int = FUNNEL_MIN_TOKENS
     min_ttr: float = FUNNEL_MIN_TTR
+    # Gopher heuristic quality gate (Rae et al. 2021 §A1.1, operators/
+    # text.py::gopher_keep): AND the five published rules into the
+    # filter stage's keep predicate — a pure in-row conjunction, so the
+    # stage adds ZERO exchanges and the funnel's n_filtered count
+    # reflects it exactly (one shared predicate definition).  Runs
+    # BEFORE the model-based gates (ppl/quality/DSIR) the way the paper
+    # orders them: cheap rules first, models on the survivors.
+    gopher_gate: bool = False
     near_dedup: bool = True
     # per-source boilerplate removal (operators/dedup.py::
     # boilerplate_scrub_frame, the CCNet/RefinedWeb domain-frequency
@@ -91,6 +99,21 @@ class CorpusConfig:
     # dominance threshold tau — the paper operates at ~0.95 (true
     # semantic twins); lower values shade into topic-level pruning
     semantic_tau: float = 0.95
+    # Eval-set decontamination: drop training docs that overlap the
+    # held-out eval set — "winnow" certifies a shared token run of
+    # ≥ WINNOW_W+WINNOW_K−1 via a shared winnowed fingerprint
+    # (position-robust, index at ~2/(w+1) density), "ngram" flags any
+    # shared DECON_NGRAM-gram (the exact-n-gram criterion).  The eval
+    # set is either an external parquet/jsonl of documents
+    # (decontaminate_eval_path) or a held-out source INSIDE the corpus
+    # (decontaminate_eval_source) — a benchmark source is removed from
+    # the training corpus outright, then its fingerprints gate the
+    # rest.  Runs after the dedup/model gates and BEFORE PII scrub:
+    # the criterion must see raw text, since redaction would sever
+    # exactly the token runs it certifies.
+    decontaminate: str | None = None
+    decontaminate_eval_path: str | None = None
+    decontaminate_eval_source: str | None = None
     # drop docs whose self-trained bigram perplexity exceeds this
     max_ppl: float | None = None
     # drop docs whose logistic quality-classifier score is below this
@@ -183,10 +206,10 @@ def _read_docs(spark: SparkSession, input_path: str | Path, cfg: CorpusConfig) -
     )
 
 
-def _keep_pred(cfg: CorpusConfig):
-    """The language+quality keep predicate — ONE definition shared by the
-    filter stage and the manifest's stage-count pass, so the funnel
-    counts can never drift from what the pipeline actually kept."""
+def _base_keep_pred(cfg: CorpusConfig):
+    """The language+length+TTR keep predicate (without the optional
+    Gopher conjunction) — split out so the stage-count pass can report
+    how many docs the Gopher rules alone rejected."""
     toks = word_tokens(F.col("text"))
     n_tokens = F.size(toks)
     ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
@@ -195,6 +218,21 @@ def _keep_pred(cfg: CorpusConfig):
         & (n_tokens >= cfg.min_tokens)
         & (ttr >= cfg.min_ttr)
     )
+
+
+def _keep_pred(cfg: CorpusConfig):
+    """The filter stage's keep predicate — ONE definition shared by the
+    filter stage and the manifest's stage-count pass, so the funnel
+    counts can never drift from what the pipeline actually kept.  With
+    gopher_gate on, the five published heuristic rules AND into the
+    same in-row predicate (operators/text.py::gopher_keep) — still
+    zero exchanges, still one scan."""
+    pred = _base_keep_pred(cfg)
+    if cfg.gopher_gate:
+        from ..operators.text import gopher_keep
+
+        pred = pred & gopher_keep(F.col("text"))
+    return pred
 
 
 def _filtered(docs: DataFrame, cfg: CorpusConfig) -> DataFrame:
@@ -318,6 +356,28 @@ def run_corpus_pipeline(
     if cfg.min_quality is not None and not (0.0 < cfg.min_quality < 1.0):
         raise ValueError(
             f"min_quality must be in (0, 1), got {cfg.min_quality}"
+        )
+    if cfg.decontaminate is not None and cfg.decontaminate not in (
+        "winnow",
+        "ngram",
+    ):
+        raise ValueError(
+            f"decontaminate must be 'winnow' or 'ngram', got {cfg.decontaminate!r}"
+        )
+    has_eval = (cfg.decontaminate_eval_path is not None) + (
+        cfg.decontaminate_eval_source is not None
+    )
+    if cfg.decontaminate is not None and has_eval != 1:
+        raise ValueError(
+            "decontaminate requires exactly one of decontaminate_eval_path "
+            "or decontaminate_eval_source"
+        )
+    if cfg.decontaminate is None and has_eval:
+        # an eval set with the stage off would be silently ignored —
+        # fail loudly, same posture as the pack_tokenizer guard above
+        raise ValueError(
+            "decontaminate_eval_path/decontaminate_eval_source require "
+            "decontaminate to be set"
         )
     if cfg.epoch_shards < 1:
         raise ValueError(f"epoch_shards must be >= 1, got {cfg.epoch_shards}")
@@ -459,6 +519,46 @@ def run_corpus_pipeline(
             )
             .drop("log_weight")
         )
+    n_decon_flagged: "int | None" = None
+    if cfg.decontaminate is not None:
+        # Eval-set decontamination: a production curation run gates on
+        # eval overlap, not just reports it.  Runs AFTER the dedup and
+        # model gates (don't pay the probe for docs already leaving)
+        # and BEFORE PII scrub (the criterion certifies shared token
+        # runs against the eval set's raw text; redaction would sever
+        # exactly those runs).  The eval index is built from RAW eval
+        # text — a benchmark doc gates training whether or not it
+        # would itself survive the training filters.
+        from ..operators.text import decontaminate_flagged_ids
+
+        if cfg.decontaminate_eval_source is not None:
+            evl = docs.filter(
+                F.col("source") == cfg.decontaminate_eval_source
+            ).select("text")
+            # a held-out benchmark source never ships as training data —
+            # remove it outright, then let its fingerprints gate the rest
+            kept = kept.filter(
+                F.col("source") != cfg.decontaminate_eval_source
+            )
+        else:
+            p = str(cfg.decontaminate_eval_path)
+            if p.endswith((".jsonl", ".json")):
+                # same no-inference-scan posture as _read_docs
+                evl = spark.read.schema("text STRING").json(p)
+            else:
+                evl = spark.read.parquet(p)
+            evl = evl.select("text")
+        flagged = decontaminate_flagged_ids(
+            kept.select("doc_id", "text"), evl, cfg.decontaminate
+        )
+        # Materialize the flagged-id set once (it is tiny — ids only):
+        # the manifest count and the anti-join below both consume it,
+        # and without truncation each would re-execute the whole probe
+        # lineage from the raw scan.  Same pattern as the near-dedup
+        # checkpoint above; a cluster deployment lands it to storage.
+        flagged = flagged.localCheckpoint(eager=True)
+        n_decon_flagged = flagged.count()
+        kept = kept.join(flagged, "doc_id", "left_anti")
     if cfg.scrub:
         kept = (
             scrub_pii(kept)
@@ -632,16 +732,36 @@ def run_corpus_pipeline(
     # recipe) — n_near comes from the landed output below.  Sums are
     # null-coalesced: over a ZERO-ROW input sum() is NULL and the gate
     # comparisons below would raise instead of failing cleanly.
-    stage_row = docs.select(
+    stage_cols = [
         _keep_pred(cfg).alias("kept"),
         F.md5(F.col("text").cast("binary")).alias("text_hash"),
-    ).agg(
+    ]
+    agg_cols = [
         F.count(F.lit(1)).alias("n_raw"),
         F.coalesce(
             F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long"), F.lit(0)
         ).alias("n_filtered"),
         F.countDistinct(F.when(F.col("kept"), F.col("text_hash"))).alias("n_exact"),
-    ).collect()[0]
+    ]
+    if cfg.gopher_gate:
+        # docs the base (lang/length/TTR) filter kept but the Gopher
+        # rules alone rejected — same single scan, one extra counter.
+        # NULL kept (gopher signals over a degenerate doc) counts as a
+        # gopher fail iff the base predicate held, matching the filter.
+        stage_cols.append(_base_keep_pred(cfg).alias("base_kept"))
+        agg_cols.append(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("base_kept")
+                        & ~F.coalesce(F.col("kept"), F.lit(False)),
+                        1,
+                    ).otherwise(0)
+                ).cast("long"),
+                F.lit(0),
+            ).alias("n_gopher_fail")
+        )
+    stage_row = docs.select(*stage_cols).agg(*agg_cols).collect()[0]
 
     # Explicit schema: an all-filtered corpus writes zero data files, and
     # schema inference on an empty directory throws — the gate below must
@@ -753,6 +873,10 @@ def run_corpus_pipeline(
             "langs": list(cfg.langs),
             "min_tokens": cfg.min_tokens,
             "min_ttr": cfg.min_ttr,
+            "gopher_gate": cfg.gopher_gate,
+            "decontaminate": cfg.decontaminate,
+            "decontaminate_eval_path": cfg.decontaminate_eval_path,
+            "decontaminate_eval_source": cfg.decontaminate_eval_source,
             "near_dedup": cfg.near_dedup,
             "boilerplate_scrub": cfg.boilerplate_scrub,
             "passage_dedup": cfg.passage_dedup,
@@ -779,7 +903,11 @@ def run_corpus_pipeline(
         "stages": {
             "n_raw": stage_row["n_raw"],
             "n_filtered": stage_row["n_filtered"],
+            "n_gopher_fail": (
+                stage_row["n_gopher_fail"] if cfg.gopher_gate else None
+            ),
             "n_exact_deduped": stage_row["n_exact"],
+            "n_decon_flagged": n_decon_flagged,
             "n_written": out_row["n_out"],
             "n_docs_written": out_row["n_out_docs"],
         },
@@ -802,6 +930,33 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--langs", default="en", help="comma-separated language keep-list")
     ap.add_argument("--min-tokens", type=int, default=FUNNEL_MIN_TOKENS)
     ap.add_argument("--min-ttr", type=float, default=FUNNEL_MIN_TTR)
+    ap.add_argument(
+        "--gopher-gate",
+        action="store_true",
+        help="AND the five published Gopher heuristic rules into the "
+        "filter stage's keep predicate (in-row, zero extra exchanges)",
+    )
+    ap.add_argument(
+        "--decontaminate",
+        choices=("winnow", "ngram"),
+        default=None,
+        help="drop training docs overlapping the eval set: shared "
+        "winnowed fingerprint (position-robust token-run certificate) "
+        "or shared capped n-gram; requires exactly one eval-set source "
+        "flag below",
+    )
+    ap.add_argument(
+        "--decontaminate-eval-path",
+        default=None,
+        help="external eval set (parquet, or .jsonl/.json with a text "
+        "field) whose fingerprints gate the training corpus",
+    )
+    ap.add_argument(
+        "--decontaminate-eval-source",
+        default=None,
+        help="held-out benchmark source INSIDE the corpus: removed from "
+        "the training output outright, then its fingerprints gate the rest",
+    )
     ap.add_argument("--no-near-dedup", action="store_true")
     ap.add_argument(
         "--cc-algorithm",
@@ -937,6 +1092,10 @@ def main(argv: list[str] | None = None) -> int:
         langs=tuple(s.strip() for s in args.langs.split(",") if s.strip()),
         min_tokens=args.min_tokens,
         min_ttr=args.min_ttr,
+        gopher_gate=args.gopher_gate,
+        decontaminate=args.decontaminate,
+        decontaminate_eval_path=args.decontaminate_eval_path,
+        decontaminate_eval_source=args.decontaminate_eval_source,
         near_dedup=not args.no_near_dedup,
         cc_algorithm=args.cc_algorithm,
         boilerplate_scrub=args.boilerplate_scrub,
@@ -1447,6 +1606,140 @@ GROUP BY shard
 """
 
 
+# --------------------------------------------------------------------------
+# Driver-visible QUALITY-GATE + DECONTAMINATION composition query: the two
+# round-12 pipeline stages chained the way run_corpus_pipeline composes
+# them — language/length/TTR filter WITH the Gopher rules ANDed in-row →
+# exact dedup → held-out source removed → winnowed-fingerprint
+# decontamination probe — so the COMPOSITION itself carries an oracle
+# row, not just its pieces.  The report keeps the flagged docs visible
+# (n_flagged per source) while the survivors carry the value signal
+# (chars_kept), mirroring what the manifest records.
+def corpus_decon_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import (
+        CONTAMINATION_EVAL_SOURCE,
+        decontaminate_flagged_ids,
+    )
+    from ..plans.core import ensure_parallelism, load_table
+
+    cfg = CorpusConfig(gopher_gate=True)
+    docs = ensure_parallelism(
+        spark, load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "source", "text")
+    ex = _exact_deduped(_filtered(docs, cfg)).drop("text_hash")
+    train = ex.filter(F.col("source") != CONTAMINATION_EVAL_SOURCE)
+    # eval index over RAW eval text — a benchmark doc gates training
+    # whether or not it would itself survive the training filters
+    evl = docs.filter(
+        F.col("source") == CONTAMINATION_EVAL_SOURCE
+    ).select("text")
+    flagged = decontaminate_flagged_ids(
+        train.select("doc_id", "text"), evl, "winnow"
+    )
+    marked = train.join(
+        F.broadcast(flagged.withColumn("hit", F.lit(1))), "doc_id", "left"
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.sum(F.when(F.col("hit").isNull(), F.length("text")))
+        .cast("long")
+        .alias("chars_kept"),
+    )
+
+
+def _decon_e2e_sql() -> str:
+    """DuckDB oracle for corpus_decon_e2e — the stage chain restated
+    from the same fragments the per-stage oracles use (lang scores,
+    the five Gopher rule bounds, md5 exact dedup, the winnowing
+    window-min CTE from WINNOW_CONTAMINATION_SQL)."""
+    from ..operators.text import (
+        CONTAMINATION_EVAL_SOURCE,
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+        WINNOW_K,
+        WINNOW_W,
+        _lang_score_sql,
+    )
+
+    stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    winnow_fps = (
+        f"CASE WHEN len(w) - {WINNOW_K - 1} >= {WINNOW_W} THEN "
+        f"list_distinct(list_transform("
+        f"range(1, len(w) - {WINNOW_K + WINNOW_W - 2} + 1), "
+        f"j -> list_min(list_transform(range(j, j + {WINNOW_W}), "
+        f"i -> md5(array_to_string(w[i:i+{WINNOW_K - 1}], ' ')))))) "
+        f"ELSE [] END"
+    )
+    return f"""
+WITH sig AS (
+  SELECT doc_id, source, text, string_split(text, ' ') AS toks,
+         ({_lang_score_sql('en')} >= {_lang_score_sql('de')}
+          AND {_lang_score_sql('en')} >= {_lang_score_sql('fr')}
+          AND {_lang_score_sql('en')} >= {_lang_score_sql('es')}) AS is_en
+  FROM documents
+),
+base AS (
+  SELECT doc_id, source, text FROM sig
+  WHERE is_en
+    AND len(toks) >= {FUNNEL_MIN_TOKENS}
+    AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        >= {FUNNEL_MIN_TTR}
+    AND len(toks) >= {GOPHER_MIN_WORDS} AND len(toks) <= {GOPHER_MAX_WORDS}
+    AND list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks)
+        >= {GOPHER_MIN_MEAN_LEN}
+    AND list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks)
+        <= {GOPHER_MAX_MEAN_LEN}
+    AND len(list_filter(toks, x -> contains(x, '#') OR contains(x, '...')))
+        * 1.0 / len(toks) <= {GOPHER_MAX_SYMBOL_RATIO}
+    AND len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+        * 1.0 / len(toks) >= {GOPHER_MIN_ALPHA_FRAC}
+    AND len(list_filter(toks, x -> x IN ({stop_list})))
+        >= {GOPHER_MIN_STOPWORDS}
+),
+ex AS (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM base
+  ) WHERE rn = 1
+),
+train AS (
+  SELECT doc_id, source, text FROM ex
+  WHERE source <> '{CONTAMINATION_EVAL_SOURCE}'
+),
+train_fps AS (
+  SELECT doc_id, unnest({winnow_fps}) AS fp
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train)
+),
+eval_fps AS (
+  SELECT DISTINCT unnest({winnow_fps}) AS fp
+  FROM (SELECT string_split(text, ' ') AS w FROM documents
+        WHERE source = '{CONTAMINATION_EVAL_SOURCE}')
+),
+flagged AS (
+  SELECT DISTINCT doc_id FROM train_fps
+  WHERE fp IN (SELECT fp FROM eval_fps)
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(sum(CASE WHEN f.doc_id IS NULL THEN len(text) END) AS BIGINT)
+         AS chars_kept
+FROM train t LEFT JOIN flagged f ON t.doc_id = f.doc_id
+GROUP BY source
+"""
+
+
 def _specs():
     from ..plans.core import QuerySpec
 
@@ -1469,7 +1762,24 @@ def _specs():
     ]
 
 
+def _extra_specs():
+    from ..plans.core import QuerySpec
+
+    return [
+        # New in round 12: the Gopher gate + winnow-decontamination
+        # stage chain as ONE composition — extra tier per the rotation
+        # policy (r13 promotion candidate).
+        QuerySpec(
+            "corpus_decon_e2e",
+            corpus_decon_e2e,
+            _decon_e2e_sql(),
+            "ext:corpus,composition,gopher,decontamination,winnowing",
+        ),
+    ]
+
+
 SPECS = _specs()
+EXTRA_SPECS = _extra_specs()
 
 
 if __name__ == "__main__":

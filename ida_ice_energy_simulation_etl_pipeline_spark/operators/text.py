@@ -549,6 +549,73 @@ FROM totals t LEFT JOIN flagged f USING (source)
 """
 
 
+def decontaminate_flagged_ids(
+    train: DataFrame, evl: DataFrame, method: str
+) -> DataFrame:
+    """Training doc_ids overlapping the eval set under the given
+    criterion — ONE definition consumed by the corpus pipeline's
+    decontaminate stage, the composed registry query and the streaming
+    ingest twin, so the removal semantics can never drift between
+    them.
+
+    ``method="winnow"``: any shared winnowed fingerprint — certifies a
+    shared token run of ≥ WINNOW_W+WINNOW_K−1 position-robustly, with
+    the probe index at the winnowed ~2/(w+1) density.
+    ``method="ngram"``: any shared CONTAMINATION_NGRAM-gram whose eval
+    document frequency is ≤ CONTAMINATION_EVAL_DF_CAP
+    (contamination_check's boilerplate-vs-benchmark cap).
+
+    Either way the probe is one key-grain LEFT SEMI join with the eval
+    side explicitly broadcast (benchmarks are constant-size relative to
+    a training corpus), and only the id column comes back — the wide
+    text payload never rides the probe shuffle.  ``train`` needs
+    (doc_id, text); ``evl`` needs (text).  The winnow branch keeps the
+    documented two-projection hash/select split and the explode_OUTER +
+    post-Generate NULL filter (both optimizer traps measured on
+    winnow_fingerprints)."""
+    toks = word_tokens(F.col("text"))
+    if method == "winnow":
+        ex_t = (
+            train.select("doc_id", winnow_hashes(toks).alias("hashes"))
+            .select(
+                "doc_id", winnow_select(F.col("hashes")).alias("fps")
+            )
+            .select("doc_id", F.explode_outer("fps").alias("k"))
+            .filter(F.col("k").isNotNull())
+        )
+        keys_e = (
+            evl.select(winnow_hashes(toks).alias("hashes"))
+            .select(winnow_select(F.col("hashes")).alias("fps"))
+            .select(F.explode_outer("fps").alias("k"))
+            .filter(F.col("k").isNotNull())
+            .distinct()
+        )
+    elif method == "ngram":
+        grams = F.explode(
+            word_shingles(toks, CONTAMINATION_NGRAM)
+        ).alias("gram")
+        ex_t = train.select("doc_id", grams).select(
+            "doc_id", F.xxhash64("gram").alias("k")
+        )
+        keys_e = (
+            evl.select(grams)
+            .select(F.xxhash64("gram").alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("eval_df"))
+            .filter(F.col("eval_df") <= CONTAMINATION_EVAL_DF_CAP)
+            .select("k")
+        )
+    else:
+        raise ValueError(
+            f"decontaminate method must be 'winnow' or 'ngram', got {method!r}"
+        )
+    return (
+        ex_t.join(F.broadcast(keys_e), "k", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
 # --------------------------------------------------------------------------
 # Benchmark-contamination check: which training documents share any
 # 4-gram with the held-out eval set (source 'src0')?  The standard
@@ -2379,10 +2446,11 @@ GOPHER_MIN_STOPWORDS = 2
 GOPHER_STOPWORDS = ("the", "a")  # DRIFT_STOPWORDS / quality_logit set
 
 
-def gopher_flags(docs: DataFrame) -> DataFrame:
-    """Per-doc pass/fail flags for each Gopher rule (composable with the
-    corpus pipeline's filter stage); all signals in-row."""
-    toks = F.col("toks")
+def _gopher_signals(toks: Column) -> list[tuple[str, Column]]:
+    """The five Gopher rule booleans over a token array — ONE definition
+    shared by the per-rule report (gopher_flags) and the corpus
+    pipeline's keep predicate (gopher_keep), so the gate can never
+    drift from what the report certifies.  All in-row."""
     n = F.size(toks)
     total_chars = F.aggregate(
         F.transform(toks, lambda w: F.length(w).cast("long")),
@@ -2395,25 +2463,53 @@ def gopher_flags(docs: DataFrame) -> DataFrame:
     )
     n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
     n_stop = F.size(F.filter(toks, lambda w: w.isin(*GOPHER_STOPWORDS)))
+    return [
+        (
+            "ok_word_count",
+            (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
+        ),
+        (
+            "ok_mean_len",
+            (mean_len >= GOPHER_MIN_MEAN_LEN)
+            & (mean_len <= GOPHER_MAX_MEAN_LEN),
+        ),
+        (
+            "ok_symbol",
+            n_symbol.cast("double") / n <= F.lit(GOPHER_MAX_SYMBOL_RATIO),
+        ),
+        (
+            "ok_alpha",
+            n_alpha.cast("double") / n >= F.lit(GOPHER_MIN_ALPHA_FRAC),
+        ),
+        ("ok_stopword", n_stop >= GOPHER_MIN_STOPWORDS),
+    ]
+
+
+def gopher_keep(text: Column) -> Column:
+    """All five Gopher rules as ONE in-row keep predicate over raw text —
+    what run_corpus_pipeline's gopher_gate stage filters on.  A
+    zero-token doc yields NULL (the ratio signals divide by n); NULL
+    filters as drop, which agrees with ok_word_count = false, so the
+    gate's verdict on degenerate docs matches the report's."""
+    toks = word_tokens(text)
+    pred = None
+    for _, flag in _gopher_signals(toks):
+        pred = flag if pred is None else pred & flag
+    return pred
+
+
+def gopher_flags(docs: DataFrame) -> DataFrame:
+    """Per-doc pass/fail flags for each Gopher rule (composable with the
+    corpus pipeline's filter stage); all signals in-row."""
     return docs.select(
         "doc_id", "source", word_tokens(F.col("text")).alias("toks")
     ).select(
         "doc_id",
         "source",
-        ((n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)).alias(
-            "ok_word_count"
+        *(
+            flag.alias(name)
+            for name, flag in _gopher_signals(F.col("toks"))
         ),
-        (
-            (mean_len >= GOPHER_MIN_MEAN_LEN)
-            & (mean_len <= GOPHER_MAX_MEAN_LEN)
-        ).alias("ok_mean_len"),
-        (
-            n_symbol.cast("double") / n <= F.lit(GOPHER_MAX_SYMBOL_RATIO)
-        ).alias("ok_symbol"),
-        (n_alpha.cast("double") / n >= F.lit(GOPHER_MIN_ALPHA_FRAC)).alias(
-            "ok_alpha"
-        ),
-        (n_stop >= GOPHER_MIN_STOPWORDS).alias("ok_stopword"),
     )
 
 

@@ -1068,3 +1068,149 @@ def test_corpus_pipeline_health_report_in_manifest(spark, corpus_input, tmp_path
     out2 = tmp_path / "out_nohealth"
     m2 = run_corpus_pipeline(spark, corpus_input, out2, CorpusConfig())
     assert m2["corpus_health"] is None
+
+
+def test_corpus_gopher_gate_drops_rule_violators(spark, tmp_path):
+    """--gopher-gate ANDs the five published rules into the filter
+    stage: a symbol-heavy doc and an over-length doc that both pass
+    the base lang/length/TTR filter are dropped, the clean twin lands,
+    and the manifest counts exactly the gopher-only rejections."""
+    symbolic = BASE + " #tag1 #tag2 #tag3"  # >10% symbol words
+    too_long = "the a " + " ".join(f"alpha{i}" for i in range(79))  # 81 words
+    rows = [
+        (0, BASE, "src0"),
+        (1, symbolic, "src1"),
+        (2, too_long, "src2"),
+    ]
+    path = tmp_path / "docs.parquet"
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.parquet(str(path))
+
+    # without the gate all three land (they pass the base filter)
+    m_off = run_corpus_pipeline(
+        spark,
+        path,
+        tmp_path / "out_off",
+        CorpusConfig(near_dedup=False, scrub=False),
+    )
+    assert m_off["stages"]["n_filtered"] == 3
+    assert m_off["stages"]["n_gopher_fail"] is None
+
+    m_on = run_corpus_pipeline(
+        spark,
+        path,
+        tmp_path / "out_on",
+        CorpusConfig(near_dedup=False, scrub=False, gopher_gate=True),
+    )
+    assert m_on["stages"]["n_filtered"] == 1
+    assert m_on["stages"]["n_gopher_fail"] == 2
+    assert m_on["config"]["gopher_gate"] is True
+    landed = spark.read.parquet(m_on["output"])
+    assert {r["doc_id"] for r in landed.collect()} == {0}
+
+
+def test_corpus_decontaminate_winnow_drops_planted_contamination(
+    spark, tmp_path
+):
+    """--decontaminate winnow with a held-out eval SOURCE: the benchmark
+    source leaves the training corpus outright, a training doc sharing a
+    >= w+k-1 token run with an eval doc is dropped, and its clean twin
+    (no shared run) lands; the manifest records the flagged count."""
+    leak = " ".join(f"zeta{i}" for i in range(12))  # 12-token eval run
+    eval_doc = "the answer key is " + leak
+    contaminated = "the cat sat on the mat and then " + leak
+    clean = "the cat sat on the mat and then some other tail words here"
+    rows = [
+        (0, contaminated, "train_a"),
+        (1, clean, "train_a"),
+        (2, OTHER, "train_b"),
+        (3, eval_doc, "heldout"),
+    ]
+    path = tmp_path / "docs.parquet"
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.parquet(str(path))
+    manifest = run_corpus_pipeline(
+        spark,
+        path,
+        tmp_path / "out",
+        CorpusConfig(
+            near_dedup=False,
+            scrub=False,
+            min_ttr=0.0,
+            decontaminate="winnow",
+            decontaminate_eval_source="heldout",
+        ),
+    )
+    assert manifest["stages"]["n_decon_flagged"] == 1
+    landed = spark.read.parquet(manifest["output"])
+    kept = {r["doc_id"] for r in landed.collect()}
+    assert kept == {1, 2}  # contaminated 0 dropped, eval source 3 removed
+    assert manifest["config"]["decontaminate"] == "winnow"
+    assert manifest["config"]["decontaminate_eval_source"] == "heldout"
+
+
+def test_corpus_decontaminate_ngram_external_eval_path(spark, tmp_path):
+    """--decontaminate ngram with an EXTERNAL eval parquet: a training
+    doc sharing a 4-gram with the eval set is dropped; the clean twin
+    stays; the eval file itself is never part of the corpus."""
+    shared = "gamma one gamma two gamma three"
+    contaminated = "the cat sat on the mat near " + shared
+    clean = "the cat sat on the mat near some other words entirely here"
+    rows = [(0, contaminated, "src_a"), (1, clean, "src_a")]
+    path = tmp_path / "docs.parquet"
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.parquet(str(path))
+    eval_path = tmp_path / "eval.parquet"
+    spark.createDataFrame(
+        [("benchmark question about " + shared,)], ["text"]
+    ).write.parquet(str(eval_path))
+    manifest = run_corpus_pipeline(
+        spark,
+        path,
+        tmp_path / "out",
+        CorpusConfig(
+            near_dedup=False,
+            scrub=False,
+            min_ttr=0.0,
+            decontaminate="ngram",
+            decontaminate_eval_path=str(eval_path),
+        ),
+    )
+    assert manifest["stages"]["n_decon_flagged"] == 1
+    landed = spark.read.parquet(manifest["output"])
+    assert {r["doc_id"] for r in landed.collect()} == {1}
+
+
+def test_corpus_decontaminate_config_validation(spark, corpus_input, tmp_path):
+    """Misconfigured decontamination fails loudly before any job runs."""
+    with pytest.raises(ValueError, match="exactly one of"):
+        run_corpus_pipeline(
+            spark,
+            corpus_input,
+            tmp_path / "o1",
+            CorpusConfig(decontaminate="winnow"),
+        )
+    with pytest.raises(ValueError, match="exactly one of"):
+        run_corpus_pipeline(
+            spark,
+            corpus_input,
+            tmp_path / "o2",
+            CorpusConfig(
+                decontaminate="winnow",
+                decontaminate_eval_path="/tmp/x.parquet",
+                decontaminate_eval_source="src0",
+            ),
+        )
+    with pytest.raises(ValueError, match="'winnow' or 'ngram'"):
+        run_corpus_pipeline(
+            spark,
+            corpus_input,
+            tmp_path / "o3",
+            CorpusConfig(
+                decontaminate="simhash", decontaminate_eval_source="src0"
+            ),
+        )
+    with pytest.raises(ValueError, match="require"):
+        run_corpus_pipeline(
+            spark,
+            corpus_input,
+            tmp_path / "o4",
+            CorpusConfig(decontaminate_eval_source="src0"),
+        )

@@ -878,3 +878,24 @@ def test_source_divergence_broadcasts_totals(spark):
     assert "CartesianProduct" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_decon_e2e_semi_probe_no_traps(spark):
+    """The composed Gopher-gate + decontamination chain: the Gopher
+    conjunction stays in-row (no Python, no token-grain explode before
+    the winnowing Generates), the probe consumes the winnowed index
+    through a LEFT SEMI join with the eval side broadcast, and the
+    winnow_fingerprints inferred-filter pushdown trap (md5 inside a
+    Filter) never resurfaces below the Generates."""
+    plan = _executed_plan(spark, "corpus_decon_e2e").split(
+        "== Initial Plan =="
+    )[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "LeftSemi" in plan
+    assert "BroadcastExchange" in plan  # eval fps + flagged ids ride small
+    for line in plan.splitlines():
+        if "Filter" in line and "md5" in line:
+            raise AssertionError(
+                "inferred-filter pushdown trap resurfaced: " + line[:200]
+            )
