@@ -573,46 +573,93 @@ def decontaminate_flagged_ids(
     documented two-projection hash/select split and the explode_OUTER +
     post-Generate NULL filter (both optimizer traps measured on
     winnow_fingerprints)."""
+    return decontaminate_probe(train, decon_eval_index(evl, method), method)
+
+
+def _decon_method_guard(method: str) -> None:
+    if method not in ("winnow", "ngram"):
+        raise ValueError(
+            f"decontaminate method must be 'winnow' or 'ngram', got {method!r}"
+        )
+
+
+def decon_eval_index(evl: DataFrame, method: str) -> DataFrame:
+    """The eval set's probe-key index — a frame of distinct ``k`` rows.
+    Static relative to any training corpus or ingest stream: compute
+    once (the streaming twin materializes it eagerly at stream setup),
+    broadcast everywhere."""
+    _decon_method_guard(method)
     toks = word_tokens(F.col("text"))
     if method == "winnow":
-        ex_t = (
-            train.select("doc_id", winnow_hashes(toks).alias("hashes"))
-            .select(
-                "doc_id", winnow_select(F.col("hashes")).alias("fps")
-            )
-            .select("doc_id", F.explode_outer("fps").alias("k"))
-            .filter(F.col("k").isNotNull())
-        )
-        keys_e = (
+        return (
             evl.select(winnow_hashes(toks).alias("hashes"))
             .select(winnow_select(F.col("hashes")).alias("fps"))
             .select(F.explode_outer("fps").alias("k"))
             .filter(F.col("k").isNotNull())
             .distinct()
         )
-    elif method == "ngram":
-        grams = F.explode(
-            word_shingles(toks, CONTAMINATION_NGRAM)
-        ).alias("gram")
-        ex_t = train.select("doc_id", grams).select(
-            "doc_id", F.xxhash64("gram").alias("k")
-        )
-        keys_e = (
-            evl.select(grams)
-            .select(F.xxhash64("gram").alias("k"))
-            .groupBy("k")
-            .agg(F.count(F.lit(1)).alias("eval_df"))
-            .filter(F.col("eval_df") <= CONTAMINATION_EVAL_DF_CAP)
-            .select("k")
-        )
-    else:
-        raise ValueError(
-            f"decontaminate method must be 'winnow' or 'ngram', got {method!r}"
-        )
     return (
-        ex_t.join(F.broadcast(keys_e), "k", "left_semi")
+        evl.select(
+            F.explode(word_shingles(toks, CONTAMINATION_NGRAM)).alias("gram")
+        )
+        .select(F.xxhash64("gram").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("eval_df"))
+        .filter(F.col("eval_df") <= CONTAMINATION_EVAL_DF_CAP)
+        .select("k")
+    )
+
+
+def _decon_doc_keys(train: DataFrame, method: str) -> DataFrame:
+    """(doc_id, k) probe keys for the training/ingest side."""
+    _decon_method_guard(method)
+    toks = word_tokens(F.col("text"))
+    if method == "winnow":
+        return (
+            train.select("doc_id", winnow_hashes(toks).alias("hashes"))
+            .select("doc_id", winnow_select(F.col("hashes")).alias("fps"))
+            .select("doc_id", F.explode_outer("fps").alias("k"))
+            .filter(F.col("k").isNotNull())
+        )
+    return train.select(
+        "doc_id",
+        F.explode(word_shingles(toks, CONTAMINATION_NGRAM)).alias("gram"),
+    ).select("doc_id", F.xxhash64("gram").alias("k"))
+
+
+def decontaminate_probe(
+    train: DataFrame, eval_index: DataFrame, method: str
+) -> DataFrame:
+    """Flagged doc_ids given an ALREADY-BUILT eval index (the per-batch
+    half the streaming twin re-executes; decontaminate_flagged_ids is
+    the one-shot composition)."""
+    return (
+        _decon_doc_keys(train, method)
+        .join(F.broadcast(eval_index), "k", "left_semi")
         .select("doc_id")
         .distinct()
+    )
+
+
+def decontamination_flags(
+    docs: DataFrame, eval_index: DataFrame, method: str
+) -> DataFrame:
+    """Per-doc contamination verdicts (doc_id, source, contaminated)
+    against a pre-built eval index — the frame the streaming ingest
+    twin lands per micro-batch, and the per-doc view of the pipeline's
+    removal criterion.  Flags depend only on (doc, eval index), never
+    on other docs, so micro-batching is loss-free by construction."""
+    flagged = decontaminate_probe(
+        docs.select("doc_id", "text"), eval_index, method
+    )
+    return docs.select("doc_id", "source").join(
+        F.broadcast(flagged.withColumn("contaminated", F.lit(True))),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        "source",
+        F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
     )
 
 

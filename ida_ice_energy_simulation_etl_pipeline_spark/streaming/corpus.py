@@ -123,6 +123,55 @@ def run_incremental_dedup_stream(
     )
 
 
+def run_decontamination_stream(
+    stream_docs: DataFrame,
+    eval_docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    method: str = "winnow",
+):
+    """Continuous eval-set protection for an ingested corpus: each
+    micro-batch's winnowed fingerprints (or capped n-grams) probe a
+    STATIC eval index — the streaming twin of the batch pipeline's
+    decontaminate stage and of ``winnow_contamination``'s criterion,
+    run through ``foreachBatch`` so every micro-batch executes the
+    SAME oracle-verified probe plan
+    (``operators/text.py::decontamination_flags``).  Per-doc verdicts
+    depend only on (doc, eval index), never on other stream docs, so
+    per-micro-batch probing is exactly equivalent to the batch scan.
+
+    The eval index is built ONCE at stream setup and materialized
+    (``localCheckpoint``) — benchmarks are static relative to an
+    ingest stream, and without truncation every epoch would re-winnow
+    the whole eval set.  A cluster deployment persists the index to
+    storage instead.  Exactly-once via the staged-rename
+    ``idempotent_batch_writer`` (streaming/sink.py), same as the
+    incremental-dedup stream above.
+
+    Returns the started StreamingQuery (availableNow trigger — drains
+    what exists, then stops; production swaps a processing-time
+    trigger)."""
+    from ..operators.text import decon_eval_index, decontamination_flags
+    from .sink import idempotent_batch_writer
+
+    eval_index = decon_eval_index(eval_docs, method).localCheckpoint(
+        eager=True
+    )
+    write = idempotent_batch_writer(out_dir)
+
+    def _probe(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write(decontamination_flags(batch_df, eval_index, method), epoch_id)
+
+    return (
+        stream_docs.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # --------------------------------------------------------------------------
 # Continuous corpus drift monitoring — the streaming consumer of the
 # batch corpus-health panel (operators/text.py::zipf_fit,

@@ -1223,3 +1223,70 @@ def test_corpus_drift_stream_js_divergence_matches_batch(spark, tmp_path):
         map(tuple, spark.sql("SELECT * FROM drift_js_t").collect())
     )
     assert stream_rows == batch_rows
+
+
+def test_decontamination_stream_matches_batch(spark, tmp_path):
+    """Streaming eval-set protection: micro-batched winnow probes
+    against a static eval index produce EXACTLY the per-doc flags the
+    batch criterion (winnow_contamination's shared-fingerprint rule,
+    via decontamination_flags) computes over the union — verdicts
+    depend only on (doc, eval index), so micro-batching is loss-free."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        decon_eval_index,
+        decontamination_flags,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming.corpus import (
+        DOC_STREAM_SCHEMA,
+        run_decontamination_stream,
+    )
+
+    leak = " ".join(f"zeta{i}" for i in range(12))  # >= w+k-1 = 8 run
+    eval_docs = spark.createDataFrame(
+        [(900, "the answer key is " + leak, "eval")],
+        "doc_id long, text string, source string",
+    )
+    incoming = [
+        {"doc_id": 1, "text": "the cat sat on the mat and then " + leak,
+         "source": "s1", "ingest_ts": "2024-03-01T00:00:00"},  # contaminated
+        {"doc_id": 2, "text": "the cat sat on the mat and then some "
+         "other tail words entirely", "source": "s1",
+         "ingest_ts": "2024-03-01T00:01:00"},                  # clean
+        {"doc_id": 3, "text": "too short for one window", "source": "s2",
+         "ingest_ts": "2024-03-01T00:02:00"},                  # no fps
+    ]
+    ingest = tmp_path / "decon_in"
+    ingest.mkdir()
+    (ingest / "b1.json").write_text(json.dumps(incoming[0]))
+    (ingest / "b2.json").write_text(
+        "\n".join(json.dumps(r) for r in incoming[1:])
+    )
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(ingest))
+    )
+    out = tmp_path / "decon_out"
+    q = run_decontamination_stream(
+        stream, eval_docs, str(out), str(tmp_path / "decon_ckpt")
+    )
+    q.awaitTermination()
+
+    got = {
+        r["doc_id"]: (r["source"], r["contaminated"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    # batch twin over the union of all micro-batches, same criterion
+    union = spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["source"]) for r in incoming],
+        "doc_id long, text string, source string",
+    )
+    want = {
+        r["doc_id"]: (r["source"], r["contaminated"])
+        for r in decontamination_flags(
+            union, decon_eval_index(eval_docs, "winnow"), "winnow"
+        ).collect()
+    }
+    assert got == want
+    assert got[1] == ("s1", True)
+    assert got[2] == ("s1", False)
+    assert got[3] == ("s2", False)
