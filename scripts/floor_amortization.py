@@ -168,7 +168,11 @@ def main() -> None:
     spark = get_spark(
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra_conf={"spark.driver.memory": "16g"},
+        extra_conf={
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "16g"
+            )
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     build_10x(spark, src, dst)

@@ -184,6 +184,13 @@ SF01_QUERIES = [
     # scale under-exercises — multi-level merge collisions and vocab
     # sizes that never occur in 600 docs occur constantly in 60k.
     "bpe_encode",
+    # Round-12 addition (promoted to the driver window this round):
+    # the winnowed-index probe's flag rate is what toy scale
+    # under-exercises — fingerprint collisions across the eval
+    # boundary barely occur in 600 docs and occur constantly in 60k
+    # (~5 s in the lane; winnow_fingerprints itself stays out at ~13 s
+    # — its density/guarantee invariants are pinned by crafted tests).
+    "winnow_contamination",
 ]
 
 
