@@ -3885,6 +3885,350 @@ LIMIT {RAKE_TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Heaps' law fit (corpus-health panel member #4, beside Zipf/KL-JS/
+# entropy): vocabulary growth V ≈ k·N^β, fit per source as an OLS over
+# the per-DOCUMENT (ln tokens, ln distinct tokens) scatter.  A corpus
+# whose β drifts across builds is changing its lexical diversity — the
+# companion signal to zipf_fit's rank-curve slope.  Cheaper than Zipf:
+# both coordinates are in-row array sizes, so the plan is map-only
+# until the ONE source-grain closed-form-OLS aggregate (no vocab
+# shuffle, no rank window).
+def heaps_fit_frame(docs: DataFrame) -> DataFrame:
+    toks = word_tokens(F.col("text"))
+    pts = (
+        docs.select(
+            "source",
+            F.size(toks).cast("double").alias("n_d"),
+            F.size(F.array_distinct(toks)).cast("double").alias("v_d"),
+        )
+        .filter((F.col("n_d") >= 1) & (F.col("v_d") >= 1))
+        .select("source", F.log("n_d").alias("x"), F.log("v_d").alias("y"))
+    )
+    n = F.count(F.lit(1)).cast("double")
+    agg = pts.groupBy("source").agg(
+        n.alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    # zero-variance degenerations (every doc the same length) yield
+    # NULL on both engines, the zipf_fit convention
+    varx = F.nullif(
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+    )
+    vary = F.nullif(
+        F.col("k") * F.col("syy") - F.col("sy") * F.col("sy"), F.lit(0.0)
+    )
+    return agg.select(
+        "source",
+        F.col("k").cast("long").alias("n_docs"),
+        F.round(cov / varx, 4).alias("heaps_beta"),
+        F.round((F.col("sy") - (cov / varx) * F.col("sx")) / F.col("k"), 4)
+        .alias("intercept"),
+        F.round(cov * cov / (varx * vary), 4).alias("r2"),
+    )
+
+
+def heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heaps_fit_frame(
+        ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    )
+
+
+HEAPS_FIT_SQL = """
+WITH pts AS (
+  SELECT source,
+         ln(CAST(len(w) AS DOUBLE)) AS x,
+         ln(CAST(len(list_distinct(w)) AS DOUBLE)) AS y
+  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 1 AND len(list_distinct(w)) >= 1
+),
+sums AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS k,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pts GROUP BY source
+)
+SELECT source,
+       CAST(k AS BIGINT) AS n_docs,
+       round((k * sxy - sx * sy) / nullif(k * sxx - sx * sx, 0.0), 4)
+         AS heaps_beta,
+       round((sy - ((k * sxy - sx * sy) / nullif(k * sxx - sx * sx, 0.0))
+              * sx) / k, 4) AS intercept,
+       round((k * sxy - sx * sy) * (k * sxy - sx * sy)
+             / (nullif(k * sxx - sx * sx, 0.0)
+                * nullif(k * syy - sy * sy, 0.0)), 4) AS r2
+FROM sums
+"""
+
+
+# --------------------------------------------------------------------------
+# Cross-source winnowed-overlap matrix: for every source PAIR, how many
+# winnowed fingerprints they share and the winnowed Jaccard estimate —
+# the pairwise duplication heat-map a curation team reads before
+# deciding which sources to merge, down-weight, or hold out.  The
+# self-join runs at FINGERPRINT grain over per-source DISTINCT
+# fingerprint sets (density-bounded at ~2/(w+1) of token positions —
+# never doc×doc, never token-grain), and the output is at most
+# |sources|² rows.
+def winnow_cross_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    toks = word_tokens(F.col("text"))
+    per_doc = docs.select(
+        "source", winnow_hashes(toks).alias("hashes")
+    ).select("source", winnow_select(F.col("hashes")).alias("fps"))
+    sfp = (
+        per_doc.select("source", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .distinct()
+    )
+    tot = sfp.groupBy("source").agg(F.count(F.lit(1)).alias("n_fps"))
+    a, b = sfp.alias("a"), sfp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    ta = tot.select(
+        F.col("source").alias("source_a"), F.col("n_fps").alias("n_a")
+    )
+    tb = tot.select(
+        F.col("source").alias("source_b"), F.col("n_fps").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _winnow_cross_sql() -> str:
+    winnow_fps = (
+        f"CASE WHEN len(w) - {WINNOW_K - 1} >= {WINNOW_W} THEN "
+        f"list_distinct(list_transform("
+        f"range(1, len(w) - {WINNOW_K + WINNOW_W - 2} + 1), "
+        f"j -> list_min(list_transform(range(j, j + {WINNOW_W}), "
+        f"i -> md5(array_to_string(w[i:i+{WINNOW_K - 1}], ' ')))))) "
+        f"ELSE [] END"
+    )
+    return f"""
+WITH sfp AS (
+  SELECT DISTINCT source, fp FROM (
+    SELECT source, unnest({winnow_fps}) AS fp
+    FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+  )
+),
+tot AS (SELECT source, count(*) AS n FROM sfp GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, p.n_shared,
+       round(p.n_shared / CAST(ta.n + tb.n - p.n_shared AS DOUBLE), 4)
+         AS jaccard
+FROM pairs p
+JOIN tot ta ON ta.source = p.source_a
+JOIN tot tb ON tb.source = p.source_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Novel-n-gram rate: what fraction of the test split's n-gram
+# OCCURRENCES never appear in the train split — the memorization-risk
+# lens on a train/test split (a novelty rate near zero means eval-style
+# text is largely memorizable from training data).  The split is the
+# pipeline's own deterministic md5 split.  Shape: test-side n-grams
+# collapse to (source, gram) counts BEFORE the join (the partial
+# aggregate rides the explode's input partitions), then one gram-grain
+# join against the train split's distinct grams — both sides shuffle by
+# gram once; the report is a source-grain rollup of the counts.  Joined
+# on the raw gram string, not a hash: identical semantics on both
+# engines with no collision caveat.
+NOVEL_NGRAM = 8
+
+
+def novel_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    toks = word_tokens(F.col("text"))
+    split = split_col(F.col("doc_id"))
+    grams = docs.select(
+        "source",
+        split.alias("split"),
+        F.explode(word_shingles(toks, NOVEL_NGRAM)).alias("gram"),
+    )
+    test_counts = (
+        grams.filter(F.col("split") == "test")
+        .groupBy("source", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    train_grams = (
+        grams.filter(F.col("split") == "train").select("gram").distinct()
+    )
+    joined = test_counts.join(
+        train_grams.withColumn("seen", F.lit(1)), "gram", "left"
+    )
+    return joined.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_test_grams"),
+        F.sum(F.when(F.col("seen").isNotNull(), F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_seen"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(
+                F.when(F.col("seen").isNotNull(), F.col("cnt")).otherwise(0)
+            )
+            / F.sum("cnt").cast("double"),
+            4,
+        ).alias("novelty_rate"),
+    )
+
+
+def _novel_ngrams_sql() -> str:
+    _n = NOVEL_NGRAM
+    split_case = (
+        "CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))"
+        f" AS INTEGER) < {int(0.8 * 65536)} THEN 'train' "
+        "WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))"
+        f" AS INTEGER) < {int(0.9 * 65536)} THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+WITH grams AS (
+  SELECT source, {split_case} AS split,
+         unnest(list_transform(range(1, greatest(len(w) - {_n - 2}, 1)),
+                i -> array_to_string(w[i:i+{_n - 1}], ' '))) AS gram
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+),
+test_counts AS (
+  SELECT source, gram, count(*) AS cnt
+  FROM grams WHERE split = 'test' GROUP BY source, gram
+),
+train_grams AS (SELECT DISTINCT gram FROM grams WHERE split = 'train')
+SELECT source,
+       CAST(sum(cnt) AS BIGINT) AS n_test_grams,
+       CAST(sum(CASE WHEN t.gram IS NOT NULL THEN cnt ELSE 0 END) AS BIGINT)
+         AS n_seen,
+       round(1.0 - sum(CASE WHEN t.gram IS NOT NULL THEN cnt ELSE 0 END)
+             / CAST(sum(cnt) AS DOUBLE), 4) AS novelty_rate
+FROM test_counts c LEFT JOIN train_grams t ON c.gram = t.gram
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# PMI collocations: pointwise mutual information of adjacent token
+# pairs, ln((c_ab/B) / ((c_a/T)(c_b/T))) — the classic corpus-analysis
+# surface for multi-word expressions and for spotting boilerplate
+# phrases that dedup should own.  Emits EVERY bigram above the count
+# floor (a set, not a top-k — no cutoff sensitivity to last-ulp ln
+# differences between engines).  Shape: two vocab-grain counts + one
+# bigram-grain join against the unigram table twice + a one-row totals
+# broadcast; nothing past vocab/bigram grain ever shuffles.
+PMI_MIN_COUNT = 25
+
+
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    toks = word_tokens(F.col("text"))
+    uni = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        docs.select(F.explode(word_shingles(toks, 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+    )
+    totals = uni.agg(
+        F.sum("c").cast("double").alias("t_uni")
+    ).crossJoin(
+        docs.select(
+            F.explode(word_shingles(toks, 2)).alias("b2")
+        ).agg(F.count(F.lit(1)).cast("double").alias("t_bi"))
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bigram",
+            F.col("c_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("t_bi"))
+                    / (
+                        (F.col("c_a") / F.col("t_uni"))
+                        * (F.col("c_b") / F.col("t_uni"))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+
+
+PMI_SQL = f"""
+WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+uni AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY tok
+),
+bi AS (
+  SELECT bigram, count(*) AS c_ab
+  FROM (SELECT unnest(list_transform(range(1, greatest(len(w), 1)),
+               i -> array_to_string(w[i:i+1], ' '))) AS bigram
+        FROM toks)
+  GROUP BY bigram HAVING count(*) >= {PMI_MIN_COUNT}
+),
+tot AS (
+  SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS t_uni,
+         (SELECT CAST(sum(c_ab) AS DOUBLE) FROM (
+            SELECT count(*) AS c_ab
+            FROM (SELECT unnest(list_transform(range(1, greatest(len(w), 1)),
+                         i -> array_to_string(w[i:i+1], ' '))) AS bigram
+                  FROM toks)
+            GROUP BY bigram)) AS t_bi
+)
+SELECT b.bigram,
+       CAST(b.c_ab AS BIGINT) AS n_ab,
+       round(ln((b.c_ab / t.t_bi)
+                / ((u1.c / t.t_uni) * (u2.c / t.t_uni))), 4) AS pmi
+FROM bi b
+JOIN uni u1 ON u1.tok = string_split(b.bigram, ' ')[1]
+JOIN uni u2 ON u2.tok = string_split(b.bigram, ' ')[2]
+CROSS JOIN tot t
+"""
+
+
 # Driver-facing tier (see plans/relational.py note on the 50-query
 # window): text_quality folds in the repetition signals, text_fingerprint
 # folds cleaning + fingerprinting, split_sample folds split + sampling —
@@ -4165,5 +4509,31 @@ EXTRA_SPECS: list[QuerySpec] = [
         lang_confusion,
         LANG_CONFUSION_SQL,
         "ext:text,evaluation",
+    ),
+    # New in round 12 — extra tier per the rotation policy (r13
+    # promotion candidates).
+    QuerySpec(
+        "heaps_fit",
+        heaps_fit,
+        HEAPS_FIT_SQL,
+        "ext:text,corpus-health,regression",
+    ),
+    QuerySpec(
+        "winnow_cross_matrix",
+        winnow_cross_matrix,
+        _winnow_cross_sql(),
+        "ext:text,winnowing,overlap",
+    ),
+    QuerySpec(
+        "novel_ngrams",
+        novel_ngrams,
+        _novel_ngrams_sql(),
+        "ext:text,memorization,split",
+    ),
+    QuerySpec(
+        "collocation_pmi",
+        collocation_pmi,
+        PMI_SQL,
+        "ext:text,collocation,pmi",
     ),
 ]

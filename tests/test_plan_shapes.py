@@ -899,3 +899,52 @@ def test_corpus_decon_e2e_semi_probe_no_traps(spark):
             raise AssertionError(
                 "inferred-filter pushdown trap resurfaced: " + line[:200]
             )
+
+
+def test_heaps_fit_map_only_to_one_source_exchange(spark):
+    """Both Heaps coordinates are in-row array sizes — the plan must be
+    map-only (no explode, no join, no Python) until the single
+    source-grain closed-form-OLS aggregate."""
+    plan = _executed_plan(spark, "heaps_fit").split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" not in plan  # no explode anywhere
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(source") == 1
+
+
+def test_winnow_cross_matrix_fp_grain_no_traps(spark):
+    """The source-pair overlap matrix must self-join at winnowed-
+    fingerprint grain (density-bounded) — never doc×doc, never a
+    cartesian — and the winnowing pushdown trap stays absent."""
+    plan = _executed_plan(spark, "winnow_cross_matrix").split(
+        "== Initial Plan =="
+    )[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Filter" in line and "md5" in line:
+            raise AssertionError(
+                "inferred-filter pushdown trap resurfaced: " + line[:200]
+            )
+
+
+def test_novel_ngrams_partial_agg_before_join(spark):
+    """Test-side n-grams must collapse to (source, gram) counts before
+    the gram-grain join (partial aggregate on the explode's input
+    partitions), and nothing runs in Python."""
+    plan = _executed_plan(spark, "novel_ngrams").split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # partial aggregation marker below the join: a HashAggregate pair
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_collocation_pmi_vocab_grain_broadcast_totals(spark):
+    """PMI joins stay at vocab/bigram grain with the one-row totals
+    riding a broadcast; no Python, no cartesian fan-out."""
+    plan = _executed_plan(spark, "collocation_pmi").split(
+        "== Initial Plan =="
+    )[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
