@@ -824,6 +824,7 @@ def run_corpus_pipeline(
     health: "dict | None" = None
     if cfg.health_report:
         from ..operators.text import (
+            heaps_fit_frame,
             source_divergence_frame,
             token_entropy_frame,
             zipf_fit_frame,
@@ -844,6 +845,9 @@ def run_corpus_pipeline(
                 r["source"]: r
                 for r in token_entropy_frame(landed).collect()
             }
+            heaps_rows = {
+                r["source"]: r for r in heaps_fit_frame(landed).collect()
+            }
         except Exception:
             shutil.rmtree(staging, ignore_errors=True)
             raise
@@ -856,10 +860,18 @@ def run_corpus_pipeline(
                 "entropy": ent_rows[src]["entropy"],
                 "norm_entropy": ent_rows[src]["norm_entropy"],
                 "vocab_size": ent_rows[src]["vocab_size"],
+                # Heaps' law vocabulary-growth exponent (panel member
+                # #4, r12) — NULL for a source whose docs all share one
+                # length (zero variance in ln N)
+                "heaps_beta": heaps_rows[src]["heaps_beta"],
+                "heaps_r2": heaps_rows[src]["r2"],
                 "n_tokens": div_rows[src]["n_tokens"],
             }
             for src in sorted(
-                zipf_rows.keys() & div_rows.keys() & ent_rows.keys()
+                zipf_rows.keys()
+                & div_rows.keys()
+                & ent_rows.keys()
+                & heaps_rows.keys()
             )
         }
 

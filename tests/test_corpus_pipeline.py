@@ -1036,6 +1036,7 @@ def test_corpus_pipeline_health_report_in_manifest(spark, corpus_input, tmp_path
     fit + KL/JS divergence) in the manifest, computed over the LANDED
     output and matching a direct recomputation of the same frames."""
     from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        heaps_fit_frame,
         source_divergence_frame,
         token_entropy_frame,
         zipf_fit_frame,
@@ -1051,6 +1052,7 @@ def test_corpus_pipeline_health_report_in_manifest(spark, corpus_input, tmp_path
     want_sources = {r["source"] for r in landed.select("source").distinct().collect()}
     assert set(health) == want_sources
     zipf = {r["source"]: r for r in zipf_fit_frame(landed).collect()}
+    heaps = {r["source"]: r for r in heaps_fit_frame(landed).collect()}
     div = {r["source"]: r for r in source_divergence_frame(landed).collect()}
     ent = {r["source"]: r for r in token_entropy_frame(landed).collect()}
     for src, h in health.items():
@@ -1063,6 +1065,8 @@ def test_corpus_pipeline_health_report_in_manifest(spark, corpus_input, tmp_path
         assert h["entropy"] == ent[src]["entropy"]
         assert h["norm_entropy"] == ent[src]["norm_entropy"]
         assert h["vocab_size"] == ent[src]["vocab_size"]
+        assert h["heaps_beta"] == heaps[src]["heaps_beta"]
+        assert h["heaps_r2"] == heaps[src]["r2"]
         assert 0 <= (h["norm_entropy"] or 0) <= 1
     # default stays off and serializes as null
     out2 = tmp_path / "out_nohealth"
