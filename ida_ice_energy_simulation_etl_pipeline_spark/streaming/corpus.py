@@ -56,6 +56,10 @@ def corpus_ingest_stream(
 ) -> DataFrame:
     """filter → exact-dedup-within-watermark → scrub → split, streaming.
 
+    The filter stage consumes the batch pipeline's ``_keep_pred``
+    verbatim, so config-driven gates (including ``gopher_gate``, r12)
+    apply identically in-stream — pinned by a stream==batch gate test.
+
     Returns the transformed stream (append output mode); wire it to a
     parquet sink with ``writeStream.partitionBy("split")`` or the
     exactly-once helpers in streaming/sink.py.

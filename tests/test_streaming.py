@@ -1290,3 +1290,52 @@ def test_decontamination_stream_matches_batch(spark, tmp_path):
     assert got[1] == ("s1", True)
     assert got[2] == ("s1", False)
     assert got[3] == ("s2", False)
+
+
+def test_corpus_ingest_stream_gopher_gate_applies(spark, tmp_path):
+    """gopher_gate flows into the streaming ingest twin through the SAME
+    _keep_pred definition the batch pipeline filters on: a symbol-heavy
+    doc that passes the base filter is dropped in-stream when the gate
+    is armed, and kept when it is not."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.corpus.pipeline import (
+        CorpusConfig,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming.corpus import (
+        corpus_ingest_stream,
+        read_document_stream,
+    )
+
+    clean = (
+        "the quick brown fox jumps over the lazy dog near the old oak tree "
+        "while children play by the river bank every afternoon"
+    )
+    symbolic = clean + " #tag1 #tag2 #tag3"  # >10% symbol words
+    rows = [
+        {"doc_id": 1, "text": clean, "source": "s1",
+         "ingest_ts": "2024-03-01T00:00:00"},
+        {"doc_id": 2, "text": symbolic, "source": "s2",
+         "ingest_ts": "2024-03-01T00:01:00"},
+    ]
+    ingest = tmp_path / "incoming_g"
+    ingest.mkdir()
+    (ingest / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    gated = corpus_ingest_stream(
+        read_document_stream(spark, str(ingest)),
+        CorpusConfig(gopher_gate=True, scrub=False),
+    )
+    run_to_memory(gated, "ingest_gopher_on")
+    assert {
+        r["doc_id"]
+        for r in spark.sql("SELECT * FROM ingest_gopher_on").collect()
+    } == {1}
+
+    open_stream = corpus_ingest_stream(
+        read_document_stream(spark, str(ingest)),
+        CorpusConfig(scrub=False),
+    )
+    run_to_memory(open_stream, "ingest_gopher_off")
+    assert {
+        r["doc_id"]
+        for r in spark.sql("SELECT * FROM ingest_gopher_off").collect()
+    } == {1, 2}
