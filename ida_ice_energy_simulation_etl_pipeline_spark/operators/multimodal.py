@@ -2273,12 +2273,126 @@ def _packbits_decode(data: bytes, expect: int) -> "bytes | None":
     return bytes(out[:expect]) if len(out) >= expect else None
 
 
+def _tiff_lzw_decode(data: bytes, expect: int) -> "bytes | None":
+    """TIFF-variant LZW (TIFF6 §13): MSB-first bit packing, codes start
+    at 9 bits, ClearCode=256/EOI=257, and the EARLY-CHANGE quirk — the
+    code width grows when the next code to assign reaches 2^width − 1
+    (one code earlier than the GIF variant above).  A stream that ends
+    before ``expect`` bytes decode, or any code not yet in the table
+    (beyond the standard KwKwK case), returns None — fail closed like
+    every other profile gate in this module."""
+    clear, eoi = 256, 257
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: "bytes | None" = None
+    started = False
+    while len(out) < expect:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out[:expect]) if len(out) >= expect else None
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1  # drop consumed bits, keep acc bounded
+        if not started:
+            # TIFF6 mandates a leading ClearCode; requiring it keeps
+            # arbitrary bytes from being misread as a literal stream
+            if code != clear:
+                return None
+            started = True
+        if code == clear:
+            del table[258:]
+            width = 9
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code > 255:
+                return None  # first code after a clear must be a literal
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            return None
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            # EARLY change, decoder side: the decoder's table runs ONE
+            # entry behind the encoder's, so it must widen one entry
+            # earlier — at 2^width − 2 (libtiff's maxcode−1 rule) —
+            # for its read width to match the encoder's emit width.
+            if len(table) >= (1 << width) - 2 and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:expect]) if len(out) >= expect else None
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW ENCODER — the independent writer path the
+    round-trip tests drive against _tiff_lzw_decode (same
+    writer-vs-reader independence discipline as synth_exif_tiff vs
+    parse_exif): MSB-first emit, early change mirrored on the encoder
+    side, a table-full (4095) reset via ClearCode."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    clear, eoi = 256, 257
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(clear, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code >= (1 << width) - 1:
+            if width < 12:
+                width += 1
+            else:  # 12-bit table full: reset, same as real encoders
+                emit(clear, width)
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                width = 9
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def decode_tiff_pixels(payload: bytes) -> "object | None":
     """Decode a baseline TIFF (8-bit samples, strip-organized,
-    uncompressed or PackBits) to an (h, w, ch) uint8 array — pure
-    stdlib + numpy.  Supports grayscale (both photometric polarities),
-    RGB(A) and 16-bit-colormap palette images, either byte order.
-    None for other profiles (LZW/JPEG/deflate compression, tiles,
+    uncompressed, PackBits, LZW or Adobe-deflate — optionally with the
+    horizontal-differencing Predictor) to an (h, w, ch) uint8 array —
+    pure stdlib + numpy.  Supports grayscale (both photometric
+    polarities), RGB(A) and 16-bit-colormap palette images, either
+    byte order.  None for other profiles (JPEG-in-TIFF, tiles,
     sub-byte or 16-bit samples, planar multi-sample layout) or
     malformed payloads."""
     import struct
@@ -2333,6 +2447,7 @@ def decode_tiff_pixels(payload: bytes) -> "object | None":
         # meets every other accepted-profile check yet would decode
         # channel-scrambled — fail closed like the other gated profiles
         planar = tags.get(284, [1])[0]
+        predictor = tags.get(317, [1])[0]
         if (
             not w
             or not h
@@ -2341,9 +2456,10 @@ def decode_tiff_pixels(payload: bytes) -> "object | None":
             or len(offsets) != len(counts)
             or any(b != 8 for b in bits)
             or spp not in (1, 3, 4)
-            or compression not in (1, 32773)
+            or compression not in (1, 32773, 5, 8)
             or photometric not in (0, 1, 2, 3)
             or (planar != 1 and spp > 1)
+            or predictor not in (1, 2)
         ):
             return None
         raw = bytearray()
@@ -2358,12 +2474,30 @@ def decode_tiff_pixels(payload: bytes) -> "object | None":
                 strip = _packbits_decode(strip, n_rows * w * spp)
                 if strip is None:
                     return None
+            elif compression == 5:
+                strip = _tiff_lzw_decode(strip, n_rows * w * spp)
+                if strip is None:
+                    return None
+            elif compression == 8:  # Adobe deflate — plain zlib stream
+                import zlib
+
+                try:
+                    strip = zlib.decompress(strip)[: n_rows * w * spp]
+                except zlib.error:
+                    return None
+                if len(strip) < n_rows * w * spp:
+                    return None
             raw += strip
         if len(raw) < h * w * spp:
             return None
         img = np.frombuffer(bytes(raw), dtype=np.uint8, count=h * w * spp).reshape(
             h, w, spp
         )
+        if predictor == 2:
+            # horizontal differencing: each sample stored as the delta
+            # from its left neighbor — reconstruct with a wrapping
+            # per-row cumulative sum (uint8 cumsum wraps mod 256)
+            img = np.cumsum(img, axis=1, dtype=np.uint8)
         if photometric == 0:  # white-is-zero grayscale
             img = 255 - img
         elif photometric == 3:  # palette: 16-bit colormap, R/G/B planes
@@ -2385,9 +2519,10 @@ def decode_image_pixels(payload: bytes) -> "object | None":
     filters; 8/16-bit, palette incl. tRNS alpha, sub-byte gray, Adam7),
     first-frame GIF (LZW + palette), Huffman JPEG (baseline + extended
     sequential + progressive), uncompressed/RLE8 BMP and baseline TIFF
-    (uncompressed + PackBits strips).  Arithmetic-coded JPEG and the
-    non-stdlib-expressible formats (WebP/VP8, LZW TIFF, ...) stay the
-    PIL-gated remainder."""
+    (uncompressed, PackBits, LZW or deflate strips, horizontal-
+    differencing predictor — r12).  Arithmetic-coded JPEG and the
+    non-stdlib-expressible formats (WebP/VP8, JPEG-in-TIFF, ...) stay
+    the PIL-gated remainder."""
     px = decode_png_pixels(payload)
     if px is None:
         px = decode_gif_pixels(payload)

@@ -3533,7 +3533,8 @@ def test_tiff_pixel_decode_profiles():
     px = decode_tiff_pixels(bytes(tiff("<", entries, [cmap], base)) + cmap + strip)
     assert px[0, 0].tolist() == [255, 0, 0] and px[0, 1].tolist() == [0, 200, 0]
 
-    # unsupported: LZW compression
+    # LZW whose stream does not begin with the mandated ClearCode
+    # (here: all-zero bytes) fails closed
     entries = [
         (256, 3, [2]), (257, 3, [1]), (258, 3, [8]),
         (259, 3, [5]), (262, 3, [1]), (273, 4, [200]),
@@ -4084,3 +4085,102 @@ def test_winnowing_guarantee_and_density(spark):
         winnow_fps(word_tokens(F.col("text"))).alias("fps")
     ).collect()
     assert r["fps"] == []
+
+
+def test_tiff_lzw_and_deflate_decode_profiles():
+    """TIFF LZW (MSB-first, early change, leading ClearCode) and
+    Adobe-deflate strips decode to exact pixels, including the
+    horizontal-differencing predictor; the encoder is an independent
+    writer path (round-trip discipline), the first emitted code is
+    pinned to the spec's ClearCode, and a 9→10-bit early-change
+    boundary is crossed by a large buffer round-trip.  Truncated
+    streams fail closed."""
+    import struct
+    import zlib
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+        decode_tiff_pixels,
+    )
+
+    # spec pin: stream begins with ClearCode(256) at 9 bits MSB-first —
+    # first byte is 0b10000000
+    enc = _tiff_lzw_encode(b"\x07")
+    assert enc[0] == 0x80
+    assert _tiff_lzw_decode(enc, 1) == b"\x07"
+
+    # raw round-trips: repetitive (exercises table growth + KwKwK) and
+    # a >1500-entry mixed buffer (crosses the 9->10 bit early change)
+    rep = b"abcabcabcabc" * 40
+    assert _tiff_lzw_decode(_tiff_lzw_encode(rep), len(rep)) == rep
+    big = bytes((i * 37 + (i >> 3)) % 256 for i in range(6000))
+    assert _tiff_lzw_decode(_tiff_lzw_encode(big), len(big)) == big
+    # KwKwK: a run of one symbol forces code == len(table) on decode
+    run = b"\x05" * 64
+    assert _tiff_lzw_decode(_tiff_lzw_encode(run), len(run)) == run
+    # truncated stream: cannot produce the expected byte count
+    assert _tiff_lzw_decode(_tiff_lzw_encode(big)[:20], len(big)) is None
+
+    def tiff(bo, entries, blob_base):
+        ifd_off = 8
+        out = bytearray()
+        out += b"II*\x00" if bo == "<" else b"MM\x00*"
+        out += struct.pack(bo + "I", ifd_off)
+        out += struct.pack(bo + "H", len(entries))
+        fmt = {1: "B", 3: "H", 4: "I"}
+        for tag, typ, vals in entries:
+            out += struct.pack(bo + "HH", tag, typ)
+            out += struct.pack(bo + "I", len(vals))
+            packed = struct.pack(bo + fmt[typ] * len(vals), *vals)
+            out += packed + b"\x00" * (4 - len(packed))
+        out += struct.pack(bo + "I", 0)
+        return bytes(out)
+
+    # LZW grayscale 4x2, one strip
+    pixels = bytes([10, 20, 30, 40, 50, 60, 70, 80])
+    strip = _tiff_lzw_encode(pixels)
+    base = 8 + 2 + 7 * 12 + 4
+    entries = [
+        (256, 3, [4]), (257, 3, [2]), (258, 3, [8]),
+        (259, 3, [5]), (262, 3, [1]), (273, 4, [base]),
+        (279, 4, [len(strip)]),
+    ]
+    px = decode_tiff_pixels(tiff("<", entries, base) + strip)
+    assert px.shape == (2, 4, 1)
+    assert px[:, :, 0].ravel().tolist() == list(pixels)
+
+    # LZW RGB 3x1 WITH horizontal-differencing predictor: store deltas,
+    # expect absolute values back (incl. a mod-256 wrap)
+    absolute = [250, 10, 0, 4, 250, 3, 30, 40, 50]  # row of 3 RGB pixels
+    deltas = absolute[:3] + [
+        (absolute[i] - absolute[i - 3]) % 256 for i in range(3, 9)
+    ]
+    strip = _tiff_lzw_encode(bytes(deltas))
+    base = 8 + 2 + 9 * 12 + 4
+    entries = [
+        # BitsPerSample count 1 keeps the helper blob-free; the reader
+        # takes spp from the explicit SamplesPerPixel tag
+        (256, 3, [3]), (257, 3, [1]), (258, 3, [8]),
+        (259, 3, [5]), (262, 3, [2]), (273, 4, [base]),
+        (277, 3, [3]), (279, 4, [len(strip)]), (317, 3, [2]),
+    ]
+    px = decode_tiff_pixels(tiff("<", entries, base) + strip)
+    assert px.reshape(-1).tolist() == absolute
+
+    # deflate grayscale 4x1
+    pixels = bytes([1, 2, 3, 4])
+    strip = zlib.compress(pixels)
+    base = 8 + 2 + 7 * 12 + 4
+    entries = [
+        (256, 3, [4]), (257, 3, [1]), (258, 3, [8]),
+        (259, 3, [8]), (262, 3, [1]), (273, 4, [base]),
+        (279, 4, [len(strip)]),
+    ]
+    px = decode_tiff_pixels(tiff("<", entries, base) + strip)
+    assert px[:, :, 0].ravel().tolist() == [1, 2, 3, 4]
+
+    # corrupt deflate stream fails closed
+    bad = strip[:-3]
+    entries[-1] = (279, 4, [len(bad)])
+    assert decode_tiff_pixels(tiff("<", entries, base) + bad) is None
