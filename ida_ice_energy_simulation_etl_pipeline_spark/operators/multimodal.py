@@ -3388,3 +3388,150 @@ SPECS.append(
         "ext:multimodal,exif",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# LZW-TIFF census (new r12): the registry-visible surface for the r12
+# TIFF codec work — every payload is an LZW-compressed,
+# predictor-differenced TIFF whose pixels are pure doc_id arithmetic,
+# so the per-source pixel rollup has a first-principles, float-free
+# DuckDB oracle.  Writer (struct-packed IFD + _tiff_lzw_encode +
+# horizontal differencing) and reader (the real IFD walk +
+# _tiff_lzw_decode + predictor cumsum) are fully independent code
+# paths — a regression in either breaks the value hash.  Same shape as
+# exif_census: two chained Arrow mapInPandas stages composing map-only
+# with the scan, ONE source-grain exchange.
+def synth_lzw_tiff(doc_id: int) -> bytes:
+    """Little-endian gray 8×1 TIFF, LZW-compressed with Predictor 2,
+    pixels (doc_id·7 + i) mod 256 — the mod-256 wrap exercises the
+    predictor's wrapping cumulative sum on most doc_ids."""
+    import struct
+
+    d = int(doc_id)
+    px = [(d * 7 + i) % 256 for i in range(8)]
+    deltas = [px[0]] + [(px[i] - px[i - 1]) % 256 for i in range(1, 8)]
+    strip = _tiff_lzw_encode(bytes(deltas))
+    bo = "<"
+    n_entries = 8
+    base = 8 + 2 + 12 * n_entries + 4  # strip lands right after the IFD
+    entries = [
+        (256, 3, [8]),           # width
+        (257, 3, [1]),           # height
+        (258, 3, [8]),           # bits per sample
+        (259, 3, [5]),           # LZW
+        (262, 3, [1]),           # black-is-zero
+        (273, 4, [base]),        # strip offset
+        (279, 4, [len(strip)]),  # strip byte count
+        (317, 3, [2]),           # horizontal differencing
+    ]
+    out = bytearray(b"II*\x00" + struct.pack(bo + "I", 8))
+    out += struct.pack(bo + "H", n_entries)
+    fmt = {3: "H", 4: "I"}
+    for tag, typ, vals in entries:
+        out += struct.pack(bo + "HHI", tag, typ, len(vals))
+        packed = struct.pack(bo + fmt[typ] * len(vals), *vals)
+        out += packed + b"\x00" * (4 - len(packed))
+    out += struct.pack(bo + "I", 0)
+    return bytes(out) + strip
+
+
+def documents_as_lzw_tiff_media(docs: DataFrame) -> DataFrame:
+    """Lift the documents table into the media schema with synthetic
+    LZW-TIFF payloads (Arrow-batched writer; payloads are born
+    executor-side and never cross the driver)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["doc_id"],
+                    "media_type": "image/tiff",
+                    "payload": [synth_lzw_tiff(d) for d in pdf["doc_id"]],
+                    "source": pdf["source"],
+                }
+            )
+
+    return docs.select("doc_id", "source").mapInPandas(
+        batches,
+        schema="item_id long, media_type string, payload binary, source string",
+    )
+
+
+PIXEL_STAT_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType(), False),
+        StructField("source", StringType(), True),
+        StructField("px_sum", LongType(), True),
+        StructField("px_min", LongType(), True),
+        StructField("px_max", LongType(), True),
+    ]
+)
+
+
+def extract_pixel_stats(media: DataFrame) -> DataFrame:
+    """Pixel-stat extraction over binary image payloads through the
+    REAL decode_image_pixels codec stack (Arrow-batched); undecodable
+    payloads yield NULL stats rather than failing the batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sums, mins, maxs = [], [], []
+            for b in pdf["payload"]:
+                px = decode_image_pixels(b) if b is not None else None
+                if px is None:
+                    sums.append(None), mins.append(None), maxs.append(None)
+                else:
+                    sums.append(int(px.sum()))
+                    mins.append(int(px.min()))
+                    maxs.append(int(px.max()))
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "source": pdf["source"],
+                    "px_sum": pd.array(sums, dtype="Int64"),
+                    "px_min": pd.array(mins, dtype="Int64"),
+                    "px_max": pd.array(maxs, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=PIXEL_STAT_SCHEMA)
+
+
+def lzw_tiff_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    stats = extract_pixel_stats(documents_as_lzw_tiff_media(docs))
+    return stats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_imgs"),
+        F.sum(F.col("px_sum").isNotNull().cast("long")).alias("n_decoded"),
+        F.sum("px_sum").cast("long").alias("total_px"),
+        F.min("px_min").cast("long").alias("min_px"),
+        F.max("px_max").cast("long").alias("max_px"),
+    )
+
+
+LZW_TIFF_CENSUS_SQL = """
+WITH x AS (
+  SELECT source,
+         list_transform(range(0, 8), i -> (doc_id * 7 + i) % 256) AS px
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_imgs,
+       count(*) AS n_decoded,
+       CAST(sum(list_sum(px)) AS BIGINT) AS total_px,
+       CAST(min(list_min(px)) AS BIGINT) AS min_px,
+       CAST(max(list_max(px)) AS BIGINT) AS max_px
+FROM x
+GROUP BY source
+"""
+
+
+# Extra tier per the rotation policy (r13 promotion candidate).
+EXTRA_SPECS.append(
+    QuerySpec(
+        "lzw_tiff_census",
+        lzw_tiff_census,
+        LZW_TIFF_CENSUS_SQL,
+        "ext:multimodal,tiff,lzw,codec",
+    )
+)

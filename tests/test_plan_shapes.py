@@ -948,3 +948,15 @@ def test_collocation_pmi_vocab_grain_broadcast_totals(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_lzw_tiff_census_two_arrow_stages_one_exchange(spark):
+    """The LZW-TIFF census composes the synthetic writer and the real
+    codec stack as chained Arrow mapInPandas stages (map-only with the
+    scan); the only exchange is the source-grain aggregate."""
+    plan = _executed_plan(spark, "lzw_tiff_census").split(
+        "== Initial Plan =="
+    )[0]
+    assert plan.count("MapInPandas") == 2
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning(source") == 1
