@@ -286,6 +286,25 @@ def _js_divergence(p_arr: Column, q_arr: Column) -> Column:
     return present + term(p_other, q_other)
 
 
+def _vocab_entropy(p_arr: Column) -> Column:
+    """Shannon entropy (nats) of a probability array over the tracked
+    vocabulary + the implicit 'other' bucket — the streaming consumer
+    of the batch health panel's entropy signal, over the SAME V+1
+    outcomes the JS arm covers.  F.aggregate again: deterministic
+    sequential fold, 0·ln0 = 0."""
+
+    def term(p):
+        return F.when(p > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+
+    present = F.aggregate(
+        F.transform(p_arr, term), F.lit(0.0), lambda acc, x: acc + x
+    )
+    other = F.lit(1.0) - F.aggregate(
+        p_arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    return present + term(other)
+
+
 def corpus_drift_frame(
     docs: DataFrame,
     baseline: DataFrame,
@@ -363,6 +382,10 @@ def corpus_drift_frame(
         js_cols = [
             F.round(js, 6).alias("js_divergence"),
             (js > js_threshold).alias("dist_drifted"),
+            # per-window vocab entropy (r12): the entropy arm of the
+            # health panel over the same V+1 outcomes — zero extra
+            # aggregation, a pure fold over the window's vocab counts
+            F.round(_vocab_entropy(p_arr), 6).alias("vocab_entropy"),
         ]
     return agg.select(
         F.col("w.start").alias("window_start"),

@@ -1208,6 +1208,12 @@ def test_corpus_drift_stream_js_divergence_matches_batch(spark, tmp_path):
     assert not got["s2"]["tokens_drifted"]
     assert got["s2"]["dist_drifted"]
     assert 0.0 < got["s2"]["js_divergence"] <= math.log(2) + 1e-9
+    # per-window vocab entropy (r12): bounded by ln(V+1); s1 speaks 11
+    # distinct outcomes of the tracked 8+other, s2 concentrates all
+    # non-'the' mass in the other bucket → strictly lower entropy
+    for r in got.values():
+        assert 0.0 < r["vocab_entropy"] <= math.log(len(vocab) + 1) + 1e-9
+    assert got["s2"]["vocab_entropy"] < got["s1"]["vocab_entropy"]
     # twin parity including the JS column, through the SAME builder
     batch_docs = spark.createDataFrame(
         [(r["doc_id"], r["text"], r["source"], r["ingest_ts"]) for r in rows],
