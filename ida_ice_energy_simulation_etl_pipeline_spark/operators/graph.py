@@ -545,6 +545,128 @@ LIMIT {PR_TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Exact triangle counting (new r12): the third classic graph kernel
+# beside connected components and PageRank, over the same part
+# co-order graph.  The Spark side uses DEGREE ORIENTATION — every edge
+# points from its lower-(degree, id) endpoint to the higher, making
+# the graph a DAG in which each triangle has exactly ONE pivot vertex
+# with two out-edges — so the wedge join's per-key fan-out is bounded
+# by the maximum ORIENTED out-degree (≤ O(√m) on any graph, the
+# arboricity bound), never by the raw degree of a hub.  That is the
+# 100 TB story: a celebrity vertex with 10⁷ neighbors contributes no
+# 10¹⁴-row wedge explosion, because orientation caps its out-edges.
+# The DuckDB oracle deliberately uses the DIFFERENT canonical
+# id-ordered construction (e1=(a,b), e2=(a,c) b<c, closing (b,c)) —
+# two independent derivations must agree on the exact count.
+def triangle_stats_frame(edges: DataFrame) -> DataFrame:
+    """edges: undirected, distinct, canonical (src < dst).  Returns one
+    row: vertices, edges, wedges, triangles, global clustering
+    coefficient 3T/W (the only float, final round)."""
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e = (
+        edges.join(
+            deg.select(F.col("src"), F.col("deg").alias("ds")), "src"
+        )
+        .join(
+            deg.select(
+                F.col("src").alias("dst"), F.col("deg").alias("dd")
+            ),
+            "dst",
+        )
+        .select(
+            F.when(
+                (F.col("ds") < F.col("dd"))
+                | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))),
+                F.col("src"),
+            )
+            .otherwise(F.col("dst"))
+            .alias("u"),
+            F.when(
+                (F.col("ds") < F.col("dd"))
+                | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))),
+                F.col("dst"),
+            )
+            .otherwise(F.col("src"))
+            .alias("w"),
+        )
+    )
+    a, b = e.alias("a"), e.alias("b")
+    wedges = a.join(
+        b, (F.col("a.u") == F.col("b.u")) & (F.col("a.w") < F.col("b.w"))
+    ).select(F.col("a.w").alias("src"), F.col("b.w").alias("dst"))
+    # close the wedge against the canonical UNDIRECTED edge set: the
+    # wedge endpoints are already id-ordered (a.w < b.w), so a single
+    # left-semi at edge grain decides each wedge
+    tri = wedges.join(edges, ["src", "dst"], "left_semi")
+    n_tri = tri.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n_v = deg.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n_e = edges.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n_w = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n")
+    )
+    return (
+        n_v.crossJoin(n_e.withColumnRenamed("n", "ne"))
+        .crossJoin(n_w.withColumnRenamed("n", "nw"))
+        .crossJoin(n_tri.withColumnRenamed("n", "nt"))
+        .select(
+            F.col("n").alias("n_vertices"),
+            F.col("ne").alias("n_edges"),
+            F.col("nw").alias("n_wedges"),
+            F.col("nt").alias("n_triangles"),
+            F.round(
+                F.lit(3.0)
+                * F.col("nt")
+                / F.nullif(F.col("nw").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("clustering"),
+        )
+    )
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, F.col("a.ok") == F.col("b.ok"))
+        .filter(F.col("a.pk") < F.col("b.pk"))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+    )
+    return triangle_stats_frame(ensure_parallelism(spark, edges))
+
+
+TRIANGLE_COUNT_SQL = """
+WITH m AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e AS (
+  SELECT DISTINCT a.pk AS src, b.pk AS dst
+  FROM m a JOIN m b USING (ok) WHERE a.pk < b.pk
+),
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+deg AS (SELECT src AS v, count(*) AS d FROM sym GROUP BY src),
+tri AS (
+  SELECT count(*) AS t
+  FROM e e1
+  JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
+  JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+       (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles,
+       round(3.0 * (SELECT t FROM tri)
+             / nullif((SELECT sum(d * (d - 1) / 2) FROM deg), 0), 6)
+         AS clustering
+"""
+
+
 # Round-6 rotation: dedup_survivors moved to the extra tier (5 rounds
 # of green driver rows; survivor selection stays locally oracle-verified
 # and dedup_survivors_ranked covers the same cluster-grain max_by);
@@ -596,5 +718,14 @@ EXTRA_SPECS: list[QuerySpec] = [
         dedup_clusters_star,
         _dedup_clusters_sql(),
         "ext:dedup,graph,star",
+    ),
+    # New in round 12 — extra tier per the rotation policy (r13
+    # promotion candidate): degree-oriented exact triangle count vs an
+    # independently-constructed id-ordered oracle.
+    QuerySpec(
+        "triangle_count",
+        triangle_count,
+        TRIANGLE_COUNT_SQL,
+        "ext:graph,triangles,clustering",
     ),
 ]

@@ -960,3 +960,15 @@ def test_lzw_tiff_census_two_arrow_stages_one_exchange(spark):
     assert plan.count("MapInPandas") == 2
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning(source") == 1
+
+
+def test_triangle_count_no_cartesian_semi_close(spark):
+    """Degree-oriented triangle counting: the wedge join and the
+    edge-grain closing probe must be hash joins (no cartesian), the
+    closing probe a LEFT SEMI, and nothing runs in Python."""
+    plan = _executed_plan(spark, "triangle_count").split(
+        "== Initial Plan =="
+    )[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
