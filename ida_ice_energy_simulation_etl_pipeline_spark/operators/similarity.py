@@ -263,6 +263,98 @@ GROUP BY label
 
 
 # --------------------------------------------------------------------------
+# Per-label centroid + intra-class dispersion (new r12): the embedding
+# QA diagnostic — how coherent is each label's vector cloud?  Shape:
+# one dim-grain exchange for the centroid (posexplode is a FIXED ×64
+# fan-out, never data-dependent), centroids quantized to 12 dp on BOTH
+# engines (the pagerank device: cross-engine accumulation wobble in
+# the avg cannot survive a 12-dp boundary) and broadcast back
+# (|labels| rows), then the member→centroid cosine is the in-row
+# zip_with fold with a per-row 6-dp round before the final label-grain
+# aggregate.  At 100 TB: the dim-grain aggregate is labels×64 rows of
+# state with map-side combine; the rejoin is a broadcast; nothing else
+# shuffles.
+def embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ensure_parallelism(
+        spark, load_table(spark, sf_dir, "embeddings")
+    ).select(F.col("label").cast("long").alias("label"), "embedding")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 12).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+    )
+    joined = emb.join(F.broadcast(cent), "label")
+    # NO per-row round: the raw fold is bit-identical on both engines,
+    # while an intermediate round plants values ON decimal boundaries
+    # where Spark (decimal-string HALF_UP) and DuckDB (binary-value
+    # rounding) disagree — the documented double-rounding trap, hit on
+    # min_cos at sf0.01 when this query briefly rounded per-row at 6dp.
+    cos = cosine_similarity(F.col("embedding"), F.col("centroid"))
+    return (
+        joined.select("label", cos.alias("cos"), "centroid")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("cos"), 4).alias("mean_cos"),
+            F.round(F.min("cos"), 4).alias("min_cos"),
+            F.round(F.first(l2_norm("centroid")), 6).alias("centroid_norm"),
+        )
+    )
+
+
+def _embedding_dispersion_sql() -> str:
+    # The cosine is restated as the EXACT sequential left fold the
+    # Spark side computes (list_reduce ≡ F.aggregate with a 0 init for
+    # addition) — list_cosine_similarity's internal summation order
+    # differs in the last ulp, so the fold is spelled out and the raw
+    # doubles agree bit-for-bit (verified); rounding happens ONLY on
+    # the final aggregates.
+    fold = "list_reduce({arr}, (a, b) -> a + b)"
+    dot = fold.format(
+        arr=f"list_transform(range(1, {EMB_DIM} + 1), i -> e.v[i] * cent.c[i])"
+    )
+    nv = fold.format(arr="list_transform(e.v, x -> x * x)")
+    nc = fold.format(arr="list_transform(cent.c, x -> x * x)")
+    return f"""
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, list(c ORDER BY pos) AS c
+  FROM (
+    SELECT label, pos, round(avg(v[pos]), 12) AS c
+    FROM e, unnest(range(1, {EMB_DIM} + 1)) AS t(pos)
+    GROUP BY label, pos
+  )
+  GROUP BY label
+),
+scored AS (
+  SELECT e.label,
+         {dot} / (sqrt({nv}) * sqrt({nc})) AS cos,
+         sqrt({nc}) AS cnorm
+  FROM e JOIN cent USING (label)
+)
+SELECT label,
+       count(*) AS n_vecs,
+       round(avg(cos), 4) AS mean_cos,
+       round(min(cos), 4) AS min_cos,
+       round(any_value(cnorm), 6) AS centroid_norm
+FROM scored
+GROUP BY label
+"""
+
+
+# --------------------------------------------------------------------------
 # Random-hyperplane LSH (scale path for ANN).
 def _hyperplane(dim: int, h: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane h: components in
@@ -1135,5 +1227,13 @@ EXTRA_SPECS: list[QuerySpec] = [
         knn_label_accuracy,
         KNN_LABEL_ACCURACY_SQL,
         "ext:ann,evaluation,labels",
+    ),
+    # New in round 12 — extra tier per the rotation policy (r13
+    # promotion candidate): per-label centroid + intra-class cohesion.
+    QuerySpec(
+        "embedding_dispersion",
+        embedding_dispersion,
+        _embedding_dispersion_sql(),
+        "ext:ann,embeddings,qa",
     ),
 ]

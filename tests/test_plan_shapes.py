@@ -972,3 +972,15 @@ def test_triangle_count_no_cartesian_semi_close(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
+
+
+def test_embedding_dispersion_fixed_fanout_broadcast_rejoin(spark):
+    """The centroid path's posexplode is a FIXED ×dim fan-out feeding a
+    dim-grain aggregate; the rejoin rides a broadcast (|labels| rows);
+    the cosine stays an in-JVM fold (no Python)."""
+    plan = _executed_plan(spark, "embedding_dispersion").split(
+        "== Initial Plan =="
+    )[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
