@@ -1338,6 +1338,143 @@ GROUP BY source
 
 
 # --------------------------------------------------------------------------
+# Neyman (optimal-allocation) stratified sampling (new r12): allocate a
+# fixed sample budget across strata ∝ N_h·S_h (survey sampling's
+# variance-minimizing rule — high-variance strata earn more rows than
+# proportional allocation gives them), then draw each stratum's rows in
+# deterministic md5 order.  Numeric discipline, the whole point of the
+# construction:
+#   * N_h·S_h = sqrt(N_h·Σx² − (Σx)²) — an EXACT int64 under the sqrt
+#     (token counts are integers), so both engines sqrt the SAME
+#     integer and the weights are bit-identical;
+#   * the weight total folds over the SOURCE-SORTED weight list
+#     (array_sort + F.aggregate ≡ list(w ORDER BY source) +
+#     list_reduce), so the 20-addend float sum has ONE accumulation
+#     order on both engines;
+#   * integer Hamilton rounding (floor + largest-remainder, remainder
+#     ties → source asc) distributes the leftover — every comparison
+#     runs on bit-identical doubles.
+# One stats aggregate + a dim-sized allocation frame broadcast back +
+# one per-stratum row_number window in md5 order; at 100 TB the window
+# is per-stratum (never global) and the allocation math is |strata|
+# rows on the driver-free SQL path.
+NEYMAN_BUDGET = 100
+
+
+def neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    per = docs.select(
+        "source",
+        "doc_id",
+        F.size(word_tokens(F.col("text"))).cast("long").alias("x"),
+    )
+    stats = per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    ).select(
+        "source",
+        "n_h",
+        F.sqrt(
+            (F.col("n_h") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("double")
+        ).alias("w"),
+    )
+    tot = stats.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "w"))),
+                lambda s: s["w"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("w_total")
+    )
+    alloc = (
+        stats.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "a", F.lit(float(NEYMAN_BUDGET)) * F.col("w") / F.col("w_total")
+        )
+        .withColumn("base", F.floor("a").cast("long"))
+        .withColumn("rem", F.col("a") - F.col("base"))
+    )
+    leftover = F.lit(NEYMAN_BUDGET) - F.sum("base").over(
+        Window.partitionBy()
+    )
+    rank = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("rem").desc(), "source")
+    )
+    quota = alloc.select(
+        "source",
+        "n_h",
+        (
+            F.col("base")
+            + (rank <= leftover).cast("long")
+        ).alias("q"),
+    ).select(
+        "source", F.least(F.col("q"), F.col("n_h")).alias("quota")
+    )
+    ordered = per.withColumn(
+        "sample_rank",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .cast("long"),
+    )
+    return (
+        ordered.join(F.broadcast(quota), "source")
+        .filter(F.col("sample_rank") <= F.col("quota"))
+        .select("source", "sample_rank", "doc_id")
+    )
+
+
+NEYMAN_SAMPLE_SQL = f"""
+WITH per AS (
+  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+  FROM documents
+),
+stats AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_h,
+         sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)) AS w
+  FROM per GROUP BY source
+),
+tot AS (
+  SELECT list_reduce(list(w ORDER BY source), (a, b) -> a + b) AS w_total
+  FROM stats
+),
+alloc AS (
+  SELECT source, n_h,
+         {float(NEYMAN_BUDGET)} * w / w_total AS a,
+         CAST(floor({float(NEYMAN_BUDGET)} * w / w_total) AS BIGINT) AS base
+  FROM stats CROSS JOIN tot
+),
+quota AS (
+  SELECT source,
+         least(base + CASE WHEN row_number() OVER (
+                  ORDER BY a - base DESC, source)
+                <= {NEYMAN_BUDGET} - (SELECT sum(base) FROM alloc)
+              THEN 1 ELSE 0 END, n_h) AS quota
+  FROM alloc
+),
+ordered AS (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+           AS sample_rank
+  FROM per
+)
+SELECT o.source, o.sample_rank, o.doc_id
+FROM ordered o JOIN quota q ON q.source = o.source
+WHERE o.sample_rank <= q.quota
+"""
+
+
+# --------------------------------------------------------------------------
 # Weighted sampling without replacement (Efraimidis–Spirakis A-ES): each
 # row draws a deterministic pseudo-uniform u from its content hash and
 # ranks by log(u)/w — the top-k per stratum is then an exact weighted
@@ -4512,6 +4649,12 @@ EXTRA_SPECS: list[QuerySpec] = [
     ),
     # New in round 12 — extra tier per the rotation policy (r13
     # promotion candidates).
+    QuerySpec(
+        "neyman_sample",
+        neyman_sample,
+        NEYMAN_SAMPLE_SQL,
+        "ext:sampling,stratified,allocation",
+    ),
     QuerySpec(
         "heaps_fit",
         heaps_fit,

@@ -984,3 +984,14 @@ def test_embedding_dispersion_fixed_fanout_broadcast_rejoin(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_neyman_sample_dim_windows_broadcast_quota(spark):
+    """Neyman allocation: the stats/allocation math runs on dim-sized
+    frames, the quota rides a broadcast back to the corpus, and the
+    selection window is per-stratum (never a global corpus sort); no
+    Python anywhere."""
+    plan = _executed_plan(spark, "neyman_sample").split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
