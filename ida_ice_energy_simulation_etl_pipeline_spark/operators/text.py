@@ -549,6 +549,134 @@ FROM totals t LEFT JOIN flagged f USING (source)
 """
 
 
+# --------------------------------------------------------------------------
+# Winnowed near-dup PAIRS (new r12): the MOSS use-case proper — which
+# document pairs share enough winnowed fingerprints to certify real
+# textual overlap, with one-sided CONTAINMENT (n_shared / |smaller
+# doc's fp set|) so a short doc swallowed by a long one scores high
+# even when symmetric Jaccard is tiny.  A second, independent near-dup
+# candidate generator beside MinHash-LSH banding: fingerprints certify
+# shared ≥ w+k−1 token RUNS (position-robust), where MinHash estimates
+# shingle-set overlap.  Scale posture: the pair join runs at
+# fingerprint grain over the winnowed index (~2/(w+1) density), and a
+# document-frequency cap drops boilerplate-grade fingerprints before
+# the join — a fp shared by k docs yields k² pair rows, so the cap is
+# what bounds the self-join exactly like contamination_check's eval-df
+# cap and dedup_ngram_jaccard's hot-shingle cap.  All arithmetic is
+# integer until the final rounded ratios.
+WINNOW_PAIR_MIN_SHARED = 2
+WINNOW_PAIR_DF_CAP = 50
+
+
+def winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    toks = word_tokens(F.col("text"))
+    per_doc = docs.select(
+        "doc_id", winnow_hashes(toks).alias("hashes")
+    ).select("doc_id", winnow_select(F.col("hashes")).alias("fps"))
+    ex = per_doc.select(
+        "doc_id", F.explode_outer("fps").alias("fp")
+    ).filter(F.col("fp").isNotNull())
+    # sizes from the EXPLODED stream, not `size(fps) > 0` over the
+    # projection: filtering on the array expression re-inlines the
+    # whole winnowing subtree into a pushed Filter — the SAME trap
+    # documented on winnow_fingerprints, reproduced here by this
+    # query's first draft (plan pin below rejects it).  fps is
+    # per-doc-distinct, so count(fp) == size(fps), and fp-less docs
+    # simply contribute no rows — the > 0 filter falls out for free.
+    sizes = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fps")
+    )
+    rare = (
+        ex.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WINNOW_PAIR_DF_CAP)
+        .select("fp")
+    )
+    capped = ex.join(rare, "fp", "left_semi")
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_PAIR_MIN_SHARED)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fps").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fps").alias("nb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / F.least(F.col("na"), F.col("nb")).cast("double"),
+                4,
+            ).alias("containment"),
+            F.round(
+                F.col("n_shared")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _winnow_pairs_sql() -> str:
+    winnow_fps = (
+        f"CASE WHEN len(w) - {WINNOW_K - 1} >= {WINNOW_W} THEN "
+        f"list_distinct(list_transform("
+        f"range(1, len(w) - {WINNOW_K + WINNOW_W - 2} + 1), "
+        f"j -> list_min(list_transform(range(j, j + {WINNOW_W}), "
+        f"i -> md5(array_to_string(w[i:i+{WINNOW_K - 1}], ' ')))))) "
+        f"ELSE [] END"
+    )
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id, {winnow_fps} AS fps
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+sizes AS (
+  SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps
+  FROM per_doc WHERE len(fps) > 0
+),
+ex AS (SELECT doc_id, unnest(fps) AS fp FROM per_doc),
+capped AS (
+  SELECT doc_id, fp FROM ex
+  WHERE fp IN (SELECT fp FROM ex GROUP BY fp
+               HAVING count(*) <= {WINNOW_PAIR_DF_CAP})
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM capped a JOIN capped b
+    ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {WINNOW_PAIR_MIN_SHARED}
+)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       round(p.n_shared / CAST(least(sa.n_fps, sb.n_fps) AS DOUBLE), 4)
+         AS containment,
+       round(p.n_shared
+             / CAST(sa.n_fps + sb.n_fps - p.n_shared AS DOUBLE), 4)
+         AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+"""
+
+
 def decontaminate_flagged_ids(
     train: DataFrame, evl: DataFrame, method: str
 ) -> DataFrame:
@@ -4654,6 +4782,12 @@ EXTRA_SPECS: list[QuerySpec] = [
         neyman_sample,
         NEYMAN_SAMPLE_SQL,
         "ext:sampling,stratified,allocation",
+    ),
+    QuerySpec(
+        "winnow_pairs",
+        winnow_pairs,
+        _winnow_pairs_sql(),
+        "ext:text,winnowing,near-dup,containment",
     ),
     QuerySpec(
         "heaps_fit",

@@ -995,3 +995,19 @@ def test_neyman_sample_dim_windows_broadcast_quota(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_winnow_pairs_fp_grain_capped_no_traps(spark):
+    """Winnowed near-dup pairs: the self-join runs at fingerprint grain
+    with the df cap applied first (semi join against the rare-fp set);
+    no cartesian, no Python, and the winnowing pushdown trap stays
+    absent."""
+    plan = _executed_plan(spark, "winnow_pairs").split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan  # the df cap
+    for line in plan.splitlines():
+        if "Filter" in line and "md5" in line:
+            raise AssertionError(
+                "inferred-filter pushdown trap resurfaced: " + line[:200]
+            )
