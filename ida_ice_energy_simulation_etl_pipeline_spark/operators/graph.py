@@ -667,6 +667,96 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
 """
 
 
+# --------------------------------------------------------------------------
+# Degree assortativity (Newman 2002, new r12): the Pearson correlation
+# of endpoint degrees over all edges — do hubs attach to hubs
+# (assortative, r > 0, social graphs) or to leaves (disassortative,
+# r < 0, co-purchase/dependency graphs)?  The one-number structural
+# signature beside triangle_count's clustering coefficient.  Numeric
+# discipline: every moment (Σd_u, Σd_u², Σd_u·d_v over the symmetric
+# edge list) is an EXACT int64 aggregate — order-invariant on any
+# engine — and the only float is the final closed-form ratio, rounded
+# once.  Shapes: one degree aggregate + two dim-sized broadcast joins
+# back to the edge list + one global integer aggregate.
+def degree_assortativity_frame(edges: DataFrame) -> DataFrame:
+    """edges: undirected, distinct, canonical (src < dst).  One row:
+    n_vertices, n_edges, assortativity (Pearson r over the symmetric
+    directed view — Newman's formula 4)."""
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    du = deg.select(F.col("src"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("src").alias("dst"), F.col("deg").alias("dv"))
+    m = sym.join(F.broadcast(du), "src").join(F.broadcast(dv), "dst")
+    agg = m.agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+        F.count(F.lit(1)).cast("long").alias("m2"),  # 2m directed ends
+        F.sum(F.col("du") * F.col("dv")).cast("long").alias("sxy"),
+        F.sum(F.col("du")).cast("long").alias("sx"),
+        F.sum(F.col("du") * F.col("du")).cast("long").alias("sxx"),
+    )
+    n_v = deg.agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    # Newman eq. 4 over the symmetric view: x and y are exchangeable,
+    # so sy == sx and syy == sxx and the formula collapses to
+    # (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) with M = 2m.  The MOMENTS are
+    # exact int64 (each < 2⁵³, conversion exact); the cross products
+    # can exceed int64 at large SF, so they multiply in DOUBLE —
+    # deterministic IEEE on identical operands, same on both engines.
+    m2d = F.col("m2").cast("double")
+    sxd = F.col("sx").cast("double")
+    num = m2d * F.col("sxy").cast("double") - sxd * sxd
+    den = F.nullif(m2d * F.col("sxx").cast("double") - sxd * sxd, F.lit(0.0))
+    return n_v.crossJoin(agg).select(
+        "n_vertices",
+        "n_edges",
+        F.round(num / den, 6).alias("assortativity"),
+    )
+
+
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, F.col("a.ok") == F.col("b.ok"))
+        .filter(F.col("a.pk") < F.col("b.pk"))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+    )
+    return degree_assortativity_frame(ensure_parallelism(spark, edges))
+
+
+DEGREE_ASSORTATIVITY_SQL = """
+WITH m AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e AS (
+  SELECT DISTINCT a.pk AS src, b.pk AS dst
+  FROM m a JOIN m b USING (ok) WHERE a.pk < b.pk
+),
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY src),
+moments AS (
+  SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+         CAST(count(*) AS BIGINT) AS m2,
+         CAST(sum(du.d * dv.d) AS BIGINT) AS sxy,
+         CAST(sum(du.d) AS BIGINT) AS sx,
+         CAST(sum(du.d * du.d) AS BIGINT) AS sxx
+  FROM sym s JOIN deg du ON du.v = s.src JOIN deg dv ON dv.v = s.dst
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+       n_edges,
+       round((CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / nullif(CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6)
+         AS assortativity
+FROM moments
+"""
+
+
 # Round-6 rotation: dedup_survivors moved to the extra tier (5 rounds
 # of green driver rows; survivor selection stays locally oracle-verified
 # and dedup_survivors_ranked covers the same cluster-grain max_by);
@@ -720,12 +810,19 @@ EXTRA_SPECS: list[QuerySpec] = [
         "ext:dedup,graph,star",
     ),
     # New in round 12 — extra tier per the rotation policy (r13
-    # promotion candidate): degree-oriented exact triangle count vs an
-    # independently-constructed id-ordered oracle.
+    # promotion candidates): degree-oriented exact triangle count vs an
+    # independently-constructed id-ordered oracle, and Newman degree
+    # assortativity from exact integer moments.
     QuerySpec(
         "triangle_count",
         triangle_count,
         TRIANGLE_COUNT_SQL,
         "ext:graph,triangles,clustering",
+    ),
+    QuerySpec(
+        "degree_assortativity",
+        degree_assortativity,
+        DEGREE_ASSORTATIVITY_SQL,
+        "ext:graph,assortativity",
     ),
 ]

@@ -1011,3 +1011,15 @@ def test_winnow_pairs_fp_grain_capped_no_traps(spark):
             raise AssertionError(
                 "inferred-filter pushdown trap resurfaced: " + line[:200]
             )
+
+
+def test_degree_assortativity_broadcast_degree_rejoin(spark):
+    """Assortativity: the degree table rides BROADCAST back onto the
+    edge list (dim-sized), moments are one global integer aggregate,
+    no cartesian beyond the 1x1 result merge, no Python."""
+    plan = _executed_plan(spark, "degree_assortativity").split(
+        "== Initial Plan =="
+    )[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
