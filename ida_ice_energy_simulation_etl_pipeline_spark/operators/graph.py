@@ -757,6 +757,96 @@ FROM moments
 """
 
 
+# --------------------------------------------------------------------------
+# Duplication modularity (new r12): Newman modularity of the SOURCE
+# partition over the MinHash-LSH near-dup candidate graph — does
+# duplication concentrate within sources (Q → 1: per-source crawl
+# overlap, fix at the source level) or cross source boundaries (Q → 0:
+# corpus-wide mirroring, global dedup is load-bearing)?  The
+# decision-grade companion to winnow_cross_matrix's pair counts.
+# Q = Σ_s (L_s/m − (D_s/2m)²): L_s (intra-source edges), D_s (degree
+# mass per source) and m are exact int64 aggregates; the final closed
+# form multiplies in deterministic DOUBLE (assortativity's
+# overflow-safe device).  Shapes: the banded candidate join (never
+# doc×doc), two broadcast source-lookups, dim-grain sums.
+def dup_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import lsh_candidate_pairs
+
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    pairs = lsh_candidate_pairs(docs)
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    tagged = pairs.join(F.broadcast(sa), "doc_a").join(
+        F.broadcast(sb), "doc_b"
+    )
+    m_row = tagged.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum((F.col("src_a") == F.col("src_b")).cast("long"))
+        .cast("long")
+        .alias("intra"),
+    )
+    # degree mass per source over the symmetric endpoint view
+    ends = tagged.select(F.col("src_a").alias("s")).unionAll(
+        tagged.select(F.col("src_b").alias("s"))
+    )
+    dsq = (
+        ends.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.sum(F.col("d") * F.col("d")).cast("long").alias("sum_d2"),
+        )
+    )
+    md = F.col("m").cast("double")
+    q = (
+        F.col("intra").cast("double") / md
+        - F.col("sum_d2").cast("double") / (F.lit(4.0) * md * md)
+    )
+    return m_row.crossJoin(dsq).select(
+        F.col("m").alias("n_edges"),
+        F.col("intra").alias("n_intra"),
+        "n_sources",
+        F.round(q, 6).alias("modularity"),
+    )
+
+
+def _dup_modularity_sql() -> str:
+    from .dedup import DEDUP_MINHASH_LSH_SQL
+
+    return f"""
+WITH pairs AS ({DEDUP_MINHASH_LSH_SQL}),
+tagged AS (
+  SELECT p.doc_a, p.doc_b, da.source AS src_a, db.source AS src_b
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+),
+mrow AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(CASE WHEN src_a = src_b THEN 1 ELSE 0 END) AS BIGINT)
+           AS intra
+  FROM tagged
+),
+dsq AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_sources,
+         CAST(sum(d * d) AS BIGINT) AS sum_d2
+  FROM (
+    SELECT s, CAST(count(*) AS BIGINT) AS d
+    FROM (SELECT src_a AS s FROM tagged
+          UNION ALL SELECT src_b AS s FROM tagged)
+    GROUP BY s
+  )
+)
+SELECT m AS n_edges, intra AS n_intra, n_sources,
+       round(CAST(intra AS DOUBLE) / CAST(m AS DOUBLE)
+             - CAST(sum_d2 AS DOUBLE)
+               / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6)
+         AS modularity
+FROM mrow CROSS JOIN dsq
+"""
+
+
 # Round-6 rotation: dedup_survivors moved to the extra tier (5 rounds
 # of green driver rows; survivor selection stays locally oracle-verified
 # and dedup_survivors_ranked covers the same cluster-grain max_by);
@@ -824,5 +914,11 @@ EXTRA_SPECS: list[QuerySpec] = [
         degree_assortativity,
         DEGREE_ASSORTATIVITY_SQL,
         "ext:graph,assortativity",
+    ),
+    QuerySpec(
+        "dup_modularity",
+        dup_modularity,
+        _dup_modularity_sql(),
+        "ext:graph,dedup,modularity",
     ),
 ]
