@@ -347,3 +347,37 @@ def test_span_scrub_matches_python_model(spark, docs):
         for r in span_scrub_frame(df, span=span).collect()
     }
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# TIFF-variant LZW codec (r12): round-trip over arbitrary byte strings.
+# Hypothesis drives the boundary cases a hand-written test can miss —
+# long single-symbol runs (KwKwK chains), inputs crossing the 9→10 and
+# 10→11 bit early-change boundaries, empty input — all pure Python, no
+# Spark session.
+@given(st.binary(max_size=4000))
+@settings(max_examples=200, deadline=None)
+def test_tiff_lzw_roundtrip_property(data):
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    assert _tiff_lzw_decode(_tiff_lzw_encode(data), len(data)) == data
+
+
+@given(st.binary(min_size=64, max_size=512), st.integers(1, 40))
+@settings(max_examples=60, deadline=None)
+def test_tiff_lzw_truncation_fails_closed_property(data, cut):
+    """A stream truncated anywhere strictly inside the payload must
+    yield None (never a wrong-but-plausible byte string of full
+    length)."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    enc = _tiff_lzw_encode(data)
+    cut = min(cut, len(enc) - 1)
+    out = _tiff_lzw_decode(enc[:cut], len(data))
+    assert out is None or len(out) == len(data) and out == data
