@@ -3842,6 +3842,63 @@ FROM sums
 
 
 # --------------------------------------------------------------------------
+# Term burstiness (Church & Gale, new r12): mean occurrences per
+# CONTAINING document, tf/df — content words burst (a doc about a
+# topic repeats its terms), function words don't; a term whose
+# burstiness jumps between corpus builds usually marks injected
+# boilerplate (the same sentence stamped into many docs inflates tf
+# far faster than df).  All integer until the final rounded ratio.
+# Shapes: one (doc, term)-grain count with map-side combine, one
+# term-grain rollup — the standard two-level vocab pattern; emitted as
+# a SET above the df floor (no top-k cutoff).
+BURSTINESS_MIN_DF = 50
+
+
+def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    per_dt = (
+        docs.select(
+            "doc_id", F.explode(word_tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_dt.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_freq"),
+            F.sum("n").cast("long").alias("total_count"),
+        )
+        .filter(F.col("doc_freq") >= BURSTINESS_MIN_DF)
+        .select(
+            "term",
+            "doc_freq",
+            "total_count",
+            F.round(
+                F.col("total_count") / F.col("doc_freq").cast("double"), 4
+            ).alias("burstiness"),
+        )
+    )
+
+
+TERM_BURSTINESS_SQL = f"""
+WITH per_dt AS (
+  SELECT doc_id, term, count(*) AS n
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS doc_freq,
+       CAST(sum(n) AS BIGINT) AS total_count,
+       round(sum(n) / CAST(count(*) AS DOUBLE), 4) AS burstiness
+FROM per_dt
+GROUP BY term
+HAVING count(*) >= {BURSTINESS_MIN_DF}
+"""
+
+
+# --------------------------------------------------------------------------
 # Per-source distribution divergence — the other half of the corpus-
 # health panel beside zipf_fit: how far each source's unigram
 # distribution sits from the corpus mixture (KL and Jensen-Shannon).  A
@@ -4788,6 +4845,12 @@ EXTRA_SPECS: list[QuerySpec] = [
         winnow_pairs,
         _winnow_pairs_sql(),
         "ext:text,winnowing,near-dup,containment",
+    ),
+    QuerySpec(
+        "term_burstiness",
+        term_burstiness,
+        TERM_BURSTINESS_SQL,
+        "ext:text,corpus-health,burstiness",
     ),
     QuerySpec(
         "heaps_fit",

@@ -1035,3 +1035,13 @@ def test_dup_modularity_banded_pairs_broadcast_sources(spark):
     # at most the 1x1 single-row result merge may plan as a cartesian
     assert plan.count("CartesianProduct") <= 1
     assert "BroadcastExchange" in plan
+
+
+def test_term_burstiness_two_level_vocab_pattern(spark):
+    """Burstiness: the (doc, term) partial collapses on the explode's
+    input partitions before the term-grain rollup — exactly two keyed
+    exchanges, no Python, no join."""
+    plan = _executed_plan(spark, "term_burstiness").split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
