@@ -1726,3 +1726,81 @@ EXTRA_SPECS: list[QuerySpec] = [
         "ext:dedup,spans,surgery",
     ),
 ]
+
+
+# --------------------------------------------------------------------------
+# Near-dup candidate-generator AGREEMENT harness (new r12): the repo
+# ships two INDEPENDENT candidate generators — MinHash-LSH banding
+# (shingle-set overlap estimate) and winnowed-fingerprint pairs
+# (shared ≥ w+k−1 token-run certificates).  Before trusting either on
+# a new corpus, a curation team measures how much they agree and what
+# each finds alone: only-LSH pairs are scattered-similarity docs (high
+# set overlap, no long shared run), only-winnow pairs are long-run
+# containments the banding missed.  The evaluation twin of ann_recall
+# for the dedup family.  Shape: both generators' pair sets (each
+# bounded by its own device — band buckets / fp df cap), one pair-grain
+# full outer join, one global integer aggregate; jaccard_agreement is
+# the only float, rounded once.
+def near_dup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import winnow_pairs as _winnow_pairs_query
+
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    lsh = lsh_candidate_pairs(docs).select(
+        F.col("doc_a"), F.col("doc_b"), F.lit(1).alias("in_lsh")
+    )
+    win = _winnow_pairs_query(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_win")
+    )
+    both = lsh.join(win, ["doc_a", "doc_b"], "full_outer")
+    return both.agg(
+        F.sum(F.coalesce("in_lsh", F.lit(0))).cast("long").alias("n_lsh"),
+        F.sum(F.coalesce("in_win", F.lit(0))).cast("long").alias("n_winnow"),
+        F.sum(
+            (F.col("in_lsh").isNotNull() & F.col("in_win").isNotNull())
+            .cast("long")
+        ).cast("long").alias("n_both"),
+        F.round(
+            F.sum(
+                (F.col("in_lsh").isNotNull() & F.col("in_win").isNotNull())
+                .cast("long")
+            )
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("jaccard_agreement"),
+    )
+
+
+def _near_dup_agreement_sql() -> str:
+    from .text import _winnow_pairs_sql
+
+    # the winnow SQL emits (doc_a, doc_b, n_shared, containment,
+    # jaccard); only the pair identity participates here
+    return f"""
+WITH lsh AS ({DEDUP_MINHASH_LSH_SQL}),
+win AS (SELECT doc_a, doc_b FROM ({_winnow_pairs_sql()})),
+joined AS (
+  SELECT coalesce(l.doc_a, w.doc_a) AS doc_a,
+         coalesce(l.doc_b, w.doc_b) AS doc_b,
+         (l.doc_a IS NOT NULL) AS in_lsh,
+         (w.doc_a IS NOT NULL) AS in_win
+  FROM lsh l FULL OUTER JOIN win w
+    ON l.doc_a = w.doc_a AND l.doc_b = w.doc_b
+)
+SELECT CAST(sum(CASE WHEN in_lsh THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+       CAST(sum(CASE WHEN in_win THEN 1 ELSE 0 END) AS BIGINT) AS n_winnow,
+       CAST(sum(CASE WHEN in_lsh AND in_win THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_both,
+       round(sum(CASE WHEN in_lsh AND in_win THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS jaccard_agreement
+FROM joined
+"""
+
+
+EXTRA_SPECS.append(
+    QuerySpec(
+        "near_dup_agreement",
+        near_dup_agreement,
+        _near_dup_agreement_sql(),
+        "ext:dedup,evaluation,winnowing,lsh",
+    )
+)

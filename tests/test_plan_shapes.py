@@ -1045,3 +1045,19 @@ def test_term_burstiness_two_level_vocab_pattern(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_near_dup_agreement_no_cartesian_no_python(spark):
+    """The agreement harness composes both bounded candidate
+    generators and joins them at pair grain — no cartesian, no Python,
+    and the winnowing pushdown trap stays absent."""
+    plan = _executed_plan(spark, "near_dup_agreement").split(
+        "== Initial Plan =="
+    )[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Filter" in line and "md5" in line:
+            raise AssertionError(
+                "inferred-filter pushdown trap resurfaced: " + line[:200]
+            )
