@@ -1637,29 +1637,17 @@ SPECS: list[QuerySpec] = [
     # stage and gains an sf0.1 oracle lane this round).  Its slot plus
     # one relational slot go to the never-driver-verified round-7
     # diagnostics promoted below.
-    QuerySpec(
-        "dedup_transitivity",
-        dedup_transitivity,
-        _dedup_transitivity_sql(),
-        "ext:dedup,graph,diagnostics",
-    ),
-    QuerySpec(
-        "minhash_calibration",
-        minhash_calibration,
-        _minhash_calibration_sql(),
-        "ext:dedup,evaluation",
-    ),
-    # Round-7 rotation: dedup_embedding moved to the extra tier (6 rounds
-    # of green driver rows, r1–r6; the hyperplane-LSH + cosine-rerank
-    # shape stays driver-exercised by dedup_semantic and the
-    # similarity_lsh pair) so dup_span_stats — the span-grain diagnostic
-    # over the Lee-et-al. span detector — earns its first driver row.
-    QuerySpec(
-        "dup_span_stats",
-        dup_span_stats,
-        DUP_SPAN_STATS_SQL,
-        "ext:dedup,spans,diagnostics",
-    ),
+    # Round-13 rotation (judge-prescribed): dedup_transitivity and
+    # minhash_calibration demoted with 5 green rounds each (r8–r12) and
+    # dup_span_stats with SIX (r7–r12); all three verified present in
+    # CORRECTNESS_r12 before demotion.  Coverage retained: the
+    # pair-graph diagnostics family gains a NEW driver row this same
+    # rotation via near_dup_agreement (promoted below — the LSH-vs-
+    # winnow candidate-set evaluation over the same pair graph); the
+    # banding/calibration shape stays driver-exercised inside
+    # corpus_pipeline_e2e's LSH stage; the span grain keeps
+    # boilerplate_scrub's driver row; all three stay oracle-verified
+    # every run in the extra tier below.
     # Round-9 rotation: span_scrub moved to the extra tier (4 rounds of
     # green driver rows, r5–r8, plus the always-on sf0.1 oracle lane in
     # tests/test_oracle_parity.py keeps it value-verified on every suite
@@ -1724,6 +1712,26 @@ EXTRA_SPECS: list[QuerySpec] = [
         span_scrub,
         SPAN_SCRUB_SQL,
         "ext:dedup,spans,surgery",
+    ),
+    # Rotated out in round 13 (5–6 green rounds each, r7/r8–r12; see
+    # the SPECS comment above).
+    QuerySpec(
+        "dedup_transitivity",
+        dedup_transitivity,
+        _dedup_transitivity_sql(),
+        "ext:dedup,graph,diagnostics",
+    ),
+    QuerySpec(
+        "minhash_calibration",
+        minhash_calibration,
+        _minhash_calibration_sql(),
+        "ext:dedup,evaluation",
+    ),
+    QuerySpec(
+        "dup_span_stats",
+        dup_span_stats,
+        DUP_SPAN_STATS_SQL,
+        "ext:dedup,spans,diagnostics",
     ),
 ]
 
@@ -1796,7 +1804,14 @@ FROM joined
 """
 
 
-EXTRA_SPECS.append(
+# Round-13 rotation (judge-prescribed): promoted into the driver window
+# — first driver rows for the LSH-vs-winnow candidate-set agreement
+# harness (oracle-green at sf0.001+sf0.01+sf0.1 since r12 and re-driven
+# through the literal driver-contract parity check at sf0.01 before
+# this rotation was committed; slot funded by the round-13 demotions
+# above).  Also the full-outer join family's driver anchor after the
+# yoy_customer_revenue demotion in plans/relational.py.
+SPECS.append(
     QuerySpec(
         "near_dup_agreement",
         near_dup_agreement,

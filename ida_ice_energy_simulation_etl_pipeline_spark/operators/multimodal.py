@@ -2481,11 +2481,26 @@ def decode_tiff_pixels(payload: bytes) -> "object | None":
             elif compression == 8:  # Adobe deflate — plain zlib stream
                 import zlib
 
+                # Bounded decode (r12 ADVICE): an unbounded
+                # zlib.decompress would let a crafted small strip
+                # expand to gigabytes before the truncation; cap the
+                # inflater at the expected strip size and fail closed
+                # like the PackBits/LZW paths if the stream carries
+                # more data than the IFD geometry admits.
+                expect = n_rows * w * spp
                 try:
-                    strip = zlib.decompress(strip)[: n_rows * w * spp]
+                    dec = zlib.decompressobj()
+                    strip = dec.decompress(strip, expect)
+                    if len(strip) < expect:
+                        return None
+                    # Drain one more byte: any extra decompressed data
+                    # means the stream is bigger than the geometry
+                    # admits (bomb shape); draining also forces trailer
+                    # processing, so dec.eof distinguishes a complete,
+                    # checksum-valid stream from a truncated one.
+                    if dec.decompress(dec.unconsumed_tail, 1) or not dec.eof:
+                        return None
                 except zlib.error:
-                    return None
-                if len(strip) < n_rows * w * spp:
                     return None
             raw += strip
         if len(raw) < h * w * spp:
@@ -3526,8 +3541,13 @@ GROUP BY source
 """
 
 
-# Extra tier per the rotation policy (r13 promotion candidate).
-EXTRA_SPECS.append(
+# Round-13 rotation (judge-prescribed): promoted into the driver window
+# — first driver rows for the full LZW-TIFF write→decode→aggregate path
+# (oracle-green at sf0.001+sf0.01 (+sf0.1 one-off) since r12 and
+# re-driven through the literal driver-contract parity check at sf0.01
+# before this rotation was committed; slot funded by the round-13
+# demotions listed in plans/ and operators/).
+SPECS.append(
     QuerySpec(
         "lzw_tiff_census",
         lzw_tiff_census,

@@ -270,8 +270,11 @@ GROUP BY label
 # engines (the pagerank device: cross-engine accumulation wobble in
 # the avg cannot survive a 12-dp boundary) and broadcast back
 # (|labels| rows), then the member→centroid cosine is the in-row
-# zip_with fold with a per-row 6-dp round before the final label-grain
-# aggregate.  At 100 TB: the dim-grain aggregate is labels×64 rows of
+# zip_with fold kept RAW — no per-row round; rounding happens only on
+# the final label-grain aggregates (a per-row round plants values on
+# decimal boundaries where the two engines' rounding modes diverge —
+# the double-rounding trap documented at the fold below).
+# At 100 TB: the dim-grain aggregate is labels×64 rows of
 # state with map-side combine; the rejoin is a broadcast; nothing else
 # shuffles.
 def embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1187,6 +1190,18 @@ SPECS += [
     # every run by tests/test_oracle_parity.py.  Their slots fund the
     # first driver rows for the round-11 text/multimodal operators
     # (see operators/text.py and operators/multimodal.py).
+    # Round-13 promotion (judge-prescribed): first driver rows for the
+    # round-12 per-label centroid + intra-class cohesion report
+    # (oracle-green at sf0.001+sf0.01+sf0.1 since r12 and re-driven
+    # through the literal driver-contract parity check at sf0.01 before
+    # this rotation was committed; slot funded by the round-13
+    # demotions in plans/ and operators/dedup.py).
+    QuerySpec(
+        "embedding_dispersion",
+        embedding_dispersion,
+        _embedding_dispersion_sql(),
+        "ext:ann,embeddings,qa",
+    ),
 ]
 
 EXTRA_SPECS: list[QuerySpec] = [
@@ -1228,12 +1243,6 @@ EXTRA_SPECS: list[QuerySpec] = [
         KNN_LABEL_ACCURACY_SQL,
         "ext:ann,evaluation,labels",
     ),
-    # New in round 12 — extra tier per the rotation policy (r13
-    # promotion candidate): per-label centroid + intra-class cohesion.
-    QuerySpec(
-        "embedding_dispersion",
-        embedding_dispersion,
-        _embedding_dispersion_sql(),
-        "ext:ann,embeddings,qa",
-    ),
+    # embedding_dispersion started here in round 12 and was promoted
+    # into the driver window in round 13 (see the SPECS comment above).
 ]

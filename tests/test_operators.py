@@ -4184,3 +4184,11 @@ def test_tiff_lzw_and_deflate_decode_profiles():
     bad = strip[:-3]
     entries[-1] = (279, 4, [len(bad)])
     assert decode_tiff_pixels(tiff("<", entries, base) + bad) is None
+
+    # decompression-bomb shape fails closed (r12 ADVICE): a small strip
+    # whose inflated size vastly exceeds the IFD geometry must be
+    # rejected by the bounded inflater, not truncated after expanding —
+    # 1 MiB of zeros deflates to ~1 KiB but the tile claims 4 pixels.
+    bomb = zlib.compress(bytes(1 << 20))
+    entries[-1] = (279, 4, [len(bomb)])
+    assert decode_tiff_pixels(tiff("<", entries, base) + bomb) is None
