@@ -75,6 +75,17 @@ class CorpusConfig:
     # orders them: cheap rules first, models on the survivors.
     gopher_gate: bool = False
     near_dedup: bool = True
+    # near-dup CANDIDATE criterion: "lsh" (MinHash-LSH banding —
+    # shingle-set overlap estimate) or "winnow" (shared winnowed
+    # fingerprints, operators/text.py::winnow_candidate_pairs — a
+    # shared fingerprint certifies a shared run of ≥ WINNOW_W+WINNOW_K−1
+    # tokens, so long-run CONTAINMENT pairs the banding misses, e.g. a
+    # short doc swallowed by a long one whose symmetric Jaccard is tiny,
+    # still cluster).  Both generators are bounded (band buckets / fp df
+    # cap) and feed the SAME connected-components → min-doc_id survivor
+    # path; near_dup_agreement (operators/dedup.py) is the acceptance
+    # harness comparing the two pair sets on a given corpus.
+    near_dedup_method: str = "lsh"
     # per-source boilerplate removal (operators/dedup.py::
     # boilerplate_scrub_frame, the CCNet/RefinedWeb domain-frequency
     # gate) — runs BEFORE the global passage/span passes: the per-source
@@ -259,14 +270,26 @@ def _exact_deduped(docs: DataFrame) -> DataFrame:
     )
 
 
-def _near_deduped(docs: DataFrame, cc_algorithm: str = "label_prop") -> DataFrame:
-    """MinHash-LSH candidates → connected components → canonical
-    (min doc_id) survivor per cluster.  Candidate generation is the
-    band-bucket join from operators/dedup.py — never doc×doc."""
+def _near_deduped(
+    docs: DataFrame,
+    cc_algorithm: str = "label_prop",
+    method: str = "lsh",
+) -> DataFrame:
+    """Near-dup candidates → connected components → canonical
+    (min doc_id) survivor per cluster.  ``method`` picks the candidate
+    generator — "lsh" (band-bucket join from operators/dedup.py) or
+    "winnow" (fingerprint-grain join from operators/text.py); both are
+    bounded self-joins, never doc×doc."""
     from ..operators.dedup import lsh_candidate_pairs
     from ..operators.graph import connected_components_star
+    from ..operators.text import winnow_candidate_pairs
 
-    pairs = lsh_candidate_pairs(docs)
+    if method == "lsh":
+        pairs = lsh_candidate_pairs(docs)
+    elif method == "winnow":
+        pairs = winnow_candidate_pairs(docs.select("doc_id", "text"))
+    else:
+        raise ValueError(f"unknown near_dedup_method {method!r}")
     vertices = docs.select(F.col("doc_id").alias("vertex_id"))
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     if cc_algorithm == "star":
@@ -334,6 +357,11 @@ def run_corpus_pipeline(
         raise ValueError(f"chunk_tokens must be >= 1, got {cfg.chunk_tokens}")
     if cfg.pack_budget is not None and cfg.pack_budget < 1:
         raise ValueError(f"pack_budget must be >= 1, got {cfg.pack_budget}")
+    if cfg.near_dedup_method not in ("lsh", "winnow"):
+        raise ValueError(
+            "near_dedup_method must be 'lsh' or 'winnow', "
+            f"got {cfg.near_dedup_method!r}"
+        )
     if cfg.pack_tokenizer not in ("whitespace", "bpe"):
         raise ValueError(
             "pack_tokenizer must be 'whitespace' or 'bpe', "
@@ -405,7 +433,7 @@ def run_corpus_pipeline(
         # deployment lands this intermediate to storage instead (the
         # etl/pipeline.py staging pattern) so executors can evict.
         kept = kept.localCheckpoint(eager=True)
-        kept = _near_deduped(kept, cfg.cc_algorithm)
+        kept = _near_deduped(kept, cfg.cc_algorithm, cfg.near_dedup_method)
     if cfg.boilerplate_scrub:
         # per-source boilerplate removal (operators/dedup.py::
         # boilerplate_scrub_frame) — deliberately BEFORE the global
@@ -566,15 +594,14 @@ def run_corpus_pipeline(
             .drop("text", "n_email", "n_ip", "n_phone")
             .withColumnRenamed("scrubbed", "text")
         )
-    if cfg.scrub:
-        # PII redaction can ALSO converge distinct docs to identical
-        # text ('contact a@b.com' / 'contact c@d.com' → 'contact
-        # <EMAIL>') — re-dedup on the redacted text, which additionally
-        # refreshes text_hash so the landed no-duplicate gate certifies
-        # the text that actually SHIPPED.  (passage_dedup alone cannot
-        # converge docs: keep-FIRST means a block survives in exactly
-        # one doc, so equal non-empty residues cannot occur.  No
-        # checkpoint needed: _exact_deduped is single-read.)
+        # Then re-dedup on the REDACTED text: PII redaction can ALSO
+        # converge distinct docs to identical text ('contact a@b.com' /
+        # 'contact c@d.com' → 'contact <EMAIL>'), and the re-dedup
+        # additionally refreshes text_hash so the landed no-duplicate
+        # gate certifies the text that actually SHIPPED.  (passage_dedup
+        # alone cannot converge docs: keep-FIRST means a block survives
+        # in exactly one doc, so equal non-empty residues cannot occur.
+        # No checkpoint needed: _exact_deduped is single-read.)
         kept = _exact_deduped(kept.drop("text_hash"))
     if cfg.chunk_tokens:
         # RAG chunking (operators/text.py::chunk_docs): every metadata
@@ -826,6 +853,7 @@ def run_corpus_pipeline(
         from ..operators.text import (
             heaps_fit_frame,
             source_divergence_frame,
+            term_burstiness_frame,
             token_entropy_frame,
             zipf_fit_frame,
         )
@@ -848,6 +876,10 @@ def run_corpus_pipeline(
             heaps_rows = {
                 r["source"]: r for r in heaps_fit_frame(landed).collect()
             }
+            burst_rows = {
+                r["source"]: r
+                for r in term_burstiness_frame(landed).collect()
+            }
         except Exception:
             shutil.rmtree(staging, ignore_errors=True)
             raise
@@ -865,6 +897,15 @@ def run_corpus_pipeline(
                 # length (zero variance in ln N)
                 "heaps_beta": heaps_rows[src]["heaps_beta"],
                 "heaps_r2": heaps_rows[src]["r2"],
+                # Church–Gale burstiness summary (panel member #5,
+                # r13) — the boilerplate-injection drift detector: one
+                # sentence stamped into many docs of a source inflates
+                # mean/max tf/df between builds long before it moves
+                # Zipf or entropy.  NULL mean/max for a source with no
+                # term meeting the per-source df floor.
+                "n_burst_terms": burst_rows[src]["n_burst_terms"],
+                "mean_burstiness": burst_rows[src]["mean_burstiness"],
+                "max_burstiness": burst_rows[src]["max_burstiness"],
                 "n_tokens": div_rows[src]["n_tokens"],
             }
             for src in sorted(
@@ -872,6 +913,7 @@ def run_corpus_pipeline(
                 & div_rows.keys()
                 & ent_rows.keys()
                 & heaps_rows.keys()
+                & burst_rows.keys()
             )
         }
 
@@ -890,6 +932,7 @@ def run_corpus_pipeline(
             "decontaminate_eval_path": cfg.decontaminate_eval_path,
             "decontaminate_eval_source": cfg.decontaminate_eval_source,
             "near_dedup": cfg.near_dedup,
+            "near_dedup_method": cfg.near_dedup_method,
             "boilerplate_scrub": cfg.boilerplate_scrub,
             "passage_dedup": cfg.passage_dedup,
             "span_scrub": cfg.span_scrub,
@@ -970,6 +1013,15 @@ def main(argv: list[str] | None = None) -> int:
         "the training output outright, then its fingerprints gate the rest",
     )
     ap.add_argument("--no-near-dedup", action="store_true")
+    ap.add_argument(
+        "--near-dedup-method",
+        choices=("lsh", "winnow"),
+        default="lsh",
+        help="near-dup candidate criterion: MinHash-LSH banding "
+        "(shingle-set overlap) or winnowed fingerprints (shared "
+        "long-run certificates — catches containment pairs banding "
+        "misses)",
+    )
     ap.add_argument(
         "--cc-algorithm",
         choices=("label_prop", "star"),
@@ -1082,8 +1134,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--health-report",
         action="store_true",
-        help="record the per-source corpus-health panel (Zipf fit + "
-        "KL/JS divergence vs the corpus mixture) in the manifest",
+        help="record the per-source corpus-health panel (Zipf fit, "
+        "KL/JS divergence vs the corpus mixture, token entropy, Heaps' "
+        "law, term burstiness) in the manifest",
     )
     ap.add_argument(
         "--input-format",
@@ -1109,6 +1162,7 @@ def main(argv: list[str] | None = None) -> int:
         decontaminate_eval_path=args.decontaminate_eval_path,
         decontaminate_eval_source=args.decontaminate_eval_source,
         near_dedup=not args.no_near_dedup,
+        near_dedup_method=args.near_dedup_method,
         cc_algorithm=args.cc_algorithm,
         boilerplate_scrub=args.boilerplate_scrub,
         passage_dedup=args.passage_dedup,

@@ -574,8 +574,14 @@ WINNOW_PAIR_MIN_SHARED = 2
 WINNOW_PAIR_DF_CAP = 50
 
 
-def winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+def winnow_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Frame-level winnowed near-dup candidate generator:
+    (doc_a, doc_b, n_shared, na, nb) for every pair sharing
+    ≥ WINNOW_PAIR_MIN_SHARED fingerprints after the df cap — the
+    generator behind the winnow_pairs registry query AND
+    run_corpus_pipeline(near_dedup_method="winnow"), one definition so
+    the pipeline criterion and the diagnostic cannot drift.  Input
+    needs (doc_id, text)."""
     toks = word_tokens(F.col("text"))
     per_doc = docs.select(
         "doc_id", winnow_hashes(toks).alias("hashes")
@@ -616,26 +622,27 @@ def winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fps").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fps").alias("nb"))
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_shared",
-            F.round(
-                F.col("n_shared")
-                / F.least(F.col("na"), F.col("nb")).cast("double"),
-                4,
-            ).alias("containment"),
-            F.round(
-                F.col("n_shared")
-                / (F.col("na") + F.col("nb") - F.col("n_shared")).cast(
-                    "double"
-                ),
-                4,
-            ).alias("jaccard"),
-        )
+    return pairs.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    return winnow_candidate_pairs(docs).select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        F.round(
+            F.col("n_shared")
+            / F.least(F.col("na"), F.col("nb")).cast("double"),
+            4,
+        ).alias("containment"),
+        F.round(
+            F.col("n_shared")
+            / (F.col("na") + F.col("nb") - F.col("n_shared")).cast(
+                "double"
+            ),
+            4,
+        ).alias("jaccard"),
     )
 
 
@@ -3889,6 +3896,47 @@ def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("total_count") / F.col("doc_freq").cast("double"), 4
             ).alias("burstiness"),
         )
+    )
+
+
+def term_burstiness_frame(docs: DataFrame, min_df: int = 2) -> DataFrame:
+    """Per-SOURCE burstiness summary — health-panel member #5 (r12
+    verdict item 4).  Where the registry query emits the term-grain
+    set above a global df floor, the panel wants one row per source a
+    build can trend: the count of bursting terms and the mean/max
+    tf/df over terms meeting the per-source df floor.  Injected
+    boilerplate (one sentence stamped into many docs of a source)
+    inflates that source's mean/max burstiness between builds long
+    before it moves Zipf or entropy.  ``min_df`` defaults low because
+    the panel floor is PER SOURCE (the registry query's global
+    BURSTINESS_MIN_DF=50 would blank small sources); sources with no
+    qualifying term report 0 / NULL / NULL rather than vanishing.
+    Same two-level vocab shape as the registry query: one
+    (source, doc, term) partial with map-side combine, one
+    (source, term) rollup, one source-grain aggregate."""
+    per_dt = (
+        docs.select(
+            "source",
+            "doc_id",
+            F.explode(word_tokens(F.col("text"))).alias("term"),
+        )
+        .groupBy("source", "doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_term = per_dt.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum("n").cast("long").alias("total_count"),
+    )
+    burst = F.when(
+        F.col("doc_freq") >= min_df,
+        F.col("total_count") / F.col("doc_freq").cast("double"),
+    )
+    return per_term.groupBy("source").agg(
+        F.sum((F.col("doc_freq") >= min_df).cast("long"))
+        .cast("long")
+        .alias("n_burst_terms"),
+        F.round(F.avg(burst), 4).alias("mean_burstiness"),
+        F.round(F.max(burst), 4).alias("max_burstiness"),
     )
 
 

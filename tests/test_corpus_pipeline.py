@@ -225,6 +225,96 @@ def test_corpus_pipeline_no_near_dedup_keeps_near_dups(spark, corpus_input, tmp_
     assert "someone@example.org" in texts[3]
 
 
+def test_corpus_near_dedup_method_winnow_catches_containment_pair(
+    spark, tmp_path
+):
+    """near_dedup_method="winnow" (r12 verdict item 3): a short doc
+    fully CONTAINED in a long doc shares every winnowed fingerprint
+    but has tiny symmetric shingle-set Jaccard — the exact pair class
+    MinHash-LSH banding misses (near_dup_agreement demonstrated the
+    only-winnow class exists; this plants one).  The winnow criterion
+    must cluster and dedup it; the LSH criterion must keep both; the
+    manifest must record which criterion ran."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        winnow_candidate_pairs,
+    )
+
+    short = (
+        "the committee reviewed the annual budget report and approved the "
+        "new funding plan for the public library renovation project next "
+        "spring"
+    )
+    filler = (
+        "meanwhile the harbor traffic grew steadily as cargo ships arrived "
+        "from distant ports carrying grain timber machinery and textiles "
+        "for local merchants who organized weekly markets near the old "
+        "stone bridge where travelers gathered to trade stories about "
+        "mountain roads river crossings and the changing weather patterns "
+        "that shaped every season of rural life across the valley "
+        "farmers tended orchards vineyards and wide fields of barley "
+        "while children walked to the village school past the mill "
+        "whose great wheel turned slowly in the cold clear current"
+    )
+    rows = [
+        (10, short, "srcA"),
+        (11, short + " " + filler, "srcB"),  # contains all of doc 10
+        (
+            12,
+            "completely unrelated text about query engines and shuffle "
+            "partitions in distributed systems",
+            "srcC",
+        ),
+    ]
+    path = tmp_path / "docs.parquet"
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.parquet(
+        str(path)
+    )
+
+    # pin the generator-level premise: banding misses the pair, the
+    # winnowed index certifies it (containment 1.0 at pair grain)
+    docs = spark.read.parquet(str(path))
+    assert lsh_candidate_pairs(docs).count() == 0
+    wp = winnow_candidate_pairs(docs.select("doc_id", "text")).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in wp] == [(10, 11)]
+
+    m_win = run_corpus_pipeline(
+        spark,
+        path,
+        tmp_path / "out_winnow",
+        CorpusConfig(near_dedup_method="winnow", scrub=False),
+    )
+    assert m_win["config"]["near_dedup_method"] == "winnow"
+    ids_win = {
+        r["doc_id"]
+        for r in spark.read.parquet(m_win["output"]).select("doc_id").collect()
+    }
+    assert ids_win == {10, 12}  # containment pair folded, min doc_id kept
+
+    m_lsh = run_corpus_pipeline(
+        spark,
+        path,
+        tmp_path / "out_lsh",
+        CorpusConfig(scrub=False),  # default criterion stays "lsh"
+    )
+    assert m_lsh["config"]["near_dedup_method"] == "lsh"
+    ids_lsh = {
+        r["doc_id"]
+        for r in spark.read.parquet(m_lsh["output"]).select("doc_id").collect()
+    }
+    assert ids_lsh == {10, 11, 12}  # banding cannot see the pair
+
+    with pytest.raises(ValueError, match="near_dedup_method"):
+        run_corpus_pipeline(
+            spark,
+            path,
+            tmp_path / "out_bad",
+            CorpusConfig(near_dedup_method="simhash"),
+        )
+
+
 def test_corpus_gate_blocks_empty_output(spark, tmp_path):
     path = tmp_path / "docs.parquet"
     spark.createDataFrame(
@@ -1038,6 +1128,7 @@ def test_corpus_pipeline_health_report_in_manifest(spark, corpus_input, tmp_path
     from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
         heaps_fit_frame,
         source_divergence_frame,
+        term_burstiness_frame,
         token_entropy_frame,
         zipf_fit_frame,
     )
@@ -1055,6 +1146,7 @@ def test_corpus_pipeline_health_report_in_manifest(spark, corpus_input, tmp_path
     heaps = {r["source"]: r for r in heaps_fit_frame(landed).collect()}
     div = {r["source"]: r for r in source_divergence_frame(landed).collect()}
     ent = {r["source"]: r for r in token_entropy_frame(landed).collect()}
+    burst = {r["source"]: r for r in term_burstiness_frame(landed).collect()}
     for src, h in health.items():
         assert h["zipf_slope"] == zipf[src]["zipf_slope"]
         assert h["zipf_r2"] == zipf[src]["r2"]
@@ -1067,11 +1159,46 @@ def test_corpus_pipeline_health_report_in_manifest(spark, corpus_input, tmp_path
         assert h["vocab_size"] == ent[src]["vocab_size"]
         assert h["heaps_beta"] == heaps[src]["heaps_beta"]
         assert h["heaps_r2"] == heaps[src]["r2"]
+        # member #5 (r13): Church–Gale burstiness summary
+        assert h["n_burst_terms"] == burst[src]["n_burst_terms"]
+        assert h["mean_burstiness"] == burst[src]["mean_burstiness"]
+        assert h["max_burstiness"] == burst[src]["max_burstiness"]
+        if h["mean_burstiness"] is not None:
+            # tf/df >= 1 by construction; max bounds mean
+            assert 1 <= h["mean_burstiness"] <= h["max_burstiness"]
         assert 0 <= (h["norm_entropy"] or 0) <= 1
     # default stays off and serializes as null
     out2 = tmp_path / "out_nohealth"
     m2 = run_corpus_pipeline(spark, corpus_input, out2, CorpusConfig())
     assert m2["corpus_health"] is None
+
+
+def test_term_burstiness_frame_flags_stamped_boilerplate(spark):
+    """Panel member #5 semantics: a phrase stamped several times into
+    many docs of one source drives that source's burstiness (tf/df)
+    up; a source where no term reaches the df floor reports 0 burst
+    terms with NULL mean/max instead of vanishing from the panel."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        term_burstiness_frame,
+    )
+
+    stamp = "subscribe now " * 3  # 3 occurrences per containing doc
+    rows = [
+        (0, stamp + "alpha beta gamma", "stamped"),
+        (1, stamp + "delta epsilon zeta", "stamped"),
+        (2, "unique words only here", "clean"),
+        (3, "entirely different tokens again", "clean"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["source"]: r for r in term_burstiness_frame(docs).collect()}
+    # 'subscribe' and 'now' each: df=2 (>= floor), tf=6 → burstiness 3.0
+    assert out["stamped"]["n_burst_terms"] == 2
+    assert out["stamped"]["mean_burstiness"] == 3.0
+    assert out["stamped"]["max_burstiness"] == 3.0
+    # no clean-source term reaches df >= 2 → explicit empty row
+    assert out["clean"]["n_burst_terms"] == 0
+    assert out["clean"]["mean_burstiness"] is None
+    assert out["clean"]["max_burstiness"] is None
 
 
 def test_corpus_gopher_gate_drops_rule_violators(spark, tmp_path):
