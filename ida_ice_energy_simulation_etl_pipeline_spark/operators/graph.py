@@ -937,3 +937,146 @@ EXTRA_SPECS: list[QuerySpec] = [
         "ext:dedup,graph,quality",
     ),
 ]
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (new r13): the fifth graph-diagnostics kernel
+# beside CC, PageRank, triangles and assortativity/modularity, over the
+# MinHash-LSH near-dup graph (the dup_modularity edge set).  The k-core
+# is the maximal subgraph where every vertex keeps degree ≥ k — the
+# standard spam-cluster lens in corpus curation: organic near-dups form
+# sparse chains and small stars (peeled away at k=2..3), while template
+# farms and mirror rings survive as dense cores.  A build whose core
+# sizes jump between rounds has ingested a duplication FARM, not a few
+# stray copies.
+#
+# Algorithm: synchronous peeling — each round drops EVERY vertex whose
+# degree in the surviving subgraph is < k, until a fixpoint (or the
+# KCORE_ROUNDS rail).  Rounds needed = the graph's peel depth, small in
+# practice; each round is one vertex-grain degree aggregate + two
+# LEFT SEMI probes, all on the doc-id key, with the surviving edge set
+# localCheckpointed per round (the CC lineage-truncation discipline).
+# Per-key state is a degree counter — no hub explosion possible.  The
+# fixpoint test is a per-round count action, the irreducible driver
+# control flow every fixpoint kernel here shares (CC, PageRank).
+#
+# The DuckDB oracle unrolls the SAME bounded peel (the pagerank
+# unrolled-CTE discipline): KCORE_ROUNDS copies of the round CTE; a
+# round at fixpoint is an identity transform, so overshooting the true
+# peel depth is harmless and both engines compute the identical
+# bounded-peel semantics by construction.
+KCORE_KS = (2, 3)
+KCORE_ROUNDS = 12  # rail; measured peel depth 1-2 at sf0.001/0.01/0.1
+
+
+def kcore_edges(pairs: DataFrame, k: int, *, rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """Surviving (doc_a, doc_b) edge set of the k-core after at most
+    ``rounds`` synchronous peels (early exit at fixpoint — identical
+    result, fewer jobs).  ``pairs`` must carry each undirected edge
+    once as doc_a < doc_b."""
+    edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    n_edges = edges.count()
+    for _ in range(rounds):
+        if n_edges == 0:
+            break
+        ends = edges.select(F.col("doc_a").alias("v")).unionAll(
+            edges.select(F.col("doc_b").alias("v"))
+        )
+        keep = (
+            ends.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("v")
+        )
+        nxt = edges.join(
+            keep.select(F.col("v").alias("doc_a")), "doc_a", "left_semi"
+        ).join(
+            keep.select(F.col("v").alias("doc_b")), "doc_b", "left_semi"
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        n_nxt = nxt.count()
+        if n_nxt == n_edges:
+            break
+        edges, n_edges = nxt, n_nxt
+    return edges
+
+
+def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per k in KCORE_KS: the k-core's vertex and edge counts
+    over the near-dup candidate graph (exact int64 — trivially
+    hashable).  Empty cores report explicit zeros."""
+    from .dedup import lsh_candidate_pairs
+
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    pairs = lsh_candidate_pairs(docs).localCheckpoint(eager=True)
+    per_k = []
+    for k in KCORE_KS:
+        core = kcore_edges(pairs, k)
+        # each surviving edge contributes exactly two endpoint rows, so
+        # n_edges = rows/2 exactly; count/countDistinct on an empty
+        # frame still yield one zero row (agg without grouping)
+        per_k.append(
+            core.select(
+                F.explode(F.array("doc_a", "doc_b")).alias("v")
+            ).agg(
+                F.lit(k).cast("long").alias("k"),
+                F.countDistinct("v").cast("long").alias("n_core_vertices"),
+                (F.count(F.lit(1)) / 2).cast("long").alias("n_core_edges"),
+            )
+        )
+    out = per_k[0]
+    for frame in per_k[1:]:
+        out = out.unionAll(frame)
+    return out.select("k", "n_core_vertices", "n_core_edges")
+
+
+def _kcore_sql() -> str:
+    from .dedup import DEDUP_MINHASH_LSH_SQL
+
+    blocks = []
+    for k in KCORE_KS:
+        prev = "pairs"
+        for i in range(1, KCORE_ROUNDS + 1):
+            # every round CTE is MATERIALIZED: DuckDB inlines plain CTEs
+            # at each reference, and a round references its predecessor
+            # five times — unmaterialized, the unrolled chain expands
+            # 5^rounds-fold (measured: the first draft never finished)
+            blocks.append(f"""
+keep{k}_{i} AS MATERIALIZED (
+  SELECT v FROM (SELECT doc_a AS v FROM {prev}
+                 UNION ALL SELECT doc_b FROM {prev})
+  GROUP BY v HAVING count(*) >= {k}
+),
+s{k}_{i} AS MATERIALIZED (
+  SELECT e.doc_a, e.doc_b
+  FROM {prev} e
+  JOIN keep{k}_{i} ka ON ka.v = e.doc_a
+  JOIN keep{k}_{i} kb ON kb.v = e.doc_b
+)""")
+            prev = f"s{k}_{i}"
+        blocks.append(f"""
+core{k} AS (
+  SELECT CAST({k} AS BIGINT) AS k,
+         CAST(coalesce(count(DISTINCT v), 0) AS BIGINT) AS n_core_vertices,
+         CAST(count(*) / 2 AS BIGINT) AS n_core_edges
+  FROM (SELECT doc_a AS v FROM {prev} UNION ALL SELECT doc_b FROM {prev})
+)""")
+    unions = " UNION ALL ".join(
+        f"SELECT k, n_core_vertices, n_core_edges FROM core{k}" for k in KCORE_KS
+    )
+    return f"""
+WITH pairs AS MATERIALIZED ({DEDUP_MINHASH_LSH_SQL}),{",".join(blocks)}
+{unions}
+"""
+
+
+# New in round 13 — extra tier per the rotation policy (r14 promotion
+# candidate).
+EXTRA_SPECS.append(
+    QuerySpec(
+        "kcore_decomposition",
+        kcore_decomposition,
+        _kcore_sql(),
+        "ext:graph,kcore,peeling,iterative",
+    )
+)

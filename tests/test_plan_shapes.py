@@ -1061,3 +1061,47 @@ def test_near_dup_agreement_no_cartesian_no_python(spark):
             raise AssertionError(
                 "inferred-filter pushdown trap resurfaced: " + line[:200]
             )
+
+
+def test_kcore_decomposition_bounded_peel_no_python(spark):
+    """k-core (new r13): the visible tail (peel rounds are
+    localCheckpoint-truncated like CC/PageRank) must be pure integer
+    aggregation over the checkpointed core edge sets — no Python, no
+    cartesian, no global sort; and the semantics must be the bounded
+    peel both engines share (fixpoint reached well inside KCORE_ROUNDS
+    on the fixtures, pinned by value equality in the parity suite)."""
+    plan = _executed_plan(spark, "kcore_decomposition").split(
+        "== Initial Plan =="
+    )[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_kcore_peel_reaches_fixpoint_within_rounds(spark):
+    """The KCORE_ROUNDS rail must comfortably exceed the true peel
+    depth on a crafted worst-ish case (a chain peels one layer per
+    round from each end — depth ~len/2), and kcore_edges must match
+    first-principles expectations: a chain has an empty 2-core, a
+    cycle IS its own 2-core, a K4 survives at k=3."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.graph import (
+        KCORE_ROUNDS,
+        kcore_edges,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], ["doc_a", "doc_b"]
+    )
+    assert kcore_edges(chain, 2).count() == 0
+    assert 10 // 2 < KCORE_ROUNDS  # chain peel depth stays inside the rail
+
+    cycle = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(0, 9)], ["doc_a", "doc_b"]
+    )
+    assert kcore_edges(cycle, 2).count() == 10  # cycle is its own 2-core
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        ["doc_a", "doc_b"],
+    )
+    assert kcore_edges(k4, 3).count() == 6  # K4 survives k=3 intact
