@@ -1080,3 +1080,191 @@ EXTRA_SPECS.append(
         "ext:graph,kcore,peeling,iterative",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# k-truss decomposition (new r13, beside k-core): the EDGE-grain dense-
+# subgraph kernel — keep every edge supported by ≥ k−2 triangles within
+# the surviving subgraph, peel until fixpoint.  Stricter than the
+# k-core (a k-truss is always inside the (k−1)-core): cores count
+# NEIGHBORS, trusses count TRIANGLES, so a star-of-stars that survives
+# coring dissolves under trussing while genuine mirror rings /
+# template farms — whose members co-duplicate pairwise — survive.  The
+# sharper spam-cluster lens over the same MinHash-LSH near-dup graph.
+#
+# Per round: DEGREE-ORIENTED triangle enumeration (the triangle_count
+# device — each triangle found exactly once at its two-out-edge pivot,
+# wedge fan-out bounded by the oriented out-degree ≤ O(√m)), each
+# triangle charged to its three canonical edges, one edge-grain support
+# count, drop unsupported edges; localCheckpoint per round, early
+# fixpoint exit under the KTRUSS_ROUNDS rail.  The DuckDB oracle peels
+# the SAME bounded schedule but enumerates triangles with the
+# INDEPENDENT id-ordered pivot construction (two derivations, one
+# answer — the triangle_count discipline), unrolled as MATERIALIZED
+# CTEs (the k-core inlining lesson).
+KTRUSS_KS = (3, 4)
+KTRUSS_ROUNDS = 10  # rail; measured truss peel depth 1 at sf0.001-0.1
+
+
+def _oriented_triangles(edges: DataFrame) -> DataFrame:
+    """(x, y, z) triangle rows over canonical distinct (doc_a < doc_b)
+    edges, found once each via degree-(then id-)oriented wedges; the
+    emitted corners are in id order x < y < z."""
+    sym = edges.unionAll(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    deg = sym.groupBy("doc_a").agg(F.count(F.lit(1)).alias("deg"))
+    lower = (
+        edges.join(deg.select(F.col("doc_a"), F.col("deg").alias("da")), "doc_a")
+        .join(
+            deg.select(F.col("doc_a").alias("doc_b"), F.col("deg").alias("db")),
+            "doc_b",
+        )
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("doc_a") < F.col("doc_b"))),
+                F.col("doc_a"),
+            )
+            .otherwise(F.col("doc_b"))
+            .alias("u"),
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("doc_a") < F.col("doc_b"))),
+                F.col("doc_b"),
+            )
+            .otherwise(F.col("doc_a"))
+            .alias("w"),
+        )
+    )
+    a, b = lower.alias("a"), lower.alias("b")
+    wedges = a.join(
+        b, (F.col("a.u") == F.col("b.u")) & (F.col("a.w") < F.col("b.w"))
+    ).select(
+        F.col("a.u").alias("p"),
+        F.col("a.w").alias("v"),
+        F.col("b.w").alias("w"),
+    )
+    closed = wedges.join(
+        edges.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("w")),
+        ["v", "w"],
+        "left_semi",
+    )
+    # canonicalize corners to id order x < y < z (v < w always; the
+    # pivot p may fall before, between, or after them)
+    return closed.select(
+        F.least("p", "v").alias("x"),
+        F.when(F.col("p") < F.col("v"), F.col("v"))
+        .when(F.col("p") > F.col("w"), F.col("w"))
+        .otherwise(F.col("p"))
+        .alias("y"),
+        F.greatest("p", "w").alias("z"),
+    )
+
+
+def ktruss_edges(pairs: DataFrame, k: int, *, rounds: int = KTRUSS_ROUNDS) -> DataFrame:
+    """Surviving canonical edge set of the k-truss after at most
+    ``rounds`` synchronous support peels (early fixpoint exit)."""
+    edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    n_edges = edges.count()
+    for _ in range(rounds):
+        if n_edges == 0:
+            break
+        tri = _oriented_triangles(edges)
+        sup = (
+            tri.select(F.col("x").alias("doc_a"), F.col("y").alias("doc_b"))
+            .unionAll(tri.select(F.col("x").alias("doc_a"), F.col("z").alias("doc_b")))
+            .unionAll(tri.select(F.col("y").alias("doc_a"), F.col("z").alias("doc_b")))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("sup"))
+            .filter(F.col("sup") >= k - 2)
+            .select("doc_a", "doc_b")
+        )
+        nxt = edges.join(sup, ["doc_a", "doc_b"], "left_semi")
+        nxt = nxt.localCheckpoint(eager=True)
+        n_nxt = nxt.count()
+        if n_nxt == n_edges:
+            break
+        edges, n_edges = nxt, n_nxt
+    return edges
+
+
+def ktruss_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per k in KTRUSS_KS: the k-truss's vertex and edge counts
+    over the near-dup candidate graph (exact int64)."""
+    from .dedup import lsh_candidate_pairs
+
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    pairs = lsh_candidate_pairs(docs).localCheckpoint(eager=True)
+    per_k = []
+    for k in KTRUSS_KS:
+        truss = ktruss_edges(pairs, k)
+        per_k.append(
+            truss.select(
+                F.explode(F.array("doc_a", "doc_b")).alias("v")
+            ).agg(
+                F.lit(k).cast("long").alias("k"),
+                F.countDistinct("v").cast("long").alias("n_truss_vertices"),
+                (F.count(F.lit(1)) / 2).cast("long").alias("n_truss_edges"),
+            )
+        )
+    out = per_k[0]
+    for frame in per_k[1:]:
+        out = out.unionAll(frame)
+    return out.select("k", "n_truss_vertices", "n_truss_edges")
+
+
+def _ktruss_sql() -> str:
+    from .dedup import DEDUP_MINHASH_LSH_SQL
+
+    blocks = []
+    for k in KTRUSS_KS:
+        prev = "pairs"
+        for i in range(1, KTRUSS_ROUNDS + 1):
+            # independent id-ordered pivot enumeration (x<y<z emerges
+            # directly); MATERIALIZED against the CTE-inlining blowup
+            blocks.append(f"""
+tri{k}_{i} AS MATERIALIZED (
+  SELECT a.doc_a AS x, a.doc_b AS y, b.doc_b AS z
+  FROM {prev} a
+  JOIN {prev} b ON b.doc_a = a.doc_a AND b.doc_b > a.doc_b
+  JOIN {prev} e ON e.doc_a = a.doc_b AND e.doc_b = b.doc_b
+),
+sup{k}_{i} AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM (
+    SELECT x AS doc_a, y AS doc_b FROM tri{k}_{i}
+    UNION ALL SELECT x, z FROM tri{k}_{i}
+    UNION ALL SELECT y, z FROM tri{k}_{i}
+  ) GROUP BY doc_a, doc_b HAVING count(*) >= {k - 2}
+),
+s{k}_{i} AS MATERIALIZED (
+  SELECT e.doc_a, e.doc_b FROM {prev} e
+  JOIN sup{k}_{i} s ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b
+)""")
+            prev = f"s{k}_{i}"
+        blocks.append(f"""
+truss{k} AS (
+  SELECT CAST({k} AS BIGINT) AS k,
+         CAST(coalesce(count(DISTINCT v), 0) AS BIGINT) AS n_truss_vertices,
+         CAST(count(*) / 2 AS BIGINT) AS n_truss_edges
+  FROM (SELECT doc_a AS v FROM {prev} UNION ALL SELECT doc_b FROM {prev})
+)""")
+    unions = " UNION ALL ".join(
+        f"SELECT k, n_truss_vertices, n_truss_edges FROM truss{k}" for k in KTRUSS_KS
+    )
+    return f"""
+WITH pairs AS MATERIALIZED ({DEDUP_MINHASH_LSH_SQL}),{",".join(blocks)}
+{unions}
+"""
+
+
+# New in round 13 — extra tier per the rotation policy (r14 promotion
+# candidate).
+EXTRA_SPECS.append(
+    QuerySpec(
+        "ktruss_decomposition",
+        ktruss_decomposition,
+        _ktruss_sql(),
+        "ext:graph,ktruss,peeling,iterative",
+    )
+)

@@ -1105,3 +1105,38 @@ def test_kcore_peel_reaches_fixpoint_within_rounds(spark):
         ["doc_a", "doc_b"],
     )
     assert kcore_edges(k4, 3).count() == 6  # K4 survives k=3 intact
+
+
+def test_ktruss_decomposition_bounded_peel_no_python(spark):
+    """k-truss (new r13): like the k-core pin — the visible tail over
+    the localCheckpoint-truncated peel rounds must be pure integer
+    aggregation; no Python, no cartesian, no global sort."""
+    plan = _executed_plan(spark, "ktruss_decomposition").split(
+        "== Initial Plan =="
+    )[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_ktruss_distinguishes_cores_from_trusses(spark):
+    """The crafted case that separates the two kernels: a 'star of
+    triangles' — K4 plus a pendant triangle glued at one vertex.
+    Every vertex has degree ≥ 2, so the 2-core keeps ALL 9 edges; but
+    the pendant triangle's edges sit in exactly one triangle each, so
+    the 4-truss (support ≥ 2) peels it down to the K4 — trusses count
+    TRIANGLES where cores count NEIGHBORS.  Also pins the pivot-corner
+    canonicalization (x<y<z) on a graph where the degree-oriented
+    pivot falls before, between, and after its two out-neighbors."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.graph import (
+        kcore_edges,
+        ktruss_edges,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    pendant = [(3, 10), (3, 11), (10, 11)]
+    g = spark.createDataFrame(k4 + pendant, ["doc_a", "doc_b"])
+    assert kcore_edges(g, 2).count() == 9  # core keeps the glued triangle
+    truss4 = ktruss_edges(g, 4)
+    assert sorted(map(tuple, truss4.collect())) == sorted(k4)  # truss peels it
+    assert ktruss_edges(g, 3).count() == 9  # every edge closes ≥1 triangle
