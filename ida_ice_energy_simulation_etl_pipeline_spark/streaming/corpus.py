@@ -338,6 +338,15 @@ def corpus_drift_frame(
         .alias(f"_vc_{i}")
         for i, v in enumerate(vocab)
     ]
+    # per-doc containment indicators: the df half of the burstiness arm
+    # (tf/df over the tracked vocab) — in-row booleans summed inside the
+    # SAME windowed aggregate, zero extra state
+    vocab_contains = [
+        (F.size(F.filter(toks, lambda t: t == F.lit(v))) > 0)
+        .cast("long")
+        .alias(f"_vd_{i}")
+        for i, v in enumerate(vocab)
+    ]
     base_cols = ["base_avg_tokens", "base_stop_ratio"] + (
         ["base_probs"] if vocab else []
     )
@@ -350,6 +359,7 @@ def corpus_drift_frame(
         .cast("long")
         .alias("n_stop"),
         *vocab_counts,
+        *vocab_contains,
     )
     agg = base.groupBy(
         F.window("ingest_ts", window_dur).alias("w"),
@@ -361,6 +371,10 @@ def corpus_drift_frame(
         F.sum("n_stop").cast("long").alias("n_stop"),
         *[
             F.sum(f"_vc_{i}").cast("long").alias(f"_wc_{i}")
+            for i in range(len(vocab))
+        ],
+        *[
+            F.sum(f"_vd_{i}").cast("long").alias(f"_wd_{i}")
             for i in range(len(vocab))
         ],
     )
@@ -379,6 +393,25 @@ def corpus_drift_frame(
             ]
         )
         js = _js_divergence(p_arr, F.col("base_probs"))
+        # per-window burstiness (r13): the health panel's member-#5
+        # signal over the tracked vocab — mean tf/df of the tokens
+        # PRESENT in the window (boilerplate stamped several times into
+        # each doc drives tf past df mid-stream long before it moves
+        # the JS or entropy arms).  Pure in-row arithmetic over the
+        # window's (tf, df) sums — zero extra aggregation; NULL when
+        # no tracked token appears in the window.
+        burst_num = sum(
+            (
+                F.when(
+                    F.col(f"_wd_{i}") > 0,
+                    F.col(f"_wc_{i}").cast("double") / F.col(f"_wd_{i}"),
+                ).otherwise(F.lit(0.0))
+            )
+            for i in range(len(vocab))
+        )
+        burst_den = sum(
+            (F.col(f"_wd_{i}") > 0).cast("long") for i in range(len(vocab))
+        )
         js_cols = [
             F.round(js, 6).alias("js_divergence"),
             (js > js_threshold).alias("dist_drifted"),
@@ -386,6 +419,9 @@ def corpus_drift_frame(
             # health panel over the same V+1 outcomes — zero extra
             # aggregation, a pure fold over the window's vocab counts
             F.round(_vocab_entropy(p_arr), 6).alias("vocab_entropy"),
+            F.round(
+                F.when(burst_den > 0, burst_num / burst_den), 6
+            ).alias("vocab_burstiness"),
         ]
     return agg.select(
         F.col("w.start").alias("window_start"),

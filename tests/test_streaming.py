@@ -1214,6 +1214,12 @@ def test_corpus_drift_stream_js_divergence_matches_batch(spark, tmp_path):
     for r in got.values():
         assert 0.0 < r["vocab_entropy"] <= math.log(len(vocab) + 1) + 1e-9
     assert got["s2"]["vocab_entropy"] < got["s1"]["vocab_entropy"]
+    # per-window burstiness (r13, health-panel member #5's streaming
+    # twin): every tracked token in this fixture appears exactly once
+    # per containing doc, so mean tf/df is exactly 1.0 in both windows
+    # — the unstamped floor the boilerplate test below moves off
+    assert got["s1"]["vocab_burstiness"] == 1.0
+    assert got["s2"]["vocab_burstiness"] == 1.0
     # twin parity including the JS column, through the SAME builder
     batch_docs = spark.createDataFrame(
         [(r["doc_id"], r["text"], r["source"], r["ingest_ts"]) for r in rows],
@@ -1229,6 +1235,49 @@ def test_corpus_drift_stream_js_divergence_matches_batch(spark, tmp_path):
         map(tuple, spark.sql("SELECT * FROM drift_js_t").collect())
     )
     assert stream_rows == batch_rows
+
+
+def test_corpus_drift_burstiness_arm_flags_stamped_boilerplate(spark):
+    """The burstiness arm's reason to exist: a live window whose docs
+    carry a tracked token STAMPED several times each (injected
+    boilerplate) reads mean tf/df > 1 while token-count/JS arms can
+    stay quiet if lengths and mix otherwise hold; a window with no
+    tracked token reads NULL rather than 0."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming.corpus import (
+        corpus_drift_frame,
+        drift_vocab,
+        source_baseline_frame,
+    )
+
+    base_docs = spark.createDataFrame(
+        [("alpha beta gamma", "s1"), ("alpha delta epsilon", "s1")],
+        ["text", "source"],
+    )
+    vocab = drift_vocab(base_docs, top_v=2)
+    assert vocab == ["alpha", "beta"]  # count desc, token asc
+    baseline = source_baseline_frame(base_docs, vocab)
+    live = spark.createDataFrame(
+        [
+            # 'alpha' stamped 3x per doc: tf=6, df=2 -> tf/df = 3;
+            # 'beta' appears once in one doc -> tf/df = 1; window mean
+            # over the present tracked tokens = (3 + 1) / 2 = 2
+            (1, "alpha alpha alpha beta gamma", "s1",
+             "2024-03-01T00:00:10"),
+            (2, "alpha alpha alpha delta epsilon", "s1",
+             "2024-03-01T00:01:10"),
+        ],
+        ["doc_id", "text", "source", "ingest_ts"],
+    ).withColumn("ingest_ts", F.to_timestamp("ingest_ts"))
+    row = corpus_drift_frame(live, baseline, vocab=vocab).collect()[0]
+    assert row["vocab_burstiness"] == 2.0
+
+    # no tracked token in the window -> NULL, not 0
+    blank = spark.createDataFrame(
+        [(3, "zeta eta theta", "s1", "2024-03-01T00:02:10")],
+        ["doc_id", "text", "source", "ingest_ts"],
+    ).withColumn("ingest_ts", F.to_timestamp("ingest_ts"))
+    row2 = corpus_drift_frame(blank, baseline, vocab=vocab).collect()[0]
+    assert row2["vocab_burstiness"] is None
 
 
 def test_decontamination_stream_matches_batch(spark, tmp_path):
