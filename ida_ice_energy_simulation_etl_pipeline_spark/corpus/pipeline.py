@@ -85,6 +85,18 @@ class CorpusConfig:
     # cap) and feed the SAME connected-components → min-doc_id survivor
     # path; near_dup_agreement (operators/dedup.py) is the acceptance
     # harness comparing the two pair sets on a given corpus.
+    # KNOWN BLIND SPOT of "winnow" (documented + pinned by
+    # test_corpus_winnow_criterion_df_cap_blind_spot): its df cap drops
+    # every fingerprint shared by > WINNOW_PAIR_DF_CAP docs BEFORE the
+    # pair join, so a duplicate FAMILY larger than the cap (a template
+    # stamped into 60+ docs) produces ZERO winnow pairs and ships
+    # undeduped — while "lsh" clusters it.  The cap is what bounds the
+    # fp-grain self-join (a fp shared by n docs yields n² pair rows),
+    # so this is a deliberate trade: "winnow" is the CONTAINMENT lens
+    # beside LSH, not a superset of it; corpora suspected of large
+    # template farms should run "lsh" (or both, comparing via
+    # near_dup_agreement) and let boilerplate_scrub own the stamped
+    # template itself.
     near_dedup_method: str = "lsh"
     # per-source boilerplate removal (operators/dedup.py::
     # boilerplate_scrub_frame, the CCNet/RefinedWeb domain-frequency

@@ -969,16 +969,61 @@ KCORE_KS = (2, 3)
 KCORE_ROUNDS = 12  # rail; measured peel depth 1-2 at sf0.001/0.01/0.1
 
 
-def kcore_edges(pairs: DataFrame, k: int, *, rounds: int = KCORE_ROUNDS) -> DataFrame:
-    """Surviving (doc_a, doc_b) edge set of the k-core after at most
-    ``rounds`` synchronous peels (early exit at fixpoint — identical
-    result, fewer jobs).  ``pairs`` must carry each undirected edge
-    once as doc_a < doc_b."""
+def _peel_to_fixpoint(pairs: DataFrame, survivor_step, rounds: int) -> DataFrame:
+    """Shared synchronous-peel driver for the k-core and k-truss
+    kernels: apply ``survivor_step(edges) -> edges`` (which drops the
+    unsupported edges of one round) until the edge count stops
+    changing or ``rounds`` elapse; localCheckpoint per round truncates
+    the lineage (the CC discipline), and the per-round count action is
+    the irreducible fixpoint observation."""
     edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
     n_edges = edges.count()
     for _ in range(rounds):
         if n_edges == 0:
             break
+        nxt = survivor_step(edges).localCheckpoint(eager=True)
+        n_nxt = nxt.count()
+        if n_nxt == n_edges:
+            break
+        edges, n_edges = nxt, n_nxt
+    return edges
+
+
+def _peeled_summary(core: DataFrame, k: int, prefix: str) -> DataFrame:
+    """(k, n_{prefix}_vertices, n_{prefix}_edges) for one peeled edge
+    set.  Each surviving edge contributes exactly two endpoint rows, so
+    n_edges = rows/2 exactly; count/countDistinct on an empty frame
+    still yield one zero row (agg without grouping)."""
+    return core.select(F.explode(F.array("doc_a", "doc_b")).alias("v")).agg(
+        F.lit(k).cast("long").alias("k"),
+        F.countDistinct("v").cast("long").alias(f"n_{prefix}_vertices"),
+        (F.count(F.lit(1)) / 2).cast("long").alias(f"n_{prefix}_edges"),
+    )
+
+
+def _near_dup_summaries(
+    spark: SparkSession, sf_dir: str, ks, peel, prefix: str
+) -> DataFrame:
+    """One summary row per k over the near-dup candidate graph, through
+    ``peel(pairs, k) -> edges``."""
+    from .dedup import lsh_candidate_pairs
+
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    pairs = lsh_candidate_pairs(docs).localCheckpoint(eager=True)
+    per_k = [_peeled_summary(peel(pairs, k), k, prefix) for k in ks]
+    out = per_k[0]
+    for frame in per_k[1:]:
+        out = out.unionAll(frame)
+    return out.select("k", f"n_{prefix}_vertices", f"n_{prefix}_edges")
+
+
+def kcore_edges(pairs: DataFrame, k: int, *, rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """Surviving (doc_a, doc_b) edge set of the k-core after at most
+    ``rounds`` synchronous peels (early exit at fixpoint — identical
+    result, fewer jobs).  ``pairs`` must carry each undirected edge
+    once as doc_a < doc_b."""
+
+    def step(edges: DataFrame) -> DataFrame:
         ends = edges.select(F.col("doc_a").alias("v")).unionAll(
             edges.select(F.col("doc_b").alias("v"))
         )
@@ -988,46 +1033,18 @@ def kcore_edges(pairs: DataFrame, k: int, *, rounds: int = KCORE_ROUNDS) -> Data
             .filter(F.col("d") >= k)
             .select("v")
         )
-        nxt = edges.join(
+        return edges.join(
             keep.select(F.col("v").alias("doc_a")), "doc_a", "left_semi"
-        ).join(
-            keep.select(F.col("v").alias("doc_b")), "doc_b", "left_semi"
-        )
-        nxt = nxt.localCheckpoint(eager=True)
-        n_nxt = nxt.count()
-        if n_nxt == n_edges:
-            break
-        edges, n_edges = nxt, n_nxt
-    return edges
+        ).join(keep.select(F.col("v").alias("doc_b")), "doc_b", "left_semi")
+
+    return _peel_to_fixpoint(pairs, step, rounds)
 
 
 def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per k in KCORE_KS: the k-core's vertex and edge counts
     over the near-dup candidate graph (exact int64 — trivially
     hashable).  Empty cores report explicit zeros."""
-    from .dedup import lsh_candidate_pairs
-
-    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
-    pairs = lsh_candidate_pairs(docs).localCheckpoint(eager=True)
-    per_k = []
-    for k in KCORE_KS:
-        core = kcore_edges(pairs, k)
-        # each surviving edge contributes exactly two endpoint rows, so
-        # n_edges = rows/2 exactly; count/countDistinct on an empty
-        # frame still yield one zero row (agg without grouping)
-        per_k.append(
-            core.select(
-                F.explode(F.array("doc_a", "doc_b")).alias("v")
-            ).agg(
-                F.lit(k).cast("long").alias("k"),
-                F.countDistinct("v").cast("long").alias("n_core_vertices"),
-                (F.count(F.lit(1)) / 2).cast("long").alias("n_core_edges"),
-            )
-        )
-    out = per_k[0]
-    for frame in per_k[1:]:
-        out = out.unionAll(frame)
-    return out.select("k", "n_core_vertices", "n_core_edges")
+    return _near_dup_summaries(spark, sf_dir, KCORE_KS, kcore_edges, "core")
 
 
 def _kcore_sql() -> str:
@@ -1165,11 +1182,8 @@ def _oriented_triangles(edges: DataFrame) -> DataFrame:
 def ktruss_edges(pairs: DataFrame, k: int, *, rounds: int = KTRUSS_ROUNDS) -> DataFrame:
     """Surviving canonical edge set of the k-truss after at most
     ``rounds`` synchronous support peels (early fixpoint exit)."""
-    edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
-    n_edges = edges.count()
-    for _ in range(rounds):
-        if n_edges == 0:
-            break
+
+    def step(edges: DataFrame) -> DataFrame:
         tri = _oriented_triangles(edges)
         sup = (
             tri.select(F.col("x").alias("doc_a"), F.col("y").alias("doc_b"))
@@ -1180,38 +1194,15 @@ def ktruss_edges(pairs: DataFrame, k: int, *, rounds: int = KTRUSS_ROUNDS) -> Da
             .filter(F.col("sup") >= k - 2)
             .select("doc_a", "doc_b")
         )
-        nxt = edges.join(sup, ["doc_a", "doc_b"], "left_semi")
-        nxt = nxt.localCheckpoint(eager=True)
-        n_nxt = nxt.count()
-        if n_nxt == n_edges:
-            break
-        edges, n_edges = nxt, n_nxt
-    return edges
+        return edges.join(sup, ["doc_a", "doc_b"], "left_semi")
+
+    return _peel_to_fixpoint(pairs, step, rounds)
 
 
 def ktruss_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per k in KTRUSS_KS: the k-truss's vertex and edge counts
     over the near-dup candidate graph (exact int64)."""
-    from .dedup import lsh_candidate_pairs
-
-    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
-    pairs = lsh_candidate_pairs(docs).localCheckpoint(eager=True)
-    per_k = []
-    for k in KTRUSS_KS:
-        truss = ktruss_edges(pairs, k)
-        per_k.append(
-            truss.select(
-                F.explode(F.array("doc_a", "doc_b")).alias("v")
-            ).agg(
-                F.lit(k).cast("long").alias("k"),
-                F.countDistinct("v").cast("long").alias("n_truss_vertices"),
-                (F.count(F.lit(1)) / 2).cast("long").alias("n_truss_edges"),
-            )
-        )
-    out = per_k[0]
-    for frame in per_k[1:]:
-        out = out.unionAll(frame)
-    return out.select("k", "n_truss_vertices", "n_truss_edges")
+    return _near_dup_summaries(spark, sf_dir, KTRUSS_KS, ktruss_edges, "truss")
 
 
 def _ktruss_sql() -> str:

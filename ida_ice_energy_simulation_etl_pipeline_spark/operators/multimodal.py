@@ -2483,25 +2483,30 @@ def decode_tiff_pixels(payload: bytes) -> "object | None":
 
                 # Bounded decode (r12 ADVICE): an unbounded
                 # zlib.decompress would let a crafted small strip
-                # expand to gigabytes before the truncation; cap the
-                # inflater at the expected strip size and fail closed
-                # like the PackBits/LZW paths if the stream carries
-                # more data than the IFD geometry admits.
+                # expand to gigabytes before the truncation.  Cap the
+                # inflater at the strip's SPEC-MAXIMAL size — a padded
+                # final strip (a real encoder pattern: the last strip
+                # compressed at full rows_per_strip rows) may honestly
+                # inflate past the n_rows geometry, and the
+                # PackBits/LZW siblings truncate-and-accept that shape,
+                # so this path does too; anything inflating BEYOND the
+                # full-strip geometry is a bomb and fails closed, as
+                # does a stream that never reaches a checksum-valid
+                # EOF (truncation).
                 expect = n_rows * w * spp
+                # clamp to the IMAGE geometry: a crafted rows_per_strip
+                # far above h must not widen the bomb bound
+                full_expect = min(rows_per_strip, h) * w * spp
                 try:
                     dec = zlib.decompressobj()
-                    strip = dec.decompress(strip, expect)
-                    if len(strip) < expect:
+                    out = dec.decompress(strip, full_expect)
+                    if len(out) < expect:
                         return None
-                    # Drain one more byte: any extra decompressed data
-                    # means the stream is bigger than the geometry
-                    # admits (bomb shape); draining also forces trailer
-                    # processing, so dec.eof distinguishes a complete,
-                    # checksum-valid stream from a truncated one.
                     if dec.decompress(dec.unconsumed_tail, 1) or not dec.eof:
                         return None
                 except zlib.error:
                     return None
+                strip = out[:expect]
             raw += strip
         if len(raw) < h * w * spp:
             return None

@@ -338,15 +338,6 @@ def corpus_drift_frame(
         .alias(f"_vc_{i}")
         for i, v in enumerate(vocab)
     ]
-    # per-doc containment indicators: the df half of the burstiness arm
-    # (tf/df over the tracked vocab) — in-row booleans summed inside the
-    # SAME windowed aggregate, zero extra state
-    vocab_contains = [
-        (F.size(F.filter(toks, lambda t: t == F.lit(v))) > 0)
-        .cast("long")
-        .alias(f"_vd_{i}")
-        for i, v in enumerate(vocab)
-    ]
     base_cols = ["base_avg_tokens", "base_stop_ratio"] + (
         ["base_probs"] if vocab else []
     )
@@ -359,7 +350,6 @@ def corpus_drift_frame(
         .cast("long")
         .alias("n_stop"),
         *vocab_counts,
-        *vocab_contains,
     )
     agg = base.groupBy(
         F.window("ingest_ts", window_dur).alias("w"),
@@ -373,8 +363,15 @@ def corpus_drift_frame(
             F.sum(f"_vc_{i}").cast("long").alias(f"_wc_{i}")
             for i in range(len(vocab))
         ],
+        # the df half of the burstiness arm: containment derives from
+        # the per-doc count column already computed above — no second
+        # array-filter HOF per tracked token (HOF lambdas evaluate
+        # interpreted with no common-subexpression elimination; see the
+        # simhash note in operators/dedup.py)
         *[
-            F.sum(f"_vd_{i}").cast("long").alias(f"_wd_{i}")
+            F.sum((F.col(f"_vc_{i}") > 0).cast("long"))
+            .cast("long")
+            .alias(f"_wd_{i}")
             for i in range(len(vocab))
         ],
     )

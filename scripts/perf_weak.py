@@ -38,7 +38,10 @@ def perf_weak(detail: dict) -> list[tuple[str, float, float, float]]:
             continue  # oracle error marker — no comparator this run
         net = wall - (floors.get(name) or 0.0) - (builds.get(name) or 0.0)
         if net >= NET_FLOOR_SEC and net > DUCK_RATIO * d:
-            out.append((name, round(net, 3), round(d, 3), round(net / d, 2)))
+            # d == 0 (a sub-resolution oracle wall) still satisfies the
+            # rule; report an infinite ratio instead of dividing by it
+            ratio = round(net / d, 2) if d > 0 else float("inf")
+            out.append((name, round(net, 3), round(d, 3), ratio))
     return sorted(out, key=lambda t: -t[1])
 
 

@@ -315,6 +315,37 @@ def test_corpus_near_dedup_method_winnow_catches_containment_pair(
         )
 
 
+def test_corpus_winnow_criterion_df_cap_blind_spot(spark):
+    """Pins the DOCUMENTED blind spot of near_dedup_method="winnow"
+    (see the CorpusConfig comment): a template family LARGER than
+    WINNOW_PAIR_DF_CAP produces zero winnow pairs (every shared
+    fingerprint's df exceeds the cap that bounds the self-join) while
+    LSH banding clusters it — the cap is a deliberate boundedness
+    trade, and this test is what fails if that trade ever silently
+    changes."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        WINNOW_PAIR_DF_CAP,
+        winnow_candidate_pairs,
+    )
+
+    template = (
+        "breaking news from the valley today as the council approved "
+        "the new riverside development plan after months of public "
+        "hearings and detailed environmental review sessions"
+    )
+    n = WINNOW_PAIR_DF_CAP + 5
+    rows = [(i, f"{template} item{i}", "src0") for i in range(n)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    # every template fingerprint is shared by all n > cap docs -> the
+    # cap drops them all; the per-doc unique tail yields no pairs
+    assert winnow_candidate_pairs(docs).count() == 0
+    # LSH banding clusters the family fine (near-identical shingle sets)
+    assert lsh_candidate_pairs(docs).count() > 0
+
+
 def test_corpus_gate_blocks_empty_output(spark, tmp_path):
     path = tmp_path / "docs.parquet"
     spark.createDataFrame(

@@ -4192,3 +4192,24 @@ def test_tiff_lzw_and_deflate_decode_profiles():
     bomb = zlib.compress(bytes(1 << 20))
     entries[-1] = (279, 4, [len(bomb)])
     assert decode_tiff_pixels(tiff("<", entries, base) + bomb) is None
+
+    # padded final strip accepted (r13 review): a 4x3 gray image in
+    # rows_per_strip=2 strips whose LAST strip was compressed at full
+    # strip height (2 rows for 1 remaining — a real encoder pattern);
+    # the bounded inflater must truncate-and-accept like the
+    # PackBits/LZW paths, while the geometry clamp keeps the bomb
+    # bound at min(rows_per_strip, h)·w·spp.
+    px3 = bytes(range(12))
+    s1 = zlib.compress(px3[:8])              # rows 0-1
+    s2 = zlib.compress(px3[8:] + b"\xaa" * 4)  # row 2 + one padding row
+    base2 = 8 + 2 + 8 * 12 + 4
+    # SHORT-typed strip arrays (spec-legal) keep both two-value tags
+    # inline — this tiff() helper has no out-of-line blob support
+    entries2 = [
+        (256, 3, [4]), (257, 3, [3]), (258, 3, [8]),
+        (259, 3, [8]), (262, 3, [1]), (278, 3, [2]),
+        (273, 3, [base2, base2 + len(s1)]),
+        (279, 3, [len(s1), len(s2)]),
+    ]
+    px = decode_tiff_pixels(tiff("<", entries2, base2) + s1 + s2)
+    assert px is not None and px[:, :, 0].ravel().tolist() == list(px3)
