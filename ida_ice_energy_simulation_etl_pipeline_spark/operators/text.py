@@ -797,6 +797,100 @@ def decontamination_flags(
 
 
 # --------------------------------------------------------------------------
+# Eval-grain leak profile (new r13): winnow_contamination answers
+# "which TRAINING sources are contaminated"; this answers the other
+# decision question — "which EVAL items are burned" (drop the item
+# from the benchmark vs scrub the training hits).  For every held-out
+# eval doc: how many distinct training docs share ≥1 winnowed
+# fingerprint with it, over how many distinct fingerprints, and how
+# many (train_doc, fp) hits total; zero-hit eval docs report explicit
+# zeros (the healthy majority IS the report).  Scale posture: the
+# probe joins at fingerprint grain with the TRAIN side df-capped at
+# WINNOW_PAIR_DF_CAP (a fingerprint in half the corpus is boilerplate,
+# not leak evidence, and uncapped it fans out n_eval × df rows), and
+# the eval universe is benchmark-sized — the same boundedness story as
+# winnow_pairs / contamination_check.  All-integer output.
+def eval_leak_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    toks = word_tokens(F.col("text"))
+    per_doc = docs.select(
+        "doc_id", "source", winnow_hashes(toks).alias("hashes")
+    ).select("doc_id", "source", winnow_select(F.col("hashes")).alias("fps"))
+    ex = per_doc.select(
+        "doc_id", "source", F.explode_outer("fps").alias("fp")
+    ).filter(F.col("fp").isNotNull())
+    eval_ex = ex.filter(F.col("source") == CONTAMINATION_EVAL_SOURCE).select(
+        F.col("doc_id").alias("eval_doc_id"), "fp"
+    )
+    train_ex = ex.filter(F.col("source") != CONTAMINATION_EVAL_SOURCE).select(
+        F.col("doc_id").alias("train_doc_id"), "fp"
+    )
+    rare = (
+        train_ex.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WINNOW_PAIR_DF_CAP)
+        .select("fp")
+    )
+    hits = (
+        eval_ex.join(train_ex.join(rare, "fp", "left_semi"), "fp")
+        .groupBy("eval_doc_id")
+        .agg(
+            F.countDistinct("train_doc_id").cast("long").alias("n_train_docs"),
+            F.countDistinct("fp").cast("long").alias("n_shared_fps"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+        )
+    )
+    universe = per_doc.filter(
+        F.col("source") == CONTAMINATION_EVAL_SOURCE
+    ).select(F.col("doc_id").alias("eval_doc_id"))
+    return universe.join(hits, "eval_doc_id", "left").select(
+        "eval_doc_id",
+        F.coalesce("n_train_docs", F.lit(0).cast("long")).alias("n_train_docs"),
+        F.coalesce("n_shared_fps", F.lit(0).cast("long")).alias("n_shared_fps"),
+        F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+    )
+
+
+EVAL_LEAK_PROFILE_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, source,
+         {_winnow_fps_sql()} AS fps
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+),
+ex AS (SELECT doc_id, source, unnest(fps) AS fp FROM per_doc),
+eval_ex AS (
+  SELECT doc_id AS eval_doc_id, fp FROM ex
+  WHERE source = '{CONTAMINATION_EVAL_SOURCE}'
+),
+train_ex AS (
+  SELECT doc_id AS train_doc_id, fp FROM ex
+  WHERE source <> '{CONTAMINATION_EVAL_SOURCE}'
+),
+rare AS (
+  SELECT fp FROM train_ex GROUP BY fp
+  HAVING count(*) <= {WINNOW_PAIR_DF_CAP}
+),
+hits AS (
+  SELECT e.eval_doc_id,
+         CAST(count(DISTINCT t.train_doc_id) AS BIGINT) AS n_train_docs,
+         CAST(count(DISTINCT t.fp) AS BIGINT) AS n_shared_fps,
+         CAST(count(*) AS BIGINT) AS n_hits
+  FROM eval_ex e
+  JOIN (SELECT * FROM train_ex WHERE fp IN (SELECT fp FROM rare)) t
+    ON t.fp = e.fp
+  GROUP BY e.eval_doc_id
+)
+SELECT u.doc_id AS eval_doc_id,
+       CAST(coalesce(h.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+       CAST(coalesce(h.n_shared_fps, 0) AS BIGINT) AS n_shared_fps,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+FROM (SELECT doc_id FROM per_doc
+      WHERE source = '{CONTAMINATION_EVAL_SOURCE}') u
+LEFT JOIN hits h ON h.eval_doc_id = u.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Benchmark-contamination check: which training documents share any
 # 4-gram with the held-out eval set (source 'src0')?  The standard
 # pre-training hygiene scan.  Shape: explode eval docs to DISTINCT
@@ -4951,4 +5045,12 @@ EXTRA_SPECS: list[QuerySpec] = [
         "ext:text,quality,inference",
     ),
     QuerySpec("data_mix", data_mix, DATA_MIX_SQL, "ext:mixing,sampling"),
+    # New in round 13 — extra tier per the rotation policy (r14
+    # promotion candidate): the eval-grain twin of winnow_contamination.
+    QuerySpec(
+        "eval_leak_profile",
+        eval_leak_profile,
+        EVAL_LEAK_PROFILE_SQL,
+        "ext:text,contamination,winnowing,eval-grain",
+    ),
 ]

@@ -1140,3 +1140,20 @@ def test_ktruss_distinguishes_cores_from_trusses(spark):
     truss4 = ktruss_edges(g, 4)
     assert sorted(map(tuple, truss4.collect())) == sorted(k4)  # truss peels it
     assert ktruss_edges(g, 3).count() == 9  # every edge closes ≥1 triangle
+
+
+def test_eval_leak_profile_capped_probe_no_python(spark):
+    """Eval-grain leak profile (new r13): the fp-grain probe must ride
+    the train-side df cap (LeftSemi), never a cartesian, no Python,
+    and the winnowing pushdown trap stays absent."""
+    plan = _executed_plan(spark, "eval_leak_profile").split(
+        "== Initial Plan =="
+    )[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan  # the df-cap probe
+    for line in plan.splitlines():
+        if "Filter" in line and "md5" in line:
+            raise AssertionError(
+                "inferred-filter pushdown trap resurfaced: " + line[:200]
+            )
