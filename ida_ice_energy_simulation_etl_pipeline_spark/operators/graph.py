@@ -1259,3 +1259,55 @@ EXTRA_SPECS.append(
         "ext:graph,ktruss,peeling,iterative",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Degree distribution (new r13): the first thing a graph practitioner
+# plots and the reading key for every other kernel here — whether the
+# near-dup graph is hub-dominated (a few mirror servers touching
+# everything) or flat (pairwise template echoes) decides how to read
+# the assortativity sign and how deep the cores/trusses go.  Histogram
+# at degree grain: degree → how many vertices carry it — ≤ max-degree
+# rows out, two keyed integer aggregates in (vertex-grain degree count,
+# then degree-grain rollup), nothing else.  All-integer output.
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import lsh_candidate_pairs
+
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    pairs = lsh_candidate_pairs(docs)
+    ends = pairs.select(F.col("doc_a").alias("v")).unionAll(
+        pairs.select(F.col("doc_b").alias("v"))
+    )
+    return (
+        ends.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    )
+
+
+def _degree_distribution_sql() -> str:
+    from .dedup import DEDUP_MINHASH_LSH_SQL
+
+    return f"""
+WITH pairs AS ({DEDUP_MINHASH_LSH_SQL}),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT doc_a AS v FROM pairs UNION ALL SELECT doc_b FROM pairs)
+  GROUP BY v
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices
+FROM deg GROUP BY degree
+"""
+
+
+# New in round 13 — extra tier per the rotation policy (r14 promotion
+# candidate).
+EXTRA_SPECS.append(
+    QuerySpec(
+        "degree_distribution",
+        degree_distribution,
+        _degree_distribution_sql(),
+        "ext:graph,degree,histogram",
+    )
+)

@@ -1157,3 +1157,14 @@ def test_eval_leak_profile_capped_probe_no_python(spark):
             raise AssertionError(
                 "inferred-filter pushdown trap resurfaced: " + line[:200]
             )
+
+
+def test_degree_distribution_two_keyed_aggregates(spark):
+    """Degree histogram (new r13): two keyed integer aggregates over
+    the banded pair set — no Python, no cartesian, no global sort."""
+    plan = _executed_plan(spark, "degree_distribution").split(
+        "== Initial Plan =="
+    )[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
