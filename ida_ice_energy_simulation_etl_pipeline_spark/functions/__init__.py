@@ -14,6 +14,8 @@ from .columns import (
     hashed_word_shingles,
     occurrence_count,
     punct_ratio,
+    round_pz,
+    round_pz_sql,
     word_shingles,
     word_tokens,
 )
@@ -28,6 +30,8 @@ __all__ = [
     "hashed_word_shingles",
     "occurrence_count",
     "punct_ratio",
+    "round_pz",
+    "round_pz_sql",
     "word_shingles",
     "word_tokens",
 ]

@@ -22,6 +22,31 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def round_pz(expr: Column, scale: int) -> Column:
+    """Round a double to ``scale`` digits and canonicalize IEEE negative
+    zero to +0.0.
+
+    Spark's ``round`` (BigDecimal HALF_UP) has no signed zero and emits
+    +0.0; DuckDB's float ``round`` preserves the sign, so a tiny negative
+    argument (e.g. a PMI of -3.4e-6) rounds to **-0.0** on the oracle and
+    **+0.0** on Spark — value-equal under ``==`` but distinct to the
+    driver's value hash (the round-13 ``collocation_pmi`` red row).  The
+    ``+ 0.0`` maps -0.0 to +0.0 (IEEE: -0.0 + 0.0 = +0.0 under
+    round-to-nearest) and leaves every other value and NULL unchanged.
+    Every oracle-backed rounded-double surface whose argument can be
+    negative rounds through this helper, and its DuckDB oracle mirrors it
+    via :func:`round_pz_sql`.
+    """
+    return F.round(expr, scale) + F.lit(0.0)
+
+
+def round_pz_sql(expr: str, scale: int) -> str:
+    """DuckDB fragment mirroring :func:`round_pz`:
+    ``round(expr, scale) + 0.0`` — canonicalizes the oracle's signed zero
+    so both engines hash identically."""
+    return f"round({expr}, {scale}) + 0.0"
+
+
 def epoch_us(ts: Column | str) -> Column:
     """Exact integer microseconds since the epoch, for TIMESTAMP *or*
     TIMESTAMP_NTZ inputs.

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import hashed_word_shingles, word_shingles, word_tokens
+from ..functions import hashed_word_shingles, round_pz, word_shingles, word_tokens
 from ..plans.core import QuerySpec, ensure_parallelism, hash_parallelism, load_table
 
 N_MINHASHES = 8
@@ -867,7 +867,11 @@ def semantic_dedup_frame(
             "vec_id",
             "embedding",
             F.col("best.cid").alias("centroid_id"),
-            F.round(-F.col("best.negcos"), 4).alias("cent_cos"),
+            # round_pz: the nearest centroid's cosine can be negative
+            # (signed-zero class, VERDICT r13 #1); ±0.0 compare equal in
+            # the keep-rank ordering so the canonicalization never
+            # changes which vector dominates.
+            round_pz(-F.col("best.negcos"), 4).alias("cent_cos"),
         )
     )
 
@@ -927,7 +931,7 @@ def _semantic_oracle_sql() -> str:
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 cent AS (SELECT vec_id AS centroid_id, emb AS cent_emb FROM e WHERE vec_id < {N_CENTROIDS}),
 asg AS (
-  SELECT vec_id, emb, centroid_id, round(ccos, 4) AS cent_cos FROM (
+  SELECT vec_id, emb, centroid_id, round(ccos, 4) + 0.0 AS cent_cos FROM (
     SELECT e.vec_id, e.emb, c.centroid_id,
            list_cosine_similarity(e.emb, c.cent_emb) AS ccos,
            row_number() OVER (PARTITION BY e.vec_id
@@ -1653,15 +1657,24 @@ SPECS: list[QuerySpec] = [
     # tests/test_oracle_parity.py keeps it value-verified on every suite
     # run) to free a slot for the never-driver-verified boilerplate
     # scrubber promoted below.
+    # Round-14 rotation (judge-prescribed): boilerplate_scrub demoted
+    # (green r9–r13; verified hash-green in CORRECTNESS_r13 before
+    # demotion) to fund first driver rows for the round-13 extras.
+    # Coverage retained: the boilerplate/scrub stage runs driver-side
+    # inside corpus_pipeline_e2e (planted-stamp acceptance), the pair
+    # grain keeps winnow_pairs + near_dup_agreement in-window, and the
+    # scrubber stays oracle-verified every run in the extra tier below.
+]
+
+EXTRA_SPECS: list[QuerySpec] = [
+    # Rotated out of the driver window in round 14 (green r9–r13; see
+    # the SPECS comment above).
     QuerySpec(
         "boilerplate_scrub",
         boilerplate_scrub,
         BOILERPLATE_SCRUB_SQL,
         "ext:dedup,cleaning,boilerplate",
     ),
-]
-
-EXTRA_SPECS: list[QuerySpec] = [
     # Rotated out of the driver window in round 11 (5–6 green rounds
     # each; see the SPECS comment above).
     QuerySpec(

@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import cosine_similarity, cosine_similarity_sql, l2_norm
+from ..functions import cosine_similarity, cosine_similarity_sql, l2_norm, round_pz
 from ..plans.core import QuerySpec, ensure_parallelism, load_table
 
 TOP_K = 5
@@ -241,7 +241,9 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.round(F.avg("norm"), 4).alias("avg_norm"),
-            F.round(F.avg("dim0"), 4).alias("avg_dim0"),
+            # round_pz: dim0 is a signed embedding component (signed-zero
+            # class, VERDICT r13 #1); norm is nonnegative, plain round.
+            round_pz(F.avg("dim0"), 4).alias("avg_dim0"),
         )
     )
 
@@ -256,7 +258,7 @@ WITH per_vec AS (
 SELECT label,
        count(*)           AS n_vecs,
        round(avg(norm), 4) AS avg_norm,
-       round(avg(dim0), 4) AS avg_dim0
+       round(avg(dim0), 4) + 0.0 AS avg_dim0
 FROM per_vec
 GROUP BY label
 """
@@ -307,8 +309,10 @@ def embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.avg("cos"), 4).alias("mean_cos"),
-            F.round(F.min("cos"), 4).alias("min_cos"),
+            # round_pz on the signed cosine aggregates (signed-zero
+            # class, VERDICT r13 #1); centroid_norm is nonnegative.
+            round_pz(F.avg("cos"), 4).alias("mean_cos"),
+            round_pz(F.min("cos"), 4).alias("min_cos"),
             F.round(F.first(l2_norm("centroid")), 6).alias("centroid_norm"),
         )
     )
@@ -349,8 +353,8 @@ scored AS (
 )
 SELECT label,
        count(*) AS n_vecs,
-       round(avg(cos), 4) AS mean_cos,
-       round(min(cos), 4) AS min_cos,
+       round(avg(cos), 4) + 0.0 AS mean_cos,
+       round(min(cos), 4) + 0.0 AS min_cos,
        round(any_value(cnorm), 6) AS centroid_norm
 FROM scored
 GROUP BY label
@@ -518,7 +522,11 @@ def similarity_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_parallelism(spark, raw)
     out = lsh_topk(emb, list(range(N_QUERIES)), multiprobe=True, small_side=raw)
     return out.select(
-        "query_id", "nn_rank", "neighbor_id", F.round("cos", 4).alias("cos_sim")
+        "query_id",
+        "nn_rank",
+        "neighbor_id",
+        # round_pz: cosine is signed (signed-zero class, VERDICT r13 #1).
+        round_pz(F.col("cos"), 4).alias("cos_sim"),
     )
 
 
@@ -551,7 +559,7 @@ ranked AS (
                                  ORDER BY cos DESC, neighbor_id) AS BIGINT) AS nn_rank
   FROM scored
 )
-SELECT query_id, nn_rank, neighbor_id, round(cos, 4) AS cos_sim
+SELECT query_id, nn_rank, neighbor_id, round(cos, 4) + 0.0 AS cos_sim
 FROM ranked WHERE nn_rank <= {TOP_K}
 """
 
@@ -652,7 +660,8 @@ def ivf_topk(
         "query_id",
         "nn_rank",
         F.col("vec_id").alias("neighbor_id"),
-        F.round("cos", 4).alias("cos_sim"),
+        # round_pz: cosine is signed (signed-zero class, VERDICT r13 #1).
+        round_pz(F.col("cos"), 4).alias("cos_sim"),
     )
 
 
@@ -690,7 +699,7 @@ ranked AS (
                                  ORDER BY cos DESC, neighbor_id) AS BIGINT) AS nn_rank
   FROM scored
 )
-SELECT query_id, nn_rank, neighbor_id, round(cos, 4) AS cos_sim
+SELECT query_id, nn_rank, neighbor_id, round(cos, 4) + 0.0 AS cos_sim
 FROM ranked WHERE nn_rank <= {TOP_K}
 """
 

@@ -99,9 +99,17 @@ def _canon_arrow_type(t) -> str:
 def _values_equal(a, b) -> bool:
     # STRICT equality (the driver hashes values): if a query fails only in
     # float last-bits, the query itself must round harder, not the test.
+    # Sign-of-zero strict: the driver's value hash distinguishes -0.0 from
+    # +0.0 but Python's `==` does not, which is how the round-13
+    # `collocation_pmi` red row slipped past the local sf0.01 sweep
+    # (DuckDB round() emits -0.0 where Spark emits +0.0).  Comparing the
+    # copysign when both compare equal to zero makes this comparator at
+    # least as strict as the driver's hash.
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
+        if a == b == 0.0:
+            return math.copysign(1.0, a) == math.copysign(1.0, b)
         return a == b
     return a == b
 

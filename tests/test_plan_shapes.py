@@ -1013,16 +1013,19 @@ def test_winnow_pairs_fp_grain_capped_no_traps(spark):
             )
 
 
-def test_degree_assortativity_broadcast_degree_rejoin(spark):
-    """Assortativity: the degree table rides BROADCAST back onto the
-    edge list (dim-sized), moments are one global integer aggregate,
-    no cartesian beyond the 1x1 result merge, no Python."""
+def test_degree_assortativity_no_forced_vertex_broadcast(spark):
+    """Assortativity: the degree table is VERTEX-grain, so it carries NO
+    forced broadcast hint (r13 verdict — the same driver-OOM posture the
+    dup_modularity fix removed); AQE broadcasts it at fixture scale from
+    runtime stats and is free to pick a shuffle join at 100 TB.  Moments
+    stay one global integer aggregate; no cartesian beyond the 1x1
+    result merge, no Python."""
     plan = _executed_plan(spark, "degree_assortativity").split(
         "== Initial Plan =="
     )[0]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "BroadcastExchange" in plan
-    assert "SortMergeJoin" not in plan
+    # at most the 1x1 single-row result merge may plan as a cartesian
+    assert plan.count("CartesianProduct") <= 1
 
 
 def test_dup_modularity_banded_pairs_broadcast_sources(spark):
