@@ -915,9 +915,27 @@ def run_corpus_pipeline(
                 # mean/max tf/df between builds long before it moves
                 # Zipf or entropy.  NULL mean/max for a source with no
                 # term meeting the per-source df floor.
-                "n_burst_terms": burst_rows[src]["n_burst_terms"],
-                "mean_burstiness": burst_rows[src]["mean_burstiness"],
-                "max_burstiness": burst_rows[src]["max_burstiness"],
+                # LEFT-joined, not intersected: a source with no
+                # per-term rows at all (every doc tokenizes to zero
+                # qualifying words) must still keep its panel row and
+                # report the documented 0/NULL/NULL burstiness rather
+                # than silently disappearing from the manifest
+                # (r13 ADVICE).
+                "n_burst_terms": (
+                    burst_rows[src]["n_burst_terms"]
+                    if src in burst_rows
+                    else 0
+                ),
+                "mean_burstiness": (
+                    burst_rows[src]["mean_burstiness"]
+                    if src in burst_rows
+                    else None
+                ),
+                "max_burstiness": (
+                    burst_rows[src]["max_burstiness"]
+                    if src in burst_rows
+                    else None
+                ),
                 "n_tokens": div_rows[src]["n_tokens"],
             }
             for src in sorted(
@@ -925,7 +943,6 @@ def run_corpus_pipeline(
                 & div_rows.keys()
                 & ent_rows.keys()
                 & heaps_rows.keys()
-                & burst_rows.keys()
             )
         }
 

@@ -828,8 +828,8 @@ def _dup_modularity_sql() -> str:
     from .dedup import DEDUP_MINHASH_LSH_SQL
 
     return f"""
-WITH pairs AS ({DEDUP_MINHASH_LSH_SQL}),
-tagged AS (
+WITH pairs AS MATERIALIZED ({DEDUP_MINHASH_LSH_SQL}),
+tagged AS MATERIALIZED (
   SELECT p.doc_a, p.doc_b, da.source AS src_a, db.source AS src_b
   FROM pairs p
   JOIN documents da ON da.doc_id = p.doc_a
@@ -1300,8 +1300,12 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _degree_distribution_sql() -> str:
     from .dedup import DEDUP_MINHASH_LSH_SQL
 
+    # MATERIALIZED: pairs is referenced twice in the endpoint UNION ALL;
+    # a plain CTE would inline and recompute the full MinHash-LSH pair
+    # join once per reference — the _kcore_sql CTE-inlining blowup
+    # (r13 ADVICE).
     return f"""
-WITH pairs AS ({DEDUP_MINHASH_LSH_SQL}),
+WITH pairs AS MATERIALIZED ({DEDUP_MINHASH_LSH_SQL}),
 deg AS (
   SELECT v, CAST(count(*) AS BIGINT) AS degree
   FROM (SELECT doc_a AS v FROM pairs UNION ALL SELECT doc_b FROM pairs)

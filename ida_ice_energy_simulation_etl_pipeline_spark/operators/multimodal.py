@@ -2494,9 +2494,19 @@ def decode_tiff_pixels(payload: bytes) -> "object | None":
                 # does a stream that never reaches a checksum-valid
                 # EOF (truncation).
                 expect = n_rows * w * spp
-                # clamp to the IMAGE geometry: a crafted rows_per_strip
-                # far above h must not widen the bomb bound
-                full_expect = min(rows_per_strip, h) * w * spp
+                # The honest padded bound is the strip's declared
+                # geometry (rows_per_strip rows — covers the common
+                # huge-rows_per_strip single-strip idiom padded past h,
+                # which the PackBits/LZW siblings truncate-and-accept),
+                # under an ABSOLUTE sanity cap of 4x the image so a
+                # crafted rows_per_strip cannot widen the bomb bound
+                # unboundedly (r13 ADVICE: the previous min(rows_per_
+                # strip, h) clamp rejected legitimately padded deflate
+                # strips the other codecs accept).
+                full_expect = min(
+                    rows_per_strip * w * spp,
+                    max(expect, 4 * h * w * spp),
+                )
                 try:
                     dec = zlib.decompressobj()
                     out = dec.decompress(strip, full_expect)

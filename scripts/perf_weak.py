@@ -37,7 +37,10 @@ def perf_weak(detail: dict) -> list[tuple[str, float, float, float]]:
         if not isinstance(d, (int, float)):
             continue  # oracle error marker — no comparator this run
         net = wall - (floors.get(name) or 0.0) - (builds.get(name) or 0.0)
-        if net >= NET_FLOOR_SEC and net > DUCK_RATIO * d:
+        # strictly-greater: the documented rule says net must EXCEED the
+        # materiality floor, so exactly 0.250 s is not perf-weak
+        # (r13 ADVICE boundary fix)
+        if net > NET_FLOOR_SEC and net > DUCK_RATIO * d:
             # d == 0 (a sub-resolution oracle wall) still satisfies the
             # rule; report an infinite ratio instead of dividing by it
             ratio = round(net / d, 2) if d > 0 else float("inf")
@@ -56,7 +59,7 @@ def main(argv: list[str]) -> int:
         f"# {argv[1]}: spread={detail.get('max_rel_spread')} "
         f"total={detail.get('value')}s duckdb={detail.get('duckdb_total')}s"
     )
-    print(f"# perf-weak (net >= {NET_FLOOR_SEC}s and net > {DUCK_RATIO}x "
+    print(f"# perf-weak (net > {NET_FLOOR_SEC}s and net > {DUCK_RATIO}x "
           f"same-run duckdb): {len(rows)}")
     for name, net, d, ratio in rows:
         print(f"{name:28s} net={net:6.3f}s  duckdb={d:6.3f}s  {ratio:5.2f}x")

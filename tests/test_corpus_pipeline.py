@@ -1204,6 +1204,42 @@ def test_corpus_pipeline_health_report_in_manifest(spark, corpus_input, tmp_path
     assert m2["corpus_health"] is None
 
 
+def test_health_panel_survives_source_missing_from_burstiness(
+    spark, corpus_input, tmp_path, monkeypatch
+):
+    """Burstiness is LEFT-joined into the panel, not intersected (r13
+    ADVICE): a landed source with no burstiness row at all (every doc
+    tokenizes to zero qualifying words under a stricter tokenizer) must
+    keep its panel row and report the documented 0/NULL/NULL burstiness
+    instead of silently disappearing from the manifest."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators import text as text_mod
+
+    real = text_mod.term_burstiness_frame
+
+    def drop_one_source(landed, *a, **kw):
+        out = real(landed, *a, **kw)
+        first = out.select("source").orderBy("source").limit(1).collect()
+        assert first, "fixture landed no sources"
+        return out.filter(F.col("source") != first[0]["source"])
+
+    monkeypatch.setattr(text_mod, "term_burstiness_frame", drop_one_source)
+    out = tmp_path / "out_health_leftjoin"
+    manifest = run_corpus_pipeline(
+        spark, corpus_input, out, CorpusConfig(health_report=True)
+    )
+    health = manifest["corpus_health"]
+    landed = spark.read.parquet(str(out / "corpus"))
+    want = {r["source"] for r in landed.select("source").distinct().collect()}
+    assert set(health) == want, "a source vanished from the panel"
+    dropped = sorted(want)[0]
+    h = health[dropped]
+    assert h["n_burst_terms"] == 0
+    assert h["mean_burstiness"] is None
+    assert h["max_burstiness"] is None
+    # the other panel members still report real values for that source
+    assert h["n_tokens"] > 0
+
+
 def test_term_burstiness_frame_flags_stamped_boilerplate(spark):
     """Panel member #5 semantics: a phrase stamped several times into
     many docs of one source drives that source's burstiness (tf/df)

@@ -4213,3 +4213,31 @@ def test_tiff_lzw_and_deflate_decode_profiles():
     ]
     px = decode_tiff_pixels(tiff("<", entries2, base2) + s1 + s2)
     assert px is not None and px[:, :, 0].ravel().tolist() == list(px3)
+
+    # padded SINGLE strip with rows_per_strip > h accepted (r13 ADVICE:
+    # cross-codec consistency): a 4x3 gray image in ONE strip declaring
+    # rows_per_strip=8 and compressed at the full 8 padded rows — the
+    # PackBits/LZW paths truncate-and-accept this shape, so deflate must
+    # too; the bomb bound is now rows_per_strip·w·spp under the absolute
+    # 4x-image sanity cap.
+    s_pad = zlib.compress(px3 + b"\xbb" * (4 * 8 - 12))  # 8 rows of 4
+    entries3 = [
+        (256, 3, [4]), (257, 3, [3]), (258, 3, [8]),
+        (259, 3, [8]), (262, 3, [1]), (278, 3, [8]),
+        (273, 4, [8 + 2 + 8 * 12 + 4]),
+        (279, 4, [len(s_pad)]),
+    ]
+    px = decode_tiff_pixels(tiff("<", entries3, 8 + 2 + 8 * 12 + 4) + s_pad)
+    assert px is not None and px[:, :, 0].ravel().tolist() == list(px3)
+
+    # ...but the absolute cap still rejects a bomb hiding behind a huge
+    # declared rows_per_strip: same 4x3 geometry, rows_per_strip=65535,
+    # strip inflating to 1 MiB.
+    bomb2 = zlib.compress(bytes(1 << 20))
+    entries4 = [
+        (256, 3, [4]), (257, 3, [3]), (258, 3, [8]),
+        (259, 3, [8]), (262, 3, [1]), (278, 3, [65535]),
+        (273, 4, [8 + 2 + 8 * 12 + 4]),
+        (279, 4, [len(bomb2)]),
+    ]
+    assert decode_tiff_pixels(tiff("<", entries4, 8 + 2 + 8 * 12 + 4) + bomb2) is None
