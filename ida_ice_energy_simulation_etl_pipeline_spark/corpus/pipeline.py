@@ -46,6 +46,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import word_tokens
 from ..operators.graph import connected_components
@@ -57,6 +58,12 @@ from ..operators.text import (
     split_col,
 )
 from ..session import get_spark
+
+# Manifest bound for --leak-report: only this many leaked eval items ride
+# the JSON manifest (hit-ordered); the count fields are exact regardless.
+# Eval sets are benchmark-sized, so in practice this caps pathological
+# all-leaked fixtures, not real reports.
+LEAK_REPORT_TOP = 100
 
 
 @dataclass(frozen=True)
@@ -184,6 +191,20 @@ class CorpusConfig:
     # corpus trends across builds (and the streaming drift monitor
     # compares live windows against)
     health_report: bool = False
+    # Eval-grain leak report (operators/text.py::eval_leak_profile_frame,
+    # r13 verdict item 4): for every held-out eval doc, how many distinct
+    # training docs share a winnowed fingerprint with it — the
+    # drop-the-benchmark-item vs scrub-the-train decision surface,
+    # recorded in the manifest beside the health panel.  Requires the
+    # same eval selection as decontaminate (exactly one of
+    # decontaminate_eval_path / decontaminate_eval_source) but NOT
+    # decontaminate itself: the report is precisely for deciding
+    # whether to scrub, so it must be available without scrubbing.
+    # Computed over the post-gate raw-text kept set (the same point the
+    # decon criterion probes — PII redaction would sever the token runs
+    # winnowing certifies), with the eval source excluded from the
+    # train side either way.
+    leak_report: bool = False
     # I/O formats — web-scale corpora arrive and ship as JSONL at least
     # as often as parquet ("parquet" | "jsonl" on either side)
     input_format: str = "parquet"
@@ -407,17 +428,17 @@ def run_corpus_pipeline(
     has_eval = (cfg.decontaminate_eval_path is not None) + (
         cfg.decontaminate_eval_source is not None
     )
-    if cfg.decontaminate is not None and has_eval != 1:
+    if (cfg.decontaminate is not None or cfg.leak_report) and has_eval != 1:
         raise ValueError(
-            "decontaminate requires exactly one of decontaminate_eval_path "
-            "or decontaminate_eval_source"
+            "decontaminate/leak_report require exactly one of "
+            "decontaminate_eval_path or decontaminate_eval_source"
         )
-    if cfg.decontaminate is None and has_eval:
-        # an eval set with the stage off would be silently ignored —
+    if cfg.decontaminate is None and not cfg.leak_report and has_eval:
+        # an eval set with both consumers off would be silently ignored —
         # fail loudly, same posture as the pack_tokenizer guard above
         raise ValueError(
             "decontaminate_eval_path/decontaminate_eval_source require "
-            "decontaminate to be set"
+            "decontaminate or leak_report to be set"
         )
     if cfg.epoch_shards < 1:
         raise ValueError(f"epoch_shards must be >= 1, got {cfg.epoch_shards}")
@@ -599,6 +620,73 @@ def run_corpus_pipeline(
         flagged = flagged.localCheckpoint(eager=True)
         n_decon_flagged = flagged.count()
         kept = kept.join(flagged, "doc_id", "left_anti")
+    eval_leak: "dict | None" = None
+    if cfg.leak_report:
+        # Eval-grain leak report (r13 verdict item 4): the drop-vs-scrub
+        # decision surface, computed at the SAME raw-text point the
+        # decon criterion probes (before PII redaction severs the token
+        # runs winnowing certifies).  With decontaminate also on, this
+        # profiles the RESIDUAL leakage of the post-decon kept set
+        # (expected all-zero under the same winnow criterion); with it
+        # off, the full pre-decision profile.
+        from ..operators.text import eval_leak_profile_frame
+
+        if cfg.decontaminate_eval_source is not None:
+            evl_docs = docs.filter(
+                F.col("source") == cfg.decontaminate_eval_source
+            ).select("doc_id", "text")
+            train_docs = kept.filter(
+                F.col("source") != cfg.decontaminate_eval_source
+            ).select("doc_id", "text")
+        else:
+            p = str(cfg.decontaminate_eval_path)
+            if p.endswith((".jsonl", ".json")):
+                raw_evl = spark.read.schema("text STRING").json(p)
+            else:
+                raw_evl = spark.read.parquet(p)
+            if "doc_id" in raw_evl.columns:
+                evl_docs = raw_evl.select("doc_id", "text")
+            else:
+                # id-less eval files (jsonl benchmarks): a deterministic
+                # text-ordered surrogate id — the eval set is
+                # benchmark-sized, so the single-partition window is the
+                # documented bound, not a scale hazard
+                evl_docs = raw_evl.select(
+                    F.row_number()
+                    .over(Window.orderBy("text"))
+                    .cast("long")
+                    .alias("doc_id"),
+                    "text",
+                )
+            train_docs = kept.select("doc_id", "text")
+        profile = eval_leak_profile_frame(train_docs, evl_docs)
+        totals = profile.agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_docs"),
+            F.sum((F.col("n_train_docs") > 0).cast("long"))
+            .cast("long")
+            .alias("n_leaked_docs"),
+        ).collect()[0]
+        leaked_rows = (
+            profile.filter(F.col("n_train_docs") > 0)
+            .orderBy(F.desc("n_hits"), "eval_doc_id")
+            .limit(LEAK_REPORT_TOP)
+            .collect()
+        )
+        eval_leak = {
+            "method": "winnow",
+            "n_eval_docs": totals["n_eval_docs"],
+            "n_leaked_docs": totals["n_leaked_docs"],
+            # leaked eval items only, hit-ordered, manifest-bounded
+            "leaked": [
+                {
+                    "eval_doc_id": r["eval_doc_id"],
+                    "n_train_docs": r["n_train_docs"],
+                    "n_shared_fps": r["n_shared_fps"],
+                    "n_hits": r["n_hits"],
+                }
+                for r in leaked_rows
+            ],
+        }
     if cfg.scrub:
         kept = (
             scrub_pii(kept)
@@ -981,6 +1069,7 @@ def run_corpus_pipeline(
             "epoch_shards": cfg.epoch_shards,
             "shuffle_output": cfg.shuffle_output,
             "health_report": cfg.health_report,
+            "leak_report": cfg.leak_report,
             "input_format": cfg.input_format,
             "output_format": cfg.output_format,
         },
@@ -1001,6 +1090,7 @@ def run_corpus_pipeline(
             "per_split": per_split,
         },
         "corpus_health": health,
+        "eval_leak": eval_leak,
         "gate": gate,
     }
     (output_dir / "corpus_manifest.json").write_text(json.dumps(manifest, indent=2))
@@ -1168,6 +1258,15 @@ def main(argv: list[str] | None = None) -> int:
         "law, term burstiness) in the manifest",
     )
     ap.add_argument(
+        "--leak-report",
+        action="store_true",
+        help="record the eval-grain leak profile (per held-out eval doc: "
+        "distinct training docs sharing a winnowed fingerprint) in the "
+        "manifest — the drop-the-benchmark-item vs scrub-the-train "
+        "decision surface; needs --decontaminate-eval-source or "
+        "--decontaminate-eval-path (but not --decontaminate itself)",
+    )
+    ap.add_argument(
         "--input-format",
         choices=("parquet", "jsonl"),
         default="parquet",
@@ -1212,6 +1311,7 @@ def main(argv: list[str] | None = None) -> int:
         epoch_shards=args.epoch_shards,
         shuffle_output=args.shuffle_output,
         health_report=args.health_report,
+        leak_report=args.leak_report,
         input_format=args.input_format,
         output_format=args.output_format,
     )

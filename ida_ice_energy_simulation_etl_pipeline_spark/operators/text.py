@@ -817,21 +817,27 @@ def decontamination_flags(
 # not leak evidence, and uncapped it fans out n_eval × df rows), and
 # the eval universe is benchmark-sized — the same boundedness story as
 # winnow_pairs / contamination_check.  All-integer output.
-def eval_leak_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+def eval_leak_profile_frame(train: DataFrame, evl: DataFrame) -> DataFrame:
+    """(train docs, eval docs) → the eval-grain leak decision surface:
+    (eval_doc_id, n_train_docs, n_shared_fps, n_hits), explicit zeros
+    for clean eval docs.  ``train``/``evl`` need (doc_id, text); the
+    eval side is benchmark-sized (the same boundedness contract as the
+    decontamination eval index).  Factored out of the registry query so
+    run_corpus_pipeline's ``--leak-report`` consumes one definition —
+    the drop-the-benchmark-item vs scrub-the-train decision the r13
+    verdict asked the pipeline to emit (item 4)."""
     toks = word_tokens(F.col("text"))
-    per_doc = docs.select(
-        "doc_id", "source", winnow_hashes(toks).alias("hashes")
-    ).select("doc_id", "source", winnow_select(F.col("hashes")).alias("fps"))
-    ex = per_doc.select(
-        "doc_id", "source", F.explode_outer("fps").alias("fp")
-    ).filter(F.col("fp").isNotNull())
-    eval_ex = ex.filter(F.col("source") == CONTAMINATION_EVAL_SOURCE).select(
-        F.col("doc_id").alias("eval_doc_id"), "fp"
-    )
-    train_ex = ex.filter(F.col("source") != CONTAMINATION_EVAL_SOURCE).select(
-        F.col("doc_id").alias("train_doc_id"), "fp"
-    )
+
+    def fps_of(df: DataFrame, idcol: str) -> DataFrame:
+        return (
+            df.select(F.col("doc_id").alias(idcol), winnow_hashes(toks).alias("hashes"))
+            .select(idcol, winnow_select(F.col("hashes")).alias("fps"))
+            .select(idcol, F.explode_outer("fps").alias("fp"))
+            .filter(F.col("fp").isNotNull())
+        )
+
+    eval_ex = fps_of(evl, "eval_doc_id")
+    train_ex = fps_of(train, "train_doc_id")
     rare = (
         train_ex.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -847,14 +853,20 @@ def eval_leak_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_hits"),
         )
     )
-    universe = per_doc.filter(
-        F.col("source") == CONTAMINATION_EVAL_SOURCE
-    ).select(F.col("doc_id").alias("eval_doc_id"))
+    universe = evl.select(F.col("doc_id").alias("eval_doc_id")).distinct()
     return universe.join(hits, "eval_doc_id", "left").select(
         "eval_doc_id",
         F.coalesce("n_train_docs", F.lit(0).cast("long")).alias("n_train_docs"),
         F.coalesce("n_shared_fps", F.lit(0).cast("long")).alias("n_shared_fps"),
         F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+    )
+
+
+def eval_leak_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    return eval_leak_profile_frame(
+        docs.filter(F.col("source") != CONTAMINATION_EVAL_SOURCE),
+        docs.filter(F.col("source") == CONTAMINATION_EVAL_SOURCE),
     )
 
 

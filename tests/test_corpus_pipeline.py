@@ -1345,6 +1345,115 @@ def test_corpus_decontaminate_winnow_drops_planted_contamination(
     assert manifest["config"]["decontaminate_eval_source"] == "heldout"
 
 
+def test_corpus_leak_report_planted_leak_without_decon(spark, tmp_path):
+    """--leak-report WITHOUT --decontaminate (r13 verdict item 4): the
+    manifest's eval_leak block profiles every held-out eval doc against
+    the kept training set — the planted leak shows up with exact counts,
+    the clean eval doc counts toward n_eval_docs but not n_leaked_docs,
+    and nothing is scrubbed (the report exists to DECIDE whether to)."""
+    leak = " ".join(f"omega{i}" for i in range(12))  # >= w+k-1 token run
+    rows = [
+        (0, "the cat sat on the mat and then " + leak, "train_a"),
+        (1, "the cat sat on the mat and then some other tail words here", "train_a"),
+        (2, OTHER, "train_b"),
+        (3, "the answer key is " + leak, "heldout"),
+        (4, "a perfectly clean benchmark question with fresh words only", "heldout"),
+    ]
+    path = tmp_path / "docs.parquet"
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.parquet(str(path))
+    manifest = run_corpus_pipeline(
+        spark,
+        path,
+        tmp_path / "out_leak",
+        CorpusConfig(
+            near_dedup=False,
+            scrub=False,
+            min_ttr=0.0,
+            leak_report=True,
+            decontaminate_eval_source="heldout",
+        ),
+    )
+    el = manifest["eval_leak"]
+    assert el["method"] == "winnow"
+    assert el["n_eval_docs"] == 2
+    assert el["n_leaked_docs"] == 1
+    assert len(el["leaked"]) == 1
+    hit = el["leaked"][0]
+    assert hit["eval_doc_id"] == 3
+    assert hit["n_train_docs"] == 1  # exactly the planted train doc
+    assert hit["n_shared_fps"] >= 1
+    assert hit["n_hits"] >= hit["n_shared_fps"]
+    # nothing was dropped for it: the contaminated train doc still lands
+    landed = spark.read.parquet(manifest["output"])
+    assert 0 in {r["doc_id"] for r in landed.collect()}
+    assert manifest["config"]["leak_report"] is True
+    assert manifest["stages"]["n_decon_flagged"] is None
+    # the manifest JSON round-trips (ints, not numpy/Row types)
+    json.loads(json.dumps(manifest))
+
+
+def test_corpus_leak_report_residual_zero_after_decon(spark, tmp_path):
+    """--leak-report WITH --decontaminate winnow: the report profiles the
+    post-decon kept set, so the planted leak is gone — residual leakage
+    is zero under the same criterion that scrubbed it."""
+    leak = " ".join(f"psi{i}" for i in range(12))
+    rows = [
+        (0, "the cat sat on the mat and then " + leak, "train_a"),
+        (1, "the cat sat on the mat and then some other tail words here", "train_a"),
+        (3, "the answer key is " + leak, "heldout"),
+    ]
+    path = tmp_path / "docs.parquet"
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.parquet(str(path))
+    manifest = run_corpus_pipeline(
+        spark,
+        path,
+        tmp_path / "out_leak2",
+        CorpusConfig(
+            near_dedup=False,
+            scrub=False,
+            min_ttr=0.0,
+            decontaminate="winnow",
+            decontaminate_eval_source="heldout",
+            leak_report=True,
+        ),
+    )
+    assert manifest["stages"]["n_decon_flagged"] == 1
+    el = manifest["eval_leak"]
+    assert el["n_eval_docs"] == 1
+    assert el["n_leaked_docs"] == 0
+    assert el["leaked"] == []
+
+
+def test_corpus_leak_report_external_eval_path(spark, tmp_path):
+    """--leak-report with an EXTERNAL id-less eval file: surrogate ids
+    are synthesized deterministically and the planted leak is found."""
+    shared = " ".join(f"chi{i}" for i in range(12))
+    rows = [(0, "the cat sat on the mat near " + shared, "src_a"),
+            (1, "the cat sat on the mat near some other words entirely here", "src_a")]
+    path = tmp_path / "docs.parquet"
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.parquet(str(path))
+    eval_path = tmp_path / "eval.parquet"
+    spark.createDataFrame(
+        [("benchmark question about " + shared,), ("a clean item",)], ["text"]
+    ).write.parquet(str(eval_path))
+    manifest = run_corpus_pipeline(
+        spark,
+        path,
+        tmp_path / "out_leak3",
+        CorpusConfig(
+            near_dedup=False,
+            scrub=False,
+            min_ttr=0.0,
+            leak_report=True,
+            decontaminate_eval_path=str(eval_path),
+        ),
+    )
+    el = manifest["eval_leak"]
+    assert el["n_eval_docs"] == 2
+    assert el["n_leaked_docs"] == 1
+    assert el["leaked"][0]["n_train_docs"] == 1
+
+
 def test_corpus_decontaminate_ngram_external_eval_path(spark, tmp_path):
     """--decontaminate ngram with an EXTERNAL eval parquet: a training
     doc sharing a 4-gram with the eval set is dropped; the clean twin
