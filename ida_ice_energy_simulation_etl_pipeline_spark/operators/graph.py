@@ -1326,3 +1326,139 @@ SPECS.append(
         "ext:graph,degree,histogram",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Label-propagation communities (new r14, the verdict's widening option):
+# the CLUSTER-ASSIGNMENT lens over the near-dup graph beside the density
+# lenses k-core/k-truss — which doc anchors each duplication community,
+# and how big each community is.  Distinct from connected components:
+# majority voting does NOT leak across weak bridges, so two dense
+# template farms joined by one stray near-dup edge stay two communities
+# where CC reports one (pinned by the crafted two-triangles-one-bridge
+# semantics test).
+#
+# Determinism discipline (LPA is notoriously order-sensitive, so the
+# textbook algorithm is pinned down on three axes):
+# * SYNCHRONOUS rounds — every vertex updates from the same previous
+#   label frame, no in-round ordering effects;
+# * SELF-VOTE — each vertex's own label joins its neighbors' majority
+#   count.  Without it, synchronous LPA oscillates with period 2 on any
+#   2-clique (labels swap forever); with it, the pair converges to its
+#   min in one round;
+# * total tie-break — highest count, then SMALLEST label.
+# Bounded at LPA_ROUNDS with early fixpoint exit (a fixpoint round is an
+# identity transform, so Spark exiting early and the oracle's unrolled
+# full schedule compute the same labels by construction — the k-core
+# discipline).  Per round: one keyed edge⋈label join (vote volume
+# 2m + n, bounded by degree), one (v, label)-grain count with map-side
+# combine, one v-grain min_by argmax — all keyed shuffles on the doc-id
+# key, localCheckpoint per round, per-round count action as the
+# irreducible fixpoint observation.  No vertex-grain broadcast anywhere.
+# Output at community grain (community = anchor doc id, n_members) —
+# ≤ |vertices| rows, all-integer, trivially hashable.
+LPA_ROUNDS = 4  # rail; measured convergence in <= 3 rounds at all 3 SFs
+
+
+def lpa_labels(pairs: DataFrame, *, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """(doc_a, doc_b) near-dup edges (undirected, each once) → final
+    (v, label) after at most ``rounds`` synchronous self-vote LPA
+    rounds (early exit at fixpoint — identical result, fewer jobs)."""
+    edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("v")).distinct().select("v", F.col("v").alias("label"))
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        neighbor_votes = sym.join(
+            labels.select(F.col("v").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("v"), "label")
+        votes = neighbor_votes.unionAll(labels)
+        counts = votes.groupBy("v", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        new_labels = counts.groupBy("v").agg(
+            F.min_by(
+                "label", F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+            ).alias("label")
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(
+                labels.select("v", F.col("label").alias("prev")), "v"
+            )
+            .filter(F.col("label") != F.col("prev"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dup_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per LPA community over the near-dup candidate graph:
+    (community = anchor doc id, n_members)."""
+    from .dedup import lsh_candidate_pairs
+
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    labels = lpa_labels(lsh_candidate_pairs(docs))
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+
+
+def _dup_communities_sql() -> str:
+    from .dedup import DEDUP_MINHASH_LSH_SQL
+
+    # The oracle unrolls the SAME bounded synchronous schedule as
+    # MATERIALIZED CTEs (the k-core discipline — unmaterialized, DuckDB
+    # re-inlines the vote join per reference and the chain blows up);
+    # a fixpoint round is an identity transform, so the full LPA_ROUNDS
+    # unroll equals Spark's early-exit result by construction.  The
+    # argmax is a row_number window ordered (cnt DESC, label) — the
+    # exact min_by(struct(-cnt, label)) tie-break.
+    blocks = []
+    prev = "l0"
+    for i in range(1, LPA_ROUNDS + 1):
+        blocks.append(f"""
+c{i} AS MATERIALIZED (
+  SELECT v, label, count(*) AS cnt FROM (
+    SELECT s.src AS v, l.label FROM sym s JOIN {prev} l ON l.v = s.dst
+    UNION ALL SELECT v, label FROM {prev}
+  ) GROUP BY v, label
+),
+l{i} AS MATERIALIZED (
+  SELECT v, label FROM (
+    SELECT v, label,
+           row_number() OVER (PARTITION BY v ORDER BY cnt DESC, label) AS rk
+    FROM c{i}
+  ) WHERE rk = 1
+)""")
+        prev = f"l{i}"
+    return f"""
+WITH pairs AS MATERIALIZED ({DEDUP_MINHASH_LSH_SQL}),
+sym AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS label FROM sym),{",".join(blocks)}
+SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+FROM {prev} GROUP BY label
+"""
+
+
+# New in round 14 — extra tier per the rotation policy (r15 promotion
+# candidate).
+EXTRA_SPECS.append(
+    QuerySpec(
+        "dup_communities",
+        dup_communities,
+        _dup_communities_sql(),
+        "ext:graph,lpa,communities,iterative",
+    )
+)

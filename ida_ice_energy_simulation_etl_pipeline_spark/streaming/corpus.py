@@ -176,6 +176,61 @@ def run_decontamination_stream(
     )
 
 
+def run_eval_leak_stream(
+    stream_docs: DataFrame,
+    eval_docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous eval-leak monitoring for an ingested corpus: each
+    micro-batch of incoming training docs is profiled against the
+    static held-out eval set — the streaming twin of the batch
+    pipeline's ``--leak-report`` stage, run through ``foreachBatch`` so
+    every micro-batch executes the SAME oracle-verified builder
+    (``operators/text.py::eval_leak_profile_frame``).  Each epoch lands
+    PER-BATCH eval-grain leak counters (eval_doc_id, n_train_docs,
+    n_shared_fps, n_hits — explicit zeros for eval docs the batch never
+    touched); ``n_train_docs`` and ``n_hits`` are ADDITIVE across
+    epochs (a train doc lives in exactly one micro-batch), so the
+    accumulated sums equal the batch operator over the union —
+    ``n_shared_fps`` is per-batch only (the same fingerprint can hit
+    from several batches; distinct-across-epochs is not a streaming
+    aggregate).  The one scoping caveat, documented rather than hidden:
+    the train-side boilerplate df cap (WINNOW_PAIR_DF_CAP) applies
+    per batch — a fingerprint whose GLOBAL df exceeds the cap while
+    every per-batch df stays under it is suppressed by the batch
+    operator but counted here; the cap is a fan-out bound in both
+    readings.  The eval side is benchmark-sized and re-winnowed per
+    epoch (a cluster deployment persists the winnowed eval index to
+    storage instead).  Exactly-once via the staged-rename
+    ``idempotent_batch_writer``, same as the decontamination stream
+    above.
+
+    Returns the started StreamingQuery (availableNow trigger — drains
+    what exists, then stops; production swaps a processing-time
+    trigger)."""
+    from ..operators.text import eval_leak_profile_frame
+    from .sink import idempotent_batch_writer
+
+    evl = eval_docs.select("doc_id", "text").localCheckpoint(eager=True)
+    write = idempotent_batch_writer(out_dir)
+
+    def _probe(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write(
+            eval_leak_profile_frame(batch_df.select("doc_id", "text"), evl),
+            epoch_id,
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # --------------------------------------------------------------------------
 # Continuous corpus drift monitoring — the streaming consumer of the
 # batch corpus-health panel (operators/text.py::zipf_fit,

@@ -1145,6 +1145,44 @@ def test_ktruss_distinguishes_cores_from_trusses(spark):
     assert ktruss_edges(g, 3).count() == 9  # every edge closes ≥1 triangle
 
 
+def test_dup_communities_bounded_rounds_no_python(spark):
+    """LPA communities (new r14): like the k-core pin — the visible
+    tail over the localCheckpoint-truncated vote rounds must be pure
+    keyed aggregation; no Python, no cartesian, no global sort, no
+    vertex-grain broadcast hint."""
+    plan = _executed_plan(spark, "dup_communities").split(
+        "== Initial Plan =="
+    )[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_lpa_communities_hold_across_weak_bridge(spark):
+    """The crafted case that separates LPA from connected components:
+    two triangles joined by ONE bridge edge are a single CC component,
+    but majority voting keeps each triangle on its own anchor — two
+    communities.  Also pins the self-vote convergence fix: a bare
+    2-clique (where synchronous LPA without self-vote oscillates with
+    period 2 forever) converges to its min label."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.graph import (
+        LPA_ROUNDS,
+        lpa_labels,
+    )
+
+    tri_a = [(1, 2), (1, 3), (2, 3)]
+    tri_b = [(4, 5), (4, 6), (5, 6)]
+    bridge = [(3, 4)]
+    g = spark.createDataFrame(tri_a + tri_b + bridge, ["doc_a", "doc_b"])
+    labels = {r["v"]: r["label"] for r in lpa_labels(g).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+    pair = spark.createDataFrame([(7, 9)], ["doc_a", "doc_b"])
+    labels = {r["v"]: r["label"] for r in lpa_labels(pair).collect()}
+    assert labels == {7: 7, 9: 7}  # converged, not oscillating
+    assert LPA_ROUNDS >= 3  # the two-triangle case stabilizes in 3
+
+
 def test_eval_leak_profile_capped_probe_no_python(spark):
     """Eval-grain leak profile (new r13): the fp-grain probe must ride
     the train-side df cap (LeftSemi), never a cartesian, no Python,

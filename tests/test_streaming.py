@@ -1347,6 +1347,82 @@ def test_decontamination_stream_matches_batch(spark, tmp_path):
     assert got[3] == ("s2", False)
 
 
+def test_eval_leak_stream_counters_accumulate_to_batch(spark, tmp_path):
+    """Streaming eval-leak monitor (r14, the --leak-report twin):
+    single-batch drain equals the batch operator EXACTLY, and across
+    micro-batches the additive counters (n_train_docs, n_hits) sum to
+    the batch operator over the union — a train doc lives in exactly
+    one micro-batch, so its distinct contribution never double-counts."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.text import (
+        eval_leak_profile_frame,
+    )
+    from ida_ice_energy_simulation_etl_pipeline_spark.streaming.corpus import (
+        DOC_STREAM_SCHEMA,
+        run_eval_leak_stream,
+    )
+
+    leak_a = " ".join(f"iota{i}" for i in range(12))
+    leak_b = " ".join(f"kappa{i}" for i in range(12))
+    eval_docs = spark.createDataFrame(
+        [(900, "the answer key is " + leak_a, "eval"),
+         (901, "the second benchmark item says " + leak_b, "eval"),
+         (902, "a fully clean benchmark question with fresh words", "eval")],
+        "doc_id long, text string, source string",
+    )
+    incoming = [
+        {"doc_id": 1, "text": "the cat sat on the mat and then " + leak_a,
+         "source": "s1", "ingest_ts": "2024-03-01T00:00:00"},
+        {"doc_id": 2, "text": "another training doc quoting " + leak_a,
+         "source": "s1", "ingest_ts": "2024-03-01T00:01:00"},
+        {"doc_id": 3, "text": "this one instead carries " + leak_b,
+         "source": "s2", "ingest_ts": "2024-03-01T00:02:00"},
+        {"doc_id": 4, "text": "a clean training doc with its own words only",
+         "source": "s2", "ingest_ts": "2024-03-01T00:03:00"},
+    ]
+    ingest = tmp_path / "leak_in"
+    ingest.mkdir()
+    # two micro-batches splitting the leak-a quoters apart
+    (ingest / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in incoming[:2])
+    )
+    (ingest / "b2.json").write_text(
+        "\n".join(json.dumps(r) for r in incoming[2:])
+    )
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(ingest))
+    )
+    out = tmp_path / "leak_out"
+    q = run_eval_leak_stream(
+        stream, eval_docs, str(out), str(tmp_path / "leak_ckpt")
+    )
+    q.awaitTermination()
+
+    landed = spark.read.parquet(str(out)).collect()
+    # every epoch reports the full eval universe (explicit zeros)
+    assert {r["eval_doc_id"] for r in landed} == {900, 901, 902}
+    got: dict[int, list[int]] = {}
+    for r in landed:
+        acc = got.setdefault(r["eval_doc_id"], [0, 0])
+        acc[0] += r["n_train_docs"]
+        acc[1] += r["n_hits"]
+    union = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in incoming],
+        "doc_id long, text string",
+    )
+    want = {
+        r["eval_doc_id"]: [r["n_train_docs"], r["n_hits"]]
+        for r in eval_leak_profile_frame(
+            union, eval_docs.select("doc_id", "text")
+        ).collect()
+    }
+    assert got == want
+    assert got[900][0] == 2  # both leak-a quoters, one per micro-batch
+    assert got[901][0] == 1
+    assert got[902] == [0, 0]
+
+
 def test_corpus_ingest_stream_gopher_gate_applies(spark, tmp_path):
     """gopher_gate flows into the streaming ingest twin through the SAME
     _keep_pred definition the batch pipeline filters on: a symbol-heavy
