@@ -659,7 +659,14 @@ def run_corpus_pipeline(
                     "text",
                 )
             train_docs = kept.select("doc_id", "text")
-        profile = eval_leak_profile_frame(train_docs, evl_docs)
+        # Materialize the eval-grain profile once (it is benchmark-sized):
+        # the totals aggregate and the leaked-rows collect below both
+        # consume it, and without truncation each would re-execute the
+        # whole winnow probe over the kept set — the same pattern as the
+        # decon flagged-id checkpoint above.
+        profile = eval_leak_profile_frame(train_docs, evl_docs).localCheckpoint(
+            eager=True
+        )
         totals = profile.agg(
             F.count(F.lit(1)).cast("long").alias("n_eval_docs"),
             F.sum((F.col("n_train_docs") > 0).cast("long"))
