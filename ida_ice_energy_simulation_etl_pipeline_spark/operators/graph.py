@@ -29,7 +29,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import round_pz
-from ..plans.core import QuerySpec, ensure_parallelism, load_table
+from ..plans.core import (
+    QuerySpec,
+    ensure_parallelism,
+    free_local_checkpoint,
+    load_table,
+)
 
 MAX_CC_ITERATIONS = 50  # safety rail; near-dup clusters converge in < 10
 
@@ -51,6 +56,7 @@ def connected_components(
     # expensive — e.g. MinHash-LSH) edge derivation from scratch
     sym = sym.localCheckpoint(eager=True)
     labels = vertices.select("vertex_id", F.col("vertex_id").alias("component"))
+    prev_ck = None
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.vertex_id)
@@ -74,9 +80,18 @@ def connected_components(
         # doubles per iteration and analysis time grows exponentially
         updated = updated.localCheckpoint(eager=True)
         changed = updated.filter(F.col("_changed")).limit(1).count()
+        # the new round is materialized into its own blocks — release the
+        # superseded round's NOW instead of waiting on the ContextCleaner
+        # (long-lived-session hygiene; see free_local_checkpoint)
+        if prev_ck is not None:
+            free_local_checkpoint(prev_ck)
+        prev_ck = updated
         labels = updated.drop("_changed")
         if changed == 0:
             break
+    # the returned labels are a projection of the LAST checkpointed round
+    # (whose blocks stay alive); the edge universe is no longer referenced
+    free_local_checkpoint(sym)
     return labels
 
 
@@ -175,8 +190,12 @@ def connected_components_star(
                 F.least("src", "dst").alias("dst"),
             )
         )
+        prev_e = e
         e = small.localCheckpoint(eager=True)
         cur = _stats(e)
+        # the new round's edge set is materialized — release the
+        # superseded one (long-lived-session hygiene)
+        free_local_checkpoint(prev_e)
         if cur == prev:
             break
         prev = cur
@@ -470,6 +489,7 @@ def pagerank_frame(
             .groupBy(F.col("dst").alias("vertex"))
             .agg(F.sum(F.col("pr") / F.col("degree")).alias("mass"))
         )
+        prev_pr = pr
         pr = (
             pr.drop("pr")
             .join(contrib, "vertex", "left")
@@ -485,6 +505,11 @@ def pagerank_frame(
             )
             .localCheckpoint(eager=True)
         )
+        # the new rank frame is materialized — release the superseded
+        # round's blocks (long-lived-session hygiene; see
+        # free_local_checkpoint)
+        free_local_checkpoint(prev_pr)
+    free_local_checkpoint(sym)
     return pr.select("vertex", "degree", "pr")
 
 
@@ -994,7 +1019,14 @@ def _peel_to_fixpoint(pairs: DataFrame, survivor_step, rounds: int) -> DataFrame
         nxt = survivor_step(edges).localCheckpoint(eager=True)
         n_nxt = nxt.count()
         if n_nxt == n_edges:
+            # fixpoint: nxt duplicates edges' content — release it and
+            # return the frame the caller's lineage will reference
+            free_local_checkpoint(nxt)
             break
+        # nxt is eagerly materialized into its own blocks, so the
+        # superseded round's blocks can be released NOW instead of
+        # waiting on the ContextCleaner (long-lived-session hygiene)
+        free_local_checkpoint(edges)
         edges, n_edges = nxt, n_nxt
     return edges
 
@@ -1357,7 +1389,7 @@ SPECS.append(
 # irreducible fixpoint observation.  No vertex-grain broadcast anywhere.
 # Output at community grain (community = anchor doc id, n_members) —
 # ≤ |vertices| rows, all-integer, trivially hashable.
-LPA_ROUNDS = 4  # rail; measured convergence in <= 3 rounds at all 3 SFs
+LPA_ROUNDS = 4  # rail; measured convergence in 1-2 rounds at all 3 SFs
 
 
 def lpa_labels(pairs: DataFrame, *, rounds: int = LPA_ROUNDS) -> DataFrame:
@@ -1394,9 +1426,13 @@ def lpa_labels(pairs: DataFrame, *, rounds: int = LPA_ROUNDS) -> DataFrame:
             .limit(1)
             .count()
         )
+        # the change probe above was the old label frame's last consumer;
+        # release its blocks eagerly (the _peel_to_fixpoint hygiene)
+        free_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
+    free_local_checkpoint(edges)
     return labels
 
 

@@ -82,6 +82,31 @@ def _read_parquet_nanosafe(spark: SparkSession, path: str) -> DataFrame:
 PARALLELISM_MIN_BYTES = 256 * 1024
 
 
+def free_local_checkpoint(df: DataFrame) -> None:
+    """Release the storage blocks of a frame produced DIRECTLY by
+    ``localCheckpoint(eager=True)`` once it is superseded.
+
+    The iterative kernels (CC, star-CC, k-core/k-truss peeling, LPA)
+    checkpoint every round to truncate lineage; without an explicit
+    release the superseded rounds' blocks sit in the block manager until
+    the ContextCleaner's eventual GC-driven sweep — in a long-lived
+    session (a notebook, a driver running many kernels, the 530-test
+    suite JVM) that accumulation measurably starves broadcast builds
+    (r14: AQE's auto-broadcast of degree_assortativity's degree table
+    flaked with "Not enough memory to build and broadcast" only when the
+    other graph kernels had run first in the same JVM).
+
+    Best-effort by design: the reach-through works only when the
+    analyzed plan root IS the checkpoint's LogicalRDD (i.e. the frame is
+    the untouched return of ``localCheckpoint``); any projection on top,
+    a non-checkpointed frame, or a JVM API change lands in the except
+    and the ContextCleaner remains the backstop."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def ensure_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Spread CPU-heavy per-row work across all cores.
 

@@ -19,6 +19,14 @@ def spark():
         shuffle_partitions=int(
             os.environ.get("SPARK_GRAFT_TEST_SHUFFLE_PARTITIONS", "8")
         ),
+        # One JVM serves all ~530 tests; at the 1 GiB driver default the
+        # storage held by the iterative kernels' live checkpoints plus a
+        # concurrent AQE broadcast build can collide ("Not enough memory
+        # to build and broadcast", seen flaky on degree_assortativity at
+        # sf0.1 once its hints were removed).  The kernels now release
+        # superseded rounds eagerly (free_local_checkpoint); the larger
+        # heap removes the residual coincidence-of-peaks flake.
+        extra_conf={"spark.driver.memory": "3g"},
     )
     yield s
 
