@@ -1448,17 +1448,26 @@ def dup_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dup_communities_sql() -> str:
-    from .dedup import DEDUP_MINHASH_LSH_SQL
+def _lpa_label_ctes() -> tuple[str, str]:
+    """The unrolled LPA label derivation as a (cte_list_sql,
+    final_label_cte_name) pair — ONE definition of the oracle fragment,
+    consumed by _dup_communities_sql AND _community_bridges_sql (the
+    r13 winnow-fragment drift-risk discipline).
 
-    # The oracle unrolls the SAME bounded synchronous schedule as
-    # MATERIALIZED CTEs (the k-core discipline — unmaterialized, DuckDB
-    # re-inlines the vote join per reference and the chain blows up);
-    # a fixpoint round is an identity transform, so the full LPA_ROUNDS
-    # unroll equals Spark's early-exit result by construction.  The
-    # argmax is a row_number window ordered (cnt DESC, label) — the
-    # exact min_by(struct(-cnt, label)) tie-break.
-    blocks = []
+    Unrolls the SAME bounded synchronous schedule as MATERIALIZED CTEs
+    (the k-core discipline — unmaterialized, DuckDB re-inlines the vote
+    join per reference and the chain blows up); a fixpoint round is an
+    identity transform, so the full LPA_ROUNDS unroll equals Spark's
+    early-exit result by construction.  The argmax is a row_number
+    window ordered (cnt DESC, label) — the exact
+    min_by(struct(-cnt, label)) tie-break.  Expects ``pairs`` to be
+    defined by the enclosing WITH."""
+    blocks = ["""
+sym AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS label FROM sym)"""]
     prev = "l0"
     for i in range(1, LPA_ROUNDS + 1):
         blocks.append(f"""
@@ -1476,15 +1485,17 @@ l{i} AS MATERIALIZED (
   ) WHERE rk = 1
 )""")
         prev = f"l{i}"
+    return ",".join(blocks), prev
+
+
+def _dup_communities_sql() -> str:
+    from .dedup import DEDUP_MINHASH_LSH_SQL
+
+    lpa_ctes, final = _lpa_label_ctes()
     return f"""
-WITH pairs AS MATERIALIZED ({DEDUP_MINHASH_LSH_SQL}),
-sym AS MATERIALIZED (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION ALL SELECT doc_b, doc_a FROM pairs
-),
-l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS label FROM sym),{",".join(blocks)}
+WITH pairs AS MATERIALIZED ({DEDUP_MINHASH_LSH_SQL}),{lpa_ctes}
 SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
-FROM {prev} GROUP BY label
+FROM {final} GROUP BY label
 """
 
 
@@ -1496,5 +1507,101 @@ EXTRA_SPECS.append(
         dup_communities,
         _dup_communities_sql(),
         "ext:graph,lpa,communities,iterative",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Community bridges (new r14, beside dup_communities): the CC-vs-LPA
+# AGREEMENT surface — for every connected component of the near-dup
+# graph, how many LPA communities live inside it.  n_communities == 1
+# is the normal case (a coherent duplicate family); n_communities > 1
+# marks a BRIDGED component: two dense template farms joined by a few
+# stray near-dup edges, which CC would dedup as ONE family (collapsing
+# distinct templates onto one survivor) while majority voting keeps
+# them apart.  The per-component n_members/n_communities pair is the
+# reading a curation team needs before trusting component-grain
+# survivor selection on a farm-heavy corpus — the same
+# two-generators-one-harness pattern as near_dup_agreement, applied to
+# the two cluster-assignment kernels.
+#
+# Shape: the two label frames (CC min-label fixpoint, LPA bounded
+# vote) join at vertex grain, then ONE component-grain aggregate —
+# counts and countDistinct over integers, output ≤ |components| rows,
+# all-integer plus the derived boolean.  Scale posture: both inputs
+# are the bounded-round keyed-shuffle kernels above (each with the
+# checkpoint-hygiene release discipline); the join and rollup shuffle
+# on the doc-id/component keys only.
+def community_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import lsh_candidate_pairs
+
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    pairs = lsh_candidate_pairs(docs).localCheckpoint(eager=True)
+    verts = (
+        pairs.select(F.col("doc_a").alias("vertex_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("vertex_id")))
+        .distinct()
+    )
+    cc = connected_components(
+        verts,
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+    )
+    lpa = lpa_labels(pairs)
+    joined = cc.join(
+        lpa.select(F.col("v").alias("vertex_id"), "label"), "vertex_id"
+    )
+    out = joined.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.countDistinct("label").cast("long").alias("n_communities"),
+    )
+    free_local_checkpoint(pairs)
+    return out.select(
+        "component",
+        "n_members",
+        "n_communities",
+        (F.col("n_communities") > 1).alias("bridged"),
+    )
+
+
+def _community_bridges_sql() -> str:
+    from .dedup import DEDUP_MINHASH_LSH_SQL
+
+    lpa_ctes, final = _lpa_label_ctes()
+    # CC via the recursive transitive closure (the _dedup_clusters_sql
+    # device, restricted to edge-endpoint vertices) + the SHARED
+    # unrolled LPA fragment; DuckDB allows the RECURSIVE prefix with
+    # mixed materialized CTEs in one WITH.
+    return f"""
+WITH RECURSIVE
+pairs AS MATERIALIZED ({DEDUP_MINHASH_LSH_SQL}),{lpa_ctes},
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src
+),
+comp AS (
+  SELECT v.v AS vertex_id,
+         least(v.v, coalesce(min(r.dst), v.v)) AS component
+  FROM (SELECT DISTINCT src AS v FROM sym) v
+  LEFT JOIN reach r ON r.src = v.v
+  GROUP BY v.v
+)
+SELECT c.component,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(DISTINCT l.label) AS BIGINT) AS n_communities,
+       count(DISTINCT l.label) > 1 AS bridged
+FROM comp c JOIN {final} l ON l.v = c.vertex_id
+GROUP BY c.component
+"""
+
+
+# New in round 14 — extra tier per the rotation policy (r15 promotion
+# candidate).
+EXTRA_SPECS.append(
+    QuerySpec(
+        "community_bridges",
+        community_bridges,
+        _community_bridges_sql(),
+        "ext:graph,lpa,cc,agreement",
     )
 )

@@ -1183,6 +1183,58 @@ def test_lpa_communities_hold_across_weak_bridge(spark):
     assert LPA_ROUNDS >= 3  # the two-triangle case stabilizes in 3
 
 
+def test_community_bridges_no_python_no_cartesian(spark):
+    """CC-vs-LPA agreement surface (new r14): vertex-grain join of the
+    two label kernels + one component rollup — no Python, no cartesian,
+    no global sort in the visible tail."""
+    plan = _executed_plan(spark, "community_bridges").split(
+        "== Initial Plan =="
+    )[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_community_bridges_flags_bridged_component(spark):
+    """The crafted two-triangles-one-bridge graph: ONE connected
+    component (the bridge joins them) containing TWO LPA communities —
+    exactly the bridged-farm shape the surface exists to flag.  A lone
+    triangle reads one component, one community, not bridged."""
+    from pyspark.sql import functions as F
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.graph import (
+        connected_components,
+        lpa_labels,
+    )
+
+    tri_a = [(1, 2), (1, 3), (2, 3)]
+    tri_b = [(4, 5), (4, 6), (5, 6)]
+    g = spark.createDataFrame(
+        tri_a + tri_b + [(3, 4)], ["doc_a", "doc_b"]
+    )
+    verts = (
+        g.select(F.col("doc_a").alias("vertex_id"))
+        .unionAll(g.select(F.col("doc_b").alias("vertex_id")))
+        .distinct()
+    )
+    cc = connected_components(
+        verts, g.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    lpa = lpa_labels(g)
+    joined = cc.join(lpa.select(F.col("v").alias("vertex_id"), "label"), "vertex_id")
+    rows = (
+        joined.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("label").alias("n_communities"),
+        )
+        .collect()
+    )
+    assert len(rows) == 1  # the bridge makes it ONE component
+    assert rows[0]["n_members"] == 6
+    assert rows[0]["n_communities"] == 2  # ...but TWO communities
+
+
 def test_eval_leak_profile_capped_probe_no_python(spark):
     """Eval-grain leak profile (new r13): the fp-grain probe must ride
     the train-side df cap (LeftSemi), never a cartesian, no Python,
