@@ -1499,9 +1499,13 @@ FROM {final} GROUP BY label
 """
 
 
-# New in round 14 — extra tier per the rotation policy (r15 promotion
-# candidate).
-EXTRA_SPECS.append(
+# New in round 14 (extra tier); promoted to the driver window in round
+# 15 per the judge's rotation prescription — the only two registry
+# queries without a driver row (with community_bridges below).  Slots
+# funded by the lm_perplexity + contamination_overlap demotions in
+# operators/text.py (streaks of 10 and 9 green driver rounds; both
+# verified hash-green in CORRECTNESS_r14 before demotion).
+SPECS.append(
     QuerySpec(
         "dup_communities",
         dup_communities,
@@ -1595,9 +1599,9 @@ GROUP BY c.component
 """
 
 
-# New in round 14 — extra tier per the rotation policy (r15 promotion
-# candidate).
-EXTRA_SPECS.append(
+# New in round 14 (extra tier); promoted to the driver window in round
+# 15 (see the dup_communities promotion comment above).
+SPECS.append(
     QuerySpec(
         "community_bridges",
         community_bridges,

@@ -4756,18 +4756,20 @@ SPECS: list[QuerySpec] = [
     # inside corpus_pipeline_e2e).  This clears the never-driver-verified
     # extra backlog to one (approx_distinct_users, rows-only by design —
     # see plans/analytics.py for why it stays out of the window).
-    QuerySpec(
-        "lm_perplexity", lm_perplexity, LM_PERPLEXITY_SQL, "ext:text,quality,lm"
-    ),
-    # Round-6 rotation (judge-prescribed): first driver rows for the
-    # overlap-profile contamination report, A-ES weighted sampling and
-    # the packed-sequence emit path.
-    QuerySpec(
-        "contamination_overlap",
-        contamination_overlap,
-        CONTAMINATION_OVERLAP_SQL,
-        "ext:contamination,overlap",
-    ),
+    # Round-15 rotation (judge-prescribed): lm_perplexity and
+    # contamination_overlap demoted with the two longest green streaks
+    # in the window (10 rounds r5–r14 and 9 rounds r6–r14; both verified
+    # hash-green in CORRECTNESS_r14 before demotion) to fund first
+    # driver rows for the round-14 graph extras (dup_communities +
+    # community_bridges in operators/graph.py — the only two registry
+    # queries without a driver row).  Coverage retained: the LM/quality
+    # family keeps ppl_buckets + gopher_rules + token_entropy driver
+    # rows (ppl_buckets consumes the same per-doc perplexity builder),
+    # and the contamination family keeps winnow_contamination +
+    # eval_leak_profile + corpus_decon_e2e driver rows; both demotions
+    # stay oracle-verified every run in the extra tier below.
+    # (Round-6 rotation note: contamination_overlap's first driver rows
+    # came from the overlap-profile promotion wave.)
     # Round-11 rotation: weighted_sample demoted (5 green rounds,
     # r6–r10; A-ES weighted sampling stays driver-covered by data_mix's
     # temperature sampling and the sampling family keeps dataset_split +
@@ -5000,6 +5002,18 @@ SPECS: list[QuerySpec] = [
 # oracle-verified locally (test_oracle_parity) and benchmarked, so the
 # original single-purpose shapes keep regression coverage.
 EXTRA_SPECS: list[QuerySpec] = [
+    # Rotated out of the driver window in round 15 (streaks of 10 and 9
+    # green driver rounds; family anchors retained per the SPECS
+    # comment above).
+    QuerySpec(
+        "lm_perplexity", lm_perplexity, LM_PERPLEXITY_SQL, "ext:text,quality,lm"
+    ),
+    QuerySpec(
+        "contamination_overlap",
+        contamination_overlap,
+        CONTAMINATION_OVERLAP_SQL,
+        "ext:contamination,overlap",
+    ),
     # Rotated out of the driver window in round 7 (6 rounds of green
     # driver rows each; see the SPECS comment above).
     QuerySpec("lang_id", lang_id, LANG_ID_SQL, "ext:text"),
