@@ -641,10 +641,26 @@ def run_corpus_pipeline(
         else:
             p = str(cfg.decontaminate_eval_path)
             if p.endswith((".jsonl", ".json")):
-                raw_evl = spark.read.schema("text STRING").json(p)
+                # Same no-inference-scan posture as _read_docs, but the
+                # schema KEEPS doc_id (r14 ADVICE: a text-only schema
+                # made the id branch below unreachable for JSONL, so
+                # benchmarks that carry real item ids silently got
+                # surrogate row numbers and the manifest's eval_doc_id
+                # could not be mapped back).  A file without the field
+                # yields an all-null column; the has_ids probe below
+                # (one tiny job — the eval set is benchmark-sized)
+                # routes it to the surrogate branch, and a PARTIALLY
+                # id-less file is also surrogate-keyed rather than
+                # half-mapped.
+                raw_evl = spark.read.schema("doc_id LONG, text STRING").json(p)
             else:
                 raw_evl = spark.read.parquet(p)
-            if "doc_id" in raw_evl.columns:
+            has_ids = (
+                "doc_id" in raw_evl.columns
+                and raw_evl.filter(F.col("doc_id").isNull()).limit(1).count()
+                == 0
+            )
+            if has_ids:
                 evl_docs = raw_evl.select("doc_id", "text")
             else:
                 # id-less eval files (jsonl benchmarks): a deterministic

@@ -103,8 +103,21 @@ def free_local_checkpoint(df: DataFrame) -> None:
     and the ContextCleaner remains the backstop."""
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+    except Exception as exc:  # pragma: no cover - exercised via API drift
+        # Not silent (r14 ADVICE): a PySpark upgrade that changes the
+        # reach-through path would otherwise disable the block release
+        # without a trace, quietly regressing the broadcast-memory flake
+        # this function exists to fix.  tests/test_plans_core.py asserts
+        # the reach-through actually frees a localCheckpoint's blocks on
+        # the pinned Spark version, so drift fails a test, not just logs.
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "free_local_checkpoint reach-through failed (%s: %s); "
+            "falling back to ContextCleaner",
+            type(exc).__name__,
+            exc,
+        )
 
 
 def ensure_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:

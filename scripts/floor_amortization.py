@@ -46,7 +46,13 @@ QUERIES = [
 # committed script instead of an ad-hoc edit:
 #   SPARK_GRAFT_AMORT_QUERIES=dup_communities,degree_distribution ...
 if os.environ.get("SPARK_GRAFT_AMORT_QUERIES"):
-    QUERIES = os.environ["SPARK_GRAFT_AMORT_QUERIES"].split(",")
+    # strip + drop empties (r14 ADVICE): 'a, b' or a trailing comma must
+    # not yield nonexistent query names
+    QUERIES = [
+        q.strip()
+        for q in os.environ["SPARK_GRAFT_AMORT_QUERIES"].split(",")
+        if q.strip()
+    ]
 # tables each query reads (scaled facts get key-salted replicas; the
 # rest copy verbatim so every query runs unmodified at both scales)
 SCALED = {

@@ -1454,6 +1454,81 @@ def test_corpus_leak_report_external_eval_path(spark, tmp_path):
     assert el["leaked"][0]["n_train_docs"] == 1
 
 
+def test_corpus_leak_report_jsonl_eval_keeps_real_ids(spark, tmp_path):
+    """--leak-report with a JSONL eval file that CARRIES item ids: the
+    manifest's eval_doc_id must be the benchmark's own id, not a
+    surrogate row number (r14 ADVICE: the text-only JSON schema made
+    the id branch unreachable for JSONL)."""
+    import json as _json
+
+    shared = " ".join(f"psi{i}" for i in range(12))
+    rows = [(0, "the cat sat on the mat near " + shared, "src_a"),
+            (1, "the cat sat on the mat near some other words entirely here", "src_a")]
+    path = tmp_path / "docs.parquet"
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.parquet(str(path))
+    eval_path = tmp_path / "eval.jsonl"
+    eval_path.write_text(
+        _json.dumps({"doc_id": 7070, "text": "benchmark question about " + shared})
+        + "\n"
+        + _json.dumps({"doc_id": 4141, "text": "a clean item"})
+        + "\n"
+    )
+    manifest = run_corpus_pipeline(
+        spark,
+        path,
+        tmp_path / "out_leak4",
+        CorpusConfig(
+            near_dedup=False,
+            scrub=False,
+            min_ttr=0.0,
+            leak_report=True,
+            decontaminate_eval_path=str(eval_path),
+        ),
+    )
+    el = manifest["eval_leak"]
+    assert el["n_eval_docs"] == 2
+    assert el["n_leaked_docs"] == 1
+    # the benchmark's OWN id survives into the manifest
+    assert el["leaked"][0]["eval_doc_id"] == 7070
+
+
+def test_corpus_leak_report_jsonl_eval_without_ids_gets_surrogates(
+    spark, tmp_path
+):
+    """--leak-report with an id-LESS JSONL eval file: the explicit
+    doc_id schema yields an all-null column, and the has_ids probe must
+    route it to deterministic surrogate ids (never null ids)."""
+    import json as _json
+
+    shared = " ".join(f"omi{i}" for i in range(12))
+    rows = [(0, "the cat sat on the mat near " + shared, "src_a")]
+    path = tmp_path / "docs.parquet"
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.parquet(str(path))
+    eval_path = tmp_path / "eval_noid.jsonl"
+    eval_path.write_text(
+        _json.dumps({"text": "benchmark question about " + shared})
+        + "\n"
+        + _json.dumps({"text": "a clean item"})
+        + "\n"
+    )
+    manifest = run_corpus_pipeline(
+        spark,
+        path,
+        tmp_path / "out_leak5",
+        CorpusConfig(
+            near_dedup=False,
+            scrub=False,
+            min_ttr=0.0,
+            leak_report=True,
+            decontaminate_eval_path=str(eval_path),
+        ),
+    )
+    el = manifest["eval_leak"]
+    assert el["n_eval_docs"] == 2
+    assert el["n_leaked_docs"] == 1
+    assert el["leaked"][0]["eval_doc_id"] is not None
+
+
 def test_corpus_decontaminate_ngram_external_eval_path(spark, tmp_path):
     """--decontaminate ngram with an EXTERNAL eval parquet: a training
     doc sharing a 4-gram with the eval set is dropped; the clean twin
