@@ -817,27 +817,42 @@ def decontamination_flags(
 # not leak evidence, and uncapped it fans out n_eval × df rows), and
 # the eval universe is benchmark-sized — the same boundedness story as
 # winnow_pairs / contamination_check.  All-integer output.
-def eval_leak_profile_frame(train: DataFrame, evl: DataFrame) -> DataFrame:
-    """(train docs, eval docs) → the eval-grain leak decision surface:
-    (eval_doc_id, n_train_docs, n_shared_fps, n_hits), explicit zeros
-    for clean eval docs.  ``train``/``evl`` need (doc_id, text); the
-    eval side is benchmark-sized (the same boundedness contract as the
-    decontamination eval index).  Factored out of the registry query so
-    run_corpus_pipeline's ``--leak-report`` consumes one definition —
-    the drop-the-benchmark-item vs scrub-the-train decision the r13
-    verdict asked the pipeline to emit (item 4)."""
+def _winnow_fps_of(df: DataFrame, idcol: str) -> DataFrame:
+    """(doc_id, text) → (idcol, fp): one row per winnowed fingerprint
+    of each doc (gram-less docs drop out — explode_outer + not-null
+    keeps the shape safe when the fps array is empty)."""
     toks = word_tokens(F.col("text"))
+    return (
+        df.select(F.col("doc_id").alias(idcol), winnow_hashes(toks).alias("hashes"))
+        .select(idcol, winnow_select(F.col("hashes")).alias("fps"))
+        .select(idcol, F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
 
-    def fps_of(df: DataFrame, idcol: str) -> DataFrame:
-        return (
-            df.select(F.col("doc_id").alias(idcol), winnow_hashes(toks).alias("hashes"))
-            .select(idcol, winnow_select(F.col("hashes")).alias("fps"))
-            .select(idcol, F.explode_outer("fps").alias("fp"))
-            .filter(F.col("fp").isNotNull())
-        )
 
-    eval_ex = fps_of(evl, "eval_doc_id")
-    train_ex = fps_of(train, "train_doc_id")
+def eval_leak_eval_index(evl: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The STATIC half of the leak profile, winnowed once: the eval
+    set's exploded fingerprints (eval_doc_id, fp) plus the eval-id
+    universe the report left-joins against for explicit zeros.  The
+    streaming monitor checkpoints both at stream setup (the decon
+    stream's static-index discipline) instead of re-winnowing the eval
+    set every micro-batch; the batch composition below derives them
+    inline — same plan either way."""
+    return (
+        _winnow_fps_of(evl, "eval_doc_id"),
+        evl.select(F.col("doc_id").alias("eval_doc_id")).distinct(),
+    )
+
+
+def eval_leak_profile_from_index(
+    train: DataFrame, eval_ex: DataFrame, universe: DataFrame
+) -> DataFrame:
+    """The per-train-side half: profile ``train`` against an
+    ALREADY-winnowed eval index (``eval_ex``/``universe`` from
+    :func:`eval_leak_eval_index`).  The rare-fp df cap is computed on
+    the TRAIN side, so it cannot be precomputed with the index — in
+    the streaming reading it is per-batch, documented at the caller."""
+    train_ex = _winnow_fps_of(train, "train_doc_id")
     rare = (
         train_ex.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -853,13 +868,27 @@ def eval_leak_profile_frame(train: DataFrame, evl: DataFrame) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_hits"),
         )
     )
-    universe = evl.select(F.col("doc_id").alias("eval_doc_id")).distinct()
     return universe.join(hits, "eval_doc_id", "left").select(
         "eval_doc_id",
         F.coalesce("n_train_docs", F.lit(0).cast("long")).alias("n_train_docs"),
         F.coalesce("n_shared_fps", F.lit(0).cast("long")).alias("n_shared_fps"),
         F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
     )
+
+
+def eval_leak_profile_frame(train: DataFrame, evl: DataFrame) -> DataFrame:
+    """(train docs, eval docs) → the eval-grain leak decision surface:
+    (eval_doc_id, n_train_docs, n_shared_fps, n_hits), explicit zeros
+    for clean eval docs.  ``train``/``evl`` need (doc_id, text); the
+    eval side is benchmark-sized (the same boundedness contract as the
+    decontamination eval index).  Factored out of the registry query so
+    run_corpus_pipeline's ``--leak-report`` consumes one definition —
+    the drop-the-benchmark-item vs scrub-the-train decision the r13
+    verdict asked the pipeline to emit (item 4) — and split into the
+    static eval-index half + the per-train probe half so the streaming
+    monitor can winnow the eval set exactly once."""
+    eval_ex, universe = eval_leak_eval_index(evl)
+    return eval_leak_profile_from_index(train, eval_ex, universe)
 
 
 def eval_leak_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

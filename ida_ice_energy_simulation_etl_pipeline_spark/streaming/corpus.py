@@ -200,26 +200,38 @@ def run_eval_leak_stream(
     per batch — a fingerprint whose GLOBAL df exceeds the cap while
     every per-batch df stays under it is suppressed by the batch
     operator but counted here; the cap is a fan-out bound in both
-    readings.  The eval side is benchmark-sized and re-winnowed per
-    epoch (a cluster deployment persists the winnowed eval index to
-    storage instead).  Exactly-once via the staged-rename
+    readings.  The eval side is benchmark-sized and winnowed ONCE at
+    stream setup into a checkpointed fingerprint index (the decon
+    stream's static-index discipline; r14 verdict item 5 — previously
+    each epoch re-derived it); per epoch only the train side is
+    winnowed.  A cluster deployment persists the index to storage
+    instead of a localCheckpoint.  Exactly-once via the staged-rename
     ``idempotent_batch_writer``, same as the decontamination stream
     above.
 
     Returns the started StreamingQuery (availableNow trigger — drains
     what exists, then stops; production swaps a processing-time
     trigger)."""
-    from ..operators.text import eval_leak_profile_frame
+    from ..operators.text import (
+        eval_leak_eval_index,
+        eval_leak_profile_from_index,
+    )
     from .sink import idempotent_batch_writer
 
-    evl = eval_docs.select("doc_id", "text").localCheckpoint(eager=True)
+    eval_ex, universe = eval_leak_eval_index(
+        eval_docs.select("doc_id", "text")
+    )
+    eval_ex = eval_ex.localCheckpoint(eager=True)
+    universe = universe.localCheckpoint(eager=True)
     write = idempotent_batch_writer(out_dir)
 
     def _probe(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         write(
-            eval_leak_profile_frame(batch_df.select("doc_id", "text"), evl),
+            eval_leak_profile_from_index(
+                batch_df.select("doc_id", "text"), eval_ex, universe
+            ),
             epoch_id,
         )
 
