@@ -86,6 +86,30 @@ HEADLINE = [
     "yoy_customer_revenue",
 ]
 
+# EXTENDED gated group (r14 verdict item 2): the post-r9 operator
+# families — iterative graph kernels, the winnow near-dup family, the
+# eval-leak profile and the end-to-end corpus build — previously had no
+# per-round wall/floor record (their only timing evidence was one-off
+# FLOOR_AMORT captures), so the perf-weak audit could not see a
+# regression in the newest (and most expensive) third of the registry.
+# They are measured with the SAME machinery as HEADLINE (warmup,
+# interleaved repeats, spread gate, sf0.001 floors + job counts, same-
+# run DuckDB twins) and land in bench_detail.json's per-query fields,
+# which scripts/perf_weak.py ingests unchanged.  The stdout line keeps
+# "value"/"queries" as the frozen 47-query HEADLINE set so the headline
+# total stays comparable across rounds, and adds the extended group as
+# two scalars (extended_total / extended_duckdb_total).
+EXTENDED = [
+    "dup_communities",       # LPA communities (bounded-round iterative)
+    "community_bridges",     # CC closure + LPA agreement composition
+    "kcore_decomposition",   # synchronous peel
+    "ktruss_decomposition",  # support peel over the triangle set
+    "pagerank_parts",        # power iteration, per-round checkpoints
+    "winnow_pairs",          # winnowed-fingerprint near-dup self-join
+    "eval_leak_profile",     # eval-grain winnow probe
+    "corpus_pipeline_e2e",   # full corpus build (dedup+decon+pack)
+]
+
 # Optional subset for iteration / CI smoke: comma-separated query names.
 _subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
 if _subset:
@@ -94,6 +118,10 @@ if _subset:
     if _unknown:
         raise SystemExit(f"unknown bench queries: {_unknown}")
     HEADLINE = _wanted
+    EXTENDED = []
+
+# every query this bench run measures, in one pass order
+MEASURED = HEADLINE + EXTENDED
 
 TABLES = [
     "region",
@@ -158,7 +186,7 @@ def _duckdb_timings(
             )
     except Exception as exc:  # pragma: no cover - environment-dependent
         return (
-            {name: f"error:{type(exc).__name__}" for name in HEADLINE},
+            {name: f"error:{type(exc).__name__}" for name in MEASURED},
             {},
         )
     # Interleaved passes (see main): a load spike lands on ONE sample of
@@ -167,7 +195,7 @@ def _duckdb_timings(
     samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for rep in range(REPEATS + 1):  # pass 0 = warmup (page cache, plan cache)
-        for name in HEADLINE:
+        for name in MEASURED:
             sql = ALL_QUERIES[name].oracle
             if not sql or name in errors:
                 continue
@@ -224,7 +252,7 @@ def _wait_for_quiet_window() -> None:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--explain":
-        explain(sys.argv[2:] or list(HEADLINE))
+        explain(sys.argv[2:] or list(MEASURED))
         return
     _wait_for_quiet_window()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -252,7 +280,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Untimed warmup pass: JIT + codegen compile + OS page cache.
-    for name in HEADLINE:
+    for name in MEASURED:
         ALL_QUERIES[name].fn(spark, sf_dir).toPandas()
 
     # REPEATS full passes, INTERLEAVED (pass 1 runs every query, then pass
@@ -295,10 +323,10 @@ def main() -> None:
     attempts = 0
     while True:
         attempts += 1
-        samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
-        build_samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+        samples: dict[str, list[float]] = {n: [] for n in MEASURED}
+        build_samples: dict[str, list[float]] = {n: [] for n in MEASURED}
         for _ in range(REPEATS):
-            for name in HEADLINE:
+            for name in MEASURED:
                 t0 = time.perf_counter()
                 df = ALL_QUERIES[name].fn(spark, sf_dir)
                 t1 = time.perf_counter()
@@ -342,7 +370,7 @@ def main() -> None:
             ids = tracker.getJobIdsForGroup(None) or []
             return max(ids) if ids else -1
 
-        for name in HEADLINE:
+        for name in MEASURED:
             try:
                 fn = ALL_QUERIES[name].fn
                 fn(spark, floor_dir).toPandas()  # warm this shape at this sf
@@ -399,19 +427,37 @@ def main() -> None:
     # error — so the round record itself carries the full comparator,
     # not just its sum.  Everything else (build/floor decomposition,
     # spreads) stays in the side file, committed as BENCH_DETAIL_r{N}.json.
+    # stdout keeps "value"/"queries"/"duckdb_total" scoped to the frozen
+    # HEADLINE set so the headline total stays comparable across rounds;
+    # the EXTENDED group rides as two scalars here and per-query (walls,
+    # floors, builds, spreads, duckdb twins) in the detail side file.
+    head_timings = {n: timings[n] for n in HEADLINE}
+    head_duck_ok = [
+        duck[n] for n in HEADLINE if isinstance(duck.get(n), float)
+    ]
+    ext_duck_ok = [
+        duck[n] for n in EXTENDED if isinstance(duck.get(n), float)
+    ]
     headline = {
         "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 4),
+        "value": round(sum(head_timings.values()), 4),
         "unit": "sec",
-        "queries": timings,
+        "queries": head_timings,
         "repeats": REPEATS,
+        # the spread gate (and this figure) covers EVERY measured query,
+        # extended group included — a noisy extended sample voids the
+        # run the same way a noisy headline sample does
         "max_rel_spread": round(max(spreads.values()), 4),
         "noisy_queries": {n: s for n, s in spreads.items() if s > 0.5},
-        "duckdb_total": round(sum(duck_ok), 4),
+        "duckdb_total": round(sum(head_duck_ok), 4),
         "duckdb_q": [
             round(duck[n], 3) if isinstance(duck.get(n), float) else -1
-            for n in timings
+            for n in head_timings
         ],
+        "extended_total": round(
+            sum(timings[n] for n in EXTENDED), 4
+        ),
+        "extended_duckdb_total": round(sum(ext_duck_ok), 4),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     detail = {
@@ -435,6 +481,11 @@ def main() -> None:
             ),
         },
         **headline,
+        # the detail record's per-query fields cover HEADLINE + EXTENDED
+        # (scripts/perf_weak.py reads exactly these keys); "queries" here
+        # therefore OVERRIDES the headline-scoped dict spread above
+        "queries": timings,
+        "extended": list(EXTENDED),
     }
     try:
         with open(
