@@ -1609,3 +1609,312 @@ SPECS.append(
         "ext:graph,lpa,cc,agreement",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Louvain-style one-level community refinement (new r15, the r14
+# verdict's optional widening 8a): complete the community-quality loop
+# that dup_modularity measures.  LPA's majority vote optimizes
+# agreement, not modularity — boundary vertices between two duplicate
+# families regularly land on the wrong side (label ties break by id,
+# not by edge mass).  ONE synchronous Louvain pass fixes exactly that
+# class: every vertex evaluates, against the FROZEN LPA partition,
+# the standard modularity gain of moving into each neighboring
+# community,
+#
+#   dQ(v: a -> c) = (e_vc - e_va)/m  -  k_v (tot_c - tot_a + k_v)/(2 m^2)
+#
+# (e_vc = edges from v into community c, k_v = degree, tot_c = degree
+# mass of c with v removed from its own community a), and takes the
+# best strictly-positive move.  Because every dQ shares the positive
+# denominator 2 m^2, the per-vertex argmax compares the INTEGER
+#
+#   g = 2 m (e_vc - e_va) - k_v (tot_c - tot_a + k_v)
+#
+# instead — the whole decision surface is exact BIGINT arithmetic, so
+# the two engines cannot disagree by one ulp of float gain (doubles
+# appear only in the two reported modularity columns, rounded through
+# round_pz: modularity is signed — the r13 signed-zero class).  One
+# synchronous pass over a frozen partition is deterministic by
+# construction (no sequential visit order to replicate), which is why
+# this is a single refinement pass, not the full iterated Louvain.
+#
+# Output: ONE summary row — (n_vertices, n_moved,
+# n_communities_before/after, modularity_before/after) — the
+# before/after quality reading a curation team checks before trusting
+# community-grain survivor selection.
+#
+# Scale posture: every step is a keyed shuffle at vertex, community or
+# edge grain (the LPA/k-core discipline) — candidate moves only exist
+# along edges, so the gains frame is bounded by 2m rows; the only
+# broadcast is the one-row m total (the pagerank totals-merge
+# pattern).  ``pairs`` feeds four consumers (m, the vote grain, and
+# the two intra-edge scans), so it is localCheckpointed once up front;
+# its blocks stay LIVE in the returned plan (a live input is not a
+# superseded round — the free_local_checkpoint discipline does not
+# apply; the ContextCleaner reclaims it with the frame).
+def community_refine_frame(pairs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) near-dup edges → the one-row refinement summary
+    described above (LPA labels derived internally via
+    :func:`lpa_labels` on the same edge set)."""
+    pairs = pairs.localCheckpoint(eager=True)
+    labels = lpa_labels(pairs)  # (v, label), checkpointed at fixpoint
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = (
+        sym.select(F.col("src").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    tot = (
+        labels.join(deg, "v")
+        .groupBy("label")
+        .agg(F.sum("k").cast("long").alias("tot"))
+    )
+    evc = (
+        sym.join(
+            labels.select(F.col("v").alias("dst"), F.col("label").alias("c")),
+            "dst",
+        )
+        .select(F.col("src").alias("v"), "c")
+        .groupBy("v", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("e"))
+    )
+    m_row = pairs.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    base = (
+        labels.select("v", F.col("label").alias("a_label"))
+        .join(deg, "v")
+        .join(
+            tot.select(
+                F.col("label").alias("a_label"), F.col("tot").alias("tot_a")
+            ),
+            "a_label",
+        )
+        .join(
+            evc.select(
+                "v", F.col("c").alias("a_label"), F.col("e").alias("e_a")
+            ),
+            ["v", "a_label"],
+            "left",
+        )
+        .select(
+            "v",
+            "a_label",
+            "k",
+            "tot_a",
+            F.coalesce("e_a", F.lit(0).cast("long")).alias("e_a"),
+        )
+    )
+    gains = (
+        base.join(evc, "v")
+        .filter(F.col("c") != F.col("a_label"))
+        .join(
+            tot.select(F.col("label").alias("c"), F.col("tot").alias("tot_c")),
+            "c",
+        )
+        .crossJoin(F.broadcast(m_row))  # one-row totals merge
+        .select(
+            "v",
+            "c",
+            (
+                F.lit(2) * F.col("m") * (F.col("e") - F.col("e_a"))
+                - F.col("k")
+                * (F.col("tot_c") - F.col("tot_a") + F.col("k"))
+            ).alias("g"),
+        )
+    )
+    best = (
+        gains.filter(F.col("g") > 0)
+        .groupBy("v")
+        .agg(
+            F.min_by(
+                "c", F.struct((-F.col("g")).alias("ng"), F.col("c"))
+            ).alias("c")
+        )
+    )
+    newlab = (
+        base.select("v", "a_label")
+        .join(best, "v", "left")
+        .select("v", F.coalesce("c", "a_label").alias("label"), "a_label")
+    )
+    # ---- before/after partition quality ----
+    la = labels.select(F.col("v").alias("doc_a"), F.col("label").alias("la"))
+    lb = labels.select(F.col("v").alias("doc_b"), F.col("label").alias("lb"))
+    intra_b = pairs.join(la, "doc_a").join(lb, "doc_b").agg(
+        F.coalesce(
+            F.sum((F.col("la") == F.col("lb")).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("intra_b")
+    )
+    na = newlab.select(F.col("v").alias("doc_a"), F.col("label").alias("la"))
+    nb = newlab.select(F.col("v").alias("doc_b"), F.col("label").alias("lb"))
+    intra_a = pairs.join(na, "doc_a").join(nb, "doc_b").agg(
+        F.coalesce(
+            F.sum((F.col("la") == F.col("lb")).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("intra_a")
+    )
+    tot2_b = tot.agg(
+        F.coalesce(F.sum(F.col("tot") * F.col("tot")), F.lit(0))
+        .cast("long")
+        .alias("tot2_b")
+    )
+    newtot = (
+        newlab.join(deg, "v")
+        .groupBy("label")
+        .agg(F.sum("k").cast("long").alias("tot"))
+    )
+    tot2_a = newtot.agg(
+        F.coalesce(F.sum(F.col("tot") * F.col("tot")), F.lit(0))
+        .cast("long")
+        .alias("tot2_a")
+    )
+    counts = newlab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.coalesce(
+            F.sum((F.col("label") != F.col("a_label")).cast("long")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_moved"),
+        F.countDistinct("a_label").cast("long").alias("n_communities_before"),
+        F.countDistinct("label").cast("long").alias("n_communities_after"),
+    )
+    md = F.nullif(F.col("m").cast("double"), F.lit(0.0))
+    q_of = lambda intra, tot2: (  # noqa: E731 - mirrored expression shape
+        F.col(intra).cast("double") / md
+        - F.col(tot2).cast("double") / (F.lit(4.0) * md * md)
+    )
+    return (
+        counts.crossJoin(m_row)
+        .crossJoin(intra_b)
+        .crossJoin(intra_a)
+        .crossJoin(tot2_b)
+        .crossJoin(tot2_a)
+        .select(
+            "n_vertices",
+            "n_moved",
+            "n_communities_before",
+            "n_communities_after",
+            round_pz(q_of("intra_b", "tot2_b"), 6).alias("modularity_before"),
+            round_pz(q_of("intra_a", "tot2_a"), 6).alias("modularity_after"),
+        )
+    )
+
+
+def community_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import lsh_candidate_pairs
+
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    return community_refine_frame(lsh_candidate_pairs(docs))
+
+
+def _community_refine_sql() -> str:
+    from .dedup import DEDUP_MINHASH_LSH_SQL
+
+    lpa_ctes, final = _lpa_label_ctes()
+    return f"""
+WITH pairs AS MATERIALIZED ({DEDUP_MINHASH_LSH_SQL}),{lpa_ctes},
+lab AS MATERIALIZED (SELECT v, label FROM {final}),
+deg AS MATERIALIZED (
+  SELECT src AS v, CAST(count(*) AS BIGINT) AS k FROM sym GROUP BY src
+),
+mrow AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+tot AS MATERIALIZED (
+  SELECT l.label, CAST(sum(d.k) AS BIGINT) AS tot
+  FROM lab l JOIN deg d ON d.v = l.v GROUP BY l.label
+),
+evc AS MATERIALIZED (
+  SELECT s.src AS v, l.label AS c, CAST(count(*) AS BIGINT) AS e
+  FROM sym s JOIN lab l ON l.v = s.dst GROUP BY s.src, l.label
+),
+base AS MATERIALIZED (
+  SELECT a.v, a.label AS a_label, d.k, ta.tot AS tot_a,
+         CAST(coalesce(ea.e, 0) AS BIGINT) AS e_a
+  FROM lab a
+  JOIN deg d ON d.v = a.v
+  JOIN tot ta ON ta.label = a.label
+  LEFT JOIN evc ea ON ea.v = a.v AND ea.c = a.label
+),
+gains AS MATERIALIZED (
+  SELECT b.v, e.c,
+         2 * m.m * (e.e - b.e_a) - b.k * (tc.tot - b.tot_a + b.k) AS g
+  FROM base b
+  JOIN evc e ON e.v = b.v AND e.c <> b.a_label
+  JOIN tot tc ON tc.label = e.c
+  CROSS JOIN mrow m
+),
+best AS MATERIALIZED (
+  SELECT v, c FROM (
+    SELECT v, c,
+           row_number() OVER (PARTITION BY v ORDER BY g DESC, c) AS rk
+    FROM gains WHERE g > 0
+  ) WHERE rk = 1
+),
+newlab AS MATERIALIZED (
+  SELECT b.v, coalesce(bt.c, b.a_label) AS label, b.a_label
+  FROM base b LEFT JOIN best bt ON bt.v = b.v
+),
+intra_b AS (
+  SELECT CAST(coalesce(sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END),
+                       0) AS BIGINT) AS intra_b
+  FROM pairs p
+  JOIN lab la ON la.v = p.doc_a
+  JOIN lab lb ON lb.v = p.doc_b
+),
+intra_a AS (
+  SELECT CAST(coalesce(sum(CASE WHEN na.label = nb.label THEN 1 ELSE 0 END),
+                       0) AS BIGINT) AS intra_a
+  FROM pairs p
+  JOIN newlab na ON na.v = p.doc_a
+  JOIN newlab nb ON nb.v = p.doc_b
+),
+tot2_b AS (
+  SELECT CAST(coalesce(sum(tot * tot), 0) AS BIGINT) AS tot2_b FROM tot
+),
+newtot AS MATERIALIZED (
+  SELECT n.label, CAST(sum(d.k) AS BIGINT) AS tot
+  FROM newlab n JOIN deg d ON d.v = n.v GROUP BY n.label
+),
+tot2_a AS (
+  SELECT CAST(coalesce(sum(tot * tot), 0) AS BIGINT) AS tot2_a FROM newtot
+),
+counts AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+         CAST(coalesce(sum(CASE WHEN label <> a_label THEN 1 ELSE 0 END),
+                       0) AS BIGINT) AS n_moved,
+         CAST(count(DISTINCT a_label) AS BIGINT) AS n_communities_before,
+         CAST(count(DISTINCT label) AS BIGINT) AS n_communities_after
+  FROM newlab
+)
+SELECT n_vertices, n_moved, n_communities_before, n_communities_after,
+       round(CAST(intra_b AS DOUBLE) / nullif(CAST(m AS DOUBLE), 0.0)
+             - CAST(tot2_b AS DOUBLE)
+               / (4.0 * nullif(CAST(m AS DOUBLE), 0.0)
+                  * nullif(CAST(m AS DOUBLE), 0.0)), 6)
+         + 0.0 AS modularity_before,
+       round(CAST(intra_a AS DOUBLE) / nullif(CAST(m AS DOUBLE), 0.0)
+             - CAST(tot2_a AS DOUBLE)
+               / (4.0 * nullif(CAST(m AS DOUBLE), 0.0)
+                  * nullif(CAST(m AS DOUBLE), 0.0)), 6)
+         + 0.0 AS modularity_after
+FROM counts CROSS JOIN mrow CROSS JOIN intra_b CROSS JOIN intra_a
+CROSS JOIN tot2_b CROSS JOIN tot2_a
+"""
+
+
+# New in round 15 — extra tier per the rotation policy (r16 promotion
+# candidate).
+EXTRA_SPECS.append(
+    QuerySpec(
+        "community_refine",
+        community_refine,
+        _community_refine_sql(),
+        "ext:graph,lpa,louvain,modularity",
+    )
+)

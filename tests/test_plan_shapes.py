@@ -1235,6 +1235,70 @@ def test_community_bridges_flags_bridged_component(spark):
     assert rows[0]["n_communities"] == 2  # ...but TWO communities
 
 
+def test_community_refine_moves_boundary_vertex(spark):
+    """Louvain one-level refinement (new r15): the crafted case where
+    LPA's majority vote lands a boundary vertex on the wrong side.
+    Vertex 8 (neighbors 1∈c1, 2∈c2, 5∈c2) is labeled c1 by LPA (tie-
+    break toward the smaller anchor through the vote schedule) but has
+    2 of 3 edges into c2 — the integer gain g = 2m(e_vc − e_va) −
+    k(tot_c − tot_a + k) is positive for the move, so the pass moves
+    exactly that one vertex and modularity rises from the hand-
+    computed 9/13 − 356/676 ≈ 0.165680 to 10/13 − 338/676 ≈ 0.269231.
+    Reference values verified against an independent pure-Python
+    implementation of the same frozen-partition pass."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.graph import (
+        community_refine_frame,
+        lpa_labels,
+    )
+
+    edges = [(1, 3), (1, 6), (1, 8), (2, 4), (2, 5), (2, 7), (2, 8),
+             (3, 6), (3, 7), (4, 5), (5, 6), (5, 8), (6, 7)]
+    g = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    labels = {r["v"]: r["label"] for r in lpa_labels(g).collect()}
+    assert labels == {1: 1, 2: 2, 3: 1, 4: 2, 5: 2, 6: 1, 7: 1, 8: 1}
+
+    row = community_refine_frame(g).collect()[0]
+    assert row["n_vertices"] == 8
+    assert row["n_moved"] == 1
+    assert row["n_communities_before"] == 2
+    assert row["n_communities_after"] == 2
+    assert row["modularity_before"] == 0.16568
+    assert row["modularity_after"] == 0.269231
+    assert row["modularity_after"] > row["modularity_before"]
+
+
+def test_community_refine_fixpoint_on_clean_communities(spark):
+    """On the two-triangles-one-bridge graph LPA already finds the
+    modularity-optimal split, so the refinement pass is an identity:
+    nothing moves and both modularity columns agree."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.graph import (
+        community_refine_frame,
+    )
+
+    tri_a = [(1, 2), (1, 3), (2, 3)]
+    tri_b = [(4, 5), (4, 6), (5, 6)]
+    g = spark.createDataFrame(tri_a + tri_b + [(3, 4)], ["doc_a", "doc_b"])
+    row = community_refine_frame(g).collect()[0]
+    assert row["n_vertices"] == 6
+    assert row["n_moved"] == 0
+    assert row["n_communities_before"] == row["n_communities_after"] == 2
+    assert row["modularity_before"] == row["modularity_after"]
+
+
+def test_community_refine_no_python_no_cartesian(spark):
+    """community_refine (new r15): keyed shuffles at vertex/community/
+    edge grain plus one-row totals merges only — no Python, no
+    CartesianProduct (the one-row crossJoins compile to broadcast
+    nested-loop merges), no global sort, no forced vertex-grain
+    broadcast in the visible tail."""
+    plan = _executed_plan(spark, "community_refine").split(
+        "== Initial Plan =="
+    )[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
 def test_eval_leak_profile_capped_probe_no_python(spark):
     """Eval-grain leak profile (new r13): the fp-grain probe must ride
     the train-side df cap (LeftSemi), never a cartesian, no Python,
