@@ -77,9 +77,15 @@ def connected_components(
             )
         )
         # localCheckpoint: truncate the lineage each round, or the plan
-        # doubles per iteration and analysis time grows exponentially
-        updated = updated.localCheckpoint(eager=True)
-        changed = updated.filter(F.col("_changed")).limit(1).count()
+        # doubles per iteration and analysis time grows exponentially.
+        # LAZY + full-count fusion (r15, guide §1.2 "remove passes"):
+        # eager=True would run one job to materialize the round and a
+        # second to probe it; a lazy checkpoint lets the fixpoint count
+        # BE the materializing action — the count computes every
+        # partition, so the checkpoint completes in the same job and
+        # the superseded round can still be released right after.
+        updated = updated.localCheckpoint(eager=False)
+        changed = updated.filter(F.col("_changed")).count()
         # the new round is materialized into its own blocks — release the
         # superseded round's NOW instead of waiting on the ContextCleaner
         # (long-lived-session hygiene; see free_local_checkpoint)
@@ -191,7 +197,10 @@ def connected_components_star(
             )
         )
         prev_e = e
-        e = small.localCheckpoint(eager=True)
+        # lazy + fused stats (r15): the stability aggregate computes
+        # every partition, so it doubles as the checkpoint materializer
+        # — one action per round instead of two.
+        e = small.localCheckpoint(eager=False)
         cur = _stats(e)
         # the new round's edge set is materialized — release the
         # superseded one (long-lived-session hygiene)
@@ -464,9 +473,21 @@ def pagerank_frame(
     """(src, dst) one row per undirected edge → (vertex, degree, pr).
     Vertices are the edge endpoints (every vertex has degree ≥ 1, so
     there is no dangling-mass term)."""
+    # Pre-partition the symmetric edge list by the round-join key ONCE
+    # before checkpointing it (r15, guide §2.4): the LogicalRDD keeps the
+    # HashPartitioning(src) through every round, so the per-round
+    # edge⋈rank join never re-exchanges the edge side again — only the
+    # vertex-grain rank frame moves.  Partition count comes from the
+    # session's shuffle.partitions (scale-adaptive: the bench derives it
+    # from input size, a cluster sets it to cluster scale).
+    try:
+        _parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        _parts = 200
     sym = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(_parts, "src")
         .localCheckpoint(eager=True)  # joined every round — keep lineage flat
     )
     deg = sym.groupBy(F.col("src").alias("vertex")).agg(
@@ -484,8 +505,15 @@ def pagerank_frame(
         .localCheckpoint(eager=True)
     )
     for _ in range(iterations):
+        # SHUFFLE_HASH on the vertex-grain rank side (r15, guide §3.1):
+        # the deliberate strategy at every scale — the checkpointed sym
+        # side is already HashPartitioning(src) so only the rank frame
+        # shuffles, and a hash build of |V|/P rank rows per partition
+        # needs no sort of the 2m-row edge side (SMJ would re-sort sym
+        # every round; a broadcast of the vertex-grain rank table is the
+        # driver-OOM posture the r13/r14 hint removals banned).
         contrib = (
-            sym.join(pr, sym.src == pr.vertex)
+            sym.join(pr.hint("shuffle_hash"), sym.src == pr.vertex)
             .groupBy(F.col("dst").alias("vertex"))
             .agg(F.sum(F.col("pr") / F.col("degree")).alias("mass"))
         )
@@ -526,7 +554,14 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
         .distinct()
     )
-    ranked = pagerank_frame(ensure_parallelism(spark, edges))
+    # No ensure_parallelism on the DERIVED edge frame (r15): its
+    # .rdd-probe finalizes the AQE plan, which EXECUTES the whole
+    # distinct+self-join edge derivation once (measured ~1.0 s at sf0.1)
+    # only to find the frame already parallel enough and return it
+    # unchanged; pagerank_frame's own src-keyed repartition before the
+    # sym checkpoint is what establishes parallelism AND the per-round
+    # join partitioning.
+    ranked = pagerank_frame(edges)
     return ranked.select(
         F.col("vertex").alias("part_id"),
         "degree",
@@ -666,7 +701,12 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
         .distinct()
     )
-    return triangle_stats_frame(ensure_parallelism(spark, edges))
+    # No ensure_parallelism here (r15): on this DERIVED frame the
+    # .rdd-probe executes the whole edge derivation once (~1 s at
+    # sf0.1) and then returns the frame unchanged — the distinct's own
+    # exchange already spreads the downstream wedge work, and every
+    # consumer rereads that one exchange via ReuseExchange.
+    return triangle_stats_frame(edges)
 
 
 TRIANGLE_COUNT_SQL = """
@@ -760,7 +800,10 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
         .distinct()
     )
-    return degree_assortativity_frame(ensure_parallelism(spark, edges))
+    # No ensure_parallelism on the derived edge frame (r15) — same
+    # rationale as triangle_count: the probe executes the edge plan
+    # once for nothing; the distinct's exchange already parallelizes.
+    return degree_assortativity_frame(edges)
 
 
 DEGREE_ASSORTATIVITY_SQL = """
@@ -1011,12 +1054,17 @@ def _peel_to_fixpoint(pairs: DataFrame, survivor_step, rounds: int) -> DataFrame
     changing or ``rounds`` elapse; localCheckpoint per round truncates
     the lineage (the CC discipline), and the per-round count action is
     the irreducible fixpoint observation."""
-    edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    # lazy + fused count throughout (r15): the per-round fixpoint count
+    # computes every partition, so it doubles as the checkpoint
+    # materializer — one action per round instead of two, and the
+    # predecessor release below still happens strictly after the
+    # successor's blocks exist.
+    edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=False)
     n_edges = edges.count()
     for _ in range(rounds):
         if n_edges == 0:
             break
-        nxt = survivor_step(edges).localCheckpoint(eager=True)
+        nxt = survivor_step(edges).localCheckpoint(eager=False)
         n_nxt = nxt.count()
         if n_nxt == n_edges:
             # fixpoint: nxt duplicates edges' content — release it and
@@ -1406,34 +1454,42 @@ def lpa_labels(pairs: DataFrame, *, rounds: int = LPA_ROUNDS) -> DataFrame:
         sym.select(F.col("src").alias("v")).distinct().select("v", F.col("v").alias("label"))
     ).localCheckpoint(eager=True)
     for _ in range(rounds):
-        neighbor_votes = sym.join(
-            labels.select(F.col("v").alias("dst"), "label"), "dst"
-        ).select(F.col("src").alias("v"), "label")
-        votes = neighbor_votes.unionAll(labels)
+        # The self-vote row is tagged so the argmax aggregate can carry
+        # each vertex's PREVIOUS label alongside the new one (r15,
+        # guide §2.4): the fixpoint probe then reads the checkpointed
+        # round directly instead of re-joining it against the old label
+        # frame — one keyed join per round gone, and the probe count
+        # doubles as the lazy checkpoint's materializer (one action per
+        # round instead of two).  The vote multiset is unchanged, so the
+        # argmax (highest count, then smallest label) is untouched.
+        cur = labels.select("v", "label")  # rounds ≥ 2 also carry `prev`
+        neighbor_votes = (
+            sym.join(cur.select(F.col("v").alias("dst"), "label"), "dst")
+            .select(F.col("src").alias("v"), "label")
+            .withColumn("is_self", F.lit(False))
+        )
+        votes = neighbor_votes.unionAll(cur.withColumn("is_self", F.lit(True)))
         counts = votes.groupBy("v", "label").agg(
-            F.count(F.lit(1)).alias("cnt")
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("is_self").alias("is_prev"),
         )
         new_labels = counts.groupBy("v").agg(
             F.min_by(
                 "label", F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
-            ).alias("label")
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.join(
-                labels.select("v", F.col("label").alias("prev")), "v"
-            )
-            .filter(F.col("label") != F.col("prev"))
-            .limit(1)
-            .count()
-        )
-        # the change probe above was the old label frame's last consumer;
-        # release its blocks eagerly (the _peel_to_fixpoint hygiene)
+            ).alias("label"),
+            # every vertex has exactly one self-vote, so exactly one
+            # group per v carries is_prev and the max is its label
+            F.max(F.when(F.col("is_prev"), F.col("label"))).alias("prev"),
+        ).localCheckpoint(eager=False)
+        changed = new_labels.filter(F.col("label") != F.col("prev")).count()
+        # the probe above materialized the new round — release the old
+        # label frame's blocks eagerly (the _peel_to_fixpoint hygiene)
         free_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
     free_local_checkpoint(edges)
-    return labels
+    return labels.select("v", "label")
 
 
 def dup_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
