@@ -1100,7 +1100,18 @@ def _near_dup_summaries(
 
     docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
     pairs = lsh_candidate_pairs(docs).localCheckpoint(eager=True)
-    per_k = [_peeled_summary(peel(pairs, k), k, prefix) for k in ks]
+    # CHAIN the peels (r15, guide §1.2 "don't compute things twice"):
+    # ks ascends and the (k+1)-core/-truss of G equals the one computed
+    # from the k-core/-truss (peeling is order-insensitive and the
+    # result is the unique maximal subgraph), so each subsequent peel
+    # starts from the previous SURVIVING edge set instead of re-peeling
+    # the full near-dup graph — strictly less work at any scale, and
+    # the oracle's independent full-graph unroll pins the equivalence.
+    per_k, prev = [], pairs
+    for k in ks:
+        core = peel(prev, k)
+        per_k.append(_peeled_summary(core, k, prefix))
+        prev = core
     out = per_k[0]
     for frame in per_k[1:]:
         out = out.unionAll(frame)
@@ -1602,11 +1613,22 @@ def community_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(pairs.select(F.col("doc_b").alias("vertex_id")))
         .distinct()
     )
-    cc = connected_components(
-        verts,
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
-    )
-    lpa = lpa_labels(pairs)
+    # The two kernels are INDEPENDENT consumers of the one checkpointed
+    # pair set, and each is a driver-sequential loop of small jobs that
+    # underutilizes the cluster — run them from a 2-thread pool so one
+    # kernel's jobs back-fill the executors the other's tail leaves
+    # idle (r15, guide §2.6 "overlap independent jobs").  Results are
+    # deterministic per kernel, so the overlap is timing-only.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        cc_f = pool.submit(
+            connected_components,
+            verts,
+            pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        )
+        lpa_f = pool.submit(lpa_labels, pairs)
+        cc, lpa = cc_f.result(), lpa_f.result()
     joined = cc.join(
         lpa.select(F.col("v").alias("vertex_id"), "label"), "vertex_id"
     )
