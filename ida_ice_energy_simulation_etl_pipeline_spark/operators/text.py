@@ -421,6 +421,11 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_windows"),
         winnow_select(F.col("hashes")).alias("fps"),
     )
+    # One winnow pass (r15): the source-grain stats and the distinct-fp
+    # branch aggregate on different keys, so the winnowing expression
+    # was evaluated twice; materializing the per-doc selection once
+    # halves the corpus-grain hashing.
+    per_doc = per_doc.localCheckpoint(eager=True)
     stats = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_windows").cast("long").alias("n_windows"),
@@ -471,9 +476,13 @@ def winnow_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = hashed.select(
         "doc_id", "source", winnow_select(F.col("hashes")).alias("fps")
     )
+    # One winnow pass (r15): the eval-fp set and the train probe consume
+    # this frame on different keys (nothing reuses), so the corpus-grain
+    # winnowing ran twice; the per-source totals below additionally ran
+    # it a third time for a count that never looks at fingerprints.
     ex = per_doc.select(
         "doc_id", "source", F.explode_outer("fps").alias("fp")
-    ).filter(F.col("fp").isNotNull())
+    ).filter(F.col("fp").isNotNull()).localCheckpoint(eager=True)
     eval_fps = (
         ex.filter(F.col("source") == CONTAMINATION_EVAL_SOURCE)
         .select("fp")
@@ -487,8 +496,10 @@ def winnow_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).cast("long").alias("n_flagged"))
     )
+    # count documents, not fingerprints: per_doc is row-for-row the docs
+    # scan, so the totals never needed the winnowing expression at all
     totals = (
-        per_doc.filter(F.col("source") != CONTAMINATION_EVAL_SOURCE)
+        docs.filter(F.col("source") != CONTAMINATION_EVAL_SOURCE)
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -596,6 +607,16 @@ def winnow_candidate_pairs(docs: DataFrame) -> DataFrame:
     ex = per_doc.select(
         "doc_id", F.explode_outer("fps").alias("fp")
     ).filter(F.col("fp").isNotNull())
+    # Materialize the winnowed index ONCE (r15, guide §1.2): this frame
+    # feeds FOUR consumers (per-doc sizes, the df cap, and both sides of
+    # the fp-grain self-join) whose exchanges hash different keys, so
+    # nothing reuses and the md5-per-k-gram winnowing was evaluated SIX
+    # times in the executed plan (6 parquet scans / 6 Generate nodes).
+    # One localCheckpoint hashes the corpus once; every consumer then
+    # reads the ~2/(w+1)-density (doc_id, fp) index — the same
+    # land-the-intermediate posture the decontamination flagged-id set
+    # documents for cluster scale.
+    ex = ex.localCheckpoint(eager=True)
     # sizes from the EXPLODED stream, not `size(fps) > 0` over the
     # projection: filtering on the array expression re-inlines the
     # whole winnowing subtree into a pushed Filter — the SAME trap
@@ -852,7 +873,10 @@ def eval_leak_profile_from_index(
     :func:`eval_leak_eval_index`).  The rare-fp df cap is computed on
     the TRAIN side, so it cannot be precomputed with the index — in
     the streaming reading it is per-batch, documented at the caller."""
-    train_ex = _winnow_fps_of(train, "train_doc_id")
+    # One winnow pass over the train side (r15): the df-cap aggregate
+    # and the probe join both consume this frame on different keys, so
+    # without materialization the corpus-grain winnowing ran twice.
+    train_ex = _winnow_fps_of(train, "train_doc_id").localCheckpoint(eager=True)
     rare = (
         train_ex.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
