@@ -1369,9 +1369,19 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cfg = CorpusConfig()
     docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
-    kept = _near_deduped(
-        _exact_deduped(_filtered(docs.select("doc_id", "text"), cfg))
-    )
+    # Materialize the filtered + exact-deduped base ONCE (r15, guide
+    # §2.4/§5): three downstream jobs each re-executed this lineage from
+    # the parquet scan — the LSH edge derivation (sym checkpoint inside
+    # connected_components), CC round 1 (the vertex labels), and the
+    # survivor join — paying the language-score filter and the
+    # hash-window dedup shuffle three times.  One eager localCheckpoint
+    # makes all three read the materialized blocks instead; the frame is
+    # the post-dedup survivor set, already the SMALLEST text-bearing
+    # point in the chain, so the blocks are bounded by unique docs.
+    base = _exact_deduped(
+        _filtered(docs.select("doc_id", "text"), cfg)
+    ).localCheckpoint(eager=True)
+    kept = _near_deduped(base)
     planted = kept.select("doc_id", _planted_pii_col().alias("text"))
     s = scrub_pii(planted)
     return (

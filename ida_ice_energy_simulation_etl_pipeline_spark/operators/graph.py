@@ -469,10 +469,19 @@ def pagerank_frame(
     *,
     iterations: int = PR_ITERATIONS,
     damping: float = PR_DAMPING,
+    dedup: bool = False,
 ) -> DataFrame:
     """(src, dst) one row per undirected edge → (vertex, degree, pr).
     Vertices are the edge endpoints (every vertex has degree ≥ 1, so
-    there is no dangling-mass term)."""
+    there is no dangling-mass term).
+
+    ``dedup=True`` accepts an edge stream WITH repeats and dedups it
+    AFTER the src-keyed repartition (r15, guide §2.4): HashPartitioning
+    on ``src`` satisfies the (src, dst)-clustered distribution the dedup
+    aggregate needs, so the dedup rides the partitioning exchange the
+    rounds already pay instead of adding its own — callers whose edge
+    derivation ends in a ``.distinct()`` can drop that exchange and pass
+    the raw stream here."""
     # Pre-partition the symmetric edge list by the round-join key ONCE
     # before checkpointing it (r15, guide §2.4): the LogicalRDD keeps the
     # HashPartitioning(src) through every round, so the per-round
@@ -488,8 +497,11 @@ def pagerank_frame(
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .repartition(_parts, "src")
-        .localCheckpoint(eager=True)  # joined every round — keep lineage flat
     )
+    if dedup:
+        # no new exchange: hash(src) already clusters every (src, dst)
+        sym = sym.dropDuplicates(["src", "dst"])
+    sym = sym.localCheckpoint(eager=True)  # joined every round — keep lineage flat
     deg = sym.groupBy(F.col("src").alias("vertex")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
@@ -542,17 +554,28 @@ def pagerank_frame(
 
 
 def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exchange-folded edge derivation (r15, guide §2.4): the naive chain
+    # distinct(ok,pk) → self-join(ok) → distinct(src,dst) → repartition(src)
+    # pays FOUR exchanges.  Repartitioning by the JOIN key first makes
+    # hash(ok) satisfy both the (ok, pk)-clustered dedup aggregate AND the
+    # self-join's distribution (one exchange, reused by both join sides),
+    # and the pair-stream dedup moves into pagerank_frame AFTER its
+    # src-keyed repartition (dedup=True) — two exchanges end to end.
+    try:
+        _parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        _parts = 200
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
+        .repartition(_parts, "ok")
+        .dropDuplicates(["ok", "pk"])
     )
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(b, F.col("a.ok") == F.col("b.ok"))
         .filter(F.col("a.pk") < F.col("b.pk"))
         .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-        .distinct()
     )
     # No ensure_parallelism on the DERIVED edge frame (r15): its
     # .rdd-probe finalizes the AQE plan, which EXECUTES the whole
@@ -561,7 +584,7 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unchanged; pagerank_frame's own src-keyed repartition before the
     # sym checkpoint is what establishes parallelism AND the per-round
     # join partitioning.
-    ranked = pagerank_frame(edges)
+    ranked = pagerank_frame(edges, dedup=True)
     return ranked.select(
         F.col("vertex").alias("part_id"),
         "degree",
