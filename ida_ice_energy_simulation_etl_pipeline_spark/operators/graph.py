@@ -1070,36 +1070,63 @@ KCORE_KS = (2, 3)
 KCORE_ROUNDS = 12  # rail; measured peel depth 1-2 at sf0.001/0.01/0.1
 
 
-def _peel_to_fixpoint(pairs: DataFrame, survivor_step, rounds: int) -> DataFrame:
+def _peel_to_fixpoint(
+    pairs: DataFrame,
+    metric_step,
+    apply_step,
+    rounds: int,
+    seed_metric: "DataFrame | None" = None,
+) -> tuple[DataFrame, "DataFrame | None"]:
     """Shared synchronous-peel driver for the k-core and k-truss
-    kernels: apply ``survivor_step(edges) -> edges`` (which drops the
-    unsupported edges of one round) until the edge count stops
-    changing or ``rounds`` elapse; localCheckpoint per round truncates
-    the lineage (the CC discipline), and the per-round count action is
-    the irreducible fixpoint observation."""
+    kernels, split into the k-INDEPENDENT per-round metric
+    (``metric_step(edges) -> frame``: vertex degrees / edge triangle
+    supports) and the k-dependent threshold application
+    (``apply_step(edges, metric) -> edges``), peeled until the edge
+    count stops changing or ``rounds`` elapse; localCheckpoint per
+    round truncates the lineage (the CC discipline), and the per-round
+    count action is the irreducible fixpoint observation.
+
+    Returns ``(edges, metric)`` where ``metric`` — when not None — is
+    the materialized metric of exactly the returned edge set.  The
+    chained-peel caller passes it back as ``seed_metric`` for the next
+    ascending k (r15, guide §1.2): the (k+1)-peel's FIRST round would
+    otherwise recompute the identical metric on the identical surviving
+    edge set the k-fixpoint round just measured — for the k-truss that
+    is a full degree-oriented triangle enumeration (the kernel's most
+    expensive stage) done twice for one answer.
+    """
     # lazy + fused count throughout (r15): the per-round fixpoint count
-    # computes every partition, so it doubles as the checkpoint
-    # materializer — one action per round instead of two, and the
-    # predecessor release below still happens strictly after the
-    # successor's blocks exist.
+    # computes every partition of the new round AND of its (lazily
+    # checkpointed) metric input, so one action per round materializes
+    # both, and the predecessor release below still happens strictly
+    # after the successor's blocks exist.
     edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=False)
     n_edges = edges.count()
+    metric = seed_metric
     for _ in range(rounds):
         if n_edges == 0:
             break
-        nxt = survivor_step(edges).localCheckpoint(eager=False)
+        if metric is None:
+            metric = metric_step(edges).localCheckpoint(eager=False)
+        nxt = apply_step(edges, metric).localCheckpoint(eager=False)
         n_nxt = nxt.count()
         if n_nxt == n_edges:
             # fixpoint: nxt duplicates edges' content — release it and
             # return the frame the caller's lineage will reference
+            # (metric in hand describes exactly this edge set)
             free_local_checkpoint(nxt)
             break
         # nxt is eagerly materialized into its own blocks, so the
-        # superseded round's blocks can be released NOW instead of
-        # waiting on the ContextCleaner (long-lived-session hygiene)
+        # superseded round's blocks — and its metric's — can be
+        # released NOW instead of waiting on the ContextCleaner
+        # (long-lived-session hygiene)
         free_local_checkpoint(edges)
+        free_local_checkpoint(metric)
+        metric = None
         edges, n_edges = nxt, n_nxt
-    return edges
+    # metric is None when the rounds rail exhausted mid-peel (it would
+    # describe a superseded edge set) — callers then start cold
+    return edges, metric
 
 
 def _peeled_summary(core: DataFrame, k: int, prefix: str) -> DataFrame:
@@ -1130,9 +1157,14 @@ def _near_dup_summaries(
     # starts from the previous SURVIVING edge set instead of re-peeling
     # the full near-dup graph — strictly less work at any scale, and
     # the oracle's independent full-graph unroll pins the equivalence.
-    per_k, prev = [], pairs
+    # ... and SEED each chained peel with the predecessor's final
+    # metric (r15): the k-fixpoint round measured degrees/supports on
+    # exactly the edge set the (k+1)-peel starts from, so its first
+    # round reuses that frame instead of re-deriving it — for the
+    # k-truss that skips one full triangle enumeration per k step.
+    per_k, prev, seed = [], pairs, None
     for k in ks:
-        core = peel(prev, k)
+        core, seed = peel(prev, k, seed_metric=seed, with_metric=True)
         per_k.append(_peeled_summary(core, k, prefix))
         prev = core
     out = per_k[0]
@@ -1141,27 +1173,39 @@ def _near_dup_summaries(
     return out.select("k", f"n_{prefix}_vertices", f"n_{prefix}_edges")
 
 
-def kcore_edges(pairs: DataFrame, k: int, *, rounds: int = KCORE_ROUNDS) -> DataFrame:
+def kcore_edges(
+    pairs: DataFrame,
+    k: int,
+    *,
+    rounds: int = KCORE_ROUNDS,
+    seed_metric: "DataFrame | None" = None,
+    with_metric: bool = False,
+):
     """Surviving (doc_a, doc_b) edge set of the k-core after at most
     ``rounds`` synchronous peels (early exit at fixpoint — identical
     result, fewer jobs).  ``pairs`` must carry each undirected edge
-    once as doc_a < doc_b."""
+    once as doc_a < doc_b.  ``seed_metric``/``with_metric`` thread the
+    k-independent (v, d) degree frame through chained ascending-k peels
+    (see _peel_to_fixpoint); ownership of a passed seed transfers here."""
 
-    def step(edges: DataFrame) -> DataFrame:
+    def degrees(edges: DataFrame) -> DataFrame:
         ends = edges.select(F.col("doc_a").alias("v")).unionAll(
             edges.select(F.col("doc_b").alias("v"))
         )
-        keep = (
-            ends.groupBy("v")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") >= k)
-            .select("v")
-        )
+        return ends.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+
+    def apply(edges: DataFrame, deg: DataFrame) -> DataFrame:
+        keep = deg.filter(F.col("d") >= k).select("v")
         return edges.join(
             keep.select(F.col("v").alias("doc_a")), "doc_a", "left_semi"
         ).join(keep.select(F.col("v").alias("doc_b")), "doc_b", "left_semi")
 
-    return _peel_to_fixpoint(pairs, step, rounds)
+    out = _peel_to_fixpoint(pairs, degrees, apply, rounds, seed_metric)
+    if with_metric:
+        return out
+    if out[1] is not None:  # unwanted metric: release its blocks now
+        free_local_checkpoint(out[1])
+    return out[0]
 
 
 def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1304,24 +1348,42 @@ def _oriented_triangles(edges: DataFrame) -> DataFrame:
     )
 
 
-def ktruss_edges(pairs: DataFrame, k: int, *, rounds: int = KTRUSS_ROUNDS) -> DataFrame:
+def ktruss_edges(
+    pairs: DataFrame,
+    k: int,
+    *,
+    rounds: int = KTRUSS_ROUNDS,
+    seed_metric: "DataFrame | None" = None,
+    with_metric: bool = False,
+):
     """Surviving canonical edge set of the k-truss after at most
-    ``rounds`` synchronous support peels (early fixpoint exit)."""
+    ``rounds`` synchronous support peels (early fixpoint exit).
+    ``seed_metric``/``with_metric`` thread the k-independent
+    (doc_a, doc_b, sup) triangle-support frame through chained
+    ascending-k peels — each reuse skips one full degree-oriented
+    triangle enumeration (see _peel_to_fixpoint); ownership of a passed
+    seed transfers here."""
 
-    def step(edges: DataFrame) -> DataFrame:
+    def supports(edges: DataFrame) -> DataFrame:
         tri = _oriented_triangles(edges)
-        sup = (
+        return (
             tri.select(F.col("x").alias("doc_a"), F.col("y").alias("doc_b"))
             .unionAll(tri.select(F.col("x").alias("doc_a"), F.col("z").alias("doc_b")))
             .unionAll(tri.select(F.col("y").alias("doc_a"), F.col("z").alias("doc_b")))
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("sup"))
-            .filter(F.col("sup") >= k - 2)
-            .select("doc_a", "doc_b")
         )
-        return edges.join(sup, ["doc_a", "doc_b"], "left_semi")
 
-    return _peel_to_fixpoint(pairs, step, rounds)
+    def apply(edges: DataFrame, sup: DataFrame) -> DataFrame:
+        kept = sup.filter(F.col("sup") >= k - 2).select("doc_a", "doc_b")
+        return edges.join(kept, ["doc_a", "doc_b"], "left_semi")
+
+    out = _peel_to_fixpoint(pairs, supports, apply, rounds, seed_metric)
+    if with_metric:
+        return out
+    if out[1] is not None:  # unwanted metric: release its blocks now
+        free_local_checkpoint(out[1])
+    return out[0]
 
 
 def ktruss_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
