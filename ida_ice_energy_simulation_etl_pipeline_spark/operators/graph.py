@@ -34,6 +34,7 @@ from ..plans.core import (
     ensure_parallelism,
     free_local_checkpoint,
     load_table,
+    local_checkpoint_partitioned,
 )
 
 MAX_CC_ITERATIONS = 50  # safety rail; near-dup clusters converge in < 10
@@ -48,13 +49,25 @@ def connected_components(
     ``vertices`` must have column ``vertex_id``; ``edges`` columns
     ``src``/``dst`` (undirected: each pair listed once is enough).
     """
-    sym = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
     # materialize the edge set once: it is joined EVERY round, and without
     # truncating its lineage each round would recompute the (possibly
-    # expensive — e.g. MinHash-LSH) edge derivation from scratch
-    sym = sym.localCheckpoint(eager=True)
+    # expensive — e.g. MinHash-LSH) edge derivation from scratch.  The
+    # derivation materializes FIRST (r15b: one execution — the
+    # symmetrizing union below would otherwise run it once per branch;
+    # measured −0.2 s on dedup_clusters at sf0.1, and at scale it halves
+    # the LSH derivation work), then the symmetric set is checkpointed
+    # from those blocks.  A dst-partitioned partition-preserving sym
+    # checkpoint (the pagerank r15b treatment) was built and REJECTED
+    # here: at fixture scale AQE broadcasts the vertex-grain label side,
+    # so sym never shuffles in either shape and the extra setup pass
+    # showed up as a pure regression (community_bridges 2.95 → 3.51 s);
+    # see OPTIMIZATION_r15.md for the deploy-scale disposition.
+    edges0 = edges.select("src", "dst").localCheckpoint(eager=True)
+    sym = edges0.union(
+        edges0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    # sym holds the full symmetric edge set in its own blocks now
+    free_local_checkpoint(edges0)
     labels = vertices.select("vertex_id", F.col("vertex_id").alias("component"))
     prev_ck = None
     for _ in range(max_iterations):
@@ -483,25 +496,41 @@ def pagerank_frame(
     derivation ends in a ``.distinct()`` can drop that exchange and pass
     the raw stream here."""
     # Pre-partition the symmetric edge list by the round-join key ONCE
-    # before checkpointing it (r15, guide §2.4): the LogicalRDD keeps the
-    # HashPartitioning(src) through every round, so the per-round
-    # edge⋈rank join never re-exchanges the edge side again — only the
-    # vertex-grain rank frame moves.  Partition count comes from the
-    # session's shuffle.partitions (scale-adaptive: the bench derives it
-    # from input size, a cluster sets it to cluster scale).
+    # before checkpointing it (r15, guide §2.4), and capture the
+    # checkpoint with local_checkpoint_partitioned so the LogicalRDD
+    # actually KEEPS HashPartitioning(src) (a plain localCheckpoint
+    # under AQE degrades to UnknownPartitioning — measured; see the
+    # helper's docstring): the per-round edge⋈rank join then never
+    # re-exchanges the edge side, and because the rank frame's own
+    # per-round checkpoint keeps HashPartitioning(vertex) the same way,
+    # the contribution join is fully co-partitioned — ZERO exchanges —
+    # and each round's only exchange is the irreducible groupBy(dst)
+    # transpose.  Partition count comes from the session's
+    # shuffle.partitions (scale-adaptive: the bench derives it from
+    # input size, a cluster sets it to cluster scale).
     try:
         _parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         _parts = 200
+    # the edge derivation materializes ONCE (r15b) — the symmetrizing
+    # union would otherwise execute it once per branch (the committed
+    # r15 sym plan shows the co-order self-join duplicated: 4 parquet
+    # scans for one derivation)
+    edges0 = edges.select("src", "dst").localCheckpoint(eager=True)
     sym = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        edges0.union(
+            edges0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
         .repartition(_parts, "src")
     )
     if dedup:
         # no new exchange: hash(src) already clusters every (src, dst)
         sym = sym.dropDuplicates(["src", "dst"])
-    sym = sym.localCheckpoint(eager=True)  # joined every round — keep lineage flat
+    # joined every round — keep lineage flat, and keep hash(src) visible
+    sym = local_checkpoint_partitioned(sym)
+    free_local_checkpoint(edges0)
+    # hash(src) clusters the grouping key, and HashAggregate is
+    # alias-aware — deg needs no exchange and carries hash(vertex) out
     deg = sym.groupBy(F.col("src").alias("vertex")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
@@ -514,16 +543,18 @@ def pagerank_frame(
             "n_nodes",
             F.round(F.lit(1.0) / F.col("n_nodes"), PR_ROUND).alias("pr"),
         )
-        .localCheckpoint(eager=True)
     )
+    pr = local_checkpoint_partitioned(pr)  # keeps hash(vertex) visible
     for _ in range(iterations):
         # SHUFFLE_HASH on the vertex-grain rank side (r15, guide §3.1):
-        # the deliberate strategy at every scale — the checkpointed sym
-        # side is already HashPartitioning(src) so only the rank frame
-        # shuffles, and a hash build of |V|/P rank rows per partition
-        # needs no sort of the 2m-row edge side (SMJ would re-sort sym
-        # every round; a broadcast of the vertex-grain rank table is the
-        # driver-OOM posture the r13/r14 hint removals banned).
+        # the deliberate strategy at every scale — sym keeps
+        # HashPartitioning(src) and pr keeps HashPartitioning(vertex)
+        # through their partition-preserving checkpoints, so the join is
+        # co-partitioned (zero exchanges) and a hash build of |V|/P rank
+        # rows per partition needs no sort of the 2m-row edge side (SMJ
+        # would sort both sides every round; a broadcast of the
+        # vertex-grain rank table is the driver-OOM posture the r13/r14
+        # hint removals banned).
         contrib = (
             sym.join(pr.hint("shuffle_hash"), sym.src == pr.vertex)
             .groupBy(F.col("dst").alias("vertex"))
@@ -543,8 +574,10 @@ def pagerank_frame(
                     PR_ROUND,
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
         )
+        # keeps hash(vertex): next round's contribution join is then
+        # co-partitioned with sym's hash(src) — zero exchanges
+        pr = local_checkpoint_partitioned(pr)
         # the new rank frame is materialized — release the superseded
         # round's blocks (long-lived-session hygiene; see
         # free_local_checkpoint)
@@ -1099,7 +1132,12 @@ def _peel_to_fixpoint(
     # computes every partition of the new round AND of its (lazily
     # checkpointed) metric input, so one action per round materializes
     # both, and the predecessor release below still happens strictly
-    # after the successor's blocks exist.
+    # after the successor's blocks exist.  (r15b note: partition-
+    # preserving checkpoints for metric/nxt force the whole round to
+    # compile statically, which trades AQE's fixture-scale runtime
+    # broadcasts for forced shuffles — measured kcore 3.49 → 5.15 s,
+    # ktruss 4.06 → 8.95 s at sf0.1 despite jobs 48 → 25 / 60 → 21 —
+    # so the peels deliberately keep plain AQE-compiled rounds.)
     edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=False)
     n_edges = edges.count()
     metric = seed_metric
@@ -1540,6 +1578,13 @@ def lpa_labels(pairs: DataFrame, *, rounds: int = LPA_ROUNDS) -> DataFrame:
     """(doc_a, doc_b) near-dup edges (undirected, each once) → final
     (v, label) after at most ``rounds`` synchronous self-vote LPA
     rounds (early exit at fixpoint — identical result, fewer jobs)."""
+    # edges materializes the (possibly expensive) pair derivation ONCE;
+    # the per-round sym union reads its blocks.  (r15b note: a
+    # dst-partitioned partition-preserving sym checkpoint — the pagerank
+    # treatment — was built and rejected here: at fixture scale AQE
+    # broadcasts the vertex-grain label side, so sym never shuffles in
+    # either shape and the extra materialization pass is pure overhead;
+    # see OPTIMIZATION_r15.md for the deploy-scale disposition.)
     edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")

@@ -120,6 +120,53 @@ def free_local_checkpoint(df: DataFrame) -> None:
         )
 
 
+import threading
+
+_AQE_CAPTURE_LOCK = threading.Lock()
+
+
+def local_checkpoint_partitioned(df: DataFrame, *, eager: bool = True) -> DataFrame:
+    """``localCheckpoint`` that KEEPS the frame's output partitioning
+    visible to downstream planning.
+
+    Under AQE, ``Dataset.localCheckpoint`` builds its ``LogicalRDD`` from
+    the ``AdaptiveSparkPlanExec`` root, whose output partitioning reads
+    as ``UnknownPartitioning`` — so a frame carefully repartitioned by a
+    join/aggregate key FORGETS that layout the moment it is
+    checkpointed, and every downstream consumer re-exchanges it
+    (measured on the pinned Spark: the checkpoint scan prints
+    ``UnknownPartitioning(0)`` and EnsureRequirements inserts an
+    Exchange per round).  Compiling the checkpoint with AQE off makes
+    the captured plan static, so the ``LogicalRDD`` records the real
+    ``HashPartitioning`` — downstream joins/aggregates keyed on it (or
+    on a superset of it) then skip their exchange entirely, with AQE
+    back on for everything else.
+
+    The iterative kernels are the payoff: their per-round joins hit the
+    SAME checkpointed frame every round, so one preserved partitioning
+    deletes one exchange PER ROUND (pagerank: the 2|E|-row sym side;
+    CC/LPA: sym and the label frame both).
+
+    The AQE toggle is a session-wide conf, so the compile window is
+    serialized behind a module lock; a concurrent action planned by
+    another driver thread during the window (community_bridges overlaps
+    two kernels) at worst compiles without AQE — same results, static
+    partition counts.  Lazy mode only compiles here (AQE off); the
+    caller's materializing action runs the already-compiled RDD.
+    """
+    spark = df.sparkSession
+    with _AQE_CAPTURE_LOCK:
+        try:
+            prev = spark.conf.get("spark.sql.adaptive.enabled")
+        except Exception:
+            prev = "true"
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return df.localCheckpoint(eager=eager)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def ensure_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Spread CPU-heavy per-row work across all cores.
 

@@ -17,6 +17,7 @@ import time
 
 from ida_ice_energy_simulation_etl_pipeline_spark.plans.core import (
     free_local_checkpoint,
+    local_checkpoint_partitioned,
 )
 
 
@@ -58,6 +59,64 @@ def test_free_local_checkpoint_releases_blocks(spark):
         "the private-API reach-through no longer unpersists; update "
         "plans/core.py::free_local_checkpoint for this Spark version"
     )
+
+
+def test_local_checkpoint_partitioned_keeps_hash_partitioning(spark):
+    """The r15 iterative-kernel contract: a checkpoint captured through
+    local_checkpoint_partitioned KEEPS its HashPartitioning visible to
+    downstream planning (a plain localCheckpoint under AQE degrades to
+    UnknownPartitioning — the motivating defect, asserted below), so a
+    downstream aggregate keyed on the preserved key plans WITHOUT an
+    Exchange.  pagerank_frame's per-round zero-exchange join rests on
+    exactly this property."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(2_000).select(
+        (F.col("id") % 37).alias("k"), F.col("id").alias("v")
+    )
+
+    def _fmt_plan(df) -> str:
+        jvm = df.sparkSession._jvm
+        return jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    kept = local_checkpoint_partitioned(base.repartition(4, "k"))
+    plan = _fmt_plan(kept.groupBy("k").count())
+    assert "hashpartitioning(k" in plan, (
+        "partitioned checkpoint lost its HashPartitioning:\n" + plan
+    )
+    assert "Exchange" not in plan, (
+        "groupBy on the preserved key still plans an Exchange:\n" + plan
+    )
+    # release discipline unchanged: the helper's output is a plain
+    # checkpoint frame that free_local_checkpoint can unpersist
+    free_local_checkpoint(kept)
+
+    # the motivating defect, pinned so a Spark version that fixes AQE
+    # partitioning capture makes this test flag the helper as obsolete
+    plain = base.repartition(4, "k").localCheckpoint(eager=True)
+    plain_plan = _fmt_plan(plain.groupBy("k").count())
+    assert "UnknownPartitioning" in plain_plan, (
+        "plain localCheckpoint now keeps partitioning under AQE — "
+        "local_checkpoint_partitioned may be obsolete on this Spark"
+    )
+    free_local_checkpoint(plain)
+
+
+def test_local_checkpoint_partitioned_restores_aqe_conf(spark):
+    """The helper toggles spark.sql.adaptive.enabled around the compile;
+    the session value must come back for both eager and lazy modes."""
+    before = spark.conf.get("spark.sql.adaptive.enabled")
+    eager = local_checkpoint_partitioned(spark.range(100).repartition(2))
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before
+    lazy = local_checkpoint_partitioned(
+        spark.range(100).repartition(2), eager=False
+    )
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before
+    assert lazy.count() == 100  # lazy compiles here, materializes now
+    free_local_checkpoint(eager)
+    free_local_checkpoint(lazy)
 
 
 def test_free_local_checkpoint_is_noop_on_plain_frames(spark):
