@@ -535,16 +535,43 @@ def pagerank_frame(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
     n_row = deg.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
-    pr = (
-        deg.crossJoin(F.broadcast(n_row))
-        .select(
+    common = deg.crossJoin(F.broadcast(n_row))
+    # STATIC per-vertex attributes in their own checkpoint, SEPARATE
+    # from the per-round rank frame: a round that scanned one pr
+    # checkpoint twice (contribution join + rank update) hits a plan-
+    # dedup quirk — the re-aliased second instance keeps the ORIGINAL
+    # attribute ids in its captured partitioning, so the planner stops
+    # recognizing it and re-exchanges the rank side every round.  With
+    # attrs and pr as distinct LogicalRDDs, each appears exactly once
+    # per round plan and every vertex-grain join stays zero-exchange;
+    # the per-round checkpoint also narrows (guide §2.3: n_nodes and
+    # the teleport base move to the static frame).
+    attrs = local_checkpoint_partitioned(
+        common.select(
             "vertex",
             "degree",
             "n_nodes",
+            # evaluated here ONCE per vertex, bitwise-identical to the
+            # per-row division the update expression used to inline
+            ((F.lit(1.0) - F.lit(damping)) / F.col("n_nodes")).alias("base"),
+        )
+    )
+    # the round-0 rank frame reads attrs' blocks (no second execution of
+    # the degree aggregate).  Its columns are RENAMED (v/d/pr) so the
+    # frame's output gets attribute ids distinct from attrs': when one
+    # round plan references two checkpoints whose ids collide, plan
+    # deduplication re-aliases one scan WITHOUT rewriting its captured
+    # partitioning, and the planner re-exchanges it every round
+    # (measured: an ENSURE_REQUIREMENTS exchange on the rank side; a
+    # same-name re-alias does not survive the optimizer, so the rename
+    # is what guarantees fresh ids).
+    pr = local_checkpoint_partitioned(
+        attrs.select(
+            F.col("vertex").alias("v"),
+            F.col("degree").alias("d"),
             F.round(F.lit(1.0) / F.col("n_nodes"), PR_ROUND).alias("pr"),
         )
     )
-    pr = local_checkpoint_partitioned(pr)  # keeps hash(vertex) visible
     for _ in range(iterations):
         # SHUFFLE_HASH on the vertex-grain rank side (r15, guide §3.1):
         # the deliberate strategy at every scale — sym keeps
@@ -556,20 +583,25 @@ def pagerank_frame(
         # vertex-grain rank table is the driver-OOM posture the r13/r14
         # hint removals banned).
         contrib = (
-            sym.join(pr.hint("shuffle_hash"), sym.src == pr.vertex)
+            sym.join(pr.hint("shuffle_hash"), sym.src == pr.v)
             .groupBy(F.col("dst").alias("vertex"))
-            .agg(F.sum(F.col("pr") / F.col("degree")).alias("mass"))
+            .agg(F.sum(F.col("pr") / F.col("d")).alias("mass"))
         )
         prev_pr = pr
+        # (the rank-update join compiles to a zero-exchange SMJ of two
+        # co-partitioned vertex-grain sides; a shuffle_hash hint that
+        # drops its two per-round sorts measured +0.35 s twice — the
+        # per-partition hash build costs more than the tiny sorts —
+        # so the default stays)
+        # columns renamed for the same id-collision reason as the
+        # round-0 frame above
         pr = (
-            pr.drop("pr")
-            .join(contrib, "vertex", "left")
+            attrs.join(contrib, "vertex", "left")
             .select(
-                "vertex",
-                "degree",
-                "n_nodes",
+                F.col("vertex").alias("v"),
+                F.col("degree").alias("d"),
                 F.round(
-                    (F.lit(1.0) - F.lit(damping)) / F.col("n_nodes")
+                    F.col("base")
                     + F.lit(damping) * F.coalesce("mass", F.lit(0.0)),
                     PR_ROUND,
                 ).alias("pr"),
@@ -583,7 +615,10 @@ def pagerank_frame(
         # free_local_checkpoint)
         free_local_checkpoint(prev_pr)
     free_local_checkpoint(sym)
-    return pr.select("vertex", "degree", "pr")
+    free_local_checkpoint(attrs)
+    return pr.select(
+        F.col("v").alias("vertex"), F.col("d").alias("degree"), "pr"
+    )
 
 
 def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:

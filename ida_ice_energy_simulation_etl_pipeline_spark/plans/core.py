@@ -155,6 +155,12 @@ def local_checkpoint_partitioned(df: DataFrame, *, eager: bool = True) -> DataFr
     caller's materializing action runs the already-compiled RDD.
     """
     spark = df.sparkSession
+    # A Dataset memoizes its QueryExecution on first use: if the caller
+    # already explained/executed this exact frame, localCheckpoint would
+    # reuse the AQE-compiled plan and the toggle below would capture
+    # nothing.  Re-wrap in a fresh Dataset (same logical plan, new
+    # QueryExecution) so the compile always happens inside the window.
+    df = df.alias("__ckpt_capture__")
     with _AQE_CAPTURE_LOCK:
         try:
             prev = spark.conf.get("spark.sql.adaptive.enabled")

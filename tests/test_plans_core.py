@@ -104,6 +104,29 @@ def test_local_checkpoint_partitioned_keeps_hash_partitioning(spark):
     free_local_checkpoint(plain)
 
 
+def test_local_checkpoint_partitioned_survives_prior_compile(spark):
+    """A Dataset memoizes its QueryExecution: a frame that was already
+    explained (or executed) before the capture would otherwise reuse its
+    AQE-compiled plan and silently lose the partitioning.  The helper
+    re-wraps into a fresh Dataset, so a pre-compiled input still keeps
+    its HashPartitioning."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(1_000).select(
+        (F.col("id") % 13).alias("k"), F.col("id").alias("v")
+    ).repartition(4, "k")
+    base.explain()  # memoize an AQE-compiled QueryExecution first
+    kept = local_checkpoint_partitioned(base)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        kept.groupBy("k").count()._jdf.queryExecution(), "formatted"
+    )
+    assert "hashpartitioning(k" in plan and "Exchange" not in plan, (
+        "pre-compiled input lost its partitioning through the capture:\n"
+        + plan
+    )
+    free_local_checkpoint(kept)
+
+
 def test_local_checkpoint_partitioned_restores_aqe_conf(spark):
     """The helper toggles spark.sql.adaptive.enabled around the compile;
     the session value must come back for both eager and lazy modes."""
