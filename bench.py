@@ -110,6 +110,23 @@ EXTENDED = [
     "corpus_pipeline_e2e",   # full corpus build (dedup+decon+pack)
 ]
 
+# EXTRA gated group (r16, r15 verdict item 6): one representative per
+# still-unmeasured operator family — the ANN acceptance harness (brute
+# ground truth + all three approximate paths), the iterative BPE merge
+# trainer, a binary multimodal codec, and the Louvain-style community
+# refinement.  Same additive pattern as EXTENDED: measured with the
+# identical machinery (warmup, interleaved repeats, spread gate, floors
+# + job counts, same-run DuckDB twins), per-query record in
+# bench_detail.json, two scalars on stdout; the frozen HEADLINE
+# "value"/"queries" and the EXTENDED scalars are untouched so every
+# existing number stays comparable across rounds.
+EXTRA = [
+    "ann_recall",            # recall@k of lsh/ivf/pq vs brute truth
+    "bpe_train",             # iterative merge training loop
+    "lzw_tiff_census",       # LZW TIFF decode census (binary codec)
+    "community_refine",      # one-level modularity refinement over LPA
+]
+
 # Optional subset for iteration / CI smoke: comma-separated query names.
 _subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
 if _subset:
@@ -119,9 +136,10 @@ if _subset:
         raise SystemExit(f"unknown bench queries: {_unknown}")
     HEADLINE = _wanted
     EXTENDED = []
+    EXTRA = []
 
 # every query this bench run measures, in one pass order
-MEASURED = HEADLINE + EXTENDED
+MEASURED = HEADLINE + EXTENDED + EXTRA
 
 TABLES = [
     "region",
@@ -438,6 +456,9 @@ def main() -> None:
     ext_duck_ok = [
         duck[n] for n in EXTENDED if isinstance(duck.get(n), float)
     ]
+    extra_duck_ok = [
+        duck[n] for n in EXTRA if isinstance(duck.get(n), float)
+    ]
     headline = {
         "metric": "headline_queries_total",
         "value": round(sum(head_timings.values()), 4),
@@ -458,6 +479,8 @@ def main() -> None:
             sum(timings[n] for n in EXTENDED), 4
         ),
         "extended_duckdb_total": round(sum(ext_duck_ok), 4),
+        "extra_total": round(sum(timings[n] for n in EXTRA), 4),
+        "extra_duckdb_total": round(sum(extra_duck_ok), 4),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     detail = {
@@ -486,6 +509,7 @@ def main() -> None:
         # therefore OVERRIDES the headline-scoped dict spread above
         "queries": timings,
         "extended": list(EXTENDED),
+        "extra": list(EXTRA),
     }
     try:
         with open(

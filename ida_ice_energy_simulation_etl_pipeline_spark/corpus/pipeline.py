@@ -323,20 +323,28 @@ def _near_deduped(
         pairs = winnow_candidate_pairs(docs.select("doc_id", "text"))
     else:
         raise ValueError(f"unknown near_dedup_method {method!r}")
-    vertices = docs.select(F.col("doc_id").alias("vertex_id"))
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # vertices=None (r16, guide §8 "decide with small rows"): CC labels
+    # only the PAIR-ENDPOINT vertices — a doc with no near-dup candidate
+    # is trivially its own singleton component and always survives, so
+    # it never needed a label row.  The label frame shrinks from |docs|
+    # to |endpoints| in every CC round, and survivor selection flips
+    # from a doc-grain inner join to an ANTI join against just the
+    # NON-CANONICAL members (component != vertex — bounded by the near-
+    # dup population), which stays broadcastable long after the old
+    # doc-grain survivor list would have forced a full-corpus shuffle.
+    # Result-identical: kept = docs minus non-canonical members in both
+    # formulations (pinned by the e2e oracles + pipeline suites).
     if cc_algorithm == "star":
-        comp, _ = connected_components_star(vertices, edges)
+        comp, _ = connected_components_star(None, edges)
     elif cc_algorithm == "label_prop":
-        comp = connected_components(vertices, edges)
+        comp = connected_components(None, edges)
     else:
         raise ValueError(f"unknown cc_algorithm {cc_algorithm!r}")
-    return docs.join(
-        comp.filter(F.col("vertex_id") == F.col("component")).select(
-            F.col("vertex_id").alias("doc_id")
-        ),
-        "doc_id",
+    dropped = comp.filter(F.col("vertex_id") != F.col("component")).select(
+        F.col("vertex_id").alias("doc_id")
     )
+    return docs.join(dropped, "doc_id", "left_anti")
 
 
 def _packed(

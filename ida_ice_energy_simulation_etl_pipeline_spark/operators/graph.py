@@ -25,6 +25,8 @@ rows-only check, even though the Spark side is an iterative algorithm.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -35,20 +37,69 @@ from ..plans.core import (
     free_local_checkpoint,
     load_table,
     local_checkpoint_partitioned,
+    outgrows_broadcast,
 )
 
 MAX_CC_ITERATIONS = 50  # safety rail; near-dup clusters converge in < 10
 
 
+def _shuffle_parts(spark: SparkSession) -> int:
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return 200
+
+
+def _deploy_regime(edge_ckpt: DataFrame) -> bool:
+    """Whether a CC/LPA kernel over this (eagerly checkpointed) edge list
+    should pre-partition its symmetric edge set by the per-round join key
+    and capture the partitioning through the checkpoint (r16, the
+    pagerank r15b mechanism extended per the r15 verdict's item 1).
+
+    Fixture scale: the vertex-grain label frame stays under the broadcast
+    threshold, AQE runtime-broadcasts it in every per-round join, sym is
+    never shuffled in either shape — so the keyed capture is pure setup
+    cost and the kernels keep the plain eager checkpoint (the measured
+    r15 rejection).  Deploy scale: the label frame exceeds the threshold,
+    the per-round join becomes a shuffle join, and WITHOUT the keyed
+    capture the 2|E|-row sym side re-exchanges EVERY round.  The probe is
+    a driver-side storage-info read of the edge checkpoint (no job) —
+    see plans.core.outgrows_broadcast for the sizing argument.
+
+    ``SPARK_GRAFT_GRAPH_SYM_CAPTURE`` ∈ {auto, plain, partitioned}
+    forces a regime for A/B measurement and tests; results are identical
+    in either regime (the regime only chooses which exchanges the round
+    plans pay), pinned by tests/test_operators.py."""
+    mode = os.environ.get("SPARK_GRAFT_GRAPH_SYM_CAPTURE", "auto")
+    if mode == "plain":
+        return False
+    if mode == "partitioned":
+        return True
+    return outgrows_broadcast(edge_ckpt)
+
+
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, *, max_iterations: int = MAX_CC_ITERATIONS
+    vertices: "DataFrame | None",
+    edges: DataFrame,
+    *,
+    max_iterations: int = MAX_CC_ITERATIONS,
 ) -> DataFrame:
     """(vertex_id) + (src, dst) -> (vertex_id, component) with component =
     min vertex_id reachable.  Isolated vertices keep their own id.
 
     ``vertices`` must have column ``vertex_id``; ``edges`` columns
     ``src``/``dst`` (undirected: each pair listed once is enough).
-    """
+
+    ``vertices=None`` (r16, guide §8 "decide with small rows") labels
+    only the EDGE-ENDPOINT vertices, derived from the kernel's own edge
+    checkpoint (zero extra executions of a possibly expensive edge
+    derivation).  Callers that only consume non-trivial components —
+    survivor selection drops the ``component != vertex_id`` members and
+    every isolated vertex trivially keeps itself — get a label frame at
+    |endpoints| grain instead of |all docs|, which shrinks every
+    per-round join AND keeps the downstream survivor anti-join
+    broadcastable long after a doc-grain inner join would have started
+    shuffling the full corpus."""
     # materialize the edge set once: it is joined EVERY round, and without
     # truncating its lineage each round would recompute the (possibly
     # expensive — e.g. MinHash-LSH) edge derivation from scratch.  The
@@ -56,23 +107,52 @@ def connected_components(
     # symmetrizing union below would otherwise run it once per branch;
     # measured −0.2 s on dedup_clusters at sf0.1, and at scale it halves
     # the LSH derivation work), then the symmetric set is checkpointed
-    # from those blocks.  A dst-partitioned partition-preserving sym
-    # checkpoint (the pagerank r15b treatment) was built and REJECTED
-    # here: at fixture scale AQE broadcasts the vertex-grain label side,
-    # so sym never shuffles in either shape and the extra setup pass
-    # showed up as a pure regression (community_bridges 2.95 → 3.51 s);
-    # see OPTIMIZATION_r15.md for the deploy-scale disposition.
+    # from those blocks.
+    #
+    # TWO capture regimes for sym (r16, the r15 verdict's item 1):
+    # fixture scale keeps the plain eager checkpoint — AQE runtime-
+    # broadcasts the vertex-grain label side of every per-round join, so
+    # sym never shuffles and a keyed capture is pure setup cost (the
+    # measured r15 rejection: community_bridges 2.95 → 3.51 s).  At
+    # deploy scale the label frame outgrows the broadcast threshold, the
+    # per-round join becomes a shuffle join, and the plain checkpoint's
+    # forgotten partitioning re-exchanges the 2|E|-row sym side EVERY
+    # round — so sym is pre-partitioned by the join key (dst) and
+    # captured through local_checkpoint_partitioned (the pagerank r15b
+    # mechanism), the label side is pinned SHUFFLE_HASH (no per-round
+    # sort of the 2|E| rows, no vertex-grain broadcast), and the
+    # per-round label checkpoints keep hash(vertex_id) so the rank-
+    # update join stays co-partitioned.  See _deploy_regime for the
+    # switch; results are identical in both regimes.
     edges0 = edges.select("src", "dst").localCheckpoint(eager=True)
-    sym = edges0.union(
+    deploy = _deploy_regime(edges0)
+    sym0 = edges0.union(
         edges0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    )
+    if deploy:
+        sym = local_checkpoint_partitioned(
+            sym0.repartition(_shuffle_parts(edges0.sparkSession), "dst")
+        )
+    else:
+        sym = sym0.localCheckpoint(eager=True)
     # sym holds the full symmetric edge set in its own blocks now
+    if vertices is None:
+        # endpoint vertices, read from the materialized SYM blocks (sym
+        # carries both directions, so src alone covers every endpoint;
+        # sym outlives the loop, unlike edges0 which is freed below) —
+        # not from the caller's (possibly expensive) edge lineage
+        vertices = sym.select(F.col("src").alias("vertex_id")).distinct()
     free_local_checkpoint(edges0)
     labels = vertices.select("vertex_id", F.col("vertex_id").alias("component"))
     prev_ck = None
     for _ in range(max_iterations):
+        # deploy regime: build the per-partition hash table on the
+        # |V|-grain label side and STREAM the 2|E|-row sym side (guide
+        # §3.1) — SMJ would sort sym every round, broadcast is the
+        # banned vertex-grain posture at this scale
+        lbl = labels.hint("shuffle_hash") if deploy else labels
         neighbor_min = (
-            sym.join(labels, sym.dst == labels.vertex_id)
+            sym.join(lbl, sym.dst == lbl.vertex_id)
             .groupBy(F.col("src").alias("vertex_id"))
             .agg(F.min("component").alias("neighbor_component"))
         )
@@ -97,7 +177,14 @@ def connected_components(
         # BE the materializing action — the count computes every
         # partition, so the checkpoint completes in the same job and
         # the superseded round can still be released right after.
-        updated = updated.localCheckpoint(eager=False)
+        # Deploy regime: the capture keeps hash(vertex_id) (the left-
+        # outer join preserves the streamed side's partitioning), so the
+        # next round's update join is zero-exchange and the label side
+        # of the neighbor join needs no re-exchange either.
+        if deploy:
+            updated = local_checkpoint_partitioned(updated, eager=False)
+        else:
+            updated = updated.localCheckpoint(eager=False)
         changed = updated.filter(F.col("_changed")).count()
         # the new round is materialized into its own blocks — release the
         # superseded round's NOW instead of waiting on the ContextCleaner
@@ -115,7 +202,10 @@ def connected_components(
 
 
 def connected_components_star(
-    vertices: DataFrame, edges: DataFrame, *, max_rounds: int = MAX_CC_ITERATIONS
+    vertices: "DataFrame | None",
+    edges: DataFrame,
+    *,
+    max_rounds: int = MAX_CC_ITERATIONS,
 ) -> tuple[DataFrame, int]:
     """Alternating large-star / small-star connected components (Kiveris
     et al., "Connected Components in MapReduce and Beyond") — the
@@ -222,6 +312,17 @@ def connected_components_star(
             break
         prev = cur
 
+    if vertices is None:
+        # endpoint vertices from the FINAL star forest (r16, guide §8):
+        # at fixpoint every non-isolated original vertex is a root or a
+        # leaf of the forest (the correctness invariant the explicit-
+        # vertices oracle verification already pins), so the two edge
+        # columns cover exactly the vertices with non-trivial components
+        vertices = (
+            e.select(F.col("src").alias("vertex_id"))
+            .union(e.select(F.col("dst").alias("vertex_id")))
+            .distinct()
+        )
     mapping = e.groupBy(F.col("src").alias("vertex_id")).agg(
         F.min("dst").alias("_component")
     )
@@ -1144,7 +1245,8 @@ def _peel_to_fixpoint(
     apply_step,
     rounds: int,
     seed_metric: "DataFrame | None" = None,
-) -> tuple[DataFrame, "DataFrame | None"]:
+    incremental_step=None,
+) -> tuple[DataFrame, "DataFrame | None", int, bool]:
     """Shared synchronous-peel driver for the k-core and k-truss
     kernels, split into the k-INDEPENDENT per-round metric
     (``metric_step(edges) -> frame``: vertex degrees / edge triangle
@@ -1154,14 +1256,27 @@ def _peel_to_fixpoint(
     round truncates the lineage (the CC discipline), and the per-round
     count action is the irreducible fixpoint observation.
 
-    Returns ``(edges, metric)`` where ``metric`` — when not None — is
-    the materialized metric of exactly the returned edge set.  The
-    chained-peel caller passes it back as ``seed_metric`` for the next
-    ascending k (r15, guide §1.2): the (k+1)-peel's FIRST round would
-    otherwise recompute the identical metric on the identical surviving
-    edge set the k-fixpoint round just measured — for the k-truss that
-    is a full degree-oriented triangle enumeration (the kernel's most
-    expensive stage) done twice for one answer.
+    Returns ``(edges, metric, rounds_used, reached_fixpoint)``.
+    ``metric`` — when not None — is the materialized metric of exactly
+    the returned edge set; the chained-peel caller passes it back as
+    ``seed_metric`` for the next ascending k (r15, guide §1.2): the
+    (k+1)-peel's FIRST round would otherwise recompute the identical
+    metric on the identical surviving edge set the k-fixpoint round
+    just measured.  ``rounds_used`` counts the PRODUCTIVE applications
+    (the confirming fixpoint round is an identity and not counted) and
+    ``reached_fixpoint`` reports whether the count-equality exit fired
+    — both feed the r16 chain guard in ``_near_dup_summaries``.
+
+    ``incremental_step(old_edges, old_metric, new_edges) -> frame``
+    (r16, guide §1.2 — r15 verdict item 3): when given, a productive
+    round derives the next metric from the old metric plus the
+    dropped-edge delta instead of recomputing it from the surviving
+    edge set — for the k-truss that replaces a full degree-oriented
+    triangle enumeration per round with a decrement pass bounded by
+    the dropped edges' neighborhoods.  The derived metric materializes
+    EAGERLY (it reads the old round's blocks, which are released the
+    same iteration); equivalence to the recomputed metric is pinned by
+    tests/test_operators.py.
     """
     # lazy + fused count throughout (r15): the per-round fixpoint count
     # computes every partition of the new round AND of its (lazily
@@ -1176,30 +1291,50 @@ def _peel_to_fixpoint(
     edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=False)
     n_edges = edges.count()
     metric = seed_metric
+    used = 0
+    fix = n_edges == 0  # the empty graph is trivially its own fixpoint
     for _ in range(rounds):
         if n_edges == 0:
+            fix = True
             break
         if metric is None:
             metric = metric_step(edges).localCheckpoint(eager=False)
         nxt = apply_step(edges, metric).localCheckpoint(eager=False)
         n_nxt = nxt.count()
         if n_nxt == n_edges:
-            # fixpoint: nxt duplicates edges' content — release it and
-            # return the frame the caller's lineage will reference
-            # (metric in hand describes exactly this edge set)
+            # fixpoint: apply only ever REMOVES edges (semi-joins), so
+            # count equality implies set equality — nxt duplicates
+            # edges' content; release it and return the frame the
+            # caller's lineage will reference (metric in hand
+            # describes exactly this edge set)
             free_local_checkpoint(nxt)
+            fix = True
             break
+        used += 1
+        if incremental_step is not None:
+            # eager: the decrement pass reads the OLD round's blocks,
+            # which are released just below — the derived metric must
+            # own its blocks before they go
+            metric_next = incremental_step(edges, metric, nxt).localCheckpoint(
+                eager=True
+            )
+        else:
+            metric_next = None
         # nxt is eagerly materialized into its own blocks, so the
         # superseded round's blocks — and its metric's — can be
         # released NOW instead of waiting on the ContextCleaner
         # (long-lived-session hygiene)
         free_local_checkpoint(edges)
         free_local_checkpoint(metric)
-        metric = None
+        metric = metric_next
         edges, n_edges = nxt, n_nxt
-    # metric is None when the rounds rail exhausted mid-peel (it would
-    # describe a superseded edge set) — callers then start cold
-    return edges, metric
+    # a last allowed round that emptied the graph still reached the
+    # fixpoint (the peel of the empty set is the empty set)
+    fix = fix or n_edges == 0
+    # metric is None when the rounds rail exhausted mid-peel without an
+    # incremental step (it would describe a superseded edge set) —
+    # callers then start cold
+    return edges, metric, used, fix
 
 
 def _peeled_summary(core: DataFrame, k: int, prefix: str) -> DataFrame:
@@ -1214,36 +1349,78 @@ def _peeled_summary(core: DataFrame, k: int, prefix: str) -> DataFrame:
     )
 
 
-def _near_dup_summaries(
-    spark: SparkSession, sf_dir: str, ks, peel, prefix: str
+def _chained_peel_summaries(
+    pairs: DataFrame, ks, peel, prefix: str, rail: int
 ) -> DataFrame:
-    """One summary row per k over the near-dup candidate graph, through
-    ``peel(pairs, k) -> edges``."""
-    from .dedup import lsh_candidate_pairs
+    """One summary row per ascending k through ``peel``, CHAINING each
+    peel from the previous surviving edge set with the predecessor's
+    final metric as seed (r15, guide §1.2) — GUARDED so the chain is
+    provably equivalent to the oracle's independent ``rail``-round
+    bounded unroll from the full graph (r16, r15 verdict item 4).
 
-    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
-    pairs = lsh_candidate_pairs(docs).localCheckpoint(eager=True)
-    # CHAIN the peels (r15, guide §1.2 "don't compute things twice"):
-    # ks ascends and the (k+1)-core/-truss of G equals the one computed
-    # from the k-core/-truss (peeling is order-insensitive and the
-    # result is the unique maximal subgraph), so each subsequent peel
-    # starts from the previous SURVIVING edge set instead of re-peeling
-    # the full near-dup graph — strictly less work at any scale, and
-    # the oracle's independent full-graph unroll pins the equivalence.
-    # ... and SEED each chained peel with the predecessor's final
-    # metric (r15): the k-fixpoint round measured degrees/supports on
-    # exactly the edge set the (k+1)-peel starts from, so its first
-    # round reuses that frame instead of re-deriving it — for the
-    # k-truss that skips one full triangle enumeration per k step.
-    per_k, prev, seed = [], pairs, None
+    Guard + proof sketch: the synchronous peel is monotone (H ⊆ G ⇒
+    peelᵐ(H) ⊆ peelᵐ(G)) and its threshold is also monotone in k
+    (peel_k₂ᵐ(G) ⊆ peel_k₁ᵐ(G) for k₂ > k₁), so if the k₁-peel reached
+    its true fixpoint C₁ in r₁ productive rounds and the chained
+    k₂-peel reached C₂ from C₁ in r₂, then the from-scratch k₂-peel is
+    squeezed: peel_k₂^(r₁+r₂)(G) ⊆ peel_k₂^(r₂)(C₁) = C₂ and ⊇ C₂
+    (peeling never removes true-core edges) — the oracle's bounded
+    unroll converges to exactly C₂ whenever r₁ + r₂ ≤ rail.  The chain
+    therefore gives each subsequent peel only the rail's REMAINING
+    budget (rail − Σ used) and demands fixpoint within it; a peel that
+    misses either condition is RE-RUN COLD from the full graph with
+    the full rail — which equals the oracle schedule by construction,
+    converged or not — and a cold non-converged peel forces every
+    later k cold too.  At the fixture SFs every peel converges in 1–2
+    rounds, so the guard never fires there (the chained fast path is
+    unchanged); it exists so a deeper future fixture degrades to
+    bitwise-correct instead of silently diverging.
+    """
+    per_k, prev, seed, spent = [], pairs, None, 0
     for k in ks:
-        core, seed = peel(prev, k, seed_metric=seed, with_metric=True)
+        remaining = rail - spent
+        core = None
+        if prev is not pairs and remaining > 0:
+            core, seed, used, fix = peel(
+                prev, k, rounds=remaining, seed_metric=seed, with_metric=True
+            )
+            if not fix:
+                # cannot prove the chain oracle-equivalent: discard and
+                # release the abandoned frames, fall through to cold
+                free_local_checkpoint(core)
+                free_local_checkpoint(seed)
+                core, seed = None, None
+        elif prev is pairs:
+            # first k: from the full graph with the full rail — the
+            # oracle schedule itself, converged or not
+            core, seed, used, fix = peel(
+                pairs, k, rounds=rail, seed_metric=seed, with_metric=True
+            )
+        if core is None:
+            core, seed, used, fix = peel(
+                pairs, k, rounds=rail, seed_metric=None, with_metric=True
+            )
+            spent = 0
+        spent = (spent + used) if fix else rail + 1  # non-converged: all-cold
         per_k.append(_peeled_summary(core, k, prefix))
         prev = core
     out = per_k[0]
     for frame in per_k[1:]:
         out = out.unionAll(frame)
     return out.select("k", f"n_{prefix}_vertices", f"n_{prefix}_edges")
+
+
+def _near_dup_summaries(
+    spark: SparkSession, sf_dir: str, ks, peel, prefix: str, rail: int
+) -> DataFrame:
+    """One summary row per k over the near-dup candidate graph, through
+    ``peel(pairs, k) -> edges`` (chained + guarded; see
+    _chained_peel_summaries)."""
+    from .dedup import lsh_candidate_pairs
+
+    docs = ensure_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    pairs = lsh_candidate_pairs(docs).localCheckpoint(eager=True)
+    return _chained_peel_summaries(pairs, ks, peel, prefix, rail)
 
 
 def kcore_edges(
@@ -1281,11 +1458,83 @@ def kcore_edges(
     return out[0]
 
 
+def _incremental_supports(
+    old_edges: DataFrame, old_sup: DataFrame, new_edges: DataFrame
+) -> DataFrame:
+    """Triangle supports of ``new_edges`` derived from the OLD round's
+    supports plus the dropped-edge delta (r16, guide §1.2 — classic
+    truss-maintenance; r15 verdict item 3).
+
+    new ⊆ old, so a triangle of the old graph survives iff none of its
+    three edges was dropped, hence for every surviving edge e:
+    sup_new(e) = sup_old(e) − #{old triangles containing e that touch a
+    dropped edge}.  The decrement enumerates exactly those triangles —
+    for each dropped canonical edge (a, b), the common old-graph
+    neighbors w of a and b — deduplicated on the canonical corner
+    triple so a triangle with 2–3 dropped edges decrements each of its
+    SURVIVING edges once, not twice.  Work is bounded by the dropped
+    edges' neighborhoods (Σ deg(a) over dropped (a,b) wedge rows plus
+    one probe join), not by a full re-enumeration of the surviving
+    graph — the win grows with peel depth and graph size.  Every
+    surviving edge has an old support row (it survived the ≥ k−2
+    filter), so the inner join below loses nothing; sup_new ≥ 0 by
+    construction (the decrement counts a subset of the triangles
+    sup_old counts).  A surviving edge whose support falls to zero
+    keeps its row — the ≥ k−2 threshold (k ≥ 3) filters it identically
+    to the recomputed metric's absent row.
+    """
+    dropped = old_edges.join(new_edges, ["doc_a", "doc_b"], "left_anti")
+    sym_old = old_edges.unionAll(
+        old_edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    # wedge per dropped edge: w runs over N_old(a) …
+    cand = dropped.join(
+        sym_old.select(F.col("doc_a"), F.col("doc_b").alias("w")), "doc_a"
+    ).filter(F.col("w") != F.col("doc_b"))
+    # … closed by the (b, w) probe against the canonical old edge set
+    closed = cand.join(
+        old_edges.select(
+            F.col("doc_a").alias("_pa"), F.col("doc_b").alias("_pb")
+        ),
+        (F.least("doc_b", "w") == F.col("_pa"))
+        & (F.greatest("doc_b", "w") == F.col("_pb")),
+        "left_semi",
+    )
+    tri = closed.select(
+        F.least("doc_a", F.least("doc_b", "w")).alias("x"),
+        F.greatest(
+            F.least("doc_a", "doc_b"),
+            F.least(F.greatest("doc_a", "doc_b"), "w"),
+        ).alias("y"),
+        F.greatest("doc_a", F.greatest("doc_b", "w")).alias("z"),
+    ).distinct()
+    dec = (
+        tri.select(F.col("x").alias("doc_a"), F.col("y").alias("doc_b"))
+        .unionAll(tri.select(F.col("x").alias("doc_a"), F.col("z").alias("doc_b")))
+        .unionAll(tri.select(F.col("y").alias("doc_a"), F.col("z").alias("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_dec"))
+    )
+    return (
+        old_sup.join(new_edges, ["doc_a", "doc_b"], "left_semi")
+        .join(dec, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("sup") - F.coalesce("_dec", F.lit(0))).alias("sup"),
+        )
+    )
+
+
 def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per k in KCORE_KS: the k-core's vertex and edge counts
     over the near-dup candidate graph (exact int64 — trivially
     hashable).  Empty cores report explicit zeros."""
-    return _near_dup_summaries(spark, sf_dir, KCORE_KS, kcore_edges, "core")
+    return _near_dup_summaries(
+        spark, sf_dir, KCORE_KS, kcore_edges, "core", KCORE_ROUNDS
+    )
 
 
 def _kcore_sql() -> str:
@@ -1451,7 +1700,22 @@ def ktruss_edges(
         kept = sup.filter(F.col("sup") >= k - 2).select("doc_a", "doc_b")
         return edges.join(kept, ["doc_a", "doc_b"], "left_semi")
 
-    out = _peel_to_fixpoint(pairs, supports, apply, rounds, seed_metric)
+    # SPARK_GRAFT_TRUSS_INCREMENTAL=0 disables the truss-maintenance
+    # decrement path (A/B lever + escape hatch); default on — the
+    # equivalence is pinned by tests either way
+    _inc = (
+        None
+        if os.environ.get("SPARK_GRAFT_TRUSS_INCREMENTAL", "1") == "0"
+        else _incremental_supports
+    )
+    out = _peel_to_fixpoint(
+        pairs,
+        supports,
+        apply,
+        rounds,
+        seed_metric,
+        incremental_step=_inc,
+    )
     if with_metric:
         return out
     if out[1] is not None:  # unwanted metric: release its blocks now
@@ -1462,7 +1726,9 @@ def ktruss_edges(
 def ktruss_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per k in KTRUSS_KS: the k-truss's vertex and edge counts
     over the near-dup candidate graph (exact int64)."""
-    return _near_dup_summaries(spark, sf_dir, KTRUSS_KS, ktruss_edges, "truss")
+    return _near_dup_summaries(
+        spark, sf_dir, KTRUSS_KS, ktruss_edges, "truss", KTRUSS_ROUNDS
+    )
 
 
 def _ktruss_sql() -> str:
@@ -1614,21 +1880,35 @@ def lpa_labels(pairs: DataFrame, *, rounds: int = LPA_ROUNDS) -> DataFrame:
     (v, label) after at most ``rounds`` synchronous self-vote LPA
     rounds (early exit at fixpoint — identical result, fewer jobs)."""
     # edges materializes the (possibly expensive) pair derivation ONCE;
-    # the per-round sym union reads its blocks.  (r15b note: a
-    # dst-partitioned partition-preserving sym checkpoint — the pagerank
-    # treatment — was built and rejected here: at fixture scale AQE
-    # broadcasts the vertex-grain label side, so sym never shuffles in
-    # either shape and the extra materialization pass is pure overhead;
-    # see OPTIMIZATION_r15.md for the deploy-scale disposition.)
+    # the per-round sym union reads its blocks.  Sym capture follows the
+    # SAME two-regime switch as connected_components (r16, r15 verdict
+    # item 1): fixture scale keeps the cheap union view (AQE broadcasts
+    # the vertex-grain label side, sym never shuffles — the measured r15
+    # rejection of an unconditional keyed capture); deploy scale — label
+    # frame past the broadcast threshold — pre-partitions sym by the
+    # per-round join key (dst) and captures it partition-preserving, so
+    # the 2|E|-row side stops re-exchanging every round, with the label
+    # side pinned SHUFFLE_HASH and the per-round label checkpoints
+    # keeping hash(v).  Results identical in both regimes.
     edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    deploy = _deploy_regime(edges)
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    labels = (
+    if deploy:
+        sym = local_checkpoint_partitioned(
+            sym.repartition(_shuffle_parts(edges.sparkSession), "dst")
+        )
+    labels0 = (
         sym.select(F.col("src").alias("v")).distinct().select("v", F.col("v").alias("label"))
-    ).localCheckpoint(eager=True)
+    )
+    labels = (
+        local_checkpoint_partitioned(labels0)
+        if deploy
+        else labels0.localCheckpoint(eager=True)
+    )
     for _ in range(rounds):
         # The self-vote row is tagged so the argmax aggregate can carry
         # each vertex's PREVIOUS label alongside the new one (r15,
@@ -1639,8 +1919,12 @@ def lpa_labels(pairs: DataFrame, *, rounds: int = LPA_ROUNDS) -> DataFrame:
         # round instead of two).  The vote multiset is unchanged, so the
         # argmax (highest count, then smallest label) is untouched.
         cur = labels.select("v", "label")  # rounds ≥ 2 also carry `prev`
+        # deploy regime: hash-build the |V|-grain label side, stream the
+        # captured-partitioning sym side (guide §3.1) — zero exchanges
+        # on the 2|E| rows, no per-round sort
+        nbr = cur.select(F.col("v").alias("dst"), "label")
         neighbor_votes = (
-            sym.join(cur.select(F.col("v").alias("dst"), "label"), "dst")
+            sym.join(nbr.hint("shuffle_hash") if deploy else nbr, "dst")
             .select(F.col("src").alias("v"), "label")
             .withColumn("is_self", F.lit(False))
         )
@@ -1656,7 +1940,14 @@ def lpa_labels(pairs: DataFrame, *, rounds: int = LPA_ROUNDS) -> DataFrame:
             # every vertex has exactly one self-vote, so exactly one
             # group per v carries is_prev and the max is its label
             F.max(F.when(F.col("is_prev"), F.col("label"))).alias("prev"),
-        ).localCheckpoint(eager=False)
+        )
+        # deploy regime: keep hash(v) visible so the next round's
+        # neighbor join needs no label-side re-exchange
+        new_labels = (
+            local_checkpoint_partitioned(new_labels, eager=False)
+            if deploy
+            else new_labels.localCheckpoint(eager=False)
+        )
         changed = new_labels.filter(F.col("label") != F.col("prev")).count()
         # the probe above materialized the new round — release the old
         # label frame's blocks eagerly (the _peel_to_fixpoint hygiene)
@@ -1664,6 +1955,8 @@ def lpa_labels(pairs: DataFrame, *, rounds: int = LPA_ROUNDS) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if deploy:
+        free_local_checkpoint(sym)
     free_local_checkpoint(edges)
     return labels.select("v", "label")
 

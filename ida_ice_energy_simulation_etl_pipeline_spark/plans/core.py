@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -120,9 +121,64 @@ def free_local_checkpoint(df: DataFrame) -> None:
         )
 
 
-import threading
-
 _AQE_CAPTURE_LOCK = threading.Lock()
+
+
+def checkpointed_bytes(df: DataFrame) -> int:
+    """Materialized size (memory + disk) of a frame produced DIRECTLY by
+    ``localCheckpoint(eager=True)``, read from the driver's block-manager
+    storage info — NO job, no action.  Returns -1 when the size cannot be
+    determined (non-checkpoint frame, API drift), so callers can fall
+    back to a conservative default."""
+    try:
+        rdd_id = df._jdf.queryExecution().analyzed().rdd().id()
+        for info in df.sparkSession.sparkContext._jsc.sc().getRDDStorageInfo():
+            if info.id() == rdd_id:
+                return int(info.memSize()) + int(info.diskSize())
+    except Exception:
+        pass
+    return -1
+
+
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """``spark.sql.autoBroadcastJoinThreshold`` in bytes (suffixes
+    handled); -1 when unreadable (callers treat that as 'unknown')."""
+    try:
+        raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold")).strip().lower()
+        for suffix, mult in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                             ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                             ("b", 1)):
+            if raw.endswith(suffix):
+                return int(float(raw[: -len(suffix)]) * mult)
+        return int(raw)
+    except Exception:
+        return -1
+
+
+def outgrows_broadcast(edge_ckpt: DataFrame) -> bool:
+    """Deploy-scale regime probe for the iterative graph kernels: True
+    when the VERTEX-grain label frame of the graph whose (eagerly
+    checkpointed) edge list is ``edge_ckpt`` can no longer be expected to
+    runtime-broadcast in the per-round edge⋈label join.
+
+    Proxy: the edge checkpoint's materialized bytes upper-bound the label
+    frame (both are two-int64-column frames and |V| ≤ 2|E|) — a
+    driver-side storage-info read, no job.  An OVERESTIMATE (dense graph,
+    |V| ≪ |E|) flips a kernel to the partitioned regime early, where the
+    worst case is one extra edge pass at setup while AQE still broadcasts
+    the label side; an UNKNOWN size or threshold keeps the fixture-scale
+    regime (never a correctness difference — the regime only chooses
+    which exchanges the round plans pay).  A disabled auto-broadcast
+    (threshold ≤ 0) means the label join can never broadcast, so the
+    partitioned regime is always right there."""
+    spark = edge_ckpt.sparkSession
+    thr = _broadcast_threshold_bytes(spark)
+    if thr == -1:
+        return False
+    if thr <= 0:
+        return True
+    size = checkpointed_bytes(edge_ckpt)
+    return size > thr
 
 
 def local_checkpoint_partitioned(df: DataFrame, *, eager: bool = True) -> DataFrame:
@@ -162,10 +218,9 @@ def local_checkpoint_partitioned(df: DataFrame, *, eager: bool = True) -> DataFr
     # QueryExecution) so the compile always happens inside the window.
     df = df.alias("__ckpt_capture__")
     with _AQE_CAPTURE_LOCK:
-        try:
-            prev = spark.conf.get("spark.sql.adaptive.enabled")
-        except Exception:
-            prev = "true"
+        # default-value overload (r15 ADVICE): a transient read failure
+        # must not re-enable AQE in a session where the user disabled it
+        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
             return df.localCheckpoint(eager=eager)

@@ -1145,6 +1145,119 @@ def test_ktruss_distinguishes_cores_from_trusses(spark):
     assert ktruss_edges(g, 3).count() == 9  # every edge closes ≥1 triangle
 
 
+def test_incremental_supports_equals_recomputed(spark):
+    """r16 truss-maintenance pin: the decrement-derived support frame
+    must equal the full re-enumeration on the surviving edge set —
+    including the two-dropped-edges-per-triangle case, where the
+    canonical-corner dedup keeps each lost triangle from decrementing
+    a surviving edge twice.  Graph: two triangles sharing edge (1,2);
+    at k=4 every edge but (1,2) drops (support 1 < 2), and BOTH lost
+    triangles touch (1,2), so sup_new(1,2) must be exactly 0 — the
+    recomputed metric has no row for it, and the ≥ k−2 filter treats
+    the 0-row and the absent row identically (both peel)."""
+    from pyspark.sql import functions as F
+
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.graph import (
+        _incremental_supports,
+        _oriented_triangles,
+        ktruss_edges,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)], ["doc_a", "doc_b"]
+    ).localCheckpoint(eager=True)
+    tri = _oriented_triangles(old)
+    old_sup = (
+        tri.select(F.col("x").alias("doc_a"), F.col("y").alias("doc_b"))
+        .unionAll(tri.select(F.col("x").alias("doc_a"), F.col("z").alias("doc_b")))
+        .unionAll(tri.select(F.col("y").alias("doc_a"), F.col("z").alias("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .localCheckpoint(eager=True)
+    )
+    new = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"]).localCheckpoint(
+        eager=True
+    )
+    inc = _incremental_supports(old, old_sup, new)
+    assert sorted(map(tuple, inc.collect())) == [(1, 2, 0)]
+    # end-to-end: the kernel (which now uses the incremental step on
+    # every productive round) still produces the right 4-truss
+    assert ktruss_edges(old, 4).count() == 0
+    # and a case where the decrement leaves a surviving truss: K4 plus
+    # a pendant triangle — the pendant drops, the K4's supports are
+    # untouched (no K4 triangle contains a dropped edge)
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    g = spark.createDataFrame(
+        k4 + [(3, 10), (3, 11), (10, 11)], ["doc_a", "doc_b"]
+    )
+    assert sorted(map(tuple, ktruss_edges(g, 4).collect())) == sorted(k4)
+
+
+def test_chained_peel_guard_matches_independent_bounded_unroll(spark):
+    """r16 chain guard (r15 verdict item 4): when a peel exhausts its
+    rounds rail without reaching fixpoint, chaining the next k from its
+    partial result diverges from the oracle's independent bounded
+    unroll — the guard must re-run cold from the full graph instead.
+    Crafted rail-exhausting case: path 1–10 plus vertex 20 joined to
+    7/8/9, rail = 1.  k=2 (one round) removes only the path endpoints
+    and does NOT converge; the ORACLE's k=3 single round from the full
+    graph keeps {7,8,9,20} (5 edges) — but chained from the k=2 partial
+    (where vertex 9 has already lost neighbor 10) it would keep only
+    {7,8,20} (3 edges).  Expected rows are the oracle's."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.graph import (
+        _chained_peel_summaries,
+        kcore_edges,
+    )
+
+    edges = [(i, i + 1) for i in range(1, 10)] + [(7, 20), (8, 20), (9, 20)]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"]).localCheckpoint(
+        eager=True
+    )
+    out = _chained_peel_summaries(pairs, (2, 3), kcore_edges, "core", rail=1)
+    assert sorted(map(tuple, out.collect())) == [(2, 9, 10), (3, 4, 5)]
+
+
+def test_cc_lpa_sym_capture_regimes_identical(spark, monkeypatch):
+    """r16 deploy-regime pin (r15 verdict item 1): the partitioned sym
+    capture (pre-partitioned by the per-round join key, captured through
+    local_checkpoint_partitioned, label side pinned SHUFFLE_HASH) must
+    produce bitwise-identical components and labels to the fixture-scale
+    plain regime — the regime only chooses which exchanges the round
+    plans pay."""
+    from ida_ice_energy_simulation_etl_pipeline_spark.operators.graph import (
+        connected_components,
+        lpa_labels,
+    )
+
+    # two triangles + a bridge + an isolated pair + a chain
+    edges = [
+        (1, 2), (2, 3), (1, 3),
+        (4, 5), (5, 6), (4, 6),
+        (3, 4),
+        (7, 8),
+        (10, 11), (11, 12), (12, 13),
+    ]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    verts = pairs.selectExpr("doc_a AS vertex_id").union(
+        pairs.selectExpr("doc_b AS vertex_id")
+    ).distinct()
+    e = pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+
+    results = {}
+    for mode in ("plain", "partitioned"):
+        monkeypatch.setenv("SPARK_GRAFT_GRAPH_SYM_CAPTURE", mode)
+        cc = sorted(map(tuple, connected_components(verts, e).collect()))
+        lpa = sorted(map(tuple, lpa_labels(pairs).collect()))
+        results[mode] = (cc, lpa)
+    monkeypatch.delenv("SPARK_GRAFT_GRAPH_SYM_CAPTURE")
+    assert results["plain"] == results["partitioned"]
+    # sanity: the fixture really exercises both kernels (bridged
+    # triangles are ONE component; LPA keeps the bridge apart)
+    cc, lpa = results["plain"]
+    assert len({c for _, c in cc}) == 3
+    assert len({l for _, l in lpa}) >= 4
+
+
 def test_dup_communities_bounded_rounds_no_python(spark):
     """LPA communities (new r14): like the k-core pin — the visible
     tail over the localCheckpoint-truncated vote rounds must be pure

@@ -93,14 +93,21 @@ def test_local_checkpoint_partitioned_keeps_hash_partitioning(spark):
     # checkpoint frame that free_local_checkpoint can unpersist
     free_local_checkpoint(kept)
 
-    # the motivating defect, pinned so a Spark version that fixes AQE
-    # partitioning capture makes this test flag the helper as obsolete
+    # the motivating defect, pinned as an OBSOLESCENCE CANARY (r15
+    # ADVICE: a warning, not a hard failure, so an upgrade triage reads
+    # it as "remove the helper", not as a regression): a Spark version
+    # that fixes AQE partitioning capture makes the helper redundant.
     plain = base.repartition(4, "k").localCheckpoint(eager=True)
     plain_plan = _fmt_plan(plain.groupBy("k").count())
-    assert "UnknownPartitioning" in plain_plan, (
-        "plain localCheckpoint now keeps partitioning under AQE — "
-        "local_checkpoint_partitioned may be obsolete on this Spark"
-    )
+    if "UnknownPartitioning" not in plain_plan:
+        import warnings
+
+        warnings.warn(
+            "plain localCheckpoint now keeps partitioning under AQE — "
+            "local_checkpoint_partitioned is likely obsolete on this "
+            "Spark version and can be retired",
+            stacklevel=1,
+        )
     free_local_checkpoint(plain)
 
 
