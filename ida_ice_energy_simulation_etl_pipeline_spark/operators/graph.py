@@ -146,27 +146,48 @@ def connected_components(
     labels = vertices.select("vertex_id", F.col("vertex_id").alias("component"))
     prev_ck = None
     for _ in range(max_iterations):
-        # deploy regime: build the per-partition hash table on the
+        # SELF-VOTE round shape (r16, the LPA r15 trick applied to CC):
+        # each vertex's own (vertex_id, component) row rides the vote
+        # union tagged _self, so ONE min-aggregate computes the new
+        # label AND carries the previous one out — the old left-outer
+        # update join (a second |V|-grain join per round, whose second
+        # reference to the labels checkpoint also tripped the plan-
+        # dedup re-exchange quirk in the deploy regime) is gone.
+        # min(self ∪ neighbors) ≡ least(component, min(neighbors)) and
+        # new < prev ≡ the old neighbor_component < component test, so
+        # the per-round labels are bitwise unchanged.
+        # Deploy regime: build the per-partition hash table on the
         # |V|-grain label side and STREAM the 2|E|-row sym side (guide
         # §3.1) — SMJ would sort sym every round, broadcast is the
-        # banned vertex-grain posture at this scale
+        # banned vertex-grain posture at this scale.
         lbl = labels.hint("shuffle_hash") if deploy else labels
-        neighbor_min = (
+        neighbor_votes = (
             sym.join(lbl, sym.dst == lbl.vertex_id)
-            .groupBy(F.col("src").alias("vertex_id"))
-            .agg(F.min("component").alias("neighbor_component"))
+            .select(F.col("src").alias("vertex_id"), "component")
+            .withColumn("_self", F.lit(False))
+        )
+        votes = neighbor_votes.unionAll(
+            labels.select("vertex_id", "component").withColumn(
+                "_self", F.lit(True)
+            )
         )
         updated = (
-            labels.join(neighbor_min, "vertex_id", "left")
+            votes.groupBy("vertex_id")
+            .agg(
+                F.min("component").alias("component"),
+                # exactly one self row per vertex: max-of-when is its label
+                F.max(F.when(F.col("_self"), F.col("component"))).alias(
+                    "_prev"
+                ),
+            )
+            # no self vote = the src is outside the caller's vertices
+            # frame — the old left-outer-from-labels confined output to
+            # that frame; keep the contract
+            .filter(F.col("_prev").isNotNull())
             .select(
                 "vertex_id",
-                F.least(
-                    "component",
-                    F.coalesce("neighbor_component", "component"),
-                ).alias("component"),
-                (
-                    F.col("neighbor_component") < F.col("component")
-                ).alias("_changed"),
+                "component",
+                (F.col("component") < F.col("_prev")).alias("_changed"),
             )
         )
         # localCheckpoint: truncate the lineage each round, or the plan

@@ -136,9 +136,14 @@ def capture_round_plans(spark, pairs, out_dir: str) -> None:
         else:
             sym = sym0.localCheckpoint(eager=True)
         # CC round: labels is a checkpointed (vertex_id, component)
-        # frame the way round ≥ 2 sees it
+        # frame the way round ≥ 2 sees it.  component is a COMPUTED
+        # column there (least/coalesce over the join), so it carries its
+        # own attribute — mimic that (a bare re-alias of vertex_id would
+        # make the captured partitioning read "component" and hide the
+        # zero-exchange property the real rounds have).
         lbls0 = sym.select(F.col("src").alias("vertex_id")).distinct().select(
-            "vertex_id", F.col("vertex_id").alias("component")
+            "vertex_id",
+            F.least("vertex_id", "vertex_id").alias("component"),
         )
         labels = (
             local_checkpoint_partitioned(lbls0)
@@ -146,24 +151,34 @@ def capture_round_plans(spark, pairs, out_dir: str) -> None:
             else lbls0.localCheckpoint(eager=True)
         )
         lbl = labels.hint("shuffle_hash") if mode == "partitioned" else labels
-        neighbor_min = (
+        neighbor_votes = (
             sym.join(lbl, sym.dst == lbl.vertex_id)
-            .groupBy(F.col("src").alias("vertex_id"))
-            .agg(F.min("component").alias("neighbor_component"))
+            .select(F.col("src").alias("vertex_id"), "component")
+            .withColumn("_self", F.lit(False))
         )
-        updated = labels.join(neighbor_min, "vertex_id", "left").select(
-            "vertex_id",
-            F.least(
-                "component", F.coalesce("neighbor_component", "component")
-            ).alias("component"),
-            (F.col("neighbor_component") < F.col("component")).alias("_changed"),
+        cc_votes = neighbor_votes.unionAll(
+            labels.select("vertex_id", "component").withColumn("_self", F.lit(True))
+        )
+        updated = (
+            cc_votes.groupBy("vertex_id")
+            .agg(
+                F.min("component").alias("component"),
+                F.max(F.when(F.col("_self"), F.col("component"))).alias("_prev"),
+            )
+            .filter(F.col("_prev").isNotNull())
+            .select(
+                "vertex_id",
+                "component",
+                (F.col("component") < F.col("_prev")).alias("_changed"),
+            )
         )
         with open(os.path.join(out_dir, f"cc_deploy_round_{mode}.txt"), "w") as f:
             f.write(f"===== one CC round, sym capture mode = {mode} =====\n")
             f.write(formatted_plan(updated))
-        # LPA round: cur is a checkpointed (v, label) frame
+        # LPA round: cur is a checkpointed (v, label) frame (label is a
+        # computed argmax in the real rounds — same aliasing note as CC)
         cur0 = sym.select(F.col("src").alias("v")).distinct().select(
-            "v", F.col("v").alias("label")
+            "v", F.least("v", "v").alias("label")
         )
         cur = (
             local_checkpoint_partitioned(cur0)
@@ -201,6 +216,13 @@ def main() -> None:
         app_name="graph-deploy-ab",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        # the PLAIN regime at this coordinate makes AQE attempt a
+        # vertex-grain label broadcast every round; at the 1g driver
+        # default that dies with "Not enough memory to build and
+        # broadcast" (recorded in the round doc — it is the deploy
+        # failure mode the partitioned regime removes).  The A/B needs
+        # both arms to finish, so the driver gets headroom here.
+        extra_conf={"spark.driver.memory": "12g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     from ida_ice_energy_simulation_etl_pipeline_spark.plans.core import (
