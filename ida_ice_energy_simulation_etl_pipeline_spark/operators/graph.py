@@ -1721,13 +1721,20 @@ def ktruss_edges(
         kept = sup.filter(F.col("sup") >= k - 2).select("doc_a", "doc_b")
         return edges.join(kept, ["doc_a", "doc_b"], "left_semi")
 
-    # SPARK_GRAFT_TRUSS_INCREMENTAL=0 disables the truss-maintenance
-    # decrement path (A/B lever + escape hatch); default on — the
-    # equivalence is pinned by tests either way
+    # Incremental truss maintenance (_incremental_supports) is OFF by
+    # default — BUILT, MEASURED, REJECTED (r16): bitwise-equal at every
+    # coordinate, but never faster — sf0.1 fixture 4.76 s → 4.59 s
+    # (wash, jobs 60 → 68), 1.95M-edge sparse-drop synthetic 20.3 →
+    # 21.6 s, 2.07M-edge triangle-dense (K12 farms) 51.3 → 55.5 s
+    # (scripts/truss_deploy_ab.py).  The decrement pass's own
+    # |E|-grain anti-join + closure probe + eager sup materialization
+    # cost what the skipped degree-oriented re-enumeration (fan-out
+    # already bounded by oriented out-degree) would have.  The lever
+    # stays for re-evaluation on deeper-peel fixtures.
     _inc = (
-        None
-        if os.environ.get("SPARK_GRAFT_TRUSS_INCREMENTAL", "1") == "0"
-        else _incremental_supports
+        _incremental_supports
+        if os.environ.get("SPARK_GRAFT_TRUSS_INCREMENTAL", "0") == "1"
+        else None
     )
     out = _peel_to_fixpoint(
         pairs,
