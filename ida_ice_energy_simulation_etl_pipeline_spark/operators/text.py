@@ -26,7 +26,13 @@ from ..functions import (
     word_shingles,
     word_tokens,
 )
-from ..plans.core import QuerySpec, ensure_parallelism, hash_parallelism, load_table
+from ..plans.core import (
+    QuerySpec,
+    ensure_parallelism,
+    free_local_checkpoint,
+    hash_parallelism,
+    load_table,
+)
 
 # Function-word profiles for the language-ID heuristic.  Deliberately tiny:
 # language ID at scale is a per-row map-only op; the profile table is the
@@ -3551,6 +3557,12 @@ def bpe_train_frame(
     merge order.  ``n`` is the frequency-weighted corpus pair count the
     merge was chosen at."""
     spark = docs.sparkSession
+    # LAZY checkpoints + fused action (r16, the r15 CC/LPA discipline
+    # applied to the merge loop): each round's argmax collect computes
+    # every partition of the words frame, so it doubles as the lazy
+    # checkpoint's materializer — one action per merge round instead of
+    # two — and the superseded round's blocks are released as soon as
+    # the successor's exist (free_local_checkpoint hygiene).
     words = (
         docs.select(F.explode(word_tokens(F.col("text"))).alias("w"))
         .groupBy("w")
@@ -3561,8 +3573,9 @@ def bpe_train_frame(
             ).alias("s"),
             "cnt",
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    prev_words: "DataFrame | None" = None
     merges: list[tuple] = []
     for r in range(n_merges):
         syms = F.split(F.regexp_replace("s", r"^\||\|$", ""), r"\|\|")
@@ -3590,16 +3603,28 @@ def bpe_train_frame(
             .limit(1)
             .collect()
         )
+        # the collect above materialized this round's words frame — the
+        # predecessor's blocks are no longer referenced by anything
+        if prev_words is not None:
+            free_local_checkpoint(prev_words)
+            prev_words = None
         if not best:
             break
         a, b, n = best[0]["a"], best[0]["b"], best[0]["n"]
         merges.append((r + 1, a, b, n))
+        prev_words = words
         words = words.withColumn(
             "s",
             F.replace(
                 F.col("s"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
             ),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+    # the merge table is a driver-side list now — release the working
+    # frames (the last words frame may be unmaterialized; unpersist of a
+    # never-materialized lazy checkpoint is a no-op)
+    if prev_words is not None:
+        free_local_checkpoint(prev_words)
+    free_local_checkpoint(words)
     return spark.createDataFrame(
         merges, schema="rank BIGINT, a STRING, b STRING, n BIGINT"
     )
