@@ -69,7 +69,7 @@ def _deploy_regime(edge_ckpt: DataFrame) -> bool:
     ``SPARK_GRAFT_GRAPH_SYM_CAPTURE`` ∈ {auto, plain, partitioned}
     forces a regime for A/B measurement and tests; results are identical
     in either regime (the regime only chooses which exchanges the round
-    plans pay), pinned by tests/test_operators.py."""
+    plans pay), pinned by tests/test_plan_shapes.py."""
     mode = os.environ.get("SPARK_GRAFT_GRAPH_SYM_CAPTURE", "auto")
     if mode == "plain":
         return False
@@ -1297,7 +1297,7 @@ def _peel_to_fixpoint(
     the dropped edges' neighborhoods.  The derived metric materializes
     EAGERLY (it reads the old round's blocks, which are released the
     same iteration); equivalence to the recomputed metric is pinned by
-    tests/test_operators.py.
+    tests/test_plan_shapes.py.
     """
     # lazy + fused count throughout (r15): the per-round fixpoint count
     # computes every partition of the new round AND of its (lazily
